@@ -1,0 +1,1060 @@
+"""Query catalog — the driver-facing registry of implemented operators.
+
+Each entry pairs a Spark DataFrame query (built from the operator library)
+with an equivalent ANSI-SQL oracle that DuckDB runs over the same parquet
+tables. The driver executes both at sf=0.01 and compares row count,
+schema, and an order-insensitive value hash (CORRECTNESS_r{N}.json).
+
+Determinism rules applied to BOTH sides so hashes can match:
+
+* every aggregated/computed column is aliased identically;
+* doubles that pass through an aggregation are ``round()``-ed (float
+  summation order differs between engines);
+* timestamps are emitted as formatted UTC strings (the session TZ is
+  pinned to UTC in session.py);
+* array outputs are emitted as sorted joined strings (the reference's
+  array ordering is input-order-dependent — SURVEY.md §7 risk 3);
+* window orderings always include a unique tie-break key;
+* integer-ish outputs are cast to BIGINT on the Spark side (size(),
+  row_number() are 32-bit in Spark, 64-bit in DuckDB).
+
+Operator ids in the entry docstrings refer to SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gramene_mongodb_spark.io import load_table
+from gramene_mongodb_spark.operators import dedup as D
+from gramene_mongodb_spark.operators import relational as R
+from gramene_mongodb_spark.operators import similarity as SIM
+from gramene_mongodb_spark.operators import textops as T
+from gramene_mongodb_spark.operators.closure import transitive_closure
+
+
+@dataclass
+class QuerySpec:
+    """One catalog entry: Spark implementation + optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Relational spine (SURVEY.md §7 phase A)
+# ===========================================================================
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A4", "P1",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped scan→filter→groupBy→agg (A4/P1).
+
+    Scale: single shuffle on a 6-value key; partial aggregation map-side;
+    the shipdate filter pushes into the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "J8", "A4", "O1",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + agg + deterministic top-10 (J8/O1).
+
+    Scale: customer filter prunes before the join; orders⋈lineitem is the
+    big shuffle join (AQE handles skew); LIMIT is a TakeOrdered, no full
+    sort. Ordering on the ROUNDED revenue + orderkey pins the cut line.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_regional_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "J8", "A4",
+)
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join (J8): big facts shuffle-joined, small
+    dims (nation/region/supplier) explicitly broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "j1_broadcast_enrich",
+    """
+    SELECT o_orderkey,
+           coalesce(c_name, 'unknown')     AS customer_name,
+           coalesce(c_mktsegment, 'NONE')  AS segment,
+           round(o_totalprice, 2)          AS total
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "J1",
+)
+def j1_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's universal broadcast-LUT decoration join
+    (`search/doc_merger.js:12-28`) with conditional defaulting
+    (`search/dump_genes.js:183`). Map-side only; fact side never shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    lut = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return R.decorate_join(
+        o,
+        lut,
+        on="o_custkey",
+        defaults={"customer_name": F.lit("unknown"), "segment": F.lit("NONE")},
+    ).select(
+        "o_orderkey", "customer_name", "segment", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@register(
+    "j2_ci_fallback_join",
+    """
+    WITH lut AS (
+      SELECT CASE WHEN event_type IN ('click','view') THEN upper(event_type)
+                  ELSE event_type END AS key,
+             'label_' || event_type   AS label
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    f AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    up AS (SELECT upper(key) AS k2, min(label) AS label FROM lut GROUP BY 1)
+    SELECT f.event_type, coalesce(le.label, up.label) AS label, f.n
+    FROM f
+    LEFT JOIN lut le ON f.event_type = le.key
+    LEFT JOIN up     ON upper(f.event_type) = up.k2
+    """,
+    "J2",
+)
+def j2_ci_fallback_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — exact-then-uppercase fallback join (`search/doc_merger.js:20-25`).
+    The LUT stores some keys uppercased; exact match wins, case-folded
+    match fills the gaps. Both joins broadcast → zero fact shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    lut = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.upper("event_type")
+            )
+            .otherwise(F.col("event_type"))
+            .alias("key"),
+            F.concat(F.lit("label_"), F.col("event_type")).alias("label"),
+        )
+    )
+    facts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return R.ci_fallback_join(facts, lut, "event_type", "key").select(
+        "event_type", "label", "n"
+    )
+
+
+@register(
+    "j9_supplier_pairs",
+    """
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, n_name
+    FROM supplier a
+    JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    JOIN nation ON a.s_nationkey = n_nationkey
+    """,
+    "J9",
+)
+def j9_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — de-duplicating theta self-join (`search/dump_homologs.js:43-48`:
+    each unordered homolog pair emitted once via ``id_a < id_b``)."""
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_nationkey").alias("nk_a"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_nationkey").alias("nk_b"))
+    n = _t(spark, sf_dir, "nation")
+    return (
+        a.join(b, (F.col("nk_a") == F.col("nk_b")) & (F.col("supp_a") < F.col("supp_b")))
+        .join(F.broadcast(n), F.col("nk_a") == F.col("n_nationkey"))
+        .select("supp_a", "supp_b", "n_name")
+    )
+
+
+@register(
+    "j10_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "J10",
+)
+def j10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — existence-filter semi-join (`ontologies/filter_taxonomy.js:99`)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j10_anti_join",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    "J10",
+)
+def j10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join complement of J10 — rows with no match (the reference's
+    unmatched-LUT-key pass-through, inverted): customers with no
+    high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+@register(
+    "a5_argmax_top_order",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    "A5", "W4",
+)
+def a5_argmax_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — argmax per group with pinned tie-break, the canonical-transcript
+    selection shape (`search/decorate.js:48-80`)."""
+    o = _t(spark, sf_dir, "orders")
+    top = R.argmax_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )
+    return top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+
+
+@register(
+    "w1_order_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_idx
+    FROM orders
+    """,
+    "W1",
+)
+def w1_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — sequential index over a sorted partition (the reference's
+    ``gene_idx++`` in sorted-cursor order, `search/dump_genes.js:176-189`)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.row_number().over(w).cast("long").alias("order_idx"),
+        )
+    )
+
+
+@register(
+    "w2_lead_ship_gap",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           date_diff('day', l_shipdate,
+                     lead(l_shipdate) OVER (PARTITION BY l_suppkey
+                                            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                    ) AS gap_days
+    FROM lineitem
+    """,
+    "W2",
+)
+def w2_lead_ship_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2-adjacent — per-(partition) positional offsets via lead(): days
+    until the same supplier's next shipment (the reference's per-fragment
+    gene-order index family, `search/dump_homologs.js:131-148`)."""
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.lead("l_shipdate").over(w), F.col("l_shipdate"))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+@register(
+    "a1_collect_priorities",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    "A1", "A2",
+)
+def a1_collect_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — grouped dedup-collect (`search/dump_genes.js:376-392` xref
+    grouping). Arrays are emitted as sorted joined strings because the
+    reference's array order is input-order-dependent."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a7_pivot_status",
+    """
+    SELECT o_custkey,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_custkey
+    """,
+    "A7",
+)
+def a7_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — pivot / doc-per-key assembly (`atlas/parseBaseline.js:37-41`).
+    Pivot values are pinned so the schema is static at any scale."""
+    p = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_custkey",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    "a6_rollup_geo",
+    """
+    SELECT 'nation:' || n_name AS ancestor,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    UNION ALL
+    SELECT 'region:' || r_name AS ancestor,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+    "A6",
+)
+def a6_rollup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — hierarchical rollup via materialized ancestor arrays
+    (`trees/speciesTree.js:193-219`): every leaf carries its ancestor list
+    (here nation→region), explode + groupBy sums each level in ONE shuffle
+    instead of a recursive walk."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    leaves = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_acctbal",
+            F.array(
+                F.concat(F.lit("nation:"), F.col("n_name")),
+                F.concat(F.lit("region:"), F.col("r_name")),
+            ).alias("ancestors"),
+        )
+    )
+    return R.rollup_by_ancestors(
+        leaves,
+        "ancestors",
+        [
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        ],
+    )
+
+
+@register(
+    "k10_bin_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    "K10", "J7",
+)
+def k10_bin_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10/J7 — arithmetic binning (`search/bin_adder.js:35-60`): bin id is
+    pure codegen'd arithmetic, zero shuffle before the final tiny agg."""
+    binned = R.bin_fixed_width(_t(spark, sf_dir, "orders"), "o_totalprice", 25000.0)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "j5_price_band_containment",
+    """
+    SELECT b.p_brand AS band_brand, count(*) AS n_contained
+    FROM part p
+    JOIN (SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+          FROM part GROUP BY 1) b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice <= b.hi
+    GROUP BY 1
+    """,
+    "J5",
+)
+def j5_price_band_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — interval containment join (`search/qtl_adder.js:41-68`
+    semantics: inclusive bounds). The interval side is tiny → broadcast
+    nested-loop; at scale, add an equi bin key (see containment_join doc)."""
+    part = _t(spark, sf_dir, "part")
+    bands = part.groupBy(F.col("p_brand").alias("band_brand")).agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    points = part.select(F.col("p_retailprice").alias("price"))
+    joined = R.containment_join(
+        points, F.broadcast(bands), on=[], point_lo="price", point_hi="price",
+        ival_lo="lo", ival_hi="hi",
+    )
+    return joined.groupBy("band_brand").agg(F.count(F.lit(1)).alias("n_contained"))
+
+
+@register(
+    "k6_merge_order_windows",
+    """
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS lo,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) + 7*86400 AS hi
+      FROM orders
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lo > max(hi) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_span
+      FROM iv
+    ),
+    spans AS (
+      SELECT *, sum(new_span) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged
+    )
+    SELECT o_custkey, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
+    FROM spans GROUP BY o_custkey, span_id
+    """,
+    "K6",
+)
+def k6_merge_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — interval-set merge (`trees/add_domains_to_tree.js:63-85`):
+    7-day activity windows per customer merged into maximal spans with the
+    running-max window trick (no UDF, linear per key)."""
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_custkey", epoch.alias("lo"), (epoch + 7 * 86400).alias("hi")
+    )
+    return R.merge_intervals(iv, ["o_custkey"], "lo", "hi")
+
+
+@register(
+    "a3_sessionize_events",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    "A3",
+)
+def a3_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — gap-based sessionization (the group-adjacent accumulate/flush
+    pattern of `trees/genetree.js:36-73`, keyed by time gap >30 min)."""
+    ev = _t(spark, sf_dir, "events")
+    s = R.sessionize(ev, ["user_id"], "ts", 1800, tiebreak=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "k7_closure_ancestors",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS child, c_custkey // 2 AS parent
+      FROM customer WHERE c_custkey >= 1
+    ),
+    anc AS (
+      SELECT child AS node, parent AS ancestor FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+    )
+    SELECT node, count(*) AS depth,
+           string_agg(CAST(ancestor AS VARCHAR), ',' ORDER BY ancestor) AS ancestors
+    FROM anc GROUP BY node
+    """,
+    "K7",
+)
+def k7_closure_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — transitive closure via iterative self-join to fixpoint (the
+    reference's four ancestor-closure implementations, e.g.
+    `ontologies/obo2json.pl:100-113`). Edge relation: custkey → custkey/2,
+    a binary tree ~11 deep at sf 0.01; each iteration is one equi-join +
+    anti-join, localCheckpoint-ed so the plan stays flat."""
+    edges = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= 1)
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+        )
+    )
+    closure = transitive_closure(edges)
+    return closure.groupBy("node").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set("ancestor")), lambda x: x.cast("string")),
+            ",",
+        ).alias("ancestors"),
+    )
+
+
+@register(
+    "tumbling_hour_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming", "A4",
+)
+def tumbling_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch twin of the
+    Structured Streaming surface (streaming/windows.py runs the same plan
+    incrementally with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "u3_priority_except",
+    """
+    SELECT o_custkey,
+           coalesce(array_to_string(list_sort(list_filter(pn, x -> NOT list_contains(pf, x))), ','), '')
+             AS open_only_priorities
+    FROM (
+      SELECT o_custkey,
+             coalesce(list_distinct(list(o_orderpriority) FILTER (WHERE o_orderstatus <> 'F')), []) AS pn,
+             coalesce(list_distinct(list(o_orderpriority) FILTER (WHERE o_orderstatus = 'F')), []) AS pf
+      FROM orders GROUP BY 1
+    )
+    """,
+    "U3", "U1",
+)
+def u3_priority_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — set difference on array columns, the most-specific-annotation
+    shape (`search/ancestor_adder.js:56-78`: entries = specific − implied)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("o_orderstatus") != "F", F.col("o_orderpriority"))
+            )
+        ).alias("pn"),
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_orderpriority"))
+            )
+        ).alias("pf"),
+    )
+    return g.select(
+        "o_custkey",
+        F.array_join(F.array_sort(F.array_except(F.col("pn"), F.col("pf"))), ",").alias(
+            "open_only_priorities"
+        ),
+    )
+
+
+@register(
+    "u4_union_tagged",
+    """
+    SELECT o_orderkey, 'high_value' AS tag FROM orders WHERE o_totalprice > 450000
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "U4",
+)
+def u4_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — dataset union (`search/README.md:23-26` per-genome concat)."""
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", F.lit("high_value").alias("tag")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("tag")
+    )
+    return high.unionByName(urgent)
+
+
+# ===========================================================================
+# Extension surface: dedup / similarity / text (SURVEY.md §7 phase E)
+# ===========================================================================
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'), x -> x <> '')"
+)
+
+
+@register(
+    "x_dedup_exact",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+    SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_dupes
+    FROM fp GROUP BY 1
+    """,
+    "dedup",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (lowest-id) survivor per normalized-content
+    md5. One shuffle on the content hash at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "doc_id", "text").select("fingerprint", "doc_id", "n_dupes")
+
+
+@register(
+    "x_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    """,
+    "dedup", "text",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 (scan-speed, no
+    shuffle)."""
+    return D.normalized_fingerprint(_t(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "x_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                            '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)])
+                  ELSE [array_to_string(ws, ' ')] END AS shs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n AS size_a, sb.n AS size_b,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+    """,
+    "dedup",
+)
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8. Candidates come
+    from the shingle inverted index (equi-join), never an n² cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@register("x_minhash_lsh", None, "dedup")
+def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidate pairs verified by exact Jaccard
+    ≥ 0.5. No SQL oracle (banded LSH isn't reasonably SQL-expressible);
+    the driver records a rows-only check, and tests/test_dedup.py checks
+    LSH candidates ⊇ high-jaccard pairs on fixtures."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, verify_threshold=0.5
+    )
+
+
+@register("x_simhash_near", None, "dedup")
+def x_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via pigeonhole banding.
+    Rows-only check (bit-vote fingerprinting has no SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+@register(
+    "x_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DOT.format(a='qv', b='e.embedding')}
+                   / (sqrt({_DOT.format(a='qv', b='qv')})
+                      * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})), 4) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "similarity",
+)
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors: broadcast queries,
+    map-side scoring with JVM higher-order functions, tiny top-k shuffle.
+    Scores rounded to 4dp BEFORE ranking for cross-engine determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.cosine_topk(emb, q, "vec_id", "embedding", k=5, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "x_ivf_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DOT.format(a='q.qv', b='e.embedding')}
+                   / (sqrt({_DOT.format(a='q.qv', b='q.qv')})
+                      * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})), 4) AS cosine
+      FROM b e JOIN q ON e.bucket = q.bucket
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "similarity",
+)
+def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: sign-orthant coarse quantizer on the first 4 dims,
+    search only the query's bucket. At 100 TB the bucket is a parquet
+    partition key → probes prune partitions at the scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.ivf_topk(emb, q, "vec_id", "embedding", k=5, dims=4, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "x_text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(toks) AS BIGINT)    AS n_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> regexp_full_match(x, '[A-Za-z'']+'))) AS BIGINT)
+             AS n_alpha_tokens,
+           round(CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks)
+                      ELSE 0.0 END, 4) AS avg_token_len,
+           round(CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                           / length(text)
+                      ELSE 0.0 END, 4) AS punct_ratio
+    FROM t
+    """,
+    "text",
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + shape stats — pure column expressions, scan speed."""
+    s = T.token_stats(_t(spark, sf_dir, "documents"), "text")
+    return s.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_alpha_tokens").cast("long").alias("n_alpha_tokens"),
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "x_text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+                       / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks)
+                  ELSE 0.0 END AS awl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(CAST(
+             (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+           + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2
+           + (CASE WHEN awl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+           AS DOUBLE), 4) AS quality
+    FROM s
+    """,
+    "text",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (Gopher/C4-style fixed-weight signals)."""
+    q = T.quality_score(_t(spark, sf_dir, "documents"), "text")
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("quality", 4).alias("quality"),
+    )
+
+
+_LANG_HITS = (
+    "len(list_filter(toks, x -> list_contains({words}, x)))"
+)
+
+
+@register(
+    "x_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             {_LANG_HITS.format(words="['der','die','das','und','zu','in','ist','ein','eine','nicht']")} AS h_de,
+             {_LANG_HITS.format(words="['the','a','of','and','to','in','is','that','it','for']")} AS h_en,
+             {_LANG_HITS.format(words="['el','la','de','y','que','en','un','una','los','para']")} AS h_es,
+             {_LANG_HITS.format(words="['le','la','de','et','que','en','un','une','les','pour']")} AS h_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+                WHEN h_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+    "text",
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic; argmax with alphabetical
+    tie-break. Same shape as a real lid model: score-per-class → argmax."""
+    return T.language_id(_t(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "lang_pred"
+    )
+
+
+# ===========================================================================
+# public accessors (consumed by __spark_entry__.py)
+# ===========================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,199 @@
+"""IO layer: sources and sinks (SURVEY.md §2.1).
+
+The reference reads MySQL/JSONL/TSV/OBO/XML/REST/Redis/Mongo and writes
+JSONL/TSV/Mongo (S1-S17).  Spark-first restatement:
+
+* columnar staging is **Parquet** — every upstream source is staged once,
+  then all operators run on parquet scans that Catalyst prunes
+  (column pruning + predicate pushdown reach the scan; verify with
+  ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+* JSONL/TSV sources and sinks are first-class (S4/S5/S13/S14).
+* the reject channel (S17 — the reference's ``insertion_errors.jsonl``,
+  ``search/decorate.js:37-46``) is a quarantine path write.
+* JDBC (S1-S3) and Mongo-connector (S10-S12) readers are thin wrappers:
+  they only assemble options, so they are unit-testable without servers.
+
+All loaders return plain DataFrames; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: canonical table names shipped by the test harness (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
+#: (spark.sql.legacy.parquet.nanosAsLong) and we convert to timestamp here
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one staged parquet table.
+
+    A bare parquet scan: filters/projections applied downstream are pushed
+    into this scan by Catalyst, so callers should NOT pre-``select`` here.
+    Nanosecond-precision timestamp columns (a parquet type Spark lacks)
+    arrive as long nanos and are converted to TimestampType (micros).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several staged tables at once; defaults to all of TABLES."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register staged tables as temp views so ``spark.sql`` can use them."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# text-format sources (S4 JSONL, S5 TSV)
+# --------------------------------------------------------------------------
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL source (S4 — ``search/decorate.js:13,31-34``).
+
+    Pass an explicit schema in production: schema inference is a full
+    extra pass over 100 TB of text.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_tsv(spark: SparkSession, path: str, schema=None, header: bool = False) -> DataFrame:
+    """TSV source (S5 — ``search/pathway_adder.js:13-57`` et al.)."""
+    reader = spark.read.option("sep", "\t").option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")
+    return reader.csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (S13). ``ignoreNullFields`` reproduces the reference's
+    remove-empties cosmetic (P3, ``search/decorate.js:124-143``)."""
+    df.write.mode(mode).option("ignoreNullFields", "true").json(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """TSV sink (S14 — ``prep_urgi_tsv.js:26-79``)."""
+    df.write.mode(mode).option("sep", "\t").option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    sort_within_partitions: tuple[str, ...] = (),
+) -> None:
+    """Parquet sink with optional hive partitioning + within-file ordering.
+
+    ``sort_within_partitions`` is the parquet analog of the reference's
+    secondary indexes (``search/indexCommands.txt``): sorting by the hot
+    predicate column gives min/max row-group pruning on read.
+    """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# reject channel (S17)
+# --------------------------------------------------------------------------
+
+def split_rejects(df: DataFrame, predicate, reject_path: str | None = None):
+    """Split a stream into (valid, rejects) on a row-level predicate (P6),
+    optionally quarantining rejects to ``reject_path`` as JSONL — the
+    Spark restatement of ``insertion_errors.jsonl`` (S17).
+
+    Returns the valid DataFrame (and writes rejects eagerly when a path is
+    given, since the caller usually discards them).
+    """
+    valid = df.filter(predicate)
+    if reject_path is not None:
+        df.filter(~predicate).write.mode("overwrite").json(reject_path)
+    return valid
+
+
+# --------------------------------------------------------------------------
+# server-backed sources (assembled-options wrappers; no live servers in CI)
+# --------------------------------------------------------------------------
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+):
+    """JDBC source (S1-S3 — replaces the reference's buffered/cursor MySQL
+    scans and its hand-rolled IN-list batching, ``trees/genetree.js:333-373``).
+
+    ``partition_column`` + bounds turns one server-side query into
+    ``num_partitions`` parallel range scans — the Spark-native version of
+    the reference's GNU-parallel process fan-out (S16).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable" if " " not in table_or_query.strip() else "query", table_or_query)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def mongo_writer(df: DataFrame, uri: str, database: str, collection: str, mode: str = "append"):
+    """Mongo sink options (S11/S12). Returns the configured writer; caller
+    invokes ``.save()`` where the connector jar is present."""
+    return (
+        df.write.format("mongodb")
+        .mode(mode)
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+    )

@@ -1,0 +1,100 @@
+"""K7 — transitive closure over a DAG (the one genuinely iterative operator).
+
+Reference: four independent ancestor-closure implementations —
+``ontologies/obo2json.pl:100-113`` (DFS over is_a/part_of),
+``ontologies/parseInterpro.js:19-36`` (indent stack),
+``trees/taxonomy.js:13-28`` (parent-chain walk),
+``maps/load_maps_and_taxonomy.js:95-115`` (memoized recursion).
+All materialize an ``ancestors`` array per node so downstream queries
+(annotation rollups A6, most-specific-annotation U3) are joins, not walks.
+
+Spark-first: iterative self-join to a fixpoint.  Each iteration extends
+every known path by one edge hop and unions in the new pairs; dedup via
+``distinct``; terminate when an iteration adds no rows.  Hierarchy depth
+bounds iterations (ontologies/taxonomies: ≤ ~20), so the loop count is
+small and data-independent of total size.
+
+Scale notes:
+* pair table is (node, ancestor) — for 100 TB graphs this stays columnar
+  and shuffle-partitioned on ``node``; no driver-side structures.
+* ``localCheckpoint`` per iteration truncates the lineage so the plan
+  doesn't grow exponentially across iterations.
+* multi-parent DAGs converge because ``distinct`` dedups pairs found via
+  different paths (SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iterations: int = 64,
+) -> DataFrame:
+    """All (node, ancestor) pairs reachable via parent edges.
+
+    ``edges`` is the direct-parent relation (one row per edge; DAGs with
+    multiple parents per child are fine).  Output columns: ``node``,
+    ``ancestor`` — one row per distinct pair, excluding self-pairs.
+    """
+    base = (
+        edges.select(F.col(child).alias("node"), F.col(parent).alias("ancestor"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure = base
+    n_pairs = closure.count()
+
+    for _ in range(max_iterations):
+        # extend every known path one hop: (node → ancestor) ⨝ (ancestor → grand)
+        extended = (
+            closure.join(
+                base.select(
+                    F.col("node").alias("ancestor"), F.col("ancestor").alias("grand")
+                ),
+                "ancestor",
+            )
+            .select("node", F.col("grand").alias("ancestor"))
+            .unionByName(closure)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_next = extended.count()
+        closure = extended
+        if n_next == n_pairs:  # fixpoint: no new (node, ancestor) pairs
+            break
+        n_pairs = n_next
+    return closure
+
+
+def ancestor_arrays(closure: DataFrame) -> DataFrame:
+    """Collapse the (node, ancestor) closure to one sorted array per node —
+    the materialized ``ancestors`` column shape the reference stores on
+    every term/taxon doc (``ontologies/obo2json.pl:113``)."""
+    return closure.groupBy("node").agg(
+        F.array_sort(F.collect_set("ancestor")).alias("ancestors")
+    )
+
+
+def most_specific(annotations: DataFrame, closure: DataFrame, entity: str, term: str) -> DataFrame:
+    """U3 — most-specific-annotation split.
+
+    Reference: ``search/ancestor_adder.js:56-78`` — an entity annotated
+    with both a term and that term's ancestor keeps only the descendant in
+    ``entries`` (the ancestor moves to the derived ``ancestors`` set).
+
+    Spark-first: anti-join the annotation set against the ancestors of the
+    entity's own terms: a term survives unless some *other* annotated term
+    of the same entity has it as an ancestor.
+    """
+    implied = (
+        annotations.alias("a")
+        .join(closure.alias("c"), F.col(f"a.{term}") == F.col("c.node"))
+        .select(F.col(f"a.{entity}").alias(entity), F.col("c.ancestor").alias(term))
+        .distinct()
+    )
+    return annotations.join(implied, [entity, term], "left_anti")

