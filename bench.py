@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan build + execution + collect).
+The set stresses every execution shape: scan-agg (q01), multi-join
+(q03/q05), window (a3), iterative join (k7), shingle self-join
+(x_ngram_jaccard), broadcast ANN scoring (x_cosine_topk), and
+scan-speed text scoring (x_text_quality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "a3_sessionize_events",
+    "a5_argmax_top_order",
+    "k7_closure_ancestors",
+    "x_dedup_exact",
+    "x_ngram_jaccard",
+    "x_cosine_topk",
+    "x_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from gramene_mongodb_spark.catalog import REGISTRY
+    from gramene_mongodb_spark.session import get_spark
+
+    spark = get_spark("gramene-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest sf so headline timings measure
+    # the queries, not first-touch class loading
+    REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        n = len(fn(spark, sf_dir).collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
