@@ -1,0 +1,393 @@
+"""Tree kernels (SURVEY.md §2.10 K1-K4, K8, K9) — grouped-map operators.
+
+The reference stores gene/species trees as nested-set adjacency rows
+(``tree_id, node_id, parent_id, left_index, right_index``; leaves carry
+gene fields — `trees/genetree.js:338-371`) and runs per-tree algorithms
+on an in-memory object graph. Engine-native representation here is the
+**relational adjacency form**: all inter-tree parallelism comes free
+(one Spark task per group of trees), and per-tree work runs in
+vectorized pandas via ``applyInPandas`` — trees are small (≤ a few
+thousand nodes), so a group always fits comfortably in a task.
+
+Scale notes:
+* one shuffle on ``tree_id`` feeds every kernel; millions of trees
+  spread over executors, stragglers handled by AQE.
+* scoring (K3's heuristics) is pure column expressions BEFORE the
+  grouped kernel, so the JVM does the regex work and the pandas kernel
+  only propagates numbers.
+* nested JSON (K8) is a *sink* format: compute stays relational.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# K9 — pruning
+# ---------------------------------------------------------------------------
+
+def prune_malformed_leaves(nodes: DataFrame) -> DataFrame:
+    """Drop leaves whose nested-set span is inconsistent (K9).
+
+    Reference: `trees/genetree.js:102-115` drops leaves where
+    ``left_index + 1 < right_index`` (a "leaf" that claims a subtree).
+    """
+    is_leaf = F.col("gene_stable_id").isNotNull()
+    malformed = is_leaf & (F.col("left_index") + 1 < F.col("right_index"))
+    return nodes.filter(~malformed)
+
+
+def subtree_gene_counts(nodes: DataFrame) -> DataFrame:
+    """Per-node count of gene leaves in its subtree, via nested-set
+    containment (leaf.left between node.left and node.right).
+
+    Reference: the zero-gene-subtree prune of `trees/speciesTree.js:221-228`
+    and num_genes rollups. The containment join is per-tree (equi key
+    ``tree_id``) so it never crosses trees; per-tree cost is
+    |nodes|×|leaves| worst case — fine for real tree sizes, and the
+    nested-set formulation avoids iterative parent walks entirely.
+    """
+    leaves = nodes.filter(F.col("gene_stable_id").isNotNull()).select(
+        F.col("tree_id").alias("lt"), F.col("left_index").alias("lpos")
+    )
+    n = nodes.select("tree_id", "node_id", "left_index", "right_index")
+    joined = n.join(
+        leaves,
+        (n["tree_id"] == leaves["lt"])
+        & (leaves["lpos"] >= n["left_index"])
+        & (leaves["lpos"] <= n["right_index"]),
+        "left",
+    )
+    counts = joined.groupBy("tree_id", "node_id").agg(
+        F.count("lpos").alias("subtree_gene_count")
+    )
+    return nodes.join(counts, ["tree_id", "node_id"], "left")
+
+
+def prune_zero_gene_subtrees(nodes: DataFrame) -> DataFrame:
+    """K9 — remove whole subtrees containing no gene leaves."""
+    return subtree_gene_counts(nodes).filter(F.col("subtree_gene_count") > 0)
+
+
+# ---------------------------------------------------------------------------
+# K3 — leaf scoring (column expressions) + representative min-propagation
+# ---------------------------------------------------------------------------
+
+#: description patterns marking a low-information gene (reference's
+#: bad-word heuristics, `trees/genetree.js:153-176`)
+BAD_DESCRIPTION = (
+    r"(?i)(projected|unknown|uncharacterized|hypothetical|predicted|"
+    r"putative|expressed|conserved)"
+)
+
+#: model-species taxa preferred as representatives (`trees/genetree.js:177-190`
+#: boosts a fixed set of reference genomes; arabidopsis=3702, rice=39947,
+#: maize=4577, sorghum=4558)
+MODEL_TAXA = (3702, 39947, 4577, 4558)
+
+
+def score_leaves(nodes: DataFrame) -> DataFrame:
+    """K3 scoring — lower is better (reference: curated −500 … bad +100,
+    `trees/genetree.js:136-198`). Pure column expressions so the JVM does
+    all regex work; the grouped kernel below only propagates numbers.
+
+    Adds ``rep_score`` (null on branch nodes).
+    """
+    is_leaf = F.col("gene_stable_id").isNotNull()
+    desc = F.col("gene_description")
+    label = F.col("gene_display_label")
+    score = (
+        F.lit(0)
+        + F.when(desc.isNull() | desc.rlike(BAD_DESCRIPTION), 100).otherwise(0)
+        + F.when(label.isNotNull() & (label != F.col("gene_stable_id")), -10).otherwise(0)
+        + F.when(F.col("taxon_id").isin(*MODEL_TAXA), -50).otherwise(0)
+    )
+    return nodes.withColumn(
+        "rep_score", F.when(is_leaf, score).otherwise(F.lit(None).cast("int"))
+    )
+
+
+_REP_UP_SCHEMA = (
+    "tree_id STRING, node_id BIGINT, rep_gene_id STRING, rep_score DOUBLE"
+)
+
+
+def select_representatives(scored: DataFrame) -> DataFrame:
+    """K3 — propagate the best (min score, then min accumulated branch
+    distance, then lexicographic gene id) leaf to every ancestor node.
+
+    Reference: `trees/genetree.js:120-246` walks each tree bottom-up.
+    Here: one ``applyInPandas`` per tree; post-order = ascending
+    ``right_index`` (children always precede parents in nested-set
+    order), so a single linear pass suffices.
+
+    Output: (tree_id, node_id, rep_gene_id, rep_score) for every node.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("right_index")
+        best: dict[int, tuple[float, float, str]] = {}  # node -> (score, dist, gene)
+        out = []
+        for row in pdf.itertuples(index=False):
+            if row.gene_stable_id is not None and not pd.isna(row.gene_stable_id):
+                cand = (float(row.rep_score), 0.0, row.gene_stable_id)
+            else:
+                cand = best.get(row.node_id, (float("inf"), float("inf"), None))
+            best[row.node_id] = cand
+            out.append((row.tree_id, row.node_id, cand[2], cand[0]))
+            # offer this node's best to its parent, penalized by distance
+            if row.parent_id is not None and not pd.isna(row.parent_id):
+                d = 0.0 if pd.isna(row.distance_to_parent) else float(row.distance_to_parent)
+                lifted = (cand[0], cand[1] + d, cand[2])
+                parent = int(row.parent_id)
+                cur = best.get(parent)
+                if cur is None or (lifted[0], lifted[1], lifted[2] or "") < (
+                    cur[0], cur[1], cur[2] or ""
+                ):
+                    best[parent] = lifted
+        return pd.DataFrame(
+            out, columns=["tree_id", "node_id", "rep_gene_id", "rep_score"]
+        )
+
+    cols = [
+        "tree_id", "node_id", "parent_id", "right_index",
+        "distance_to_parent", "gene_stable_id", "rep_score",
+    ]
+    return (
+        scored.select(*cols)
+        .groupBy("tree_id")
+        .applyInPandas(kernel, schema=_REP_UP_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4 — representative push-down + duplication taxon sets (leaf summary)
+# ---------------------------------------------------------------------------
+
+_LEAF_SUMMARY_SCHEMA = (
+    "tree_id STRING, gene_stable_id STRING, rep_gene_id STRING, "
+    "ath_rep_gene_id STRING, duplication_taxa ARRAY<BIGINT>"
+)
+
+ARABIDOPSIS_TAXON = 3702
+
+
+def assign_leaf_summaries(
+    scored: DataFrame,
+    reps: DataFrame,
+    inherit_factor: float = 0.8,
+    min_duplication_confidence: float = 0.5,
+) -> DataFrame:
+    """K4 — per-leaf summary table (`search/genetree_adder.js:113-252`):
+
+    * ``rep_gene_id``: root→leaf walk; a child keeps the parent's
+      representative when the parent's score is within
+      ``inherit_factor`` of its own best (the reference's 0.8 rule),
+      so near-equivalent subtrees agree on one representative.
+    * ``ath_rep_gene_id``: same propagation restricted to Arabidopsis
+      leaves (taxon 3702 / the reference's ``^AT`` test).
+    * ``duplication_taxa``: taxon ids of ancestor duplication nodes with
+      confidence > ``min_duplication_confidence``
+      (`search/genetree_adder.js:157-173`).
+
+    Pre-order = ascending ``left_index`` (parents precede children), so
+    one linear pass per tree with a node→state map.
+    """
+    # reps carries the propagated (double) rep_score; drop the leaf-only
+    # int score from `scored` to avoid an ambiguous column after the join
+    joined = scored.drop("rep_score").join(reps, ["tree_id", "node_id"], "left")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("left_index")
+        # node_id -> (eff_rep, eff_score, ath_rep, dup_taxa_tuple)
+        state: dict[int, tuple] = {}
+        # per-node best arabidopsis leaf, from a bottom-up pass first
+        ath_best: dict[int, tuple[float, str]] = {}
+        for row in pdf.sort_values("right_index").itertuples(index=False):
+            is_ath_leaf = (
+                row.gene_stable_id is not None
+                and not pd.isna(row.gene_stable_id)
+                and int(row.taxon_id) == ARABIDOPSIS_TAXON
+            )
+            if is_ath_leaf:
+                cand = (float(row.rep_score), row.gene_stable_id)
+            else:
+                cand = ath_best.get(row.node_id, (float("inf"), None))
+            ath_best[row.node_id] = cand
+            if row.parent_id is not None and not pd.isna(row.parent_id):
+                parent = int(row.parent_id)
+                cur = ath_best.get(parent)
+                if cur is None or (cand[0], cand[1] or "") < (cur[0], cur[1] or ""):
+                    ath_best[parent] = cand
+
+        out = []
+        for row in pdf.itertuples(index=False):
+            own = (row.rep_gene_id, float(row.rep_score) if not pd.isna(row.rep_score) else float("inf"))
+            ath_own = ath_best.get(row.node_id, (float("inf"), None))
+            if row.parent_id is None or pd.isna(row.parent_id):
+                eff, ath, dups = own, (ath_own[1], ath_own[0]), ()
+            else:
+                p_eff, p_score, p_ath, p_dups = state[int(row.parent_id)]
+                # inherit when the parent's pick beats ours by the factor
+                # margin (scores are signed, lower=better: for positive own
+                # scores the reference's "within 0.8×" rule applies
+                # directly; for already-good negative scores the margin is
+                # applied to the magnitude)
+                threshold = (
+                    inherit_factor * own[1] if own[1] > 0 else own[1] / inherit_factor
+                )
+                if own[0] is None or p_score <= threshold:
+                    eff = (p_eff, p_score)
+                else:
+                    eff = own
+                ath = (p_ath, float("-inf")) if p_ath is not None else (ath_own[1], ath_own[0])
+                dups = p_dups
+            is_dup = (
+                row.node_type == "duplication"
+                and row.duplication_confidence_score is not None
+                and not pd.isna(row.duplication_confidence_score)
+                and float(row.duplication_confidence_score) > min_duplication_confidence
+            )
+            if is_dup:
+                dups = dups + (int(row.taxon_id),)
+            state[int(row.node_id)] = (eff[0], eff[1], ath[0], dups)
+            if row.gene_stable_id is not None and not pd.isna(row.gene_stable_id):
+                out.append(
+                    (
+                        row.tree_id,
+                        row.gene_stable_id,
+                        eff[0],
+                        ath[0],
+                        sorted(set(dups)),
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "tree_id", "gene_stable_id", "rep_gene_id",
+                "ath_rep_gene_id", "duplication_taxa",
+            ],
+        )
+
+    cols = [
+        "tree_id", "node_id", "parent_id", "left_index", "right_index",
+        "taxon_id", "gene_stable_id", "node_type",
+        "duplication_confidence_score", "rep_score", "rep_gene_id",
+    ]
+    return (
+        joined.select(*cols)
+        .groupBy("tree_id")
+        .applyInPandas(kernel, schema=_LEAF_SUMMARY_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K8 — flat → nested JSON assembly (sink format)
+# ---------------------------------------------------------------------------
+
+def assemble_nested_trees(nodes: DataFrame) -> DataFrame:
+    """K8 — adjacency rows → one nested-JSON document per tree
+    (`trees/genetree.js:75-80` FlatToNested). Children ordered by
+    ``left_index`` (O4, `trees/genetree.js:5-9`). Output:
+    (tree_id, n_nodes, doc JSON string) — a sink-side format only.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("left_index")
+        children: dict[int, list] = {}
+        objs: dict[int, dict] = {}
+        root = None
+        for row in pdf.itertuples(index=False):
+            obj = {"node_id": int(row.node_id), "taxon_id": int(row.taxon_id)}
+            if row.gene_stable_id is not None and not pd.isna(row.gene_stable_id):
+                obj["gene_stable_id"] = row.gene_stable_id
+            objs[int(row.node_id)] = obj
+            if row.parent_id is None or pd.isna(row.parent_id):
+                root = obj
+            else:
+                children.setdefault(int(row.parent_id), []).append(obj)
+        for nid, kids in children.items():
+            objs[nid]["children"] = kids  # already in left_index order
+        doc = json.dumps(root, sort_keys=True)
+        return pd.DataFrame(
+            {"tree_id": [pdf["tree_id"].iloc[0]], "n_nodes": [len(pdf)], "doc": [doc]}
+        )
+
+    return (
+        nodes.select("tree_id", "node_id", "parent_id", "left_index",
+                     "taxon_id", "gene_stable_id")
+        .groupBy("tree_id")
+        .applyInPandas(kernel, "tree_id STRING, n_nodes BIGINT, doc STRING")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1/K2 — CIGAR expansion + pairwise identity (vectorized pandas UDFs)
+# ---------------------------------------------------------------------------
+
+def _expand_one(cigar: str, seq: str) -> str:
+    """Expand ``3M2D4M``-style cigar over a sequence; D runs become gaps.
+    Reference: `search/genetree_adder.js:8-47` (Uint16 consensus build)."""
+    out = []
+    pos = 0
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+            continue
+        n = int(num) if num else 1
+        num = ""
+        if ch == "M":
+            out.append(seq[pos : pos + n])
+            pos += n
+        elif ch == "D":
+            out.append("-" * n)
+    return "".join(out)
+
+
+def with_aligned_sequence(df: DataFrame, cigar: str = "cigar",
+                          seq: str = "sequence", out: str = "aligned") -> DataFrame:
+    """K1 — add the gap-expanded alignment string (Arrow-batched pandas UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def expand(c: pd.Series, s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (ci is None or si is None) else _expand_one(ci, si)
+                for ci, si in zip(c, s)
+            ]
+        )
+
+    return df.withColumn(out, expand(F.col(cigar), F.col(seq)))
+
+
+def pairwise_identity(df: DataFrame, a: str = "aligned_a", b: str = "aligned_b",
+                      out: str = "identity") -> DataFrame:
+    """K2 — position-wise % identity over two aligned sequences with a
+    gap-aware denominator (`search/genetree_adder.js:49-78`): matches /
+    min(non-gap length a, non-gap length b)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ident(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        vals = []
+        for x, y in zip(sa, sb):
+            if x is None or y is None:
+                vals.append(None)
+                continue
+            matches = sum(
+                1 for cx, cy in zip(x, y) if cx == cy and cx != "-"
+            )
+            la = sum(1 for c in x if c != "-")
+            lb = sum(1 for c in y if c != "-")
+            denom = min(la, lb)
+            vals.append(matches / denom if denom else 0.0)
+        return pd.Series(vals, dtype="float64")
+
+    return df.withColumn(out, ident(F.col(a), F.col(b)))

@@ -1,0 +1,176 @@
+"""S6 OBO source + document-assembly operators (A1/J3/A5/W5/P3) + K7/U3
+closure semantics on a multi-parent DAG (FIXTURES.md §3 edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gramene_mongodb_spark.operators import documents as DOC
+from gramene_mongodb_spark.operators.closure import (
+    most_specific,
+    transitive_closure,
+)
+from gramene_mongodb_spark.sources import obo
+
+OBO_TEXT = """format-version: 1.2
+ontology: test
+
+[Term]
+id: GO:0000001
+name: root
+namespace: biological_process
+
+[Term]
+id: GO:0000002
+name: mid_a
+namespace: biological_process
+is_a: GO:0000001 ! root
+
+[Term]
+id: GO:0000003
+name: mid_b
+is_a: GO:0000001 ! root
+
+[Term]
+id: GO:0000004
+name: multi_parent_leaf
+alt_id: GO:0000444
+is_a: GO:0000002 ! mid_a
+is_a: GO:0000003 ! mid_b
+relationship: part_of GO:0000001 ! root
+
+[Term]
+id: GO:0000005
+name: obsolete_term
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+@pytest.fixture(scope="module")
+def obo_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("obo") / "test.obo"
+    p.write_text(OBO_TEXT)
+    return str(p)
+
+
+def test_read_obo_terms(spark, obo_path):
+    terms = {r.id: r for r in obo.read_obo_terms(spark, obo_path).collect()}
+    assert len(terms) == 5  # Typedef stanza excluded
+    leaf = terms["GO:0000004"]
+    assert leaf._id == 4
+    assert sorted(leaf.is_a) == [2, 3]
+    assert leaf.part_of == [1]
+    assert leaf.alt_id == ["GO:0000444"]
+    assert terms["GO:0000005"].is_obsolete is True
+    assert terms["GO:0000001"].is_obsolete is False
+    assert terms["GO:0000003"].namespace is None
+
+
+def test_ancestor_closure_dedups_multi_parent_paths(spark, obo_path):
+    terms = obo.read_obo_terms(spark, obo_path)
+    anc = {
+        r._id: r.ancestors
+        for r in obo.terms_with_ancestors(terms).collect()
+    }
+    # node 4 reaches 1 via 2, via 3, and directly via part_of → appears once
+    assert anc[4] == [1, 2, 3]
+    assert anc[2] == [1]
+    assert anc[1] == []  # root has no ancestors
+    assert anc[5] == []  # obsolete orphan
+
+
+def test_most_specific_annotation(spark, obo_path):
+    terms = obo.read_obo_terms(spark, obo_path)
+    closure = transitive_closure(obo.term_edges(terms))
+    annotations = spark.createDataFrame(
+        # gene g1 annotated with a leaf AND two of its ancestors → only
+        # the leaf survives (`search/ancestor_adder.js:56-78`)
+        [("g1", 4), ("g1", 2), ("g1", 1), ("g2", 3)],
+        "gene STRING, term BIGINT",
+    )
+    kept = {(r.gene, r.term) for r in most_specific(annotations, closure, "gene", "term").collect()}
+    assert kept == {("g1", 4), ("g2", 3)}
+
+
+def test_group_xrefs(spark):
+    rows = [
+        ("g1", "UniProt", "P1", None),
+        ("g1", "UniProt", "P1", None),  # dup id within db → A1 dedup
+        ("g1", "UniProt", "P2", None),
+        ("g1", "GO", "GO:1", "IEA"),
+        ("g1", "GO", "GO:2", "IDA"),
+        ("g2", "PO", "PO:9", "ISS"),
+    ]
+    xr = spark.createDataFrame(
+        rows, "gene_id STRING, db STRING, xref_id STRING, evidence STRING"
+    )
+    out = {r.gene_id: r for r in DOC.group_xrefs(xr).collect()}
+    g1 = {x.db: x.ids for x in out["g1"].xrefs}
+    assert g1 == {"UniProt": ["P1", "P2"], "GO": ["GO:1", "GO:2"]}
+    onto = {x.db: [(p.id, p.evidence_code) for p in x.pairs]
+            for x in out["g1"].ontology_xrefs if x is not None}
+    assert onto == {"GO": [("GO:1", "IEA"), ("GO:2", "IDA")]}
+
+
+def test_merge_join_policies(spark):
+    facts = spark.createDataFrame(
+        [("a", ["s1"], None, "keep"), ("b", None, "fname", "x")],
+        "id STRING, synonyms ARRAY<STRING>, name STRING, other STRING",
+    )
+    lut = spark.createDataFrame(
+        [("a", ["s2", "s1"], "lutname"), ("c", ["zz"], "nope")],
+        "id STRING, synonyms ARRAY<STRING>, name STRING",
+    )
+    out = {
+        r.id: r
+        for r in DOC.merge_join(
+            facts, lut, "id", {"synonyms": "concat_array", "name": "coalesce"}
+        ).collect()
+    }
+    assert out["a"].synonyms == ["s1", "s2"]  # concat + dedup + sort (J3)
+    assert out["a"].name == "lutname"         # null filled from LUT
+    assert out["b"].synonyms == []            # unmatched: empty, not null-crash
+    assert out["b"].name == "fname"           # fact wins
+    assert out["b"].other == "x"
+
+
+TR_SCHEMA = (
+    "gene STRING, transcripts ARRAY<STRUCT<id STRING, length BIGINT, "
+    "translation STRUCT<id STRING, length BIGINT>>>"
+)
+
+
+def test_canonical_selection_and_reorder(spark):
+    rows = [
+        # t2 wins: longest translation
+        ("g1", [("t1", 500, ("p1", 100)), ("t2", 300, ("p2", 200))]),
+        # tie on translation → longest transcript wins (A5 tie-break)
+        ("g2", [("t3", 300, ("p3", 100)), ("t4", 500, ("p4", 100))]),
+        # no translations at all → longest transcript, tie → id
+        ("g3", [("t6", 300, None), ("t5", 300, None)]),
+    ]
+    df = spark.createDataFrame(rows, TR_SCHEMA)
+    sel = DOC.select_canonical_transcript(df)
+    canon = {r.gene: r.canonical_transcript for r in sel.collect()}
+    assert canon == {"g1": "t2", "g2": "t4", "g3": "t5"}
+    ordered = DOC.canonical_first(sel)
+    first = {r.gene: r.transcripts[0].id for r in ordered.collect()}
+    assert first == canon
+    # non-canonical relative order preserved (W5)
+    g3 = [t.id for r in ordered.collect() if r.gene == "g3" for t in r.transcripts]
+    assert g3 == ["t5", "t6"]
+
+
+def test_nullify_empties(spark):
+    df = spark.createDataFrame(
+        [("", ["x"], ("", "ok")), ("v", [], ("a", ""))],
+        "s STRING, arr ARRAY<STRING>, st STRUCT<f1 STRING, f2 STRING>",
+    )
+    rows = DOC.nullify_empties(df).collect()
+    assert rows[0].s is None and rows[0].arr == ["x"]
+    assert rows[0].st.f1 is None and rows[0].st.f2 == "ok"
+    assert rows[1].s == "v" and rows[1].arr is None and rows[1].st.f2 is None

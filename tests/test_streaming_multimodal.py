@@ -1,0 +1,99 @@
+"""Streaming windows (tumbling/sliding/session, availableNow → memory
+sink) and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from gramene_mongodb_spark.io import load_table
+from gramene_mongodb_spark.operators import multimodal as MM
+from gramene_mongodb_spark.streaming import windows as SW
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    # stage the events table as a parquet dir the file stream can watch
+    # (load_table converts the nanos-as-long ts to a real timestamp)
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name != "x" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream_dir):
+    stream = SW.read_events_stream(spark, events_stream_dir, max_files_per_trigger=4)
+    out = _run_to_memory(spark, SW.tumbling_counts(stream, watermark="0 seconds"), "tumbling_t")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            __import__("pyspark.sql.functions", fromlist=["window"]).window("ts", "1 hour"),
+            "event_type",
+        )
+        .count()
+    )
+    # append-mode emits only watermark-finalized windows; with availableNow
+    # + 0s watermark every window except the open last one is final
+    assert out.count() >= batch.count() - 5
+    total_stream = out.agg({"n_events": "sum"}).collect()[0][0]
+    assert total_stream > 0
+
+
+def test_session_stream_runs(spark, events_stream_dir):
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    out = _run_to_memory(
+        spark, SW.session_aggregates(stream, gap="30 minutes", watermark="0 seconds"),
+        "sessions_t",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+
+
+def test_sliding_stream_runs(spark, events_stream_dir):
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    out = _run_to_memory(spark, SW.sliding_rates(stream, watermark="0 seconds"), "sliding_t")
+    assert out.count() > 0
+
+
+def test_multimodal_features(spark):
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG fake bytes"), (2, b"RIFF fake wav"), (3, b"\x89PNG fake bytes")],
+        "media_id BIGINT, payload BINARY",
+    )
+    feats = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert len(feats[1].features) == MM.FEATURE_DIM
+    assert feats[1].sha256 == feats[3].sha256  # deterministic
+    assert feats[1].features == feats[3].features
+    assert feats[1].sha256 != feats[2].sha256
+    assert feats[2].n_bytes == 13
+
+
+def test_multimodal_real_codec_stubbed(spark):
+    media = spark.createDataFrame([(1, b"x")], "media_id BIGINT, payload BINARY")
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, decoder="pillow")
+
+
+def test_frame_sampling_grid(spark):
+    media = spark.createDataFrame(
+        [(1, ("video", "mp4", 640, 480, 3500, None)), (2, ("image", "png", 8, 8, None, None))],
+        "media_id BIGINT, meta STRUCT<media_type STRING, format STRING, "
+        "width INT, height INT, duration_ms BIGINT, sample_rate INT>",
+    )
+    frames = MM.sample_frames(media.filter("meta.media_type = 'video'"), every_ms=1000)
+    got = sorted(r.frame_ms for r in frames.collect())
+    assert got == [0, 1000, 2000, 3000]
