@@ -759,6 +759,187 @@ def u4_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high.unionByName(urgent)
 
 
+@register(
+    "s_scalar_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1)                 AS type_last,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS BIGINT)    AS brand_num,
+           upper(p_name)                                          AS name_upper,
+           regexp_replace(p_name, '[aeiou]', '', 'g')             AS name_novowels,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT)         AS name_tokens,
+           CASE WHEN p_retailprice < 1000 THEN 'low'
+                WHEN p_retailprice < 1500 THEN 'mid'
+                ELSE 'high' END                                   AS price_cat,
+           CAST(round(p_retailprice * 100) AS BIGINT)             AS price_cents,
+           abs(p_size - 25)                                       AS size_dist
+    FROM part
+    """,
+    "scalar", "P8",
+)
+def s_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar family — regex extract/replace, case, split, CASE
+    chain, arithmetic, type coercion (P8). All codegen'd, scan speed."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("long").alias("brand_num"),
+        F.upper("p_name").alias("name_upper"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_tokens"),
+        F.when(F.col("p_retailprice") < 1000, "low")
+        .when(F.col("p_retailprice") < 1500, "mid")
+        .otherwise("high")
+        .alias("price_cat"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+    )
+
+
+@register(
+    "j11_fanout_explode",
+    """
+    WITH lut AS (
+      SELECT event_type AS key,
+             [upper(event_type), 'evt_' || event_type] AS labels
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT label, count(*) AS n
+    FROM (SELECT unnest(lut.labels) AS label
+          FROM events e JOIN lut ON e.event_type = lut.key)
+    GROUP BY 1
+    """,
+    "J11",
+)
+def j11_fanout_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — 1→N fan-out projection join (`atlas/project_expression_via_lut.js:22-38`:
+    docs duplicated to every mapped id): broadcast LUT whose value is an
+    array, then explode."""
+    ev = _t(spark, sf_dir, "events")
+    lut = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("key"),
+            F.array(
+                F.upper("event_type"), F.concat(F.lit("evt_"), F.col("event_type"))
+            ).alias("labels"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(lut), ev["event_type"] == lut["key"])
+        .select(F.explode("labels").alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "o1_topk_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+    "O1",
+)
+def o1_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — multi-key global sort + limit. Spark executes this as
+    TakeOrderedAndProject (heap per partition + driver merge), never a
+    full sort — the scalable top-k plan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(15)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@register(
+    "u5_intersect_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "U5",
+)
+def u5_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — set intersection (`ontologies/filter_taxonomy.js:84-116`
+    membership tests) as a true INTERSECT."""
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(urgent)
+
+
+@register(
+    "w2_genes_between",
+    """
+    WITH g AS (
+      SELECT l_orderkey * 100 + l_linenumber AS gene_id,
+             l_suppkey AS dnafrag_id, 1 AS strand,
+             CAST(floor(epoch(l_shipdate)) AS BIGINT) AS start
+      FROM lineitem
+    ),
+    idx AS (
+      SELECT gene_id, dnafrag_id, strand,
+             row_number() OVER (PARTITION BY dnafrag_id, strand
+                                ORDER BY start, gene_id) AS gene_idx
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.l_orderkey * 100 + a.l_linenumber AS gene_id,
+             b.l_orderkey * 100 + b.l_linenumber AS other_id
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    )
+    SELECT p.gene_id, p.other_id,
+           CASE WHEN ia.dnafrag_id = ib.dnafrag_id AND ia.strand = ib.strand
+                THEN abs(ia.gene_idx - ib.gene_idx) - 1 END AS genes_between
+    FROM pairs p
+    LEFT JOIN idx ia ON p.gene_id = ia.gene_id
+    LEFT JOIN idx ib ON p.other_id = ib.gene_id
+    """,
+    "W2", "J9",
+)
+def w2_genes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — genes-between via the engine's gene_order_index +
+    genes_between operators (`search/dump_homologs.js:66-85,131-148`),
+    demonstrated on lineitems-as-genes (fragment = supplier, position =
+    ship epoch; pairs = lineitems of the same order)."""
+    from gramene_mongodb_spark.operators import genomics as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    genes = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("gene_id"),
+        F.col("l_suppkey").alias("dnafrag_id"),
+        F.lit(1).alias("strand"),
+        F.col("l_shipdate").cast("timestamp").cast("long").alias("start"),
+    )
+    idx = G.gene_order_index(genes)
+    a = li.select("l_orderkey", F.col("l_linenumber").alias("ln_a"))
+    b = li.select("l_orderkey", F.col("l_linenumber").alias("ln_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ln_a") < F.col("ln_b"))
+        .select(
+            (F.col("l_orderkey") * 100 + F.col("ln_a")).alias("gene_id"),
+            (F.col("l_orderkey") * 100 + F.col("ln_b")).alias("other_id"),
+        )
+    )
+    return G.genes_between(pairs, idx)
+
+
 # ===========================================================================
 # Extension surface: dedup / similarity / text (SURVEY.md §7 phase E)
 # ===========================================================================
