@@ -38,28 +38,48 @@ def normalized_fingerprint(df: DataFrame, text: str = "text", out: str = "finger
 def dedup_exact(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
     """Exact dedup: keep the lowest-id row per normalized-content hash.
 
-    One shuffle on the 128-bit content hash; ``min_by`` would also work but
-    a groupBy-min + semi-join keeps every original column without a struct
-    repack. Output: the surviving rows, plus ``fingerprint`` and
-    ``n_dupes`` (group size, ≥1).
+    Single shuffle on the 128-bit content hash: one window pass computes
+    both the survivor (row_number = 1 in id order) and the group size —
+    no groupBy + join-back. Output: the surviving rows with every
+    original column, plus ``fingerprint`` and ``n_dupes`` (group size ≥1).
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
     fp = normalized_fingerprint(df, text)
-    groups = fp.groupBy("fingerprint").agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes")
+    return (
+        fp.withColumn("n_dupes", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(w.orderBy(F.col(id_col))))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return fp.drop("n_dupes").join(groups, ["fingerprint", id_col], "inner")
 
 
 # --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------
 
-def shingles(df: DataFrame, id_col: str, text: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingles, one row per (id, shingle), deduped.
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    n: int = 3,
+    materialize: bool = False,
+) -> DataFrame:
+    """One row per doc with its deduped word n-gram shingle array.
 
     Tokenization = lowercase split on non-alphanumeric runs. The sliding
     window is built with higher-order array functions (transform over an
-    index sequence) — JVM-side, no Python UDF.
+    index sequence) — JVM-side, no Python UDF, but O(tokens²) character
+    copying per doc, so this IS the compute-heavy step of every
+    similarity operator. Two scale measures:
+
+    * explicit ``repartition`` before the expression — small/compacted
+      inputs otherwise arrive as few parquet splits and serialize the
+      whole corpus through a handful of cores;
+    * ``materialize=True`` localCheckpoints the arrays so multi-branch
+      consumers (document-frequency + prefix + verification in the
+      jaccard join) compute shingles ONCE instead of once per branch.
     """
     toks = F.filter(F.split(_norm(F.col(text)), r"[^a-z0-9]+"), lambda t: t != "")
     grams = F.transform(
@@ -68,8 +88,17 @@ def shingles(df: DataFrame, id_col: str, text: str = "text", n: int = 3) -> Data
     )
     # docs shorter than n tokens yield their whole text as one shingle
     grams = F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    arrays = df.repartition(parallelism).select(
+        F.col(id_col), F.array_distinct(grams).alias("shingles")
+    )
+    return arrays.localCheckpoint(eager=True) if materialize else arrays
+
+
+def shingles(df: DataFrame, id_col: str, text: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles, one row per (id, shingle), deduped."""
+    return shingle_arrays(df, id_col, text, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -80,34 +109,63 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard similarity.
+    """Near-dup pairs by EXACT n-gram Jaccard ≥ threshold, via prefix
+    filtering (the standard exact set-similarity join):
 
-    Candidate generation is the shingle inverted index (equi-join on
-    shingle), NOT an n² cross join: only pairs sharing ≥1 shingle are
-    scored. |A∪B| = |A|+|B|−|A∩B| avoids materializing unions.
+    1. rank each doc's shingles by ascending global document frequency;
+    2. a pair with jaccard ≥ t MUST share a shingle among each side's
+       first ⌊(1−t)·|set|⌋+1 rarest shingles, so the candidate equi-join
+       runs only over that prefix — the frequent "stop-shingles" that
+       blow up a naive inverted-index self-join never enter the join;
+    3. verify candidates exactly with array_intersect over the full
+       shingle sets (broadcast-friendly arrays table).
 
-    Scale: the shingle join can skew on stop-shingles; at 100 TB drop the
-    top-frequency shingles (document-frequency cap) before the self-join —
-    exposed via ``max_doc_freq``-style pre-filter below (shingles occurring
-    in >1% of docs carry no discriminative signal).
+    No false negatives: the prefix bound is a theorem, not a heuristic,
+    so results equal the naive all-pairs formulation. At 100 TB the
+    candidate join shuffles only the prefix (≈(1−t) of the index), and
+    verification touches candidate pairs only.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
     """
-    sh = shingles(df, id_col, text, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    from pyspark.sql import Window
+
+    arrays = shingle_arrays(df, id_col, text, n, materialize=True)
+    sh = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(doc_freq, "shingle")
+        .withColumn("n_shingles", F.count(F.lit(1)).over(w_doc))
+        .withColumn(
+            "rn",
+            F.row_number().over(w_doc.orderBy(F.col("df"), F.col("shingle"))),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.floor((1.0 - threshold) * F.col("n_shingles")).cast("int") + 1
+    ).select(id_col, "shingle")
+    candidates = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    aa = arrays.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
+    bb = arrays.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("inter"),
+            F.size("__sa").cast("long").alias("size_a"),
+            F.size("__sb").cast("long").alias("size_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
@@ -204,7 +262,10 @@ def simhash(df: DataFrame, id_col: str, text: str = "text", bits: int = 64) -> D
     expressions over the exploded token table — one shuffle, no UDF.
     """
     toks = F.filter(F.split(_norm(F.col(text)), r"[^a-z0-9]+"), lambda t: t != "")
-    tok = df.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("token"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(parallelism).select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("token")
+    )
     tok = tok.withColumn("h", F.xxhash64("token"))
 
     def mask(i: int) -> int:  # signed-64 representation of bit i

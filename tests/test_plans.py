@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — the scale story, checked.
+
+These assert the plan SHAPES that make the engine viable at 100 TB:
+filters/projections reaching the parquet scan, small dims broadcast,
+top-k as TakeOrdered, whole-stage codegen in the hot path. A change
+that silently degrades one of these (e.g. a cast blocking pushdown)
+fails here long before a benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+from gramene_mongodb_spark.catalog import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegen-annotates) the plan on execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # inside PushedFilters
+    # column pruning: only the 7 needed columns in ReadSchema
+    assert "l_comment" not in plan
+    assert "*(" in plan  # WholeStageCodegen stage markers
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # map-side combine before the exchange (partial_ functions)
+    assert "partial_sum" in plan or "partial_avg" in plan
+
+
+def test_q05_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "EqualTo(r_name,ASIA)" in plan  # region filter pushed to scan
+
+
+def test_j1_enrich_never_shuffles_facts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j1_broadcast_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "o1_topk_lineitems")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j10_semi_join")
+    assert "LeftSemi" in plan
+    # the totalprice filter is pushed into the orders scan
+    assert "GreaterThan(o_totalprice,300000" in plan
+
+
+def test_binning_is_pure_arithmetic(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "k10_bin_totalprice")
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
+    assert "Exchange" in plan  # exactly the one agg shuffle
+
+
+def test_text_ops_have_no_python_udfs(spark, sf_dir):
+    for name in ("x_text_stats", "x_text_quality", "x_lang_id", "x_fingerprint"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
