@@ -798,6 +798,31 @@ def s_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER))           AS max_k,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "scalar", "S4",
+)
+def s_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON family — parse the events.props JSON payload column
+    (the reference JSON-parses at every source boundary,
+    `search/decorate.js:31-39`). from_json with an explicit schema keeps
+    the extraction JVM-side and codegen'd."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k INT")["k"])
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "j11_fanout_explode",
     """
     WITH lut AS (

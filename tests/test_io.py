@@ -1,0 +1,71 @@
+"""IO layer tests: JSONL/TSV roundtrips, reject channel (S17),
+null-field pruning at the sink (P3)."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+from gramene_mongodb_spark import io
+from gramene_mongodb_spark.operators.documents import nullify_empties
+
+
+def test_jsonl_roundtrip_prunes_nulls(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", None, ["x"]), ("b", "desc", [])],
+        "id STRING, desc STRING, syn ARRAY<STRING>",
+    )
+    out = str(tmp_path / "docs")
+    io.write_jsonl(nullify_empties(df), out)
+    lines = []
+    for f in glob.glob(f"{out}/part-*"):
+        lines += [json.loads(l) for l in open(f) if l.strip()]
+    by_id = {d["id"]: d for d in lines}
+    assert "desc" not in by_id["a"]          # null pruned (P3 cosmetic)
+    assert by_id["a"]["syn"] == ["x"]
+    assert "syn" not in by_id["b"]           # empty array → null → pruned
+    back = io.read_jsonl(spark, out, schema="id STRING, desc STRING, syn ARRAY<STRING>")
+    assert back.count() == 2
+
+
+def test_tsv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("g1", 5), ("g2", 7)], "id STRING, n INT")
+    out = str(tmp_path / "tsv")
+    io.write_tsv(df, out)
+    back = io.read_tsv(spark, out, schema="id STRING, n INT", header=True)
+    assert {(r.id, r.n) for r in back.collect()} == {("g1", 5), ("g2", 7)}
+
+
+def test_split_rejects(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None), (3, "ok2")], "id INT, payload STRING"
+    )
+    reject_path = str(tmp_path / "rejects")
+    valid = io.split_rejects(df, F.col("payload").isNotNull(), reject_path)
+    assert {r.id for r in valid.collect()} == {1, 3}
+    rejected = spark.read.json(reject_path)
+    assert [r.id for r in rejected.collect()] == [2]
+
+
+def test_jdbc_reader_assembles_partitioned_options(spark):
+    reader = io.jdbc_reader(
+        spark,
+        "jdbc:mysql://host/db",
+        "gene",
+        partition_column="gene_id",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=1_000_000,
+        fetchsize="10000",
+    )
+    # options are not introspectable via public API; assembly not raising
+    # and returning a DataFrameReader is the contract here
+    assert reader is not None
+
+
+def test_load_table_converts_nanos_ts(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
