@@ -265,6 +265,55 @@ def sessionize(
 
 
 # --------------------------------------------------------------------------
+# skew-safe aggregation (salting)
+# --------------------------------------------------------------------------
+
+def salted_aggregate(
+    df: DataFrame,
+    group_by: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed group keys.
+
+    AQE splits skewed JOIN partitions automatically, but a groupBy whose
+    single hot key floods one reducer still bottlenecks — the classic
+    hot-genome / hot-tree skew (SURVEY.md §7 risk 4). Salting splits
+    each key into ``salt_buckets`` sub-groups aggregated map-side, then
+    merges the partials in a second (tiny) shuffle.
+
+    ``aggs``: (column, fn, alias) with fn ∈ {count, sum, min, max} —
+    the decomposable aggregates (partial and final combine with the same
+    operation, count re-combining with sum). The salt is a deterministic
+    row hash, so results are reproducible.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    partial_exprs = []
+    final_exprs = []
+    for col, fn, alias in aggs:
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(f"__p_{alias}"))
+            final_exprs.append(F.sum(f"__p_{alias}").alias(alias))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"__p_{alias}"))
+            final_exprs.append(F.sum(f"__p_{alias}").alias(alias))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"__p_{alias}"))
+            final_exprs.append(F.min(f"__p_{alias}").alias(alias))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"__p_{alias}"))
+            final_exprs.append(F.max(f"__p_{alias}").alias(alias))
+        else:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+    partial = df if not partial_exprs else salted.groupBy(*group_by, "__salt").agg(
+        *partial_exprs
+    )
+    return partial.groupBy(*group_by).agg(*final_exprs)
+
+
+# --------------------------------------------------------------------------
 # A6 — hierarchical rollup via ancestor arrays
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,162 @@
+"""End-to-end genes decoration pipeline — the reference's flagship
+(SURVEY.md §3.1): gene docs → LUT decorations (J1/J2/J3) → canonical
+transcript (A5/W5) → xref grouping (A1) → binning (K10) → ancestor
+annotation split (U3/K7) → empty-pruned JSONL sink (P3/S13).
+
+One composed lazy plan over the FIXTURES.md §1-§3 shapes: the Spark
+restatement of the 16-stage through2 chain in `search/decorate.js:167-194`.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gramene_mongodb_spark import io
+from gramene_mongodb_spark.operators import documents as DOC
+from gramene_mongodb_spark.operators import genomics as G
+from gramene_mongodb_spark.operators import relational as R
+from gramene_mongodb_spark.operators.closure import (
+    ancestor_arrays,
+    most_specific,
+    transitive_closure,
+)
+
+GENE_SCHEMA = (
+    "_id STRING, name STRING, description STRING, taxon_id BIGINT, "
+    "region STRING, start BIGINT, strand INT, synonyms ARRAY<STRING>, "
+    "transcripts ARRAY<STRUCT<id STRING, length BIGINT, "
+    "translation STRUCT<id STRING, length BIGINT>>>"
+)
+
+GENES = [
+    ("G1", None, "kinase", 3702, "1", 100, 1, ["a"],
+     [("t1", 500, ("p1", 100)), ("t2", 400, ("p2", 200))]),
+    ("G2", "gene-two", None, 3702, "2", 900, -1, None,
+     [("t3", 300, None)]),
+]
+
+ID_LUT = [  # FIXTURES §2: '-' sentinels, case-variant key
+    ("G1", "OLD1", "old-name-1", "Uncharacterized protein"),
+    ("g2", "OLD2", "-", "real description"),
+]
+
+XREFS = [
+    ("G1", "GO", "GO:0001", "IEA"), ("G1", "GO", "GO:0002", "IDA"),
+    ("G1", "UniProt", "P1", None), ("G2", "GO", "GO:0002", "ISS"),
+]
+
+TERM_EDGES = [(2, 1), (3, 2)]  # GO:0002 is_a GO:0001; GO:0003 is_a GO:0002
+
+ANNOS = [("G1", 1), ("G1", 2), ("G2", 2)]  # G1 has term+ancestor → U3 drops 1
+
+MAPS = [("asm", 3702, "Ara", (["1", "2"], [1000, 1000]))]
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(spark, tmp_path_factory):
+    genes = spark.createDataFrame(GENES, GENE_SCHEMA)
+    lut = spark.createDataFrame(
+        ID_LUT, "new_id STRING, old_id STRING, old_name STRING, old_description STRING"
+    )
+    # '-' sentinels → null (the fix_* TSV convention)
+    for c in ("old_id", "old_name", "old_description"):
+        lut = lut.withColumn(c, F.when(F.col(c) == "-", None).otherwise(F.col(c)))
+
+    # J2: exact-then-uppercase id-history decoration
+    decorated = R.ci_fallback_join(genes, lut, "_id", "new_id")
+    # defaulting + synonym merge (J1/J3 semantics)
+    decorated = decorated.withColumn(
+        "name", F.coalesce(F.col("name"), F.col("old_name"), F.col("_id"))
+    ).withColumn(
+        "description",
+        F.coalesce(  # reference keeps existing desc, backfills from history
+            F.col("description"),
+            F.when(~F.col("old_description").rlike("(?i)uncharacterized"),
+                   F.col("old_description")),
+        ),
+    ).withColumn(
+        "synonyms",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("synonyms"), F.array()),
+                    F.filter(F.array(F.col("old_id")), lambda x: x.isNotNull()),
+                )
+            )
+        ),
+    ).drop("old_id", "old_name", "old_description")
+
+    # A5 + W5: canonical transcript
+    decorated = DOC.canonical_first(DOC.select_canonical_transcript(decorated))
+
+    # A1: xref grouping
+    xr = spark.createDataFrame(XREFS, "gene_id STRING, db STRING, xref_id STRING, evidence STRING")
+    decorated = decorated.join(
+        DOC.group_xrefs(xr).withColumnRenamed("gene_id", "_id"), "_id", "left"
+    )
+
+    # K10: genome binning
+    maps = spark.createDataFrame(MAPS, "_id STRING, taxon_id BIGINT, display_name STRING, "
+                                       "regions STRUCT<names ARRAY<STRING>, lengths ARRAY<BIGINT>>")
+    offs = G.region_offsets(maps)
+    decorated = G.assign_bins(decorated, offs, fixed_counts=(10,), widths_mb=(1,))
+
+    # U3 + K7: most-specific annotation split + ancestors
+    edges = spark.createDataFrame(TERM_EDGES, "child BIGINT, parent BIGINT")
+    closure = transitive_closure(edges)
+    annos = spark.createDataFrame(ANNOS, "_id STRING, term BIGINT")
+    entries = (
+        most_specific(annos, closure, "_id", "term")
+        .groupBy("_id").agg(F.array_sort(F.collect_set("term")).alias("annotation_entries"))
+    )
+    implied = (
+        annos.join(closure, annos["term"] == closure["node"])
+        .groupBy("_id").agg(F.array_sort(F.collect_set("ancestor")).alias("annotation_ancestors"))
+    )
+    decorated = decorated.join(entries, "_id", "left").join(implied, "_id", "left")
+
+    # P3 + S13: pruned JSONL sink
+    out = str(tmp_path_factory.mktemp("pipeline") / "genes")
+    io.write_jsonl(DOC.nullify_empties(decorated), out)
+    docs = []
+    for f in glob.glob(f"{out}/part-*"):
+        docs += [json.loads(l) for l in open(f) if l.strip()]
+    return {d["_id"]: d for d in docs}
+
+
+def test_pipeline_decoration(pipeline_output):
+    g1, g2 = pipeline_output["G1"], pipeline_output["G2"]
+    assert g1["name"] == "old-name-1"            # backfilled from LUT
+    assert g1["description"] == "kinase"          # own desc kept
+    assert "Uncharacterized" not in str(g1)       # bad history desc rejected
+    assert g1["synonyms"] == ["OLD1", "a"]        # J3 concat+dedup+sort
+    assert g2["name"] == "gene-two"
+    assert g2["description"] == "real description"  # J2 case-fallback hit
+    assert g2["synonyms"] == ["OLD2"]
+
+
+def test_pipeline_canonical_transcript(pipeline_output):
+    g1 = pipeline_output["G1"]
+    assert g1["canonical_transcript"] == "t2"     # longest translation
+    assert g1["transcripts"][0]["id"] == "t2"     # W5 reorder
+
+
+def test_pipeline_bins(pipeline_output):
+    assert pipeline_output["G1"]["bin_fixed_10"] == 0    # pos 100 / 2000
+    assert pipeline_output["G2"]["bin_fixed_10"] == 9    # pos 1900 / 2000
+
+
+def test_pipeline_annotations(pipeline_output):
+    g1 = pipeline_output["G1"]
+    assert g1["annotation_entries"] == [2]        # ancestor term 1 dropped (U3)
+    assert g1["annotation_ancestors"] == [1]
+    assert pipeline_output["G2"]["annotation_entries"] == [2]
+
+
+def test_pipeline_empty_pruning(pipeline_output):
+    # G2 had no xrefs → field absent in the sink doc, not null/[]
+    assert "xrefs" not in pipeline_output["G2"] or pipeline_output["G2"]["xrefs"]
