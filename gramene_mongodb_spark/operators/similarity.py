@@ -126,6 +126,115 @@ def assign_ivf_buckets(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+) -> DataFrame:
+    """Train IVF centroids with Lloyd's algorithm in pure DataFrame ops
+    (no MLlib dependency): deterministic init (k lowest-id vectors),
+    then `iterations` rounds of assign (broadcast argmin) + recompute
+    (groupBy mean via element-wise array aggregation).
+
+    Scale: each round is one map-side assignment over the corpus + one
+    shuffle keyed by centroid id (k groups). Centroids stay on the
+    driver-broadcast side; the corpus is never collected. For 100 TB,
+    train on a sample (``vectors.sample``) — quantizer quality needs
+    only a representative subset.
+
+    Output: (centroid_id INT, centroid ARRAY<DOUBLE>).
+    """
+    from pyspark.sql import Window
+
+    dim = len(vectors.select(vec_col).first()[0])
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        assigned = assign_ivf_buckets(
+            vectors, centroids, id_col, vec_col, "centroid_id", "centroid"
+        )
+        sums = assigned.groupBy("bucket").agg(
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        centroids = sums.select(
+            F.col("bucket").alias("centroid_id"),
+            F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias(
+                "centroid"
+            ),
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+def ivf_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN with trained centroids: candidates come only from each
+    query's ``n_probe`` nearest buckets.
+
+    At 100 TB: persist ``assign_ivf_buckets(vectors, centroids)``
+    partitioned by ``bucket`` — the bucket equi-join below then prunes
+    partitions at the scan, so a query touches n_probe/k of the corpus.
+    """
+    from pyspark.sql import Window
+
+    cand = assign_ivf_buckets(vectors, centroids, id_col, vec_col)
+    c = centroids.select(F.col("centroid_id").alias("bucket"), F.col("centroid"))
+    q_scored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__sim",
+            _dot(F.col("__qvec"), F.col("centroid"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("centroid"))),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("bucket"))
+    q_buckets = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qvec", "bucket")
+    )
+    scored = (
+        cand.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "bucket"
+        )
+        .join(F.broadcast(q_buckets), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def grid_centroids(vectors: DataFrame, vec_col: str = "embedding", dims: int = 4) -> DataFrame:
     """Deterministic centroid surrogate: sign pattern of the first ``dims``
     components (2^dims orthants). A stand-in for k-means (no MLlib
