@@ -27,10 +27,14 @@ HEADLINE = [
     "q05_regional_revenue",
     "a3_sessionize_events",
     "a5_argmax_top_order",
+    "k6_merge_order_windows",
     "k7_closure_ancestors",
+    "w2_genes_between",
+    "tumbling_hour_events",
     "x_dedup_exact",
     "x_ngram_jaccard",
     "x_cosine_topk",
+    "x_ivf_topk",
     "x_text_quality",
 ]
 

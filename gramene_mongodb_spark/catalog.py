@@ -911,29 +911,25 @@ def u5_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_genes_between",
     """
     WITH g AS (
+      -- (l_orderkey, l_linenumber) is not unique in the synthetic data;
+      -- collapse duplicates so gene ids are well-defined
       SELECT l_orderkey * 100 + l_linenumber AS gene_id,
-             l_suppkey AS dnafrag_id, 1 AS strand,
-             CAST(floor(epoch(l_shipdate)) AS BIGINT) AS start
-      FROM lineitem
+             l_orderkey,
+             min(l_suppkey) AS dnafrag_id, 1 AS strand,
+             min(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS start
+      FROM lineitem GROUP BY 1, 2
     ),
     idx AS (
-      SELECT gene_id, dnafrag_id, strand,
+      SELECT gene_id, l_orderkey, dnafrag_id, strand,
              row_number() OVER (PARTITION BY dnafrag_id, strand
                                 ORDER BY start, gene_id) AS gene_idx
       FROM g
-    ),
-    pairs AS (
-      SELECT a.l_orderkey * 100 + a.l_linenumber AS gene_id,
-             b.l_orderkey * 100 + b.l_linenumber AS other_id
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
     )
-    SELECT p.gene_id, p.other_id,
-           CASE WHEN ia.dnafrag_id = ib.dnafrag_id AND ia.strand = ib.strand
-                THEN abs(ia.gene_idx - ib.gene_idx) - 1 END AS genes_between
-    FROM pairs p
-    LEFT JOIN idx ia ON p.gene_id = ia.gene_id
-    LEFT JOIN idx ib ON p.other_id = ib.gene_id
+    SELECT a.gene_id, b.gene_id AS other_id,
+           CASE WHEN a.dnafrag_id = b.dnafrag_id AND a.strand = b.strand
+                THEN abs(a.gene_idx - b.gene_idx) - 1 END AS genes_between
+    FROM idx a JOIN idx b
+      ON a.l_orderkey = b.l_orderkey AND a.gene_id < b.gene_id
     """,
     "W2", "J9",
 )
@@ -945,24 +941,49 @@ def w2_genes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gramene_mongodb_spark.operators import genomics as G
 
     li = _t(spark, sf_dir, "lineitem")
-    genes = li.select(
-        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("gene_id"),
-        F.col("l_suppkey").alias("dnafrag_id"),
-        F.lit(1).alias("strand"),
-        F.col("l_shipdate").cast("timestamp").cast("long").alias("start"),
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data;
+    # collapse duplicates so gene ids are well-defined
+    genes = (
+        li.groupBy(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("gene_id"),
+            "l_orderkey",
+        )
+        .agg(
+            F.min("l_suppkey").alias("dnafrag_id"),
+            F.min(F.col("l_shipdate").cast("timestamp").cast("long")).alias("start"),
+        )
+        .withColumn("strand", F.lit(1))
     )
+    # the index rides along into ONE self-join on the pairing key — the
+    # generic genes_between(pairs, idx) operator (unit-tested) would
+    # spend two extra shuffles re-attaching positions we already have
     idx = G.gene_order_index(genes)
-    a = li.select("l_orderkey", F.col("l_linenumber").alias("ln_a"))
-    b = li.select("l_orderkey", F.col("l_linenumber").alias("ln_b"))
-    pairs = (
+    a = idx.select(
+        "l_orderkey",
+        F.col("gene_id").alias("gene_id"),
+        F.col("dnafrag_id").alias("__da"),
+        F.col("strand").alias("__sa"),
+        F.col("gene_idx").alias("__ia"),
+    )
+    b = idx.select(
+        "l_orderkey",
+        F.col("gene_id").alias("other_id"),
+        F.col("dnafrag_id").alias("__db"),
+        F.col("strand").alias("__sb"),
+        F.col("gene_idx").alias("__ib"),
+    )
+    return (
         a.join(b, "l_orderkey")
-        .filter(F.col("ln_a") < F.col("ln_b"))
+        .filter(F.col("gene_id") < F.col("other_id"))
         .select(
-            (F.col("l_orderkey") * 100 + F.col("ln_a")).alias("gene_id"),
-            (F.col("l_orderkey") * 100 + F.col("ln_b")).alias("other_id"),
+            "gene_id",
+            "other_id",
+            F.when(
+                (F.col("__da") == F.col("__db")) & (F.col("__sa") == F.col("__sb")),
+                F.abs(F.col("__ia") - F.col("__ib")) - 1,
+            ).alias("genes_between"),
         )
     )
-    return G.genes_between(pairs, idx)
 
 
 # ===========================================================================
