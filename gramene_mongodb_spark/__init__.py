@@ -9,7 +9,7 @@ Layout:
     session        SparkSession factory (tuned for oracle-comparable output)
     io             table loaders / sinks / reject channel
     operators/     relational + algorithmic operators (SURVEY.md §2 ids)
-    functions/     scalar expression helpers
+    sources/       OBO / XML / REST custom sources
     catalog        the (queries, oracle_sql) registry consumed by the driver
     streaming/     Structured Streaming surface over the events table
 """

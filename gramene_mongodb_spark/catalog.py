@@ -986,6 +986,72 @@ def w2_genes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k11_graft_taxonomy",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS taxon_id,
+           CAST(n_regionkey AS BIGINT) AS parent_id,
+           n_name AS name
+    FROM nation
+    UNION ALL
+    SELECT CAST(c_nationkey AS BIGINT) * 1000
+             + row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS taxon_id,
+           CAST(c_nationkey AS BIGINT) AS parent_id,
+           c_name AS name
+    FROM customer WHERE c_custkey < 50
+    """,
+    "K11",
+)
+def k11_graft_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 — taxonomy grafting (`maps/load_maps_and_taxonomy.js:77-117`):
+    synthetic genome-child nodes (taxon*1000+n) unioned under their base
+    taxon, demonstrated with nations as taxa and customers as genomes."""
+    from gramene_mongodb_spark.operators.genomics import graft_genome_children
+
+    taxonomy = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("taxon_id"),
+        F.col("n_regionkey").cast("long").alias("parent_id"),
+        F.col("n_name").alias("name"),
+    )
+    genomes = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(
+            F.col("c_name").alias("_id"),
+            F.col("c_nationkey").cast("long").alias("taxon_id"),
+            F.col("c_name").alias("display_name"),
+        )
+    )
+    return graft_genome_children(taxonomy, genomes)
+
+
+@register(
+    "k12_descriptor",
+    """
+    SELECT c_custkey,
+           concat_ws('; ', c_name, c_mktsegment, n_name) AS descriptor
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "K12",
+)
+def k12_descriptor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 — search-descriptor synthesis (`prep_urgi_tsv.js:44-77`):
+    concat_ws skips nulls, matching the reference's conditional appends."""
+    from gramene_mongodb_spark.operators.genomics import synthesize_descriptor
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    df = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("description"),
+        F.array(F.col("n_name")).alias("synonyms"),
+    )
+    return synthesize_descriptor(
+        df, parts=("name", "description"), synonyms="synonyms"
+    ).select("c_custkey", "descriptor")
+
+
 # ===========================================================================
 # Extension surface: dedup / similarity / text (SURVEY.md §7 phase E)
 # ===========================================================================
