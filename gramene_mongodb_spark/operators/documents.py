@@ -170,6 +170,40 @@ def canonical_first(
 
 
 # ---------------------------------------------------------------------------
+# A7 — expression-matrix pivot (atlas gene × experiment docs)
+# ---------------------------------------------------------------------------
+
+def pivot_expression_matrix(
+    long_df: DataFrame,
+    gene: str = "gene_id",
+    experiment: str = "experiment",
+    group: str = "group",
+    value: str = "value",
+) -> DataFrame:
+    """A7 — the atlas doc-assembly pivot (`atlas/parseBaseline.js:27-41`):
+    long (gene, experiment, group, value) samples → one row per gene with
+    ``expression MAP<experiment, ARRAY<STRUCT<group, value>>>``.
+
+    A MapType column, not a ``pivot()``: experiment ids are dynamic data
+    values (the reference abuses object keys — SURVEY.md §1.3), so the
+    schema must not grow a column per experiment. Two map-side-combinable
+    shuffles; samples within an experiment sorted by group for
+    determinism. NA samples are dropped first (P6, `atlas/parseData.js`).
+    """
+    clean = long_df.filter(F.col(value).isNotNull())
+    per_exp = clean.groupBy(gene, experiment).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(group).alias("group"), F.col(value).alias("value")))
+        ).alias("samples")
+    )
+    return per_exp.groupBy(gene).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col(experiment), F.col("samples"))))
+        ).alias("expression")
+    )
+
+
+# ---------------------------------------------------------------------------
 # P3 — empty-pruning for the document sink
 # ---------------------------------------------------------------------------
 

@@ -235,18 +235,6 @@ def ivf_search(
     )
 
 
-def grid_centroids(vectors: DataFrame, vec_col: str = "embedding", dims: int = 4) -> DataFrame:
-    """Deterministic centroid surrogate: sign pattern of the first ``dims``
-    components (2^dims orthants). A stand-in for k-means (no MLlib
-    dependency required); the IVF plumbing — bucketing, probe pruning,
-    per-bucket top-k — is identical under a real quantizer.
-    """
-    spark = vectors.sparkSession
-    n = 1 << dims
-    rows = [(b, [1.0 if (b >> i) & 1 else -1.0 for i in range(dims)]) for b in range(n)]
-    return spark.createDataFrame(rows, "centroid_id INT, signs ARRAY<DOUBLE>")
-
-
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -287,6 +287,30 @@ def assign_leaf_summaries(
 
 
 # ---------------------------------------------------------------------------
+# J12 — tree-leaf decoration from gene documents
+# ---------------------------------------------------------------------------
+
+def decorate_leaves(
+    nodes: DataFrame,
+    gene_docs: DataFrame,
+    gene_key: str = "_id",
+    fields: tuple[str, ...] = (),
+) -> DataFrame:
+    """J12 — attach gene-document fields to tree leaves by stable id
+    (`trees/add_domains_to_tree.js:99-116`: the second pass that copies
+    domains/taxon/nTranscripts from finished gene docs onto tree leaves).
+
+    Leaves stay relational (nest only at the K8 sink). Branch nodes pass
+    through with nulls. One shuffle (or broadcast when the doc side is
+    small). ``gene_docs`` must be unique on ``gene_key`` — duplicates fan
+    leaves out (dedup upstream with dedup_exact/argmax if unsure)."""
+    payload = gene_docs.select(
+        F.col(gene_key).alias("gene_stable_id"), *[F.col(f) for f in fields]
+    )
+    return nodes.join(payload, "gene_stable_id", "left")
+
+
+# ---------------------------------------------------------------------------
 # K8 — flat → nested JSON assembly (sink format)
 # ---------------------------------------------------------------------------
 

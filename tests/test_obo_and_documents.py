@@ -174,3 +174,36 @@ def test_nullify_empties(spark):
     assert rows[0].s is None and rows[0].arr == ["x"]
     assert rows[0].st.f1 is None and rows[0].st.f2 == "ok"
     assert rows[1].s == "v" and rows[1].arr is None and rows[1].st.f2 is None
+
+
+def test_pivot_expression_matrix(spark):
+    rows = [
+        ("g1", "E1", "g1grp", 1.5), ("g1", "E1", "g0grp", 2.5),
+        ("g1", "E2", "a", 3.0), ("g2", "E1", "a", None),  # NA dropped
+        ("g2", "E2", "b", 4.0),
+    ]
+    long_df = spark.createDataFrame(
+        rows, "gene_id STRING, experiment STRING, group STRING, value DOUBLE"
+    )
+    out = {r.gene_id: r.expression for r in DOC.pivot_expression_matrix(long_df).collect()}
+    assert set(out["g1"].keys()) == {"E1", "E2"}
+    assert [(s.group, s.value) for s in out["g1"]["E1"]] == [("g0grp", 2.5), ("g1grp", 1.5)]
+    assert set(out["g2"].keys()) == {"E2"}  # NA-only experiment absent
+
+
+def test_decorate_leaves(spark):
+    from gramene_mongodb_spark.operators import trees as TR
+
+    nodes = spark.createDataFrame(
+        [("t", 1, None, None), ("t", 2, 1, "G1"), ("t", 3, 1, "G2")],
+        "tree_id STRING, node_id BIGINT, parent_id BIGINT, gene_stable_id STRING",
+    )
+    docs = spark.createDataFrame(
+        [("G1", "kinase", 3), ("GX", "ignored", 9)],
+        "_id STRING, description STRING, n_transcripts INT",
+    )
+    out = {r.node_id: r for r in TR.decorate_leaves(nodes, docs,
+                                                    fields=("description", "n_transcripts")).collect()}
+    assert out[2].description == "kinase" and out[2].n_transcripts == 3
+    assert out[3].description is None          # unmatched leaf passes through
+    assert out[1].gene_stable_id is None       # branch node untouched
