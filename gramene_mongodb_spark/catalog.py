@@ -1341,6 +1341,96 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic star trees from customers: one tree per nation, the
+    nation as root, customers as gene leaves (nested-set indexes from a
+    per-nation row_number). Feeds the K3/K4/K8 kernels so the driver
+    exercises the grouped-map path at every scale factor."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    leaves = c.select(
+        F.concat(F.lit("tree_"), F.col("c_nationkey")).alias("tree_id"),
+        (F.col("c_custkey") + 1_000_000).alias("node_id"),
+        F.col("c_nationkey").cast("long").alias("parent_id"),
+        (F.row_number().over(w) * 2).alias("left_index"),
+        (F.row_number().over(w) * 2 + 1).alias("right_index"),
+        F.lit(0.1).alias("distance_to_parent"),
+        # a few leaves land on model taxa so scoring paths diverge
+        F.when(F.col("c_custkey") % 7 == 0, 3702).otherwise(9000).cast("long").alias("taxon_id"),
+        F.col("c_name").alias("gene_stable_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_name")).alias("gene_display_label"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("hypothetical protein"))
+        .otherwise(F.lit("transporter activity"))
+        .alias("gene_description"),
+        F.lit(None).cast("string").alias("node_type"),
+        F.lit(None).cast("double").alias("duplication_confidence_score"),
+    )
+    n_leaves = c.groupBy(F.col("c_nationkey")).agg(F.count(F.lit(1)).alias("n"))
+    roots = n_leaves.select(
+        F.concat(F.lit("tree_"), F.col("c_nationkey")).alias("tree_id"),
+        F.col("c_nationkey").cast("long").alias("node_id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.lit(1).alias("left_index"),
+        (F.col("n") * 2 + 2).cast("int").alias("right_index"),
+        F.lit(None).cast("double").alias("distance_to_parent"),
+        F.lit(1).cast("long").alias("taxon_id"),
+        F.lit(None).cast("string").alias("gene_stable_id"),
+        F.lit(None).cast("string").alias("gene_display_label"),
+        F.lit(None).cast("string").alias("gene_description"),
+        F.lit("speciation").alias("node_type"),
+        F.lit(None).cast("double").alias("duplication_confidence_score"),
+    )
+    return leaves.unionByName(roots)
+
+
+@register("k3k4_tree_representatives", None, "K3", "K4")
+def k3k4_tree_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+K4 — representative selection and leaf summaries over
+    synthesized per-nation trees (applyInPandas grouped-map kernels).
+    Rows-only check: per-tree algorithms are not SQL-expressible."""
+    from gramene_mongodb_spark.operators import trees as TR
+
+    nodes = _synth_tree_nodes(spark, sf_dir)
+    scored = TR.score_leaves(nodes)
+    reps = TR.select_representatives(scored)
+    return TR.assign_leaf_summaries(scored, reps)
+
+
+@register("k8_nested_tree_docs", None, "K8")
+def k8_nested_tree_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 — flat adjacency → nested JSON docs (sink format), one doc per
+    synthesized tree. Rows-only check."""
+    from gramene_mongodb_spark.operators import trees as TR
+
+    return TR.assemble_nested_trees(_synth_tree_nodes(spark, sf_dir))
+
+
+@register("k5_domain_architecture", None, "K5")
+def k5_domain_architecture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — domain-architecture clustering + LCA over features synthesized
+    from lineitems (translation = order, domain = part bucket, coordinates
+    from line numbers). Rows-only check (per-translation kernel)."""
+    from gramene_mongodb_spark.operators import domains as DM
+
+    li = _t(spark, sf_dir, "lineitem")
+    # ~200 translations with hundreds of features each: grouped-map cost
+    # is per GROUP (one Arrow batch + kernel call each), so the fixture
+    # uses few large groups — the realistic domain shape — rather than
+    # hundreds of thousands of 4-row groups
+    feats = li.select(
+        (F.col("l_orderkey") % 200).cast("string").alias("translation_id"),
+        F.concat(F.lit("P"), (F.col("l_partkey") % 10)).alias("interpro"),
+        (F.col("l_orderkey") % 97 * 10 + F.col("l_linenumber")).cast("long").alias("start"),
+        (F.col("l_orderkey") % 97 * 10 + F.col("l_linenumber") + 15).cast("long").alias("end"),
+    ).dropDuplicates(["translation_id", "interpro", "start"])
+    paths = spark.createDataFrame(
+        [(f"P{i}", [f"R{i % 3}", f"P{i}"]) for i in range(10)],
+        "interpro STRING, path ARRAY<STRING>",
+    )
+    clusters = DM.cluster_architecture(feats, paths)
+    return DM.architecture_strings(clusters)
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
