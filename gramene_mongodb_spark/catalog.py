@@ -987,6 +987,56 @@ def w2_genes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_count_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    "A2", "A4",
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (exact; Catalyst expands to a two-stage
+    aggregate). `approx_count_distinct` is the drop-in at 100 TB when the
+    exact distinct shuffle is too wide — not oracle-comparable (HLL),
+    so the gate pins the exact form."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY 1
+    """,
+    "A4",
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. At 100 TB switch to
+    `percentile_approx` (t-digest; not bit-identical across engines, so
+    the gate pins the exact interpolated form both sides compute
+    identically)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@register(
     "k11_graft_taxonomy",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS taxon_id,
