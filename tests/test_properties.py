@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): engine operators vs independent
+brute-force Python references on randomized inputs.
+
+SURVEY.md §5: the reference ships no property tests; these cover the
+operators whose edge cases are combinatorial (interval merging, DAG
+closure, set-similarity) with bounded random instances. max_examples is
+small because every example pays Spark job latency — the value is in
+hitting shapes hand-written fixtures miss (adjacent intervals, diamond
+DAGs, self-contained shingle sets).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gramene_mongodb_spark.operators.closure import transitive_closure
+from gramene_mongodb_spark.operators.dedup import ngram_jaccard_pairs
+from gramene_mongodb_spark.operators.relational import merge_intervals
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 25)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def merge_reference(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Brute force: sort, sweep, merge overlapping-or-touching."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(intervals):
+        if out and lo <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [tuple(x) for x in out]
+
+
+@given(intervals=intervals_strategy)
+@settings(**SETTINGS)
+def test_merge_intervals_matches_sweep(spark, intervals):
+    df = spark.createDataFrame(
+        [("k", lo, hi) for lo, hi in intervals], "k STRING, lo BIGINT, hi BIGINT"
+    )
+    got = sorted(
+        (r.lo, r.hi) for r in merge_intervals(df, ["k"], "lo", "hi").collect()
+    )
+    assert got == merge_reference(intervals)
+    # conservation: merged spans account for every source interval
+    n = sum(r.n_merged for r in merge_intervals(df, ["k"], "lo", "hi").collect())
+    assert n == len(intervals)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 14), st.integers(1, 14)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=20,
+).map(
+    # force acyclic: orient every edge from larger to smaller id
+    lambda es: sorted({(max(a, b), min(a, b)) for a, b in es})
+)
+
+
+def closure_reference(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    parents: dict[int, set[int]] = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+    out: set[tuple[int, int]] = set()
+    for node in parents:
+        stack, seen = list(parents[node]), set()
+        while stack:
+            a = stack.pop()
+            if a in seen:
+                continue
+            seen.add(a)
+            out.add((node, a))
+            stack.extend(parents.get(a, ()))
+    return out
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_transitive_closure_matches_dfs(spark, edges):
+    df = spark.createDataFrame(edges, "child BIGINT, parent BIGINT")
+    got = {(r.node, r.ancestor) for r in transitive_closure(df).collect()}
+    assert got == closure_reference(edges)
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def jaccard_reference(docs: list[str], n: int, t: float) -> set[tuple[int, int]]:
+    def sh(text: str) -> set[str]:
+        ws = text.split()
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = [sh(d) for d in docs]
+    out = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                out.add((i, j))
+    return out
+
+
+@given(docs=docs_strategy)
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_all_pairs(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id BIGINT, text STRING")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert got == jaccard_reference(docs, 3, 0.5)
