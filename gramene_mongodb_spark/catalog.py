@@ -1212,6 +1212,41 @@ _DOT = (
 
 
 @register(
+    "x_embed_near_exact",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+    """,
+    "dedup",
+    "similarity",
+)
+def x_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, EXACT: all pairs with cosine ≥ 0.4
+    (the synthetic gaussian corpus tops out ≈0.5, so 0.4 = "near-dup").
+    Theta self-join baseline — the oracle twin of x_embed_near_lsh."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.4, round_to=4)
+
+
+@register("x_embed_near_lsh", None, "dedup", "similarity")
+def x_embed_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH (16 seeded
+    planes, 8 bands × 2 rows), exact-verified at cosine ≥ 0.4. Rows-only
+    check (LSH banding has no SQL oracle); tests assert output ⊆ exact
+    and recall vs x_embed_near_exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_lsh_near_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.4, round_to=4
+    )
+
+
+@register(
     "x_cosine_topk",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -17,6 +17,8 @@ Scale design:
   (band, band_hash) — candidate pairs only, never n².
 * SimHash: 64-bit fingerprint per doc from token-hash bit votes;
   near-dup = fingerprints equal in all-but-k bands (equi-join per band).
+* embedding-cosine: exact theta-join baseline + random-hyperplane LSH
+  (signature bits JVM-side, banded equi-join candidates, exact verify).
 """
 
 from __future__ import annotations
@@ -328,3 +330,137 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, u) with u = vec / ||vec|| as array<double> — normalizing once
+    per row makes every downstream cosine a plain dot product."""
+    from gramene_mongodb_spark.operators.similarity import _norm as _vnorm
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "id",
+        F.transform(
+            "__v", lambda x: x.cast("double") / _vnorm(F.col("__v"))
+        ).alias("u"),
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_to: int | None = None,
+) -> DataFrame:
+    """EXACT embedding near-dup: every pair with cosine ≥ threshold.
+
+    Theta self-join (id_a < id_b) over unit-normalized vectors — O(n²)
+    pair evaluations, all JVM-side (zip_with/aggregate dot product).
+    This is the correctness baseline / oracle twin; at 100 TB use
+    ``embedding_lsh_near_pairs``, which produces the same pairs minus the
+    LSH false-negative tail but only evaluates banded candidates.
+
+    ``round_to`` rounds BEFORE the threshold filter so the kept set is
+    identical across engines with different float-summation order.
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from gramene_mongodb_spark.operators.similarity import _dot
+
+    side = _unit_vectors(df, id_col, vec_col)
+    a = side.select(F.col("id").alias("id_a"), F.col("u").alias("__ua"))
+    b = side.select(F.col("id").alias("id_b"), F.col("u").alias("__ub"))
+    cos = _dot(F.col("__ua"), F.col("__ub"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_lsh_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane (SimHash-for-vectors) LSH.
+
+    1. signature: bit i = sign(v · plane_i) for ``n_planes`` seeded
+       Gaussian hyperplanes — computed as JVM zip_with/aggregate dots
+       against literal plane arrays (no Python in the scan);
+    2. banding: bits split into ``bands`` bands of n_planes/bands rows;
+       candidates = pairs agreeing exactly on ≥1 band — an equi-join on
+       (band, bucket), never all-pairs;
+    3. verify: candidates' true cosine computed exactly; pairs below
+       ``threshold`` dropped, so output has no LSH false positives.
+
+    P(bit match) = 1 − θ/π; with 8 bands × 2 rows, recall at cosine 0.4
+    is ≈0.98 and climbs toward 1 for truer near-dups. At 100 TB the
+    banded join shuffles ``bands`` rows per vector; the verify join
+    touches candidates only.  Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    import numpy as np
+
+    from gramene_mongodb_spark.operators.similarity import _dot
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    rows_per_band = n_planes // bands
+    unit = _unit_vectors(df, id_col, vec_col)
+
+    bit_cols = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(w)) for w in planes[i]])
+        proj = F.aggregate(
+            F.zip_with(F.col("u"), plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append((proj >= 0).cast("int").alias(f"__b{i}"))
+    sig = unit.select("id", "u", *bit_cols)
+
+    band_structs = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for j in range(rows_per_band):
+            bucket = bucket + F.col(f"__b{b * rows_per_band + j}") * F.lit(1 << j)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    ua = unit.select(F.col("id").alias("id_a"), F.col("u").alias("__ua"))
+    ub = unit.select(F.col("id").alias("id_b"), F.col("u").alias("__ub"))
+    cos = _dot(F.col("__ua"), F.col("__ub"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -58,3 +58,70 @@ def test_ivf_search_recall_vs_exact(spark, emb):
     assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f}"
     # every returned neighbor must be a real corpus vector, ranked 1..5
     assert all(1 <= r.rank <= 5 for r in approx.collect())
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (exact + LSH)
+# --------------------------------------------------------------------------
+
+def _numpy_near_pairs(emb_rows, threshold):
+    import numpy as np
+
+    ids = [r.vec_id for r in emb_rows]
+    mat = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(cos[i, j], 4) >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+    return out
+
+
+def test_embedding_near_pairs_matches_numpy(spark, emb):
+    from gramene_mongodb_spark.operators import dedup as D
+
+    expected = _numpy_near_pairs(emb.collect(), 0.4)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_near_pairs(emb, threshold=0.4, round_to=4).collect()
+    }
+    assert set(got) == expected
+    assert all(a < b for a, b in got)
+    assert all(c >= 0.4 for c in got.values())
+
+
+def test_embedding_lsh_subset_and_recall(spark, emb):
+    from gramene_mongodb_spark.operators import dedup as D
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_pairs(emb, threshold=0.4, round_to=4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_lsh_near_pairs(
+            emb, dim=64, threshold=0.4, round_to=4
+        ).collect()
+    }
+    assert lsh <= exact                      # verify step kills false positives
+    assert exact, "fixture should contain near pairs at 0.4"
+    recall = len(lsh & exact) / len(exact)
+    # 8 bands x 2 rows at cosine 0.4 -> expected recall ~0.98
+    assert recall >= 0.8, f"LSH recall {recall:.2f}"
+
+
+def test_embedding_lsh_deterministic(spark, emb):
+    from gramene_mongodb_spark.operators import dedup as D
+
+    r1 = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_lsh_near_pairs(emb, dim=64, round_to=4).collect()
+    )
+    r2 = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_lsh_near_pairs(emb, dim=64, round_to=4).collect()
+    )
+    assert r1 == r2
