@@ -201,6 +201,151 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q04_priority_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "J10", "A4",
+)
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS, decorrelated to a left-semi
+    join (J10): orders with any lineitem shipped >60 days after the
+    order date, counted per priority.
+
+    Scale: the semi-join is equi-keyed on orderkey (the date comparison
+    rides along as a join residual) — one shuffle, no subquery re-scan
+    per row, and the lineitem side projects only (orderkey, shipdate).
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q13_order_histogram",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "J8", "A4",
+)
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped distribution query: left outer join with a join
+    predicate (not a post-filter — customers keep their zero counts),
+    then a two-level aggregation (orders per customer → customers per
+    order count).
+
+    Scale: first agg shuffles on custkey (same key as the join, so AQE
+    reuses the partitioning); second agg is a ~20-key rollup — tiny.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    "J10", "A2", "A4",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped NOT IN → left-anti join + grouped distinct count.
+
+    Scale: the excluded-supplier set is tiny and broadcast for the anti
+    join; part is broadcast for the equi-join; the distinct count
+    shuffles (brand, type, suppkey) once (partial distinct map-side).
+    NOT IN's null semantics are safe here: suppkey is never null.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+           round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    "J1", "A4",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery (per-part average),
+    decorrelated to an aggregate + equi-join: lineitems below half their
+    part's mean quantity, revenue per brand.
+
+    Scale: the per-part average is a map-side-combinable agg producing
+    one row per part — joined back on partkey instead of re-scanning
+    lineitem per row (the classic O(n²) → O(n) decorrelation).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    half_avg = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+    )
+    return (
+        l.join(half_avg, l["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "j1_broadcast_enrich",
     """
     SELECT o_orderkey,
