@@ -73,3 +73,35 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q04_exists_is_one_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q04_priority_exists")
+    assert "LeftSemi" in plan            # EXISTS decorrelated, not re-scanned
+    # lineitem side pruned to the two columns the predicate needs
+    assert "l_extendedprice" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_supplier_variety")
+    assert "LeftAnti" in plan
+    assert "partial_count(distinct" in plan  # map-side partial distinct
+
+
+def test_q17_decorrelates_to_single_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q17_small_qty_revenue")
+    assert "partial_avg" in plan         # per-part avg combined map-side
+    # lineitem is scanned exactly twice (fact + avg), never per-row;
+    # count on the pre-AQE plan (the adaptive plan string repeats
+    # reused subtrees)
+    df = REGISTRY["q17_small_qty_revenue"].fn(spark, sf_dir)
+    static = df._jdf.queryExecution().sparkPlan().toString()
+    assert static.count("Scan parquet") == 3
+
+
+def test_embed_lsh_candidates_are_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_embed_near_lsh")
+    # banded candidates join on (band, bucket) — no cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # signature bits are JVM-side
