@@ -1288,10 +1288,8 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_ngram_jaccard",
-    """
-    WITH toks AS (
+_JACCARD_CTES = """
+    toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                                             '[^a-z0-9]+'), x -> x <> '') AS ws
@@ -1311,7 +1309,13 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex a JOIN ex b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "x_ngram_jaccard",
+    f"""
+    WITH {_JACCARD_CTES}
     SELECT id_a, id_b, inter, sa.n AS size_a, sb.n AS size_b,
            round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
     FROM inter
@@ -1329,6 +1333,43 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+@register(
+    "x_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id)) AS BIGINT)
+             AS cluster_size
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    "dedup",
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: exact jaccard-0.8 near-dup pairs → connected
+    components (iterative min-label propagation with pointer jumping) →
+    every doc labeled with its cluster id + size, singletons included.
+    The oracle mirrors the components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return D.dedup_clusters(docs, pairs, "doc_id")
 
 
 @register("x_minhash_lsh", None, "dedup")

@@ -83,6 +83,84 @@ def ancestor_arrays(closure: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 32,
+) -> DataFrame:
+    """Connected components over an undirected edge list: every vertex
+    gets its component's minimum vertex id as ``component``.
+
+    The dedup-cluster primitive (near-dup pairs → duplicate groups) and a
+    general graph op the reference lacks.  Iterative min-label
+    propagation, accelerated with one pointer-jump per round:
+
+    1. relax: label(v) ← min(label(v), min label over neighbors);
+    2. jump:  label(v) ← label(label(v))  (a self-join on the label),
+       which short-circuits long chains, so convergence is
+       O(log diameter) rounds, not O(diameter).
+
+    Each round is two shuffle joins over the (vertex, label) table —
+    columnar, keyed on vertex, no driver-side union-find.  Rounds are
+    ``localCheckpoint``-ed to keep lineage flat; fixpoint detected via a
+    changed-label count (an action per round, same posture as
+    ``transitive_closure``).  Output: (vertex, component), vertices = every
+    id appearing in ``edges``.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = sym.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("__nl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("__nl").alias("__min_nbr"))
+        )
+        relaxed = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("__min_nbr"), F.col("label"))
+            ).alias("label"),
+        )
+        jumped = (
+            relaxed.alias("a")
+            .join(
+                relaxed.select(
+                    F.col("u").alias("__lu"), F.col("label").alias("__ll")
+                ),
+                F.col("a.label") == F.col("__lu"),
+                "left",
+            )
+            .select(
+                F.col("a.u").alias("u"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("__ll"), F.col("a.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
+
+
 def most_specific(annotations: DataFrame, closure: DataFrame, entity: str, term: str) -> DataFrame:
     """U3 — most-specific-annotation split.
 

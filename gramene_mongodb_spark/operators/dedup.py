@@ -333,6 +333,46 @@ def simhash_near_pairs(
 
 
 # --------------------------------------------------------------------------
+# Duplicate clusters (pairs → groups)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id from near-dup PAIRS.
+
+    The step after any pair generator (jaccard / MinHash / SimHash /
+    embedding-cosine): pairs are edges of the duplicate graph; connected
+    components give the groups; docs in no pair become singletons. The
+    canonical survivor of each cluster is its minimum id (= the component
+    label), so "keep one per cluster" is ``filter(doc_id == cluster_id)``.
+
+    Output: (id_col, cluster_id, cluster_size) for EVERY row of ``df``.
+    """
+    from pyspark.sql import Window
+
+    from gramene_mongodb_spark.operators.closure import connected_components
+
+    comp = connected_components(pairs, pair_a, pair_b)
+    out = (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # --------------------------------------------------------------------------
 

@@ -128,3 +128,44 @@ def test_ngram_jaccard_matches_all_pairs(spark, docs):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     }
     assert got == jaccard_reference(docs, 3, 0.5)
+
+
+# --------------------------------------------------------------------------
+# connected components vs union-find
+# --------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def components_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; component label = min vertex id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    from gramene_mongodb_spark.operators.closure import connected_components
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == components_reference(edges)
