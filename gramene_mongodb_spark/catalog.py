@@ -845,6 +845,48 @@ def tumbling_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_6h_events",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts)
+               - (extract(hour FROM ts)::INT % 2) * INTERVAL 1 HOUR AS bkt
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value,
+             unnest([bkt, bkt - INTERVAL 2 HOUR, bkt - INTERVAL 4 HOUR]) AS s
+      FROM b
+    )
+    SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    "streaming", "A4",
+)
+def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (6 h window, 2 h slide) per event_type —
+    batch twin of streaming/windows.sliding_rates. Spark's window()
+    explodes each event into its 3 covering windows; the oracle unnests
+    the same 3 epoch-aligned starts. Scale: the explode is map-side
+    (×size/slide rows), then one partial-aggregated shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "u3_priority_except",
     """
     SELECT o_custkey,
@@ -1152,6 +1194,46 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a_rollup_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS grouping_lvl
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "A4",
+)
+def a_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (flag, flag+status, grand total) in ONE
+    pass — a SQL surface the reference lacks entirely (SURVEY §2.4 "not
+    present"); its A6 tree rollups are the ancestor-explode special case.
+    Scale: Catalyst expands rollup groups map-side (Expand node), still
+    a single shuffle with partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("grouping_lvl"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_price",
+            "grouping_lvl",
         )
     )
 
