@@ -887,6 +887,39 @@ def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_asof_last_click",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "streaming", "W2",
+)
+def x_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event paired with the user's
+    most recent click at-or-before it (relational.asof_join — union +
+    single sorted window, never a per-key pair blowup). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = R.asof_join(purchases, clicks, on=["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        (F.col("ts").cast("long") - F.col("ts_asof").cast("long")).alias("gap_s"),
+    )
+
+
+@register(
     "u3_priority_except",
     """
     SELECT o_custkey,

@@ -338,3 +338,77 @@ def rollup_by_ancestors(
         .groupBy("ancestor")
         .agg(*aggs)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the LATEST right row with
+    ``right_ts <= left_ts`` per key (equal timestamps match).
+
+    An operator Spark's join set lacks. The naive formulation (per-left-row
+    max-subquery, or an inequality join + argmax) shuffles candidate pairs
+    — O(|L|·|R|) per key. This is the scalable single-shuffle form:
+
+    1. tag both inputs and union them on aligned schemas;
+    2. one window per key ordered by (time, right-before-left) with
+       ``last(value, ignorenulls=True)`` over the unbounded-preceding
+       frame — each left row reads the most recent right values;
+    3. keep the left rows.
+
+    Cost: one shuffle + sort on ``on`` — same as a sort-merge join, no
+    pair blowup, skew bounded per key. Right value columns come back
+    suffixed (``value_cols`` defaults to all non-key non-ts right
+    columns); rows with no prior right row get nulls.
+    """
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+    value_cols = list(value_cols)
+    left_pass = [c for c in left.columns if c not in on and c != left_ts]
+
+    lsel = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *left_pass,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+    )
+    rsel = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_pass],
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+        F.col(right_ts).alias(right_ts + suffix),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = lsel.unionByName(rsel).select(
+        *on,
+        "__t",
+        "__is_left",
+        *left_pass,
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+            for c in [*value_cols, right_ts]
+        ],
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .drop("__is_left")
+        .withColumnRenamed("__t", left_ts)
+    )

@@ -169,3 +169,30 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df, "src", "dst").collect()
     }
     assert got == components_reference(edges)
+
+
+# --------------------------------------------------------------------------
+# as-of join vs brute force
+# --------------------------------------------------------------------------
+
+ts_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+
+
+@given(left=ts_rows, right=ts_rows)
+@settings(**SETTINGS)
+def test_asof_join_matches_brute_force(spark, left, right):
+    from gramene_mongodb_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k: long, t: long, rid: long"
+    )
+    rdf = spark.createDataFrame(right, "k: long, t: long")
+    got = {
+        r.rid: r.t_asof
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="t", right_ts="t").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        prior = [rt for rk, rt in right if rk == k and rt <= t]
+        assert got[i] == (max(prior) if prior else None), (i, k, t)
