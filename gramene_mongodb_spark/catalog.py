@@ -887,6 +887,51 @@ def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_overlap_orders",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS d_lo,
+             date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) + 30 AS d_hi
+      FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(least(a.d_hi, b.d_hi) - greatest(a.d_lo, b.d_lo) + 1 AS BIGINT)
+             AS overlap_days
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE a.d_lo <= b.d_hi AND b.d_lo <= a.d_hi
+    """,
+    "J6", "J5",
+)
+def j6_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via relational.binned_interval_join
+    (J6's scalable form): per-customer 30-day order windows that overlap,
+    candidates equi-joined on (custkey, coarse 30-day bin) so a hot
+    customer's intervals spread over many reducers; each pair emitted
+    from exactly one shared bin (dedup-by-predicate, no distinct)."""
+    w = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("lo"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) + 30).cast("long").alias("hi"),
+    )
+    a = w.select("custkey", F.col("o_orderkey").alias("order_a"),
+                 F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    b = w.select("custkey", F.col("o_orderkey").alias("order_b"),
+                 F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    out = R.binned_interval_join(
+        a, b, ["custkey"], "lo_a", "hi_a", "lo_b", "hi_b", bin_width=30
+    ).filter(F.col("order_a") < F.col("order_b"))
+    return out.select(
+        "custkey",
+        "order_a",
+        "order_b",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b") + 1).alias("overlap_days"),
+    )
+
+
+@register(
     "x_asof_last_click",
     """
     SELECT p.event_id, p.user_id,

@@ -412,3 +412,64 @@ def asof_join(
         .drop("__is_left")
         .withColumnRenamed("__t", left_ts)
     )
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Interval OVERLAP join at scale: pairs whose [lo, hi] ranges
+    intersect (inclusive), equi-keyed on ``on`` AND a coarse bin id.
+
+    The J5/J6 post-filter form degrades when one equi-key holds many
+    intervals (per-key pair count → n·m). This is the standard fix:
+
+    1. each interval explodes to the fixed-width bins it covers
+       (``sequence(floor(lo/w), floor(hi/w))`` — map-side, no Python);
+    2. candidates come from an equi-join on (keys…, bin) — the shuffle
+       is keyed fine-grained, so one hot region no longer lands on one
+       reducer;
+    3. the true overlap predicate filters candidates, and each pair is
+       emitted from exactly ONE bin — the first bin both intervals
+       share, ``bin == greatest(floor(l_lo/w), floor(r_lo/w))`` — so no
+       ``distinct`` pass is needed (dedup is a predicate, not a shuffle).
+
+    ``bin_width`` trades explode factor (long intervals / small bins)
+    against per-bin pair counts (short intervals / big bins); pick it
+    near the typical interval length. Columns shared by both sides come
+    back suffixed.
+    """
+    on = list(on)
+
+    def binned(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
+        overlap_cols = [c for c in df.columns if c in left.columns and c in right.columns and c not in on]
+        renamed = df.select(
+            *on,
+            *[F.col(c).alias(c + (suffixes[0] if side == "l" else suffixes[1]) if c in overlap_cols else c) for c in df.columns if c not in on],
+        )
+        lo_c = lo + (suffixes[0] if side == "l" else suffixes[1]) if lo in overlap_cols else lo
+        hi_c = hi + (suffixes[0] if side == "l" else suffixes[1]) if hi in overlap_cols else hi
+        return renamed.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_c) / bin_width), F.floor(F.col(hi_c) / bin_width)
+                )
+            ),
+        ), lo_c, hi_c
+
+    lb, llo, lhi = binned(left, l_lo, l_hi, "l")
+    rb, rlo, rhi = binned(right, r_lo, r_hi, "r")
+    joined = lb.join(rb, [*on, "__bin"])
+    overlap = (F.col(llo) <= F.col(rhi)) & (F.col(rlo) <= F.col(lhi))
+    first_shared = F.col("__bin") == F.greatest(
+        F.floor(F.col(llo) / bin_width), F.floor(F.col(rlo) / bin_width)
+    )
+    return joined.filter(overlap & first_shared).drop("__bin")

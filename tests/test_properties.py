@@ -196,3 +196,44 @@ def test_asof_join_matches_brute_force(spark, left, right):
     for i, (k, t) in enumerate(left):
         prior = [rt for rk, rt in right if rk == k and rt <= t]
         assert got[i] == (max(prior) if prior else None), (i, k, t)
+
+
+# --------------------------------------------------------------------------
+# binned interval join vs brute force
+# --------------------------------------------------------------------------
+
+iv_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 15)).map(
+        lambda t: (t[0], t[1], t[1] + t[2])
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(left=iv_rows, right=iv_rows, width=st.integers(1, 12))
+@settings(**SETTINGS)
+def test_binned_interval_join_matches_brute_force(spark, left, right, width):
+    from gramene_mongodb_spark.operators.relational import binned_interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(left)],
+        "k: long, lo: long, hi: long, lid: long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(right)],
+        "k: long, lo: long, hi: long, rid: long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in binned_interval_join(
+            ldf, rdf, ["k"], "lo", "hi", "lo", "hi", bin_width=width
+        ).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, (lk, llo, lhi) in enumerate(left)
+        for j, (rk, rlo, rhi) in enumerate(right)
+        if lk == rk and llo <= rhi and rlo <= lhi
+    )
+    assert got == expected
