@@ -1277,6 +1277,56 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o2_sorted_order_arrays",
+    """
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey), ',')
+             AS orders_by_date
+    FROM orders GROUP BY 1
+    """,
+    "O2", "O4", "A3",
+)
+def o2_sorted_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O4 within-group ordering: per customer, order ids as an array
+    sorted by (date, id) — the reference's in-memory comparator sorts
+    (tree children by left_index, intervals by start) done relationally:
+    collect structs, array_sort on the composite key, project ids.
+    One shuffle; no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+            ).alias("arr")
+        )
+        .select(
+            "o_custkey",
+            F.array_join(
+                F.transform("arr", lambda s: s["o_orderkey"].cast("string")), ","
+            ).alias("orders_by_date"),
+        )
+    )
+
+
+@register("a_approx_aggregates", None, "A4")
+def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive profiling:
+    approx_count_distinct (HyperLogLog++) and approx_percentile
+    (Greenwald-Khanna) per order priority. Sketches merge map-side, so
+    the shuffle carries fixed-size state instead of distinct values.
+    Rows-only gate (sketch internals differ across engines);
+    tests assert ≤5% relative error vs the exact forms."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.round(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2
+        ).alias("approx_p50_price"),
+    )
+
+
+@register(
     "a_rollup_status",
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
