@@ -41,20 +41,30 @@ def transitive_closure(
     multiple parents per child are fine).  Output columns: ``node``,
     ``ancestor`` — one row per distinct pair, excluding self-pairs.
     """
-    base = (
-        edges.select(F.col(child).alias("node"), F.col(parent).alias("ancestor"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    closure = base
-    n_pairs = closure.count()
+    # iteration tables are sized from the MEASURED pair count (we count
+    # every round for the fixpoint check anyway): tiny closures run in a
+    # few partitions instead of paying session-parallelism task overhead
+    # per round (measured 2× on the sf0.1 bench), huge ones cap at the
+    # session's parallelism and AQE takes over. ~500k pairs/partition ≈
+    # tens of MB of (long, long) rows.
+    max_parts = edges.sparkSession.sparkContext.defaultParallelism
+
+    def sized(df: DataFrame, n_rows: int) -> DataFrame:
+        parts = min(max(1, n_rows // 500_000 + 1), max_parts)
+        return df.repartition(parts).localCheckpoint(eager=True)
+
+    base = edges.select(
+        F.col(child).alias("node"), F.col(parent).alias("ancestor")
+    ).distinct()
+    n_pairs = base.count()
+    closure = sized(base, n_pairs)
 
     # path doubling: after k iterations the closure holds every path of
     # length ≤ 2^k, so a depth-d hierarchy converges in ⌈log2 d⌉ joins
     # (4 iterations for the reference's ~20-deep ontologies) instead of d
     # one-hop extensions — each iteration is one self-join + distinct.
     for _ in range(max_iterations):
-        extended = (
+        extended = sized(
             closure.join(
                 closure.select(
                     F.col("node").alias("ancestor"), F.col("ancestor").alias("grand")
@@ -63,8 +73,8 @@ def transitive_closure(
             )
             .select("node", F.col("grand").alias("ancestor"))
             .unionByName(closure)
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            n_pairs,  # sized from the previous round's measured count
         )
         n_next = extended.count()
         closure = extended
@@ -108,14 +118,24 @@ def connected_components(
     ``transitive_closure``).  Output: (vertex, component), vertices = every
     id appearing in ``edges``.
     """
+    max_parts = edges.sparkSession.sparkContext.defaultParallelism
+
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.unionByName(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    n_edges = sym.count()
+    # size iteration tables from measured counts (see transitive_closure)
+    parts = min(max(1, n_edges // 500_000 + 1), max_parts)
+    sym = sym.repartition(parts).localCheckpoint(eager=True)
 
-    labels = sym.select("u").distinct().select(
-        "u", F.col("u").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("label"))
+        .repartition(parts)
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -147,6 +167,7 @@ def connected_components(
                     F.col("a.label"), F.coalesce(F.col("__ll"), F.col("a.label"))
                 ).alias("label"),
             )
+            .repartition(parts)
             .localCheckpoint(eager=True)
         )
         changed = (
