@@ -56,8 +56,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # JVM/codegen warm-up on the smallest sf so headline timings measure
-    # the queries, not first-touch class loading
+    # the queries, not first-touch class loading; k7 also warms the
+    # iterative-join path (checkpoint + repartition machinery)
     run(REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001"))
+    run(REGISTRY["k7_closure_ancestors"].fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

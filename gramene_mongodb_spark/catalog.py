@@ -1586,8 +1586,8 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidate pairs verified by exact Jaccard
     ≥ 0.5. No SQL oracle (banded LSH isn't reasonably SQL-expressible);
-    the driver records a rows-only check, and tests/test_dedup.py checks
-    LSH candidates ⊇ high-jaccard pairs on fixtures."""
+    the driver records a rows-only check, and tests/test_properties.py
+    checks exact-jaccard results against brute force on fixtures."""
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, verify_threshold=0.5
