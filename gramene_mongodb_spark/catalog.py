@@ -201,6 +201,151 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_genes_decorate",
+    """
+    WITH RECURSIVE
+    genes AS (
+      SELECT 'G' || CAST(c_custkey AS VARCHAR) AS _id, c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS raw_name,
+             (c_custkey * 37) % 10000 AS start
+      FROM customer),
+    lut AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 'G' ELSE 'g' END
+               || CAST(c_custkey AS VARCHAR) AS key,
+             'hist-' || CAST(c_custkey AS VARCHAR) AS old_name
+      FROM customer WHERE c_custkey % 5 = 0),
+    lut_upper AS (SELECT upper(key) AS ukey, min(old_name) AS old_name
+                  FROM lut GROUP BY 1),
+    decorated AS (
+      SELECT g._id, g.c_custkey, g.start,
+             coalesce(g.raw_name, coalesce(le.old_name, lu.old_name), g._id) AS name
+      FROM genes g
+      LEFT JOIN lut le ON g._id = le.key
+      LEFT JOIN lut_upper lu ON upper(g._id) = lu.ukey),
+    xr AS (SELECT o_custkey, o_orderpriority AS db,
+                  CAST(o_orderkey AS VARCHAR) AS xref_id FROM orders),
+    xstats AS (
+      SELECT o_custkey, count(DISTINCT db) AS n_dbs,
+             count(DISTINCT (db, xref_id)) AS n_ids
+      FROM xr GROUP BY 1),
+    edges AS (SELECT t AS child, t // 2 AS parent FROM range(2, 64) r(t)),
+    anc(node, ancestor) AS (
+      SELECT child, parent FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child),
+    annos AS (SELECT DISTINCT o_custkey, (o_orderkey % 63) + 1 AS term FROM orders),
+    implied AS (
+      SELECT DISTINCT an.o_custkey, a.ancestor AS term
+      FROM annos an JOIN anc a ON an.term = a.node),
+    entries AS (
+      SELECT an.o_custkey, count(*) AS n_entries
+      FROM annos an LEFT JOIN implied i
+        ON an.o_custkey = i.o_custkey AND an.term = i.term
+      WHERE i.term IS NULL GROUP BY 1),
+    anc_counts AS (
+      SELECT an.o_custkey, count(DISTINCT a.ancestor) AS n_ancestors
+      FROM annos an JOIN anc a ON an.term = a.node GROUP BY 1)
+    SELECT d._id AS gene_id, d.name,
+           CAST(coalesce(x.n_dbs, 0) AS BIGINT)        AS n_dbs,
+           CAST(coalesce(x.n_ids, 0) AS BIGINT)        AS n_ids,
+           CAST(d.start // 500 AS BIGINT)              AS bin,
+           CAST(coalesce(e.n_entries, 0) AS BIGINT)    AS n_entries,
+           CAST(coalesce(ac.n_ancestors, 0) AS BIGINT) AS n_ancestors
+    FROM decorated d
+    LEFT JOIN xstats x     ON d.c_custkey = x.o_custkey
+    LEFT JOIN entries e    ON d.c_custkey = e.o_custkey
+    LEFT JOIN anc_counts ac ON d.c_custkey = ac.o_custkey
+    """,
+    "J1", "J2", "A1", "K10", "K7", "U3",
+)
+def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship §3.1 decorate pipeline END-TO-END through the real
+    operators, on gene-shaped inputs derived deterministically from the
+    TPC-H tables: id-history decoration with case fallback
+    (relational.ci_fallback_join, J1/J2), name defaulting, xref grouping
+    (documents.group_xrefs, A1), genome binning (K10), ancestor closure
+    (closure.transitive_closure, K7) and most-specific-annotation split
+    (closure.most_specific, U3) — one composed lazy plan, the Spark
+    restatement of the 16-stage through2 chain `search/decorate.js:167-194`.
+    Output: one flat summary row per gene, hash-checked against a single
+    SQL oracle (recursive CTE for the closure)."""
+    from gramene_mongodb_spark.operators import documents as DOC
+    from gramene_mongodb_spark.operators.closure import most_specific
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    genes = cust.select(
+        F.concat(F.lit("G"), F.col("c_custkey").cast("string")).alias("_id"),
+        F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("raw_name"),
+        ((F.col("c_custkey") * 37) % 10000).alias("start"),
+    )
+    lut = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.concat(
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("G")).otherwise(F.lit("g")),
+            F.col("c_custkey").cast("string"),
+        ).alias("key"),
+        F.concat(F.lit("hist-"), F.col("c_custkey").cast("string")).alias("old_name"),
+    )
+    decorated = R.ci_fallback_join(genes, lut, "_id", "key").withColumn(
+        "name", F.coalesce("raw_name", "old_name", "_id")
+    )
+
+    xr = orders.select(
+        F.col("o_custkey").alias("gene_key"),
+        F.col("o_orderpriority").alias("db"),
+        F.col("o_orderkey").cast("string").alias("xref_id"),
+        F.lit(None).cast("string").alias("evidence"),
+    )
+    grouped = DOC.group_xrefs(xr, "gene_key")
+    xstats = grouped.select(
+        "gene_key",
+        F.size("xrefs").cast("long").alias("n_dbs"),
+        F.aggregate(
+            "xrefs", F.lit(0), lambda acc, x: acc + F.size(x["ids"])
+        ).cast("long").alias("n_ids"),
+    )
+
+    edges = spark.range(2, 64).select(
+        F.col("id").alias("child"), (F.col("id") / 2).cast("long").alias("parent")
+    )
+    closure = transitive_closure(edges)
+    annos = orders.select(
+        F.col("o_custkey").alias("gene_key"),
+        ((F.col("o_orderkey") % 63) + 1).alias("term"),
+    ).distinct()
+    entries = (
+        most_specific(annos, closure, "gene_key", "term")
+        .groupBy("gene_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
+    )
+    anc_counts = (
+        annos.join(closure, annos["term"] == closure["node"])
+        .groupBy("gene_key")
+        .agg(F.count_distinct("ancestor").alias("n_ancestors"))
+    )
+
+    out = (
+        decorated.join(xstats, decorated["c_custkey"] == xstats["gene_key"], "left")
+        .drop(xstats["gene_key"])
+        .join(entries, decorated["c_custkey"] == entries["gene_key"], "left")
+        .drop(entries["gene_key"])
+        .join(anc_counts, decorated["c_custkey"] == anc_counts["gene_key"], "left")
+        .drop(anc_counts["gene_key"])
+    )
+    return out.select(
+        F.col("_id").alias("gene_id"),
+        "name",
+        F.coalesce("n_dbs", F.lit(0)).cast("long").alias("n_dbs"),
+        F.coalesce("n_ids", F.lit(0)).cast("long").alias("n_ids"),
+        F.floor(F.col("start") / 500).cast("long").alias("bin"),
+        F.coalesce("n_entries", F.lit(0)).cast("long").alias("n_entries"),
+        F.coalesce("n_ancestors", F.lit(0)).cast("long").alias("n_ancestors"),
+    )
+
+
+@register(
     "q04_priority_exists",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
