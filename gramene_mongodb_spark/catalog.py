@@ -697,6 +697,38 @@ def w2_lead_ship_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_rolling_spend",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_3,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM orders
+    """,
+    "W1", "W2",
+)
+def w_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows (rows between): per-customer 3-order moving
+    average + running total in date order — a window family the
+    reference lacks entirely (SURVEY §2.5). One shuffle on custkey,
+    both frames computed in the same sorted pass; unique (date, key)
+    tie-break keeps results engine-independent."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("avg_3"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("run_total"),
+    )
+
+
+@register(
     "a1_collect_priorities",
     """
     SELECT o_custkey,
