@@ -2090,6 +2090,656 @@ def k5_domain_architecture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H-shaped breadth — the remaining classic decision-support shapes,
+# adapted to the driver schema (no partsupp / shipmode / receiptdate).
+# Each demonstrates a decorrelation or join strategy from SURVEY.md §2.3/§2.4
+# at the plan level; all are oracle-backed.
+# ===========================================================================
+
+@register(
+    "q02_min_price_supplier",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           round(l.l_extendedprice, 2) AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    "J8", "W4",
+)
+def q02_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated MIN subquery (cheapest supplier per
+    part), decorrelated to a per-part aggregate joined back on
+    (partkey, price) — the same argmax-per-group decorrelation as A5.
+
+    Scale: the min table is one row per part (map-side combinable);
+    part/supplier/nation are broadcast dims, so only the lineitem↔min
+    equi-join shuffles, keyed on partkey.
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    mn = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("l_extendedprice").alias("__min_price")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(
+            mn,
+            (l["l_partkey"] == F.col("__pk"))
+            & (l["l_extendedprice"] == F.col("__min_price")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("l_extendedprice", 2).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "P1", "A4",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped pure scan-aggregate: every predicate is
+    sargable and pushes into the parquet scan (min/max row-group
+    pruning on shipdate); no shuffle at all beyond the final
+    single-row reduce.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@register(
+    "q07_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey  = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "J8", "A4",
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped cross-nation volume: the nation dimension joins
+    twice under different roles (supplier side / customer side).
+
+    Scale: both nation filters broadcast and prune their fact side
+    BEFORE the big orders⋈lineitem shuffle (supplier-side filter cuts
+    lineitem map-side; customer-side filter cuts orders map-side), so
+    the one large join moves only qualifying rows.
+    """
+    sn = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q08_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    "J8", "A4",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: one nation's fraction of regional
+    revenue per year — a conditional-sum / total-sum ratio in a single
+    aggregation pass (no second scan, no window needed).
+
+    Scale: 6-way join where every dimension side broadcasts; only
+    orders⋈lineitem shuffles. The ratio is two map-side-combinable sums.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = li.join(o, F.col("l_orderkey") == o["o_orderkey"]).select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        "supp_nation",
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q09_product_profit",
+    """
+    SELECT sn.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+    "J8", "A4",
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup with a LIKE-filtered part dimension
+    (synthetic supply cost = half retail price, as the driver schema has
+    no partsupp).
+
+    Scale: the part filter broadcasts and prunes lineitem before the
+    orders join — the string match never touches the fact shuffle.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, nation
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "J8", "A4", "O1",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped top-k: revenue lost to returned items per
+    customer, top 20. Deterministic ties: ordered on the ROUNDED
+    revenue + custkey on both engines.
+
+    Scale: limit+orderBy compiles to TakeOrderedAndProject — per
+    partition top-20 then a single-reducer merge of 20×partitions rows,
+    never a global sort.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH nat AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, round(val, 2) AS part_value
+    FROM nat
+    WHERE val > (SELECT sum(val) * 0.001 FROM nat)
+    """,
+    "A4", "J10",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped HAVING-vs-global-scalar: parts whose one-nation
+    inventory value exceeds a fraction of the nation total.
+
+    Scale: the per-part agg shuffles once on partkey; the global total
+    is an agg OVER that result (tiny) cross-joined back as a broadcast
+    scalar — the base lineitem scan happens exactly once.
+    """
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    threshold = per_part.agg((F.sum("val") * 0.001).alias("__thresh"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("__thresh"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "J1", "A4",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional-sum ratio (promo revenue share in a
+    one-month window).
+
+    Scale: the date filter prunes the scan; part broadcasts; the whole
+    query is one map-side pass + a single-row reduce.
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "A4", "W4",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped view + scalar MAX: the quarter's top-revenue
+    supplier(s). Revenue is rounded BEFORE the max comparison so the
+    equality predicate is engine-stable.
+
+    Scale: rev is one row per supplier; the max is a broadcast scalar
+    cross-join; supplier is a broadcast dim — one lineitem shuffle total.
+    """
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("__best"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("__best"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(l.l_quantity) > 250
+    """,
+    "J8", "A4", "J10",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders (IN-subquery form
+    decorrelated): orders whose total quantity exceeds 250, with their
+    customers.
+
+    Scale: aggregate lineitem FIRST (shuffles only (orderkey, qty)),
+    filter to the rare heavy orders, then join orders + broadcast
+    customer — the classic pre-aggregation that keeps the join input
+    minimal instead of joining full lineitem rows.
+    """
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "J8", "P4",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive (OR-of-ANDs) join predicate.
+
+    Scale: Catalyst extracts the common `p_partkey` equi-key so this is
+    a broadcast hash join with the disjunction as a post-join filter —
+    never a nested-loop; the brand/size disjuncts additionally prune
+    the broadcast side.
+    """
+    brands = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#24")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .filter(brands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH flags AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_supp,
+             CAST(sum(late) AS BIGINT) AS n_late
+      FROM flags GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM flags f
+    JOIN per_order po ON po.l_orderkey = f.l_orderkey
+    JOIN supplier s   ON s.s_suppkey = f.l_suppkey
+    WHERE f.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    "J8", "J10", "A4",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting": the only
+    late supplier on multi-supplier orders (EXISTS + NOT EXISTS over the
+    same table, decorrelated to one aggregation tree; lateness = shipped
+    >90 days after order date, standing in for receipt/commit dates).
+
+    Scale: the EXISTS/NOT-EXISTS pair collapses into per-(order,supplier)
+    flags + a per-order rollup — lineitem is scanned and shuffled once
+    on orderkey, reused by both aggregation levels (same key), instead
+    of the naive three scans.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    flags = (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = flags.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flags.join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "J10", "A4",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers with no recent
+    orders — a scalar subquery (avg) + anti-join (NOT EXISTS), grouped
+    per market segment.
+
+    Scale: the avg is a broadcast scalar; the anti-join's right side is
+    pre-filtered (recent orders only) and projected to one column before
+    the shuffle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
 
