@@ -105,3 +105,62 @@ def test_embed_lsh_candidates_are_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # signature bits are JVM-side
+
+
+def test_q06_pure_scan_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_forecast_revenue")
+    # every predicate sargable and pushed into the parquet scan (the
+    # PushedFilters list is truncated in toString, so check its head
+    # plus the full Filter condition text)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert ">= 1996-01-01 00:00:00)" in plan
+    assert "< 24.0)" in plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q07_dims_broadcast_before_fact_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q07_nation_volume")
+    # supplier/nation/customer/nation all broadcast; facts never cross
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter pushed to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_orders")
+    # lineitem collapses to (orderkey, qty) BEFORE joining orders
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    # only the two agg/join columns of lineitem are read
+    assert "l_extendedprice" not in plan
+
+
+def test_q19_disjunction_is_hash_join_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    # Catalyst extracts the common partkey equi-key from the OR-of-ANDs
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_reuses_single_lineitem_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    # the per-(order,supplier) flags exchange feeds both aggregation
+    # levels — EXISTS/NOT-EXISTS collapse to one scan, not three
+    assert "ReusedExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q22_anti_join_with_broadcast_scalar(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # recent-orders side pre-filtered at the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
