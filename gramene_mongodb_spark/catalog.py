@@ -2694,6 +2694,126 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q12_late_priority_counts",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    "J8", "A4",
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional pivot-count: late-shipped lineitems
+    (>30 days after order date, standing in for receipt/commit dates)
+    split into high/low-priority counts per line status.
+
+    Scale: one orders⋈lineitem shuffle with both sides projected to the
+    join + predicate columns; the CASE counts are map-side-combinable.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, sum(qty) AS total_qty, count(*) AS n_supp
+      FROM ps GROUP BY l_partkey)
+    SELECT ps.l_partkey, ps.l_suppkey, s.s_name, round(ps.qty, 2) AS qty
+    FROM ps
+    JOIN tot ON tot.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE tot.n_supp >= 4 AND ps.qty > 2.5 * tot.total_qty / tot.n_supp
+    """,
+    "A4", "J10",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested aggregation + semi-join-style filter:
+    (part, supplier) pairs where one supplier moved >2.5× the uniform
+    share of that part's volume (the "excess availability" shape without
+    a partsupp table).
+
+    Scale: the two aggregation levels share the partkey shuffle key —
+    per-(part,supplier) partials combine map-side, the per-part rollup
+    reuses the exchange; supplier names broadcast at the end.
+    """
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(tot, F.col("l_partkey") == F.col("__pk"))
+        .filter(
+            (F.col("n_supp") >= 4)
+            & (F.col("qty") > 2.5 * F.col("total_qty") / F.col("n_supp"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("l_partkey", "l_suppkey", "s_name", F.round("qty", 2).alias("qty"))
+    )
+
+
+@register(
+    "x_hash_sample",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "dedup", "textops",
+)
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling for train/eval splits: ~15.6%
+    (0x28/0x100) of documents selected by md5 of (salt, doc_id) —
+    engine-independent and reproducible, unlike RNG-based `sample()`.
+    Reported as per-language counts so the oracle check covers the
+    selected SET, not just its size.
+
+    Scale: a pure map-side filter — no shuffle, no RNG state; at 100 TB
+    the same predicate drives incremental re-sampling (adding corpus
+    shards never changes previously selected rows).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    picked = R.deterministic_sample(docs, "doc_id", 40 / 256, salt="split1")
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "q22_idle_rich_customers",
     """
     SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,

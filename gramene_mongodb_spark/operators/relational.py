@@ -473,3 +473,27 @@ def binned_interval_join(
         F.floor(F.col(llo) / bin_width), F.floor(F.col(rlo) / bin_width)
     )
     return joined.filter(overlap & first_shared).drop("__bin")
+
+
+def deterministic_sample(
+    df: DataFrame, key: str | Column, rate: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible hash-based row sampling: keep rows where the first two
+    hex chars of ``md5(salt || key)`` fall below ``rate`` of the 0x00-0xFF
+    range.
+
+    Unlike ``df.sample()`` this is a pure FILTER on row content — the same
+    rows are selected on every run, on any cluster, at any partitioning,
+    and in any engine that agrees on md5 (the property that makes
+    train/eval splits and corpus downsampling auditable).  Granularity is
+    1/256; ``salt`` decorrelates independent samples over the same keys.
+
+    Scale: no shuffle, no RNG state — the predicate evaluates map-side
+    and pushes the projection into the scan.
+    """
+    threshold = format(max(0, min(256, round(rate * 256))), "02x")
+    keyc = F.col(key) if isinstance(key, str) else key
+    return df.filter(
+        F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 2)
+        < F.lit(threshold)
+    )
