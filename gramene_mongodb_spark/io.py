@@ -197,3 +197,34 @@ def mongo_writer(df: DataFrame, uri: str, database: str, collection: str, mode: 
         .option("database", database)
         .option("collection", collection)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    *keys: str,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-partitioned-on-disk) table.
+
+    Bucketing is the scale answer for a join key used repeatedly
+    (homologs⋈genes, tree nodes⋈leaves): both sides pre-hashed into the
+    same bucket layout join with NO exchange — the shuffle is paid once
+    at write time instead of on every query.  ``sortBy`` the same keys
+    so the sort-merge join's sort is also free.
+
+    ``path`` makes it an external table (data survives DROP TABLE);
+    bucketed layout requires the table catalog (``saveAsTable``), not a
+    bare ``.parquet(path)`` write.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

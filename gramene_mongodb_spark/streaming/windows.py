@@ -110,3 +110,23 @@ def session_aggregates(
             "session_value",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for ingestion pipelines: keep the first
+    arrival per ``keys`` within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds state: a key's fingerprint
+    is held only until the watermark passes it, so state is
+    (arrival rate × delay), not corpus size — the property that lets an
+    at-least-once source (kafka replays, file re-lists) feed an
+    exactly-once corpus.  The batch twin is ``dedup.dedup_exact``
+    (hash-groupBy over the full corpus); use this one on the live path
+    and the batch one for backfills.
+    """
+    return stream.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(keys)

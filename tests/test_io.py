@@ -69,3 +69,35 @@ def test_load_table_converts_nanos_ts(spark, sf_dir):
     ev = io.load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed tables on the same key join WITHOUT a shuffle — the
+    write-once-join-many layout for 100 TB repeated joins."""
+    from gramene_mongodb_spark.io import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # disable auto-broadcast so the large-large path is exercised — at
+    # real scale neither side fits in memory and this is the plan shape
+    # that matters
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "t_orders_b", 4, "o_orderkey", path=str(tmp_path / "ob"))
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b", 4, "o_orderkey", path=str(tmp_path / "lb"),
+        )
+        joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan          # co-located: no shuffle at all
+        assert "Bucketed: true" in plan        # both scans read bucket layout
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -97,3 +97,27 @@ def test_frame_sampling_grid(spark):
     frames = MM.sample_frames(media.filter("meta.media_type = 'video'"), every_ms=1000)
     got = sorted(r.frame_ms for r in frames.collect())
     assert got == [0, 1000, 2000, 3000]
+
+
+def test_stream_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """dedup_stream: an at-least-once source (the same file listed twice)
+    yields each event_id exactly once downstream."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dup_events")
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev.write.parquet(src)
+    # replay: copy one part file so some rows arrive twice
+    import glob, os
+    part = glob.glob(os.path.join(src, "part-*"))[0]
+    shutil.copy(part, os.path.join(src, "replay-" + os.path.basename(part) + ".parquet"))
+
+    stream = SW.read_events_stream(spark, src)
+    deduped = SW.dedup_stream(stream, ["event_id"], watermark_delay="10 minutes")
+    out = _run_to_memory(spark, deduped, "dedup_t")
+    n_distinct_src = ev.select("event_id").distinct().count()
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids))          # no duplicates emitted
+    assert len(set(ids)) >= n_distinct_src    # nothing lost either
