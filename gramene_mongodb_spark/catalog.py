@@ -2694,6 +2694,32 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_boilerplate_shingles",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) s)
+    SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "dedup", "textops",
+)
+def x_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate list: word 5-grams appearing in ≥2 distinct
+    documents (C4/RefinedWeb-style repeated-passage detection; here the
+    recurring spans are the corpus's planted near-duplicates).
+
+    Scale: per-doc distinct grams → one explode → map-side-combinable
+    doc-frequency agg; the ≥2 filter drops the unique-gram long tail
+    before anything downstream touches it.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return T.boilerplate_shingles(docs, "doc_id", "text", n=5, min_docs=2)
+
+
+@register(
     "q12_late_priority_counts",
     """
     SELECT l.l_linestatus,

@@ -120,3 +120,67 @@ def language_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> Da
     return df.withColumn(
         out, F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
     )
+
+
+def boilerplate_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: word n-grams that recur across
+    ≥ ``min_docs`` distinct documents (the repeated-passage signal behind
+    C4/RefinedWeb-style line-level dedup — navigation chrome, license
+    headers, templated spans).
+
+    Output: (gram, df) — the boilerplate list is the broadcast side of a
+    subsequent removal pass.  Plain space tokenization so the result is
+    engine-checkable; the heavier normalized shingler (`dedup.shingle_arrays`)
+    feeds the similarity joins instead.
+
+    Scale: grams are deduped per-doc BEFORE the explode (array_distinct),
+    so the shuffle carries one row per (doc, distinct gram); the
+    doc-frequency agg is map-side combinable and the ≥min_docs filter
+    drops the long unique tail before any downstream join.
+    """
+    toks = F.split(F.col(text), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+
+
+#: simple audit patterns — a corpus-safety smoke check, not a PII system
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document counts of PII-looking spans (email/phone/SSN-like) —
+    the audit pass a training pipeline runs before release.  Pure JVM
+    regexp_count expressions (no Python), one column per pattern plus a
+    total.  The pattern set is intentionally small and auditable; swap
+    in a real PII model behind the same column contract.
+    """
+    out = df
+    total = F.lit(0)
+    for name, pat in sorted(PII_PATTERNS.items()):
+        col = F.regexp_count(F.col(text), F.lit(pat)).cast("long")
+        out = out.withColumn(f"n_{name}", col)
+        total = total + F.col(f"n_{name}")
+    return out.withColumn("n_pii_total", total.cast("long"))
