@@ -237,3 +237,51 @@ def test_binned_interval_join_matches_brute_force(spark, left, right, width):
         if lk == rk and llo <= rhi and rlo <= lhi
     )
     assert got == expected
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=5, max_size=60, unique=True),
+    rate=st.sampled_from([0.1, 0.25, 0.5]),
+)
+@settings(**SETTINGS)
+def test_deterministic_sample_is_stable_and_partition_invariant(spark, ids, rate):
+    """The selected set depends only on row content: identical across
+    runs and across partitionings, and subset-monotone (a row keeps its
+    verdict when the corpus grows)."""
+    from gramene_mongodb_spark.operators.relational import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "id LONG")
+    picked1 = {r.id for r in deterministic_sample(df, "id", rate).collect()}
+    picked2 = {
+        r.id for r in deterministic_sample(df.repartition(7), "id", rate).collect()
+    }
+    assert picked1 == picked2
+    # adding rows never flips existing verdicts
+    bigger = spark.createDataFrame([(i,) for i in ids] + [(99_999_999,)], "id LONG")
+    picked3 = {r.id for r in deterministic_sample(bigger, "id", rate).collect()}
+    assert picked1 == picked3 - {99_999_999}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@settings(**SETTINGS)
+def test_boilerplate_shingles_match_brute_force(spark, docs, n):
+    from gramene_mongodb_spark.operators.textops import boilerplate_shingles
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    expected: dict[str, set[int]] = {}
+    for i, d in rows:
+        toks = d.split(" ")
+        for j in range(len(toks) - n + 1):
+            expected.setdefault(" ".join(toks[j : j + n]), set()).add(i)
+    want = {g: len(s) for g, s in expected.items() if len(s) >= 2}
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.gram: r.df for r in boilerplate_shingles(df, n=n, min_docs=2).collect()}
+    assert got == want
