@@ -2694,6 +2694,79 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_clean",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, lang, text, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    surv AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+             count(*)    OVER (PARTITION BY fingerprint) AS n_dupes
+      FROM fp),
+    t AS (
+      SELECT doc_id, lang, n_dupes, text, {_TOKS_SQL} AS toks
+      FROM surv WHERE rn = 1),
+    s AS (
+      SELECT doc_id, lang, n_dupes,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+                       / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks)
+                  ELSE 0.0 END AS awl
+      FROM t),
+    q AS (
+      SELECT doc_id, lang, n_dupes, n_tokens,
+             round(CAST(
+               (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.4
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+             + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2
+             + (CASE WHEN awl BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+             AS DOUBLE), 4) AS quality_r
+      FROM s)
+    SELECT doc_id, lang, n_tokens, quality_r, CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM q
+    WHERE quality_r >= 0.95 AND lang IN ('en', 'de')
+      AND substr(md5('clean' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    """,
+    "dedup", "textops", "pipeline",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: exact dedup → quality scoring →
+    language filter → deterministic 50% sample, composed as ONE lazy
+    plan (the corpus twin of `pipeline_genes_decorate`).
+
+    Stage economics at 100 TB: dedup is one shuffle on the content hash
+    (survivors keep every column, so no join-back); quality scoring and
+    the language filter are map-side column expressions over the
+    survivors; the hash sample is a pure filter. Net: one wide shuffle
+    for the whole pipeline, everything else pipelined by codegen.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    surv = D.dedup_exact(docs, "doc_id", "text")
+    scored = T.quality_score(surv, "text").withColumn(
+        "quality_r", F.round("quality", 4)
+    )
+    cleaned = scored.filter(
+        (F.col("quality_r") >= 0.95) & F.col("lang").isin("en", "de")
+    )
+    sampled = R.deterministic_sample(cleaned, "doc_id", 128 / 256, salt="clean")
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_r",
+        F.col("n_dupes").cast("long").alias("n_dupes"),
+    )
+
+
+@register(
     "x_boilerplate_shingles",
     """
     WITH words AS (
