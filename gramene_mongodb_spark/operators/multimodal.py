@@ -111,3 +111,58 @@ def sample_frames(
             )
         ).alias("frame_ms"),
     )
+
+
+_RESIZED_SCHEMA = (
+    "media_id BIGINT, payload BINARY, width INT, height INT, n_bytes BIGINT"
+)
+
+
+def fake_resample(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resampler: derives a
+    pseudo-payload of size ∝ width×height from the source digest, so
+    byte-budget accounting and downstream plumbing are exercised for
+    real. Swap for PIL/libvips; the operator contract doesn't change."""
+    seed = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    n = max(1, (width * height) // 64)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    resampler: Callable[[bytes, int, int], bytes] | str = fake_resample,
+) -> DataFrame:
+    """Resize every image payload to (width, height) via ``mapInPandas``.
+
+    Same batch-iterator shape as ``extract_features``: Arrow moves each
+    payload into the Python worker once, the resampler runs per row, and
+    the resized bytes stream back batch-by-batch — peak worker memory is
+    one Arrow batch, never the partition. Passing a resampler NAME
+    (string) raises ``NotImplementedError`` until real imaging libraries
+    ship; the default produces deterministic size-proportional bytes so
+    tests cover the full data path.
+    """
+    if isinstance(resampler, str):
+        raise NotImplementedError(
+            f"real resampler {resampler!r} not available in this environment; "
+            "pass a (bytes, w, h)->bytes callable (see fake_resample)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(lambda b: resampler(b, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": resized.map(len),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, _RESIZED_SCHEMA)

@@ -121,3 +121,19 @@ def test_stream_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
     ids = [r.event_id for r in out.select("event_id").collect()]
     assert len(ids) == len(set(ids))          # no duplicates emitted
     assert len(set(ids)) >= n_distinct_src    # nothing lost either
+
+
+def test_resize_images_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG fake bytes"), (2, b"\x89PNG other image")],
+        "media_id BIGINT, payload BINARY",
+    )
+    out = {r.media_id: r for r in MM.resize_images(media, 64, 32).collect()}
+    assert out[1].width == 64 and out[1].height == 32
+    assert out[1].n_bytes == (64 * 32) // 64          # size ∝ target dims
+    assert out[1].payload != out[2].payload           # content-derived
+    # deterministic: same input → same resized bytes
+    again = {r.media_id: r for r in MM.resize_images(media, 64, 32).collect()}
+    assert again[1].payload == out[1].payload
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(media, 8, 8, resampler="vips")
