@@ -2694,6 +2694,57 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_ntile_quartiles",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ntile(4)       OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+             percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS pr
+      FROM customer)
+    SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(max(pr), 4)        AS max_pct_rank
+    FROM ranked
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+    "W1",
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows the reference lacks (SURVEY §2.5 notes no
+    ntile anywhere): balance quartiles + percent_rank per market
+    segment, rolled up to quartile boundaries. Unique tie-break key
+    (custkey) pins both functions' outputs across engines.
+
+    Scale: one shuffle on the segment key; ntile/percent_rank are a
+    single sorted pass per partition; the rollup rides the same keys.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.max("pr"), 4).alias("max_pct_rank"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@register(
     "pipeline_corpus_clean",
     f"""
     WITH fp AS (

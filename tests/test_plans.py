@@ -164,3 +164,13 @@ def test_q22_anti_join_with_broadcast_scalar(spark, sf_dir):
     assert "LeftAnti" in plan
     # recent-orders side pre-filtered at the scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_corpus_clean_pipeline_is_one_shuffle(spark, sf_dir):
+    """The flagship cleaning pipeline: dedup window is the ONLY exchange;
+    scoring/filter/sample all pipeline map-side; no Python in the plan."""
+    plan = plan_of(spark, sf_dir, "pipeline_corpus_clean")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert final.count("FileScan") == 1          # documents scanned once
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
