@@ -137,3 +137,28 @@ def test_resize_images_plumbing(spark):
     assert again[1].payload == out[1].payload
     with pytest.raises(NotImplementedError):
         MM.resize_images(media, 8, 8, resampler="vips")
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream_dir):
+    """The stream-stream attribution join emits exactly the pairs the
+    identical batch join produces (availableNow drains the backlog and
+    the final watermark passes every buffered row)."""
+    batch_ev = load_table(spark, sf_dir, "events")
+    b_clicks = batch_ev.filter("event_type = 'click'")
+    b_purch = batch_ev.filter("event_type = 'purchase'")
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in SW.attribute_conversions(b_clicks, b_purch).collect()
+    }
+    assert expected  # the synthetic events contain attributable pairs
+
+    stream = SW.read_events_stream(spark, events_stream_dir)
+    s_out = SW.attribute_conversions(
+        stream.filter("event_type = 'click'"),
+        stream.filter("event_type = 'purchase'"),
+    )
+    got_df = _run_to_memory(spark, s_out, "attrib_t")
+    got = {(r.click_id, r.purchase_id) for r in got_df.collect()}
+    # append mode emits joined rows once both watermarks allow; with
+    # availableNow + bounded input the inner join emits every match
+    assert got == expected
