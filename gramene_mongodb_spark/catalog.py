@@ -2694,6 +2694,152 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_taxonomy_build",
+    """
+    WITH RECURSIVE
+    nations AS (
+      SELECT 100 + n_nationkey AS taxon_id, 900 + n_regionkey AS parent_id,
+             n_name AS name
+      FROM nation),
+    regions AS (
+      SELECT 900 + r_regionkey AS taxon_id, 999 AS parent_id, r_name AS name
+      FROM region),
+    taxonomy0 AS (
+      SELECT * FROM nations UNION ALL SELECT * FROM regions
+      UNION ALL SELECT 999, NULL, 'root'),
+    genomes AS (
+      SELECT DISTINCT 100 + c_nationkey AS taxon_id, c_mktsegment AS _id
+      FROM customer),
+    synth AS (
+      SELECT taxon_id * 1000
+               + row_number() OVER (PARTITION BY taxon_id ORDER BY _id) AS taxon_id2,
+             taxon_id AS parent_id, _id AS name
+      FROM genomes),
+    taxonomy AS (
+      SELECT * FROM taxonomy0
+      UNION ALL SELECT taxon_id2, parent_id, name FROM synth),
+    edges AS (
+      SELECT taxon_id AS child, parent_id AS parent FROM taxonomy
+      WHERE parent_id IS NOT NULL),
+    anc(node, ancestor) AS (
+      SELECT child, parent FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child),
+    lc AS (
+      SELECT s.taxon_id2 AS taxon_id, count(*) AS n
+      FROM customer c
+      JOIN synth s ON s.parent_id = 100 + c.c_nationkey
+                  AND s.name = c.c_mktsegment
+      GROUP BY 1),
+    desc_tot AS (
+      SELECT a.ancestor AS taxon_id, sum(lc.n) AS n
+      FROM anc a JOIN lc ON lc.taxon_id = a.node GROUP BY 1),
+    anc_counts AS (SELECT node, count(*) AS n FROM anc GROUP BY 1)
+    SELECT t.taxon_id, t.name, t.parent_id,
+           CAST(coalesce(lc.n, 0) + coalesce(dt.n, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(ac.n, 0) AS BIGINT) AS n_ancestors
+    FROM taxonomy t
+    LEFT JOIN lc ON lc.taxon_id = t.taxon_id
+    LEFT JOIN desc_tot dt ON dt.taxon_id = t.taxon_id
+    LEFT JOIN anc_counts ac ON ac.node = t.taxon_id
+    """,
+    "K11", "K7", "A6", "pipeline",
+)
+def pipeline_taxonomy_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship §3.3 taxonomy lifecycle END-TO-END through the real
+    operators: region→nation hierarchy, synthetic genome children
+    grafted per (nation, segment) (genomics.graft_genome_children, K11),
+    ancestor closure over the grafted tree (closure.transitive_closure,
+    K7), and customer counts rolled up every ancestor
+    (relational.rollup_by_ancestors, A6) — the Spark restatement of
+    `maps/load_maps_and_taxonomy.js:77-117` + `filter_taxonomy.js`.
+
+    Scale: the closure iterates ⌈log2 depth⌉ times on a (node, ancestor)
+    pair table; the rollup is one explode + map-side-combinable sum;
+    grafting is a union of synthesized rows — no driver-side trees.
+    """
+    from gramene_mongodb_spark.operators.closure import ancestor_arrays
+    from gramene_mongodb_spark.operators.genomics import graft_genome_children
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+
+    base = (
+        nation.select(
+            (100 + F.col("n_nationkey")).cast("long").alias("taxon_id"),
+            (900 + F.col("n_regionkey")).cast("long").alias("parent_id"),
+            F.col("n_name").alias("name"),
+        )
+        .unionByName(
+            region.select(
+                (900 + F.col("r_regionkey")).cast("long").alias("taxon_id"),
+                F.lit(999).cast("long").alias("parent_id"),
+                F.col("r_name").alias("name"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(999, None, "root")], "taxon_id LONG, parent_id LONG, name STRING"
+            )
+        )
+    )
+    genomes = cust.select(
+        (100 + F.col("c_nationkey")).cast("long").alias("taxon_id"),
+        F.col("c_mktsegment").alias("_id"),
+    ).distinct().withColumn("display_name", F.col("_id"))
+
+    taxonomy = graft_genome_children(base, genomes)
+
+    edges = taxonomy.filter(F.col("parent_id").isNotNull()).select(
+        F.col("taxon_id").alias("child"), F.col("parent_id").alias("parent")
+    )
+    closure = transitive_closure(edges)
+
+    leaf_counts = (
+        cust.groupBy(
+            (100 + F.col("c_nationkey")).cast("long").alias("parent_id"),
+            F.col("c_mktsegment").alias("name"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            taxonomy.filter(F.col("taxon_id") > 100_000).select(
+                "taxon_id", "parent_id", "name"
+            ),
+            ["parent_id", "name"],
+        )
+        .select("taxon_id", "n")
+    )
+    # roll leaf counts up every ancestor (A6): explode the ancestors
+    # array of each counted leaf
+    rolled = R.rollup_by_ancestors(
+        leaf_counts.join(
+            ancestor_arrays(closure).withColumnRenamed("node", "taxon_id"),
+            "taxon_id",
+        ),
+        "ancestors",
+        [F.sum("n").alias("n_desc")],
+    ).withColumnRenamed("ancestor", "taxon_id")
+    anc_counts = closure.groupBy(F.col("node").alias("taxon_id")).agg(
+        F.count(F.lit(1)).alias("n_anc")
+    )
+    return (
+        taxonomy.join(leaf_counts, "taxon_id", "left")
+        .join(rolled, "taxon_id", "left")
+        .join(anc_counts, "taxon_id", "left")
+        .select(
+            "taxon_id",
+            "name",
+            "parent_id",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("n_desc", F.lit(0)))
+            .cast("long")
+            .alias("n_customers"),
+            F.coalesce("n_anc", F.lit(0)).cast("long").alias("n_ancestors"),
+        )
+    )
+
+
+@register(
     "w_ntile_quartiles",
     """
     WITH ranked AS (
