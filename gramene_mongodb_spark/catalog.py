@@ -2693,6 +2693,35 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one SQL text, executed VERBATIM by both engines (s_sql_parity) — the
+#: proof that the engine's SQL surface is ANSI enough to share queries
+#: with other warehouses, not just its DataFrame API.
+_SHARED_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total,
+           round(avg(o_totalprice), 4)   AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("s_sql_parity", _SHARED_SQL, "P1", "A4")
+def s_sql_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface: the oracle string itself runs through
+    ``spark.sql`` over registered views — byte-identical query text on
+    both engines (no translation layer), so users can bring existing
+    ANSI SQL to this engine unchanged.
+    """
+    from gramene_mongodb_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir, "orders")
+    return spark.sql(_SHARED_SQL)
+
+
 @register(
     "pipeline_taxonomy_build",
     """
