@@ -9,7 +9,10 @@ Determinism rules applied to BOTH sides so hashes can match:
 
 * every aggregated/computed column is aliased identically;
 * doubles that pass through an aggregation are ``round()``-ed (float
-  summation order differs between engines);
+  summation order differs between engines) — but only FINAL outputs:
+  never round per-row before aggregating, the engines' double-rounding
+  algorithms disagree at the .005 boundary (Spark goes through exact
+  BigDecimal, DuckDB multiplies/divides) and the discrepancies sum;
 * timestamps are emitted as formatted UTC strings (the session TZ is
   pinned to UTC in session.py);
 * array outputs are emitted as sorted joined strings (the reference's
@@ -2690,6 +2693,57 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "x_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL
+                  THEN u.o_orderstatus ELSE c.o_orderstatus END AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL
+                  THEN u.o_totalprice ELSE c.o_totalprice END AS o_totalprice
+      FROM orders c FULL JOIN updates u ON c.o_orderkey = u.o_orderkey)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "S12",
+)
+def x_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 upsert as an engine op: a derived update set (every 7th order
+    re-priced, status 'U') merged SCD1-style into orders via
+    `relational.upsert_merge`, then summarized per status (matched rows
+    replaced, unmatched inserted, rest passed through).
+
+    Scale: one co-partitioned full-outer shuffle on the key; bucketing
+    both sides (io.write_bucketed) removes even that — the nightly-merge
+    layout.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = R.upsert_merge(orders, updates, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 

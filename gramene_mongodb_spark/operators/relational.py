@@ -497,3 +497,75 @@ def deterministic_sample(
         F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 2)
         < F.lit(threshold)
     )
+
+
+def upsert_merge(
+    current: DataFrame, updates: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """SCD1 upsert as a DataFrame op (the engine-side restatement of the
+    reference's Mongo ``update({_id}, doc, {upsert:true})`` sinks,
+    ``trees/speciesTree.js:230-252``): a matched key takes the update
+    row wholesale (full-document replace, incl. explicit nulls),
+    unmatched update rows are inserted, untouched current rows pass
+    through.
+
+    Implementation: one full-outer equi-join on the key; row provenance
+    decides each column (update side when the update row exists).
+    Column sets must match (enforced) so the merge policy is total.
+
+    Scale: a single co-partitioned shuffle on the key; with both sides
+    bucketed on the key (``io.write_bucketed``) even that shuffle
+    disappears — the standard nightly-merge layout.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            "upsert_merge requires identical column sets; got "
+            f"{sorted(set(current.columns) ^ set(updates.columns))} unmatched"
+        )
+    # rename the update side up front: updates are routinely DERIVED from
+    # current (same lineage), where alias-based disambiguation fails
+    upd = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+    )
+    from functools import reduce
+
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__u_{k}").eqNullSafe(F.col(k)) for k in keys],
+    )
+    merged = current.join(upd, cond, "full_outer")
+    matched = F.col(f"__u_{keys[0]}").isNotNull()
+    out_cols = []
+    for c in current.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(
+                F.when(matched, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            )
+    return merged.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salts: int = 8,
+) -> DataFrame:
+    """Equi-join for pathologically skewed keys: the LEFT (large, skewed)
+    side gets a deterministic per-row salt, the RIGHT side is replicated
+    ``salts`` times, and the join runs on (key, salt) — one hot key's
+    rows spread over ``salts`` reducers instead of one straggler task.
+
+    Use only when AQE's skew-join splitting isn't available (e.g. the
+    skewed side feeds a window, or the join is inside a cached subtree);
+    replication multiplies the right side's shuffle volume by ``salts``,
+    so keep the right side narrow.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return l.join(r, [on, "__salt"]).drop("__salt")

@@ -80,3 +80,43 @@ def test_stateful_running_profiles(spark, sf_dir, tmp_path):
     for uid, (n, total) in batch.items():
         assert got[uid].n_events == n
         assert round(got[uid].total_value, 6) == pytest.approx(total, abs=1e-4)
+
+
+
+def test_upsert_merge_semantics(spark):
+    from gramene_mongodb_spark.operators.relational import upsert_merge
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id LONG, name STRING, val DOUBLE",
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)], "id LONG, name STRING, val DOUBLE"
+    )
+    got = {r.id: (r.name, r.val) for r in upsert_merge(cur, upd, "id").collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("B", None),   # full-row replace: explicit null wins
+        3: ("c", 30.0),
+        4: ("d", 40.0),   # insert
+    }
+    import pytest
+    with pytest.raises(ValueError):
+        upsert_merge(cur, upd.drop("val"), "id")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from gramene_mongodb_spark.io import load_table
+    from gramene_mongodb_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("o_orderkey").alias("l_orderkey"),
+        "o_totalprice",
+    )
+    plain = li.join(o, "l_orderkey")
+    salted = salted_join(li, o, "l_orderkey", salts=4)
+    assert salted.count() == plain.count()
+    a = plain.agg({"l_quantity": "sum", "o_totalprice": "sum"}).collect()[0]
+    b = salted.agg({"l_quantity": "sum", "o_totalprice": "sum"}).collect()[0]
+    assert a == b
