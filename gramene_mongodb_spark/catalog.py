@@ -2697,6 +2697,34 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_boilerplate_ratio",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) s),
+    bp AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT)      AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_bp,
+           round(count(b.gram)::DOUBLE / count(*), 4) AS bp_ratio
+    FROM grams g LEFT JOIN bp b ON b.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+    "dedup", "textops",
+)
+def x_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction against the corpus shingle list
+    — the scoring half of repeated-passage cleaning (pair with a
+    threshold filter to drop template-heavy docs).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return T.boilerplate_ratio(docs, "doc_id", "text", n=5, min_docs=2)
+
+
+@register(
     "x_upsert_orders",
     """
     WITH updates AS (

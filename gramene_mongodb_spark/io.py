@@ -228,3 +228,26 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    a sort key that clusters BOTH dimensions at once.
+
+    ``write_parquet(sort_within_partitions=("__z",))`` with this key
+    gives min/max row-group pruning on either column (or both), where a
+    plain sort only prunes its leading column — the parquet analog of a
+    composite index for two-dimensional predicates (region × position,
+    user × time).  Pure bit arithmetic, JVM-side, no UDF; callers clamp
+    values into [0, 2^bits).
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z

@@ -184,3 +184,54 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", col)
         total = total + F.col(f"n_{name}")
     return out.withColumn("n_pii_total", total.cast("long"))
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate fraction: of a doc's word n-gram
+    positions, how many hit the corpus boilerplate list
+    (``boilerplate_shingles``) — the scoring half of repeated-passage
+    cleaning (filter or down-weight docs above a threshold).
+
+    Two-pass corpus analytics in one lazy plan: pass 1 builds the
+    boilerplate list (doc-frequency agg), pass 2 re-streams the gram
+    positions against it.  Docs shorter than ``n`` tokens have no grams
+    and are absent from the output (nothing to score).
+
+    Scale: the boilerplate list is the ≥min_docs head of the gram
+    distribution — small, so the pass-2 join broadcasts; gram positions
+    never shuffle.
+    """
+    from pyspark.sql import functions as F2
+
+    toks = F.split(F.col(text), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    positions = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    bp = boilerplate_shingles(df, id_col, text, n=n, min_docs=min_docs).select("gram")
+    return (
+        positions.join(
+            F2.broadcast(bp.withColumn("__hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_bp"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_bp").cast("long").alias("n_bp"),
+            F.round(F.col("n_bp") / F.col("n_grams"), 4).alias("bp_ratio"),
+        )
+    )

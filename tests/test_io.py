@@ -101,3 +101,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.io import zorder_key
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 1024)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG").withColumn(
+        "z", zorder_key(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Sorting by the z-key clusters a and b simultaneously: chunks of
+    the sorted order have bounded ranges in BOTH columns (the property
+    row-group pruning exploits), unlike a single-column sort."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.io import zorder_key
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    ordered = (
+        df.withColumn("z", zorder_key(F.col("a"), F.col("b"), bits=8))
+        .orderBy("z")
+        .collect()
+    )
+    chunk = 256  # a "row group"
+    spans_a, spans_b = [], []
+    for i in range(0, len(ordered), chunk):
+        part = ordered[i : i + chunk]
+        spans_a.append(max(p.a for p in part) - min(p.a for p in part))
+        spans_b.append(max(p.b for p in part) - min(p.b for p in part))
+    # both dims are clustered: average chunk span well under the domain
+    assert sum(spans_a) / len(spans_a) < 128
+    assert sum(spans_b) / len(spans_b) < 128
