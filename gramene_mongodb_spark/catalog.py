@@ -2697,6 +2697,40 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_stratified_sample",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE substr(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN 'g' ELSE '40' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "dedup", "textops",
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (`relational.deterministic_
+    sample_by`): keep 100% of the rare language (zh), 12.5% of the
+    dominant one (en), 25% elsewhere — the language-rebalancing move of
+    corpus construction, reproducible on any engine (rate 1.0 maps to
+    the 'g' sentinel that sorts after every hex pair).
+
+    Scale: a map-side CASE + hash filter; no shuffle before the summary
+    agg.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    picked = R.deterministic_sample_by(
+        docs, "doc_id", "lang", {"en": 0.125, "zh": 1.0},
+        default_rate=0.25, salt="s2",
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+@register(
     "x_boilerplate_ratio",
     """
     WITH words AS (

@@ -491,12 +491,21 @@ def deterministic_sample(
     Scale: no shuffle, no RNG state — the predicate evaluates map-side
     and pushes the projection into the scan.
     """
-    threshold = format(max(0, min(256, round(rate * 256))), "02x")
+    threshold = _hex_threshold(rate)
     keyc = F.col(key) if isinstance(key, str) else key
     return df.filter(
         F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 2)
         < F.lit(threshold)
     )
+
+
+def _hex_threshold(rate: float) -> str:
+    """Rate → 2-hex-char exclusive upper bound for the md5-prefix filter.
+    rate≥1 maps to 'g', which sorts after every hex pair (all-pass) —
+    format(256,'02x') would be '100', which compares LOWER than most hex
+    pairs lexicographically and silently drops nearly everything."""
+    n = max(0, min(256, round(rate * 256)))
+    return "g" if n >= 256 else format(n, "02x")
 
 
 def upsert_merge(
@@ -569,3 +578,27 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return l.join(r, [on, "__salt"]).drop("__salt")
+
+
+def deterministic_sample_by(
+    df: DataFrame,
+    key: str | Column,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum reproducible sampling (``df.sampleBy``'s auditable
+    twin): each stratum gets its own md5-threshold rate — e.g. keep 100%
+    of rare languages, 10% of the dominant one.
+
+    Same contract as ``deterministic_sample``: pure content-hash filter,
+    stable across runs/partitionings/engines, subset-monotone.  Strata
+    not in ``rates`` fall back to ``default_rate`` (0 = drop).
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    hx = F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 2)
+    cond = F.lit(_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        cond = F.when(F.col(strata) == value, F.lit(_hex_threshold(rate))).otherwise(cond)
+    return df.filter(hx < cond)

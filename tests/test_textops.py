@@ -53,3 +53,34 @@ def test_pii_scan_is_jvm_only(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_deterministic_sample_full_rate_keeps_everything(spark):
+    """Regression: rate=1.0 must be all-pass — format(256,'02x')='100'
+    compares LOWER than most hex pairs and used to drop nearly all rows."""
+    from gramene_mongodb_spark.operators.relational import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id LONG")
+    assert deterministic_sample(df, "id", 1.0).count() == 200
+    assert deterministic_sample(df, "id", 0.0).count() == 0
+
+
+def test_deterministic_sample_by_respects_strata_rates(spark):
+    from gramene_mongodb_spark.operators.relational import (
+        deterministic_sample,
+        deterministic_sample_by,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    df = spark.createDataFrame(rows, "id LONG, lang STRING")
+    out = deterministic_sample_by(df, "id", "lang", {"en": 0.25, "zh": 1.0})
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got["zh"] == 200                      # rate 1.0: all kept
+    assert 20 <= got["en"] <= 80                 # ~25% of 200, hash variance
+    # per-stratum selection == single-rate selection restricted to the stratum
+    en_only = deterministic_sample(df.filter("lang = 'en'"), "id", 0.25)
+    assert {r.id for r in out.filter("lang='en'").collect()} == {
+        r.id for r in en_only.collect()
+    }
