@@ -251,3 +251,24 @@ def zorder_key(col_a, col_b, bits: int = 16):
             F.shiftleft(bit_b, 2 * i + 1)
         )
     return z
+
+
+def observed(df: DataFrame, name: str, **metrics):
+    """Attach zero-overhead pipeline counters to a DataFrame (the Spark
+    restatement of the reference's every-1000-docs progress logs,
+    A9 — ``search/decorate.js:40-44``): metrics are computed inside the
+    existing job (no extra pass, no driver loop) and read from the
+    returned ``Observation`` after any action.
+
+        df2, obs = observed(df, "load", rows=F.count(F.lit(1)),
+                            bad=F.sum(F.when(cond, 1).otherwise(0)))
+        df2.write.parquet(...)
+        obs.get  # {'rows': ..., 'bad': ...}
+
+    At 100 TB this is how row-count/invariant assertions ship with the
+    job instead of as separate validation scans.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[expr.alias(alias) for alias, expr in metrics.items()]), obs

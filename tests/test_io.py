@@ -150,3 +150,25 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # both dims are clustered: average chunk span well under the domain
     assert sum(spans_a) / len(spans_a) < 128
     assert sum(spans_b) / len(spans_b) < 128
+
+
+def test_observed_metrics_ride_the_job(spark, sf_dir):
+    """A9 progress counters: metrics computed inside the job, no extra
+    scan, read after the action completes."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.io import load_table, observed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df, obs = observed(
+        li.filter(F.col("l_quantity") > 0),
+        "ingest",
+        rows=F.count(F.lit(1)),
+        negative_prices=F.sum(
+            F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)
+        ),
+    )
+    n = df.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert got["negative_prices"] == 0
