@@ -1,0 +1,80 @@
+"""Empty-input robustness: the custom operators (iterative, windowed,
+two-pass) must return empty results — not throw — on empty tables,
+because at 100 TB a partition-pruned branch of a pipeline routinely IS
+empty (a genome with no QTLs, a day with no events)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_transitive_closure_empty_edges(spark):
+    from gramene_mongodb_spark.operators.closure import transitive_closure
+
+    edges = spark.createDataFrame([], "child LONG, parent LONG")
+    assert transitive_closure(edges).count() == 0
+
+
+def test_connected_components_empty(spark):
+    from gramene_mongodb_spark.operators.closure import connected_components
+
+    edges = spark.createDataFrame([], "src LONG, dst LONG")
+    assert connected_components(edges).count() == 0
+
+
+def test_dedup_exact_empty(spark):
+    from gramene_mongodb_spark.operators.dedup import dedup_exact
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert dedup_exact(docs, "doc_id").count() == 0
+
+
+def test_merge_intervals_empty(spark):
+    from gramene_mongodb_spark.operators.relational import merge_intervals
+
+    df = spark.createDataFrame([], "k STRING, lo LONG, hi LONG")
+    assert merge_intervals(df, ["k"], "lo", "hi").count() == 0
+
+
+def test_sessionize_empty(spark):
+    from gramene_mongodb_spark.operators.relational import sessionize
+
+    df = spark.createDataFrame([], "user_id LONG, ts TIMESTAMP, event_id LONG")
+    out = sessionize(df, ["user_id"], "ts", 1800, tiebreak=["event_id"])
+    assert out.count() == 0
+
+
+def test_boilerplate_ops_empty(spark):
+    from gramene_mongodb_spark.operators.textops import (
+        boilerplate_ratio,
+        boilerplate_shingles,
+    )
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert boilerplate_shingles(docs).count() == 0
+    assert boilerplate_ratio(docs).count() == 0
+
+
+def test_upsert_merge_empty_sides(spark):
+    from gramene_mongodb_spark.operators.relational import upsert_merge
+
+    full = spark.createDataFrame([(1, "a")], "id LONG, v STRING")
+    empty = spark.createDataFrame([], "id LONG, v STRING")
+    # empty updates → current unchanged
+    assert {r.id for r in upsert_merge(full, empty, "id").collect()} == {1}
+    # empty current → all updates inserted
+    assert {r.id for r in upsert_merge(empty, full, "id").collect()} == {1}
+    # both empty
+    assert upsert_merge(empty, empty, "id").count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    from gramene_mongodb_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k LONG, t LONG"
+    )
+    right = spark.createDataFrame([], "k LONG, t LONG, v STRING")
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].v_asof is None  # left kept, no match
