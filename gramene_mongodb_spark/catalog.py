@@ -2697,6 +2697,58 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u1_priority_union",
+    """
+    WITH a AS (
+      SELECT o_custkey, list_distinct(list(o_orderpriority)) AS p1
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey),
+    b AS (
+      SELECT o_custkey, list_distinct(list(o_orderpriority)) AS p2
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey)
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           array_to_string(
+             list_sort(list_distinct(coalesce(a.p1, []) || coalesce(b.p2, []))),
+             ',') AS all_priorities
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    "U1",
+)
+def u1_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — array union merge (`search/merge_xrefs.js:21-30`: existing id
+    lists unioned with incoming ones): per-customer priority sets from
+    two periods merged with `array_union`, either side possibly absent
+    (the upsert-ish full-outer shape). Arrays emitted sorted+joined for
+    engine-stable hashing.
+
+    Scale: two aggs share the custkey shuffle key; the merge itself is a
+    per-row array expression, no extra shuffle.
+    """
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.collect_set("o_orderpriority").alias("p1"))
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .groupBy(F.col("o_custkey").alias("__ck"))
+        .agg(F.collect_set("o_orderpriority").alias("p2"))
+    )
+    empty = F.array().cast("array<string>")
+    return a.join(b, F.col("o_custkey") == F.col("__ck"), "full_outer").select(
+        F.coalesce("o_custkey", "__ck").alias("o_custkey"),
+        F.array_join(
+            F.array_sort(
+                F.array_union(F.coalesce("p1", empty), F.coalesce("p2", empty))
+            ),
+            ",",
+        ).alias("all_priorities"),
+    )
+
+
+@register(
     "x_stratified_sample",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
