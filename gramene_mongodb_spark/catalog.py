@@ -2697,6 +2697,49 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_cube_flags",
+    """
+    SELECT coalesce(l_returnflag, '(all)')  AS returnflag,
+           coalesce(l_linestatus, '(all)')  AS linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "A4",
+)
+def a_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — every subset of (returnflag, linestatus) incl.
+    both marginals and the grand total in ONE pass, with grouping()
+    flags disambiguating real nulls from subtotal rows (completes the
+    grouping-sets surface next to a_rollup_status).
+
+    Scale: Spark expands CUBE to a single aggregation over 4 grouping
+    sets — one shuffle, partials map-side, never 4 scans.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
     "u1_priority_union",
     """
     WITH a AS (

@@ -285,3 +285,28 @@ def test_boilerplate_shingles_match_brute_force(spark, docs, n):
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     got = {r.gram: r.df for r in boilerplate_shingles(df, n=n, min_docs=2).collect()}
     assert got == want
+
+
+@given(
+    cur=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 99)), max_size=15),
+    upd=st.lists(st.tuples(st.integers(0, 20), st.integers(100, 199)), max_size=15),
+)
+@settings(**SETTINGS)
+def test_upsert_merge_matches_dict_semantics(spark, cur, upd):
+    """upsert_merge == dict.update(): last-write-wins per key with
+    update priority, unmatched updates inserted."""
+    from gramene_mongodb_spark.operators.relational import upsert_merge
+
+    cur = list({k: (k, v) for k, v in cur}.values())   # unique keys
+    upd = list({k: (k, v) for k, v in upd}.values())
+    expected = dict(cur)
+    expected.update(dict(upd))
+
+    cdf = spark.createDataFrame(cur or [(None, None)], "id LONG, v LONG")
+    udf_ = spark.createDataFrame(upd or [(None, None)], "id LONG, v LONG")
+    if not cur:
+        cdf = cdf.filter("id IS NOT NULL")
+    if not upd:
+        udf_ = udf_.filter("id IS NOT NULL")
+    got = {r.id: r.v for r in upsert_merge(cdf, udf_, "id").collect()}
+    assert got == expected
