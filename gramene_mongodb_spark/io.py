@@ -49,9 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     into this scan by Catalyst, so callers should NOT pre-``select`` here.
     Nanosecond-precision timestamp columns (a parquet type Spark lacks)
     arrive as long nanos and are converted to TimestampType (micros).
+
+    ``nanosAsLong`` is set here (runtime-settable) rather than only at
+    session build time, so the read works under ANY SparkSession — the
+    harness runs ``queries()`` on a plain session it builds itself.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
