@@ -459,7 +459,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
            round(sum(l.l_extendedprice), 2) AS small_qty_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+    WHERE l.l_quantity < (SELECT round(0.5 * avg(l2.l_quantity), 6)
                           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
     GROUP BY p.p_brand
     ORDER BY p.p_brand
@@ -477,8 +477,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    # threshold rounded to a fixed precision on both sides (Spark + oracle):
+    # per-part avg over doubles is summation-order-dependent at the margin
     half_avg = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+        F.round(F.avg("l_quantity") * 0.5, 6).alias("__half_avg")
     )
     return (
         l.join(half_avg, l["l_partkey"] == F.col("__pk"))
@@ -2425,7 +2427,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_partkey)
     SELECT l_partkey, round(val, 2) AS part_value
     FROM nat
-    WHERE val > (SELECT sum(val) * 0.001 FROM nat)
+    WHERE round(val, 2) > (SELECT round(sum(val) * 0.001, 2) FROM nat)
     """,
     "A4", "J10",
 )
@@ -2447,10 +2449,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("val"))
     )
-    threshold = per_part.agg((F.sum("val") * 0.001).alias("__thresh"))
+    # both comparison sides rounded to cents: double summation order is
+    # engine-dependent and can flip borderline rows otherwise
+    threshold = per_part.agg(F.round(F.sum("val") * 0.001, 2).alias("__thresh"))
     return (
         per_part.join(F.broadcast(threshold))
-        .filter(F.col("val") > F.col("__thresh"))
+        .filter(F.round("val", 2) > F.col("__thresh"))
         .select("l_partkey", F.round("val", 2).alias("part_value"))
     )
 

@@ -460,7 +460,20 @@ def embedding_lsh_near_pairs(
 
     planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
     rows_per_band = n_planes // bands
-    unit = _unit_vectors(df, id_col, vec_col)
+    # fail LOUDLY on a dim mismatch: zip_with against a shorter/longer
+    # literal plane null-pads, silently producing NULL buckets and an
+    # empty/partial candidate set
+    unit = _unit_vectors(df, id_col, vec_col).withColumn(
+        "u",
+        F.when(F.size("u") == dim, F.col("u")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding_lsh_near_pairs: expected dim={dim}, got "),
+                    F.size("u").cast("string"),
+                )
+            )
+        ),
+    )
 
     bit_cols = []
     for i in range(n_planes):

@@ -358,39 +358,43 @@ def asof_join(
 
     1. tag both inputs and union them on aligned schemas;
     2. one window per key ordered by (time, right-before-left) with
-       ``last(value, ignorenulls=True)`` over the unbounded-preceding
-       frame — each left row reads the most recent right values;
-    3. keep the left rows.
+       ``last(struct, ignorenulls=True)`` over the unbounded-preceding
+       frame — each left row reads the most recent right ROW atomically
+       (all value columns ride in ONE struct, so a legitimate NULL in a
+       matched right row is preserved rather than backfilled from an
+       older right row — DuckDB/ASOF semantics);
+    3. keep the left rows and unpack the struct.
 
     Cost: one shuffle + sort on ``on`` — same as a sort-merge join, no
     pair blowup, skew bounded per key. Right value columns come back
     suffixed (``value_cols`` defaults to all non-key non-ts right
     columns); rows with no prior right row get nulls.
     """
+    from pyspark.sql.types import StructField, StructType
+
     on = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_ts]
     value_cols = list(value_cols)
     left_pass = [c for c in left.columns if c not in on and c != left_ts]
 
+    rstruct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField(right_ts, right.schema[right_ts].dataType)]
+    )
     lsel = left.select(
         *on,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         *left_pass,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in value_cols
-        ],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
+        F.lit(None).cast(rstruct_type).alias("__rvals"),
     )
     rsel = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_pass],
-        *[F.col(c).alias(c + suffix) for c in value_cols],
-        F.col(right_ts).alias(right_ts + suffix),
+        F.struct(*value_cols, right_ts).alias("__rvals"),
     )
     w = (
         Window.partitionBy(*on)
@@ -402,15 +406,14 @@ def asof_join(
         "__t",
         "__is_left",
         *left_pass,
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-            for c in [*value_cols, right_ts]
-        ],
+        F.last("__rvals", ignorenulls=True).over(w).alias("__rvals"),
     )
-    return (
-        filled.filter(F.col("__is_left") == 1)
-        .drop("__is_left")
-        .withColumnRenamed("__t", left_ts)
+    return filled.filter(F.col("__is_left") == 1).select(
+        *on,
+        F.col("__t").alias(left_ts),
+        *left_pass,
+        *[F.col(f"__rvals.{c}").alias(c + suffix) for c in value_cols],
+        F.col(f"__rvals.{right_ts}").alias(right_ts + suffix),
     )
 
 
@@ -448,7 +451,7 @@ def binned_interval_join(
     """
     on = list(on)
 
-    def binned(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
+    def binned(df: DataFrame, lo: str, hi: str, side: str) -> tuple[DataFrame, str, str]:
         overlap_cols = [c for c in df.columns if c in left.columns and c in right.columns and c not in on]
         renamed = df.select(
             *on,
@@ -535,7 +538,8 @@ def upsert_merge(
     # rename the update side up front: updates are routinely DERIVED from
     # current (same lineage), where alias-based disambiguation fails
     upd = updates.select(
-        *[F.col(c).alias(f"__u_{c}") for c in updates.columns]
+        F.lit(True).alias("__u_present"),
+        *[F.col(c).alias(f"__u_{c}") for c in updates.columns],
     )
     from functools import reduce
 
@@ -544,16 +548,16 @@ def upsert_merge(
         [F.col(f"__u_{k}").eqNullSafe(F.col(k)) for k in keys],
     )
     merged = current.join(upd, cond, "full_outer")
-    matched = F.col(f"__u_{keys[0]}").isNotNull()
-    out_cols = []
-    for c in current.columns:
-        if c in keys:
-            out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
-        else:
-            out_cols.append(
-                F.when(matched, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
-            )
-    return merged.select(*out_cols)
+    # presence marker, NOT key-isNotNull: the join is null-safe, so a
+    # null-keyed update row is a legitimate match/insert and must not be
+    # mistaken for "no update row joined here"
+    matched = F.col("__u_present").isNotNull()
+    return merged.select(
+        *[
+            F.when(matched, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            for c in current.columns
+        ]
+    )
 
 
 def salted_join(

@@ -105,6 +105,47 @@ def test_upsert_merge_semantics(spark):
         upsert_merge(cur, upd.drop("val"), "id")
 
 
+def test_upsert_merge_null_keys(spark):
+    """A null-keyed update row must REPLACE a null-keyed current row
+    (the join is null-safe) and INSERT cleanly when no current row has
+    a null key — not vanish or emit an all-null row."""
+    from gramene_mongodb_spark.operators.relational import upsert_merge
+
+    cur = spark.createDataFrame(
+        [(None, "old-null", 1.0), (1, "a", 10.0)], "id LONG, name STRING, val DOUBLE"
+    )
+    upd = spark.createDataFrame(
+        [(None, "new-null", 2.0)], "id LONG, name STRING, val DOUBLE"
+    )
+    got = {r.name: (r.id, r.val) for r in upsert_merge(cur, upd, "id").collect()}
+    assert got == {"new-null": (None, 2.0), "a": (1, 10.0)}
+
+    cur2 = spark.createDataFrame([(1, "a", 10.0)], "id LONG, name STRING, val DOUBLE")
+    got2 = {r.name: (r.id, r.val) for r in upsert_merge(cur2, upd, "id").collect()}
+    assert got2 == {"new-null": (None, 2.0), "a": (1, 10.0)}
+
+
+def test_asof_join_preserves_matched_row_nulls(spark):
+    """A matched right row's legitimate NULL must come through as NULL —
+    not be backfilled per-column from an older right row (all right
+    value columns travel atomically in one struct)."""
+    from gramene_mongodb_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 20)], "k STRING, t LONG")
+    right = spark.createDataFrame(
+        [("k", 5, "first", 1.0), ("k", 15, None, 2.0)],
+        "k STRING, t LONG, label STRING, score DOUBLE",
+    )
+    out = {
+        r.t: (r.label_asof, r.score_asof, r.t_asof)
+        for r in asof_join(left, right, on=["k"], left_ts="t", right_ts="t").collect()
+    }
+    assert out[10] == ("first", 1.0, 5)
+    # t=20 matches the t=15 right row whose label is genuinely NULL:
+    # label must NOT be backfilled from the t=5 row
+    assert out[20] == (None, 2.0, 15)
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from gramene_mongodb_spark.io import load_table
     from gramene_mongodb_spark.operators.relational import salted_join
