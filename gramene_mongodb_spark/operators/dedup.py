@@ -180,19 +180,56 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text: str = "text", n: int = 3, num_hashes: int = 64
-) -> DataFrame:
-    """MinHash signature per document: for seed i, sig[i] = min over
-    shingles of xxhash64(shingle, seed=i).
+#: Mersenne prime 2^31-1 — the modulus of the universal hash family. All
+#: intermediates stay < 2^62, so the arithmetic is exact int64 on any engine.
+MERSENNE31 = (1 << 31) - 1
 
-    One exploded shingle table → ``num_hashes`` min-aggregations computed
-    in a single map-side-combinable groupBy (no per-hash passes).
+
+def hash_family(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """(a_i, b_i) coefficients of the universal family
+    h_i(x) = (a_i·x + b_i) mod (2^31−1), seeded → reproducible everywhere."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def _md5_base31(col):
+    """Portable 31-bit base hash: first 8 md5 hex chars → int, mod 2^31−1.
+    md5 is bit-identical on every engine (Spark/DuckDB/python), which makes
+    every sketch built on it oracle-checkable — unlike xxhash64."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+        % MERSENNE31
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (a_i·md5_31(shingle) + b_i) mod 2^31−1.
+
+    ONE md5 per shingle + ``num_hashes`` integer affine maps — cheaper
+    than num_hashes independent string hashes, and fully portable (the
+    same signature is computable in plain SQL, which is how the catalog
+    oracle checks this sketch end-to-end). One exploded shingle table →
+    all min-aggregations in a single map-side-combinable groupBy.
     """
-    sh = shingles(df, id_col, text, n)
+    sh = shingles(df, id_col, text, n).withColumn(
+        "__bm", _md5_base31(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__bm") + F.lit(b)) % MERSENNE31).alias(f"h{i}")
+        for i, (a, b) in enumerate(hash_family(num_hashes, seed))
     ]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
@@ -208,6 +245,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float = 0.5,
+    seed: int = 7,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified by exact
     shingle Jaccard.
@@ -219,10 +257,14 @@ def minhash_lsh_pairs(
     LSH false positives; false-negative rate is governed by the
     (bands, rows) S-curve.
 
+    The signature family is md5-based (portable), so the ENTIRE sketch —
+    signatures, band agreement, verification — has an exact SQL twin; the
+    catalog oracle replays it brute-force in DuckDB and must match.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ verify_threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text, n, num_hashes, seed)
     banded = sig.select(
         id_col,
         F.explode(
@@ -259,16 +301,24 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Each distinct token votes its xxhash64 bits (+1/−1); the fingerprint
-    sets bit i where the vote sum is positive. Entirely higher-order array
+    Each distinct token votes its hash bits (+1/−1); the fingerprint sets
+    bit i where the vote sum is positive. Entirely higher-order array
     expressions over the exploded token table — one shuffle, no UDF.
+
+    The 64 token-hash bits come from md5 (two 32-bit halves of the first
+    16 hex chars), so the fingerprint — and therefore the whole near-dup
+    operator — is reproducible in plain SQL on any engine with md5; the
+    catalog oracle recomputes it brute-force in DuckDB.
     """
     toks = F.filter(F.split(_norm(F.col(text)), r"[^a-z0-9]+"), lambda t: t != "")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     tok = df.repartition(parallelism).select(
         F.col(id_col), F.explode(F.array_distinct(toks)).alias("token")
     )
-    tok = tok.withColumn("h", F.xxhash64("token"))
+    md5 = F.md5(F.col("token").cast("binary"))
+    lo = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
 
     def mask(i: int) -> int:  # signed-64 representation of bit i
         return (1 << i) if i < 63 else -(1 << 63)
