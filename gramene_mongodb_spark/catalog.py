@@ -938,20 +938,27 @@ def k6_merge_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           round(sum(value), 2) AS session_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
     FROM s GROUP BY user_id, session_id
     """,
     "A3",
 )
 def a3_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — gap-based sessionization (the group-adjacent accumulate/flush
-    pattern of `trees/genetree.js:36-73`, keyed by time gap >30 min)."""
+    pattern of `trees/genetree.js:36-73`, keyed by time gap >30 min).
+
+    ``session_value`` is summed in DECIMAL(18,6) on BOTH sides (here and
+    the oracle) so the sum is exact and summation-order-independent —
+    a double sum rounded to 2 dp can flip at a rounding boundary when two
+    engines reduce in different orders."""
     ev = _t(spark, sf_dir, "events")
     s = R.sessionize(ev, ["user_id"], "ts", 1800, tiebreak=["event_id"])
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("session_value"),
     )
 
 
