@@ -1771,22 +1771,132 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, pairs, "doc_id")
 
 
-@register("x_minhash_lsh", None, "dedup")
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of the full MinHash(64)+LSH(16 bands) sketch.
+
+    The md5-based hash family (dedup._md5_base31 + exact int64 affine
+    maps mod 2^31−1) is engine-portable, so signatures are recomputed
+    exactly. Banding is replayed as its definition: a pair is a candidate
+    iff SOME band's 4 signature slots are all equal — the Spark side's
+    xxhash64 bucket join is just an implementation of that predicate
+    (collisions between distinct 4-tuples are ~2^-64, i.e. never at any
+    test scale)."""
+    fam = D.hash_family(64, seed=7)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b}) % 2147483647) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_eq = "\n         OR ".join(
+        "(" + " AND ".join(f"x.h{bi * 4 + r} = y.h{bi * 4 + r}" for r in range(4)) + ")"
+        for bi in range(16)
+    )
+    return f"""
+    WITH {_JACCARD_CTES},
+    bh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT % 2147483647 AS b
+      FROM ex
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM bh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+      WHERE {band_eq}
+    )
+    SELECT c.id_a, c.id_b,
+           i.inter::DOUBLE / (sa.n + sb.n - i.inter) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
+    """
+
+
+@register("x_minhash_lsh", _minhash_oracle_sql(), "dedup")
 def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidate pairs verified by exact Jaccard
-    ≥ 0.5. No SQL oracle (banded LSH isn't reasonably SQL-expressible);
-    the driver records a rows-only check, and tests/test_properties.py
-    checks exact-jaccard results against brute force on fixtures."""
+    ≥ 0.5. The md5+affine hash family is portable, so the oracle replays
+    the ENTIRE sketch — signatures, band agreement, exact verification —
+    in DuckDB and must match bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, verify_threshold=0.5
     )
 
 
-@register("x_simhash_near", None, "dedup")
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replay of SimHash-64 + pigeonhole banding.
+
+    Token-hash bit i comes from md5 halves (lo = hex[1:8], hi = hex[9:16]);
+    votes, fingerprint bits, band chunks and Hamming distance are all
+    re-derived from the per-bit vote signs, which sidesteps signed-shift
+    differences between engines entirely."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    votes = ",\n             ".join(
+        "sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}".format(
+            src="lo" if i < 32 else "hi", sh=i if i < 32 else i - 32, i=i
+        )
+        for i in range(64)
+    )
+    chunks = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{bi * width + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        + f") AS c{bi}"
+        for bi in range(nbands)
+    )
+    band_eq = " OR ".join(f"x.c{bi} = y.c{bi}" for bi in range(nbands))
+    hamming = " + ".join(
+        f"(CASE WHEN (x.v{i} > 0) <> (y.v{i} > 0) THEN 1 ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                            '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(list_distinct(ws)) AS token FROM toks),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(token), 1, 8))::BIGINT AS lo,
+             ('0x' || substring(md5(token), 9, 8))::BIGINT AS hi
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th GROUP BY doc_id
+    ),
+    chunked AS (
+      SELECT doc_id,
+             {chunks},
+             * EXCLUDE (doc_id)
+      FROM votes
+    ),
+    pairs AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             ({hamming}) AS hamming
+      FROM chunked x JOIN chunked y ON x.doc_id < y.doc_id
+      WHERE {band_eq}
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@register("x_simhash_near", _simhash_oracle_sql(3), "dedup")
 def x_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 3) via pigeonhole banding.
-    Rows-only check (bit-vote fingerprinting has no SQL oracle)."""
+    The md5 bit votes are portable, so the oracle recomputes fingerprints,
+    band chunks and Hamming distances brute-force in DuckDB."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
@@ -2053,11 +2163,53 @@ def _synth_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaves.unionByName(roots)
 
 
-@register("k3k4_tree_representatives", None, "K3", "K4")
+@register(
+    "k3k4_tree_representatives",
+    """
+    WITH leaves AS (
+      SELECT 'tree_' || c_nationkey AS tree_id,
+             c_name AS gene,
+             CAST(CASE WHEN c_custkey % 2 = 0 THEN 100 ELSE 0 END
+                  + CASE WHEN c_custkey % 7 = 0 THEN -50 ELSE 0 END AS DOUBLE) AS score,
+             (c_custkey % 7 = 0) AS is_ath
+      FROM customer
+    ),
+    rootrep AS (
+      SELECT tree_id, gene AS root_gene, score AS root_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY tree_id ORDER BY score, gene) AS rn
+            FROM leaves) WHERE rn = 1
+    ),
+    athrep AS (
+      SELECT tree_id, gene AS ath_gene
+      FROM (SELECT *, row_number() OVER (PARTITION BY tree_id ORDER BY score, gene) AS rn
+            FROM leaves WHERE is_ath) WHERE rn = 1
+    )
+    SELECT l.tree_id,
+           l.gene AS gene_stable_id,
+           CASE WHEN r.root_score <= (CASE WHEN l.score > 0 THEN 0.8 * l.score
+                                           ELSE l.score / 0.8 END)
+                THEN r.root_gene ELSE l.gene END AS rep_gene_id,
+           a.ath_gene AS ath_rep_gene_id,
+           CAST([] AS BIGINT[]) AS duplication_taxa
+    FROM leaves l
+    JOIN rootrep r USING (tree_id)
+    LEFT JOIN athrep a USING (tree_id)
+    """,
+    "K3", "K4",
+)
 def k3k4_tree_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3+K4 — representative selection and leaf summaries over
     synthesized per-nation trees (applyInPandas grouped-map kernels).
-    Rows-only check: per-tree algorithms are not SQL-expressible."""
+
+    The synthesized trees are STARS (root + leaves), which collapses the
+    kernels' recursions into closed forms the oracle can state directly:
+    the root's representative is the (score, gene)-argmin leaf; a leaf
+    inherits it iff the root's score clears the 0.8-inheritance margin
+    (`trees/genetree.js:120-246`, `search/genetree_adder.js:113-252`);
+    ath_rep is the tree-best arabidopsis leaf; no duplication nodes exist,
+    so duplication_taxa pins to the empty array. The grouped-map kernels
+    themselves stay general — the oracle pins their behavior on this
+    topology, tests/test_trees.py pins deeper shapes."""
     from gramene_mongodb_spark.operators import trees as TR
 
     nodes = _synth_tree_nodes(spark, sf_dir)
@@ -2066,20 +2218,88 @@ def k3k4_tree_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.assign_leaf_summaries(scored, reps)
 
 
-@register("k8_nested_tree_docs", None, "K8")
+@register(
+    "k8_nested_tree_docs",
+    """
+    WITH leaves AS (
+      SELECT 'tree_' || c_nationkey AS tree_id, c_nationkey AS nk,
+             c_custkey + 1000000 AS node_id,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) * 2 AS left_index,
+             CASE WHEN c_custkey % 7 = 0 THEN 3702 ELSE 9000 END AS taxon,
+             c_name AS gene
+      FROM customer
+    )
+    SELECT tree_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_nodes,
+           '{"children": [' ||
+           string_agg('{"gene_stable_id": "' || gene || '", "node_id": ' || node_id ||
+                      ', "taxon_id": ' || taxon || '}', ', ' ORDER BY left_index) ||
+           '], "node_id": ' || nk || ', "taxon_id": 1}' AS doc
+    FROM leaves GROUP BY tree_id, nk
+    """,
+    "K8",
+)
 def k8_nested_tree_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K8 — flat adjacency → nested JSON docs (sink format), one doc per
-    synthesized tree. Rows-only check."""
+    synthesized tree (`trees/genetree.js:75-80` FlatToNested; children in
+    left_index order, O4). The star topology lets the oracle rebuild the
+    exact ``json.dumps(..., sort_keys=True)`` byte string with string_agg
+    — TPC-H customer names need no JSON escaping."""
     from gramene_mongodb_spark.operators import trees as TR
 
     return TR.assemble_nested_trees(_synth_tree_nodes(spark, sf_dir))
 
 
-@register("k5_domain_architecture", None, "K5")
+@register(
+    "k5_domain_architecture",
+    """
+    WITH feats AS (
+      SELECT DISTINCT CAST(l_orderkey % 200 AS VARCHAR) AS tid,
+             'P' || (l_partkey % 10) AS interpro,
+             'R' || ((l_partkey % 10) % 3) AS root,
+             (l_orderkey % 97) * 10 + l_linenumber AS s,
+             (l_orderkey % 97) * 10 + l_linenumber + 15 AS e
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY tid ORDER BY s, e, interpro) AS rnk,
+             CASE WHEN coalesce(max(e) OVER (PARTITION BY tid, root ORDER BY s, e, interpro
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                -1000000) < s + 3
+                  THEN 1 ELSE 0 END AS newc
+      FROM feats
+    ),
+    clustered AS (
+      SELECT *, sum(newc) OVER (PARTITION BY tid, root ORDER BY s, e, interpro
+                                ROWS UNBOUNDED PRECEDING) AS cl
+      FROM ranked
+    ),
+    cls AS (
+      SELECT tid, root, cl, min(s) AS cs, max(e) AS ce, min(rnk) AS first_rnk
+      FROM clustered GROUP BY tid, root, cl
+    ),
+    ordered AS (
+      SELECT tid, root, row_number() OVER (PARTITION BY tid ORDER BY cs, ce, first_rnk) AS idx
+      FROM cls
+    )
+    SELECT tid AS translation_id, string_agg(root, ' ' ORDER BY idx) AS architecture
+    FROM ordered GROUP BY tid
+    """,
+    "K5",
+)
 def k5_domain_architecture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 — domain-architecture clustering + LCA over features synthesized
     from lineitems (translation = order, domain = part bucket, coordinates
-    from line numbers). Rows-only check (per-translation kernel)."""
+    from line numbers; `search/domain_architect.js:84-222`).
+
+    Oracle derivation: every fixture hit has length 16, so ends are
+    monotone in the (start, end, interpro) processing order, which makes
+    only the NEWEST same-root cluster extendable — first-fit greedy
+    merge collapses to a gap rule (merge iff running max(end) ≥ start+3,
+    the integer form of overlap ≥ 0.2×16) expressible with the k6-style
+    running-max window. Cluster creation order (the stable sort's
+    tie-break) is pinned via each cluster's first-row rank."""
     from gramene_mongodb_spark.operators import domains as DM
 
     li = _t(spark, sf_dir, "lineitem")
