@@ -513,13 +513,17 @@ def embedding_lsh_near_pairs(
     # fail LOUDLY on a dim mismatch: zip_with against a shorter/longer
     # literal plane null-pads, silently producing NULL buckets and an
     # empty/partial candidate set
+    # coalesce: a NULL vector makes size() NULL, which would both route to
+    # the error branch via a NULL condition AND null out the concat'd
+    # diagnostic — keep the failure loud and the message intact
+    obs_dim = F.coalesce(F.size("u"), F.lit(-1))
     unit = _unit_vectors(df, id_col, vec_col).withColumn(
         "u",
-        F.when(F.size("u") == dim, F.col("u")).otherwise(
+        F.when(obs_dim == dim, F.col("u")).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"embedding_lsh_near_pairs: expected dim={dim}, got "),
-                    F.size("u").cast("string"),
+                    obs_dim.cast("string"),
                 )
             )
         ),

@@ -537,8 +537,10 @@ def upsert_merge(
         )
     # rename the update side up front: updates are routinely DERIVED from
     # current (same lineage), where alias-based disambiguation fails
+    # marker name cannot collide with the renamed columns: a column
+    # literally named "present" would alias to __u_present
     upd = updates.select(
-        F.lit(True).alias("__u_present"),
+        F.lit(True).alias("__upsert_marker__"),
         *[F.col(c).alias(f"__u_{c}") for c in updates.columns],
     )
     from functools import reduce
@@ -551,7 +553,7 @@ def upsert_merge(
     # presence marker, NOT key-isNotNull: the join is null-safe, so a
     # null-keyed update row is a legitimate match/insert and must not be
     # mistaken for "no update row joined here"
-    matched = F.col("__u_present").isNotNull()
+    matched = F.col("__upsert_marker__").isNotNull()
     return merged.select(
         *[
             F.when(matched, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
