@@ -207,6 +207,41 @@ def mongo_writer(df: DataFrame, uri: str, database: str, collection: str, mode: 
     )
 
 
+def upsert_parquet_collection(
+    spark: SparkSession, path: str, updates: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Executed upsert sink against a parquet-staged "collection" — the
+    engine-side form of the reference's ``update({_id}, doc, {upsert:
+    true})`` Mongo sinks (S12 — ``trees/taxonomy.js:48-69``,
+    ``search/decorate.js:145-165``) when staging to parquet instead of a
+    live server: matched keys are replaced wholesale, unmatched update
+    rows inserted, untouched rows pass through (operators.relational.
+    upsert_merge semantics, exactly the connector's ``replaceDocument``).
+
+    The merged result is written to a sibling temp dir and swapped in —
+    Spark cannot lazily overwrite a path it is still reading — so the
+    collection directory is never observed half-written.  Returns the
+    re-read collection.
+    """
+    import shutil
+
+    from gramene_mongodb_spark.operators.relational import upsert_merge
+
+    exists = os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    if exists:
+        merged = upsert_merge(spark.read.parquet(path), updates, key)
+    else:
+        merged = updates
+    tmp = path.rstrip("/") + ".__upsert_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return spark.read.parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
