@@ -3626,6 +3626,221 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_atlas_expression",
+    """
+    WITH samples AS (
+      SELECT c_custkey AS k, t,
+             CAST((c_custkey * (t + 3)) % 1000 AS DOUBLE) AS value
+      FROM customer, range(0, 4) r(t)
+      WHERE (c_custkey + t) % 5 <> 0
+    ),
+    agg AS (
+      SELECT k,
+             count(*) AS n_samples,
+             sum(value) AS total_tpm,
+             string_agg('T' || t, ' ' ORDER BY t) AS groups
+      FROM samples GROUP BY k
+    ),
+    fan AS (
+      SELECT c_custkey AS k, 'N' || c_custkey || 'a' AS _id,
+             c_mktsegment AS segment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'N' || c_custkey || 'b', c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT f._id, f.segment,
+           CAST(a.n_samples AS INT) AS n_samples,
+           a.total_tpm,
+           a.groups
+    FROM fan f JOIN agg a ON a.k = f.k
+    """,
+    "S5", "P8", "A7", "J11", "J3",
+)
+def pipeline_atlas_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 atlas expression pipeline END-TO-END — the composed Spark
+    restatement of the three-script reference chain:
+
+    * `atlas/parseBaseline.js:12-57` — baseline TSVs (header ``GeneID``,
+      per-tissue columns of 5-tuple cells whose 3rd slot is the median
+      TPM) → one expression doc per gene.  Executed HERE as a real TSV
+      round trip: the baseline file is staged to disk from customer-
+      derived rows, then read back through ``io.read_tsv`` (S5) and
+      parsed with split/cast column expressions (P8); empty cells are
+      skipped exactly like the reference's ``if (fields[i])``.
+    * doc assembly via ``documents.pivot_expression_matrix`` (A7 —
+      samples sorted by group, MAP keyed by experiment).
+    * `atlas/project_expression_via_lut.js:22-38` — old→new id fan-out
+      (J11): broadcast LUT with array values + explode, each doc
+      duplicated per mapped id.
+    * `atlas/merge_into_mongo_docs.js` — expression merged into the gene
+      docs by _id (J3 ``merge_join``, replace policy).
+
+    Output flattened to hashable scalars per merged doc. The oracle
+    recomputes the TSV content arithmetically — the staged file is
+    itself derived deterministically from ``customer``.
+
+    Scale: the TSV scan and parse are map-side; the pivot is two
+    map-side-combinable shuffles on gene id; the LUT rides broadcast;
+    the only other shuffle is the final doc merge keyed on _id.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from gramene_mongodb_spark.io import read_tsv, write_tsv
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    # ---- stage the baseline TSV (deterministic content, idempotent) ----
+    def cell(t: int):
+        five = F.concat_ws(
+            ",",
+            k.cast("string"),
+            (k % 7).cast("string"),
+            ((k * (t + 3)) % 1000).cast("string"),
+            F.lit("0"),
+            F.lit("0"),
+        )
+        return F.when((k + t) % 5 != 0, five).alias(f"T{t}")
+
+    baseline = cust.select(
+        F.concat(F.lit("GENE"), k.cast("string")).alias("GeneID"),
+        F.col("c_name").alias("Name"),
+        *[cell(t) for t in range(4)],
+    )
+    tsv_path = os.path.join(
+        tempfile.gettempdir(),
+        "atlas_baseline_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    write_tsv(baseline, tsv_path)
+
+    # ---- S5 + P8: read back and parse the 5-tuple cells ----
+    raw = read_tsv(spark, tsv_path, header=True)
+    tissues = F.array(
+        *[
+            F.struct(F.lit(f"T{t}").alias("group"), F.col(f"T{t}").alias("cell"))
+            for t in range(4)
+        ]
+    )
+    long = (
+        raw.select(F.col("GeneID").alias("gene_id"), F.explode(tissues).alias("s"))
+        .filter(F.col("s.cell").isNotNull())
+        .select(
+            "gene_id",
+            F.lit("exp1").alias("experiment"),
+            F.col("s.group").alias("group"),
+            F.split(F.col("s.cell"), ",")[2].cast("double").alias("value"),
+        )
+    )
+
+    # ---- A7: doc-per-gene assembly ----
+    expr = DOC.pivot_expression_matrix(long, gene="gene_id")
+
+    # ---- J11: old→new id fan-out via broadcast array LUT ----
+    new_a = F.concat(F.lit("N"), k.cast("string"), F.lit("a"))
+    new_b = F.concat(F.lit("N"), k.cast("string"), F.lit("b"))
+    lut = cust.select(
+        F.concat(F.lit("GENE"), k.cast("string")).alias("key"),
+        F.when(k % 3 == 0, F.array(new_a, new_b)).otherwise(F.array(new_a)).alias("labels"),
+    )
+    fanned = (
+        expr.join(F.broadcast(lut), expr["gene_id"] == lut["key"])
+        .select(F.explode("labels").alias("_id"), "expression")
+    )
+
+    # ---- J3: merge expression into the gene docs by _id ----
+    empty_expr = F.lit(None).cast(
+        "map<string,array<struct<group:string,value:double>>>"
+    )
+    docs = cust.select(
+        F.explode(
+            F.when(k % 3 == 0, F.array(new_a, new_b)).otherwise(F.array(new_a))
+        ).alias("_id"),
+        F.col("c_mktsegment").alias("segment"),
+        empty_expr.alias("expression"),
+    )
+    merged = DOC.merge_join(
+        docs, fanned, "_id", {"expression": "replace"}, broadcast=False
+    )
+
+    samples = F.col("expression")["exp1"]
+    return merged.select(
+        "_id",
+        "segment",
+        F.size(samples).alias("n_samples"),
+        F.aggregate(samples, F.lit(0.0), lambda acc, s: acc + s["value"]).alias(
+            "total_tpm"
+        ),
+        F.concat_ws(" ", F.transform(samples, lambda s: s["group"])).alias("groups"),
+    )
+
+
+@register(
+    "x_media_probe",
+    """
+    SELECT c_custkey AS media_id,
+           CASE WHEN c_custkey % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN c_custkey % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+           CASE WHEN c_custkey % 2 = 0 THEN CAST((c_custkey % 640) + 1 AS INT) END AS width,
+           CASE WHEN c_custkey % 2 = 0 THEN CAST((c_custkey % 480) + 1 AS INT) END AS height,
+           CASE WHEN c_custkey % 2 = 1
+                THEN CAST(((c_custkey % 100 + 1) * 80) * 1000
+                          // (CASE c_custkey % 3 WHEN 0 THEN 8000
+                                                WHEN 1 THEN 16000
+                                                ELSE 44100 END) AS BIGINT) END AS duration_ms,
+           CASE WHEN c_custkey % 2 = 1
+                THEN CAST(CASE c_custkey % 3 WHEN 0 THEN 8000
+                                             WHEN 1 THEN 16000
+                                             ELSE 44100 END AS INT) END AS sample_rate
+    FROM customer
+    """,
+    "multimodal",
+)
+def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata probe END-TO-END through REAL bytes: customer
+    keys deterministically synthesize spec-valid PNG and WAV payloads
+    (``make_png``/``make_wav``, struct-packed binary), which flow through
+    the Arrow-batched ``probe_metadata`` mapInPandas operator where the
+    stdlib container-header parser recovers width/height/sample_rate/
+    duration. The oracle predicts the parsed values arithmetically — any
+    corruption in the binary round trip (payload build, Arrow transfer,
+    header walk) breaks the hash."""
+    import pandas as pd  # noqa: F401 — worker-side import
+
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            payloads = [
+                MM.make_png((kk % 640) + 1, (kk % 480) + 1)
+                if kk % 2 == 0
+                else MM.make_wav((8000, 16000, 44100)[kk % 3], (kk % 100 + 1) * 80)
+                for kk in ks
+            ]
+            yield pd.DataFrame({"media_id": ks, "payload": payloads})
+
+    media = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    probed = MM.probe_metadata(media)
+    return probed.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

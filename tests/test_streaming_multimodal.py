@@ -162,3 +162,50 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, events_stream_di
     # append mode emits joined rows once both watermarks allow; with
     # availableNow + bounded input the inner join emits every match
     assert got == expected
+
+
+def test_parse_media_header_real_formats():
+    import io
+    import struct
+    import wave
+
+    # PNG: header parse matches the requested dimensions
+    png = MM.parse_media_header(MM.make_png(640, 480))
+    assert (png["format"], png["width"], png["height"]) == ("png", 640, 480)
+
+    # WAV: cross-checked against the stdlib wave module on the same bytes
+    raw = MM.make_wav(44100, 44100, channels=2)
+    wav = MM.parse_media_header(raw)
+    ref = wave.open(io.BytesIO(raw))
+    assert wav["sample_rate"] == ref.getframerate() == 44100
+    assert wav["duration_ms"] == ref.getnframes() * 1000 // ref.getframerate() == 1000
+
+    # GIF logical screen
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    got = MM.parse_media_header(gif)
+    assert (got["format"], got["width"], got["height"]) == ("gif", 320, 200)
+
+    # JPEG: APP0 skipped by declared length, SOF0 yields dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 99, 123) + b"\x03" + b"\x00" * 9
+    got = MM.parse_media_header(b"\xff\xd8" + app0 + sof)
+    assert (got["format"], got["width"], got["height"]) == ("jpeg", 123, 99)
+
+    # garbage and truncated payloads → None, never an exception
+    assert MM.parse_media_header(b"garbage") is None
+    assert MM.parse_media_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_probe_metadata_through_spark(spark):
+    rows = [
+        (1, MM.make_png(32, 16)),
+        (2, MM.make_wav(8000, 4000)),
+        (3, b"not media"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    got = {r["media_id"]: r["meta"] for r in MM.probe_metadata(df).collect()}
+    assert got[1]["format"] == "png" and got[1]["width"] == 32 and got[1]["height"] == 16
+    assert got[2]["format"] == "wav" and got[2]["sample_rate"] == 8000
+    assert got[2]["duration_ms"] == 500
+    assert got[3] is None and got[4] is None
