@@ -47,24 +47,53 @@ def subtree_gene_counts(nodes: DataFrame) -> DataFrame:
     containment (leaf.left between node.left and node.right).
 
     Reference: the zero-gene-subtree prune of `trees/speciesTree.js:221-228`
-    and num_genes rollups. The containment join is per-tree (equi key
-    ``tree_id``) so it never crosses trees; per-tree cost is
-    |nodes|×|leaves| worst case — fine for real tree sizes, and the
-    nested-set formulation avoids iterative parent walks entirely.
+    and num_genes rollups.
+
+    Implemented as a SWEEP, not a containment join: nested-set positions
+    are unique per tree, so the leaf count inside [left, right] is the
+    difference of two prefix counts — cum(right) − cum(left−1), where
+    cum is a running count of leaf positions in index order. Leaves emit
+    (+pos) markers, every node emits two prefix queries (sign ±1), one
+    window per tree computes the running count, one groupBy finishes.
+    O(n log n) per tree and ONE shuffle total — the old per-tree
+    |nodes|×|leaves| join collapsed on a 100×-skewed super-tree
+    (SURVEY §7 risk 4); a super-tree now costs just its own sort.
     """
+    from pyspark.sql import Window
+
     leaves = nodes.filter(F.col("gene_stable_id").isNotNull()).select(
-        F.col("tree_id").alias("lt"), F.col("left_index").alias("lpos")
+        "tree_id",
+        F.col("left_index").alias("pos"),
+        F.lit(1).alias("is_leaf"),
+        F.lit(None).cast(nodes.schema["node_id"].dataType).alias("qnode"),
+        F.lit(0).alias("sign"),
     )
-    n = nodes.select("tree_id", "node_id", "left_index", "right_index")
-    joined = n.join(
-        leaves,
-        (n["tree_id"] == leaves["lt"])
-        & (leaves["lpos"] >= n["left_index"])
-        & (leaves["lpos"] <= n["right_index"]),
-        "left",
+    base = nodes.select("tree_id", "node_id", "left_index", "right_index")
+    q_hi = base.select(
+        "tree_id",
+        F.col("right_index").alias("pos"),
+        F.lit(0).alias("is_leaf"),
+        F.col("node_id").alias("qnode"),
+        F.lit(1).alias("sign"),
     )
-    counts = joined.groupBy("tree_id", "node_id").agg(
-        F.count("lpos").alias("subtree_gene_count")
+    q_lo = base.select(
+        "tree_id",
+        (F.col("left_index") - 1).alias("pos"),
+        F.lit(0).alias("is_leaf"),
+        F.col("node_id").alias("qnode"),
+        F.lit(-1).alias("sign"),
+    )
+    events = leaves.unionByName(q_hi).unionByName(q_lo)
+    # leaves sort before queries at the same position, so a query at pos
+    # p sees cum(≤ p) — and the lo query at left−1 therefore cum(< left)
+    w = Window.partitionBy("tree_id").orderBy(
+        F.col("pos"), F.col("is_leaf").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    counts = (
+        events.withColumn("cum", F.sum("is_leaf").over(w))
+        .filter(F.col("qnode").isNotNull())
+        .groupBy("tree_id", F.col("qnode").alias("node_id"))
+        .agg(F.sum(F.col("sign") * F.col("cum")).alias("subtree_gene_count"))
     )
     return nodes.join(counts, ["tree_id", "node_id"], "left")
 
@@ -116,18 +145,19 @@ _REP_UP_SCHEMA = (
     "tree_id STRING, node_id BIGINT, rep_gene_id STRING, rep_score DOUBLE"
 )
 
+_REP_UP_DIST_SCHEMA = _REP_UP_SCHEMA + ", rep_dist DOUBLE"
 
-def select_representatives(scored: DataFrame) -> DataFrame:
-    """K3 — propagate the best (min score, then min accumulated branch
-    distance, then lexicographic gene id) leaf to every ancestor node.
+_REP_COLS = [
+    "tree_id", "node_id", "parent_id", "right_index",
+    "distance_to_parent", "gene_stable_id", "rep_score",
+]
 
-    Reference: `trees/genetree.js:120-246` walks each tree bottom-up.
-    Here: one ``applyInPandas`` per tree; post-order = ascending
-    ``right_index`` (children always precede parents in nested-set
-    order), so a single linear pass suffices.
 
-    Output: (tree_id, node_id, rep_gene_id, rep_score) for every node.
-    """
+def _rep_kernel(emit_dist: bool):
+    """Bottom-up min-propagation pass (post-order = ascending right_index;
+    children always precede parents in nested-set order). ``emit_dist``
+    additionally outputs the accumulated branch distance so sharded runs
+    can recombine subtree results at the root with the SAME comparator."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("right_index")
@@ -139,7 +169,11 @@ def select_representatives(scored: DataFrame) -> DataFrame:
             else:
                 cand = best.get(row.node_id, (float("inf"), float("inf"), None))
             best[row.node_id] = cand
-            out.append((row.tree_id, row.node_id, cand[2], cand[0]))
+            out.append(
+                (row.tree_id, row.node_id, cand[2], cand[0], cand[1])
+                if emit_dist
+                else (row.tree_id, row.node_id, cand[2], cand[0])
+            )
             # offer this node's best to its parent, penalized by distance
             if row.parent_id is not None and not pd.isna(row.parent_id):
                 d = 0.0 if pd.isna(row.distance_to_parent) else float(row.distance_to_parent)
@@ -150,19 +184,133 @@ def select_representatives(scored: DataFrame) -> DataFrame:
                     cur[0], cur[1], cur[2] or ""
                 ):
                     best[parent] = lifted
-        return pd.DataFrame(
-            out, columns=["tree_id", "node_id", "rep_gene_id", "rep_score"]
+        columns = ["tree_id", "node_id", "rep_gene_id", "rep_score"]
+        if emit_dist:
+            columns.append("rep_dist")
+        return pd.DataFrame(out, columns=columns)
+
+    return kernel
+
+
+def select_representatives(
+    scored: DataFrame, max_group_nodes: int | None = None
+) -> DataFrame:
+    """K3 — propagate the best (min score, then min accumulated branch
+    distance, then lexicographic gene id) leaf to every ancestor node.
+
+    Reference: `trees/genetree.js:120-246` walks each tree bottom-up;
+    one ``applyInPandas`` group per tree.
+
+    ``max_group_nodes`` is the SUPER-TREE GUARD (SURVEY §7 risk 4 — the
+    reference's upstream splits oversized sibling trees for the same
+    reason, `trees/speciesTree.js:27-29`): trees above the cap are
+    sharded at the root's children — each child subtree becomes its own
+    grouped-map task (bottom-up propagation never looks outside a
+    subtree, so per-node results are bit-identical) — and the root's
+    pick is recombined relationally as the argmin over child
+    representatives lifted by their branch distance, the exact
+    comparator the kernel applies. A 100×-skewed tree thus spreads over
+    ~fanout tasks instead of one straggler.
+
+    Output: (tree_id, node_id, rep_gene_id, rep_score) for every node.
+    """
+    if max_group_nodes is None:
+        return scored.select(*_REP_COLS).groupBy("tree_id").applyInPandas(
+            _rep_kernel(False), schema=_REP_UP_SCHEMA
         )
 
-    cols = [
-        "tree_id", "node_id", "parent_id", "right_index",
-        "distance_to_parent", "gene_stable_id", "rep_score",
-    ]
-    return (
-        scored.select(*cols)
-        .groupBy("tree_id")
-        .applyInPandas(kernel, schema=_REP_UP_SCHEMA)
+    from pyspark.sql import Window
+
+    base = scored.select(*_REP_COLS, "left_index")
+
+    sizes = base.groupBy("tree_id").agg(F.count(F.lit(1)).alias("__n"))
+    big = sizes.filter(F.col("__n") > max_group_nodes).select(
+        "tree_id", F.lit(True).alias("__big")
     )
+    flagged = base.join(F.broadcast(big), "tree_id", "left")
+    small_out = (
+        flagged.filter(F.col("__big").isNull())
+        .drop("__big")
+        .groupBy("tree_id")
+        .applyInPandas(_rep_kernel(False), schema=_REP_UP_SCHEMA)
+    )
+
+    bigt = flagged.filter(F.col("__big").isNotNull()).drop("__big")
+    roots = bigt.filter(F.col("parent_id").isNull())
+    root_ids = roots.select("tree_id", F.col("node_id").alias("__root_id"))
+    nonroot = bigt.join(F.broadcast(root_ids), "tree_id").filter(
+        F.col("parent_id").isNotNull()
+    )
+
+    # shard assignment via a sweep: the root's children tile the root's
+    # span, so a node's owning child is the last child whose left_index
+    # precedes (or equals) its own — one window, no containment join
+    node_t = base.schema["node_id"].dataType
+    markers = nonroot.filter(F.col("parent_id") == F.col("__root_id")).select(
+        "tree_id",
+        F.col("left_index").alias("__pos"),
+        F.col("node_id").alias("__marker"),
+        *[F.lit(None).cast(base.schema[c].dataType).alias(c) for c in _REP_COLS if c != "tree_id"],
+    )
+    node_rows = nonroot.select(
+        "tree_id",
+        F.col("left_index").alias("__pos"),
+        F.lit(None).cast(node_t).alias("__marker"),
+        *[c for c in _REP_COLS if c != "tree_id"],
+    )
+    sweep_w = Window.partitionBy("tree_id").orderBy(
+        F.col("__pos"), F.col("__marker").isNull()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sharded = (
+        markers.unionByName(node_rows)
+        .withColumn("__shard", F.last("__marker", ignorenulls=True).over(sweep_w))
+        .filter(F.col("node_id").isNotNull())
+    )
+    shard_out = (
+        sharded.select(*_REP_COLS, "__shard")
+        .groupBy("tree_id", "__shard")
+        .applyInPandas(_rep_kernel(True), schema=_REP_UP_DIST_SCHEMA)
+    )
+
+    # root recombination: child reps lifted by their branch distance,
+    # argmin on the kernel's (score, dist, gene) comparator; a leaf root
+    # (degenerate) keeps its own gene, as in the kernel
+    child_d = nonroot.filter(F.col("parent_id") == F.col("__root_id")).select(
+        "tree_id",
+        "node_id",
+        F.coalesce("distance_to_parent", F.lit(0.0)).alias("__d"),
+    )
+    cands = shard_out.join(child_d, ["tree_id", "node_id"]).select(
+        "tree_id",
+        "rep_gene_id",
+        "rep_score",
+        (F.col("rep_dist") + F.col("__d")).alias("__lifted"),
+    )
+    pick_w = Window.partitionBy("tree_id").orderBy(
+        "rep_score", "__lifted", F.coalesce("rep_gene_id", F.lit(""))
+    )
+    picked = (
+        cands.withColumn("__rn", F.row_number().over(pick_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "tree_id",
+            F.col("rep_gene_id").alias("__pick_gene"),
+            F.col("rep_score").alias("__pick_score"),
+        )
+    )
+    is_leaf_root = F.col("gene_stable_id").isNotNull()
+    root_out = (
+        roots.join(picked, "tree_id", "left")
+        .select(
+            "tree_id",
+            "node_id",
+            F.when(is_leaf_root, F.col("gene_stable_id"))
+            .otherwise(F.col("__pick_gene")).alias("rep_gene_id"),
+            F.when(is_leaf_root, F.col("rep_score").cast("double"))
+            .otherwise(F.col("__pick_score")).alias("rep_score"),
+        )
+    )
+    return small_out.unionByName(shard_out.drop("rep_dist")).unionByName(root_out)
 
 
 # ---------------------------------------------------------------------------

@@ -127,3 +127,70 @@ def test_cigar_and_identity(spark):
     assert vals[0] == pytest.approx(3 / 3)   # 3 matches / min(3,4)
     assert vals[1] == pytest.approx(3 / 3)
     assert vals[2] is None
+
+
+def _skewed_forest(spark, n_big_leaves=2000, n_small_trees=10):
+    """One 100×-skewed multi-level super-tree + small chain trees.
+
+    Super-tree: root → 4 inner children → each with n_big_leaves/4
+    leaves (nested-set indexes laid out contiguously), so the shard
+    split happens at the inner nodes, not trivially per leaf.
+    """
+    rows = []
+    per = n_big_leaves // 4
+    span = 2 * per  # leaf slots inside one inner child
+    rows.append(("big", 1, None, 1, 4 * (span + 2) + 2, None, 1, None,
+                 None, None, None, None, "speciation", None))
+    nid = 2
+    for c in range(4):
+        c_left = 2 + c * (span + 2)
+        c_id = nid
+        rows.append(("big", c_id, 1, c_left, c_left + span + 1, 0.5 + c, 10 + c,
+                     None, None, None, None, None, "speciation", None))
+        nid += 1
+        for i in range(per):
+            left = c_left + 1 + 2 * i
+            taxon = 3702 if (c * per + i) % 7 == 0 else 9000
+            desc = "hypothetical protein" if i % 2 == 0 else "kinase activity"
+            rows.append(("big", nid, c_id, left, left + 1, 0.1 + (i % 5) * 0.1,
+                         taxon, f"G{c}_{i:05d}", None, desc, None, None, None, None))
+            nid += 1
+    for t in range(n_small_trees):
+        rows.append((f"s{t}", 1, None, 1, 6, None, 1, None, None, None,
+                     None, None, "speciation", None))
+        rows.append((f"s{t}", 2, 1, 2, 5, 0.2, 2, None, None, None,
+                     None, None, "speciation", None))
+        rows.append((f"s{t}", 3, 2, 3, 4, 0.3, 3702, f"S{t}_leaf", None,
+                     "kinase activity", None, None, None, None))
+    return spark.createDataFrame(rows, NODE_SCHEMA)
+
+
+def test_subtree_gene_counts_sweep_on_skewed_forest(spark):
+    nodes = _skewed_forest(spark, n_big_leaves=400)
+    counts = {
+        (r.tree_id, r.node_id): r.subtree_gene_count
+        for r in TR.subtree_gene_counts(nodes).collect()
+    }
+    assert counts[("big", 1)] == 400          # root sees every leaf
+    inner_ids = [2 + 101 * c for c in range(4)]
+    assert all(counts[("big", i)] == 100 for i in inner_ids)
+    assert counts[("s0", 1)] == 1 and counts[("s0", 2)] == 1
+
+
+def test_select_representatives_sharded_matches_unsharded(spark):
+    nodes = _skewed_forest(spark, n_big_leaves=2000)
+    scored = TR.score_leaves(nodes)
+    plain = {
+        (r.tree_id, r.node_id): (r.rep_gene_id, r.rep_score)
+        for r in TR.select_representatives(scored).collect()
+    }
+    # cap 500 → the 2005-node super-tree shards at its 4 inner children;
+    # the small trees take the normal single-group path
+    guarded = {
+        (r.tree_id, r.node_id): (r.rep_gene_id, r.rep_score)
+        for r in TR.select_representatives(scored, max_group_nodes=500).collect()
+    }
+    assert guarded == plain
+    # sanity: the winner is a model-taxon gene propagated to the root
+    gene, score = guarded[("big", 1)]
+    assert score == -50.0 and gene.startswith("G")
