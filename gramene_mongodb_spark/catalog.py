@@ -3841,6 +3841,568 @@ def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_obo_ontology",
+    """
+    WITH RECURSIVE ks AS (SELECT c_custkey AS k FROM customer),
+    edges AS (
+      SELECT k AS child, k // 2 AS parent FROM ks WHERE k >= 2
+      UNION
+      SELECT k, k // 3 FROM ks WHERE k % 5 = 0 AND k >= 3
+    ),
+    anc(node, ancestor) AS (
+      SELECT child, parent FROM edges
+      UNION
+      SELECT a.node, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+    ),
+    aa AS (
+      SELECT node, count(*) AS n_ancestors,
+             string_agg(CAST(ancestor AS VARCHAR), ',' ORDER BY ancestor) AS ancestors_csv
+      FROM anc GROUP BY node
+    )
+    SELECT k AS _id,
+           'GO:' || lpad(CAST(k AS VARCHAR), 7, '0') AS id,
+           'term ' || k AS name,
+           CASE k % 3 WHEN 0 THEN 'biological_process'
+                      WHEN 1 THEN 'molecular_function'
+                      ELSE 'cellular_component' END AS namespace,
+           CAST(coalesce(aa.n_ancestors, 0) AS INT) AS n_ancestors,
+           coalesce(aa.ancestors_csv, '') AS ancestors_csv,
+           CAST(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_synonyms,
+           (k % 97 = 0) AS is_obsolete
+    FROM ks LEFT JOIN aa ON aa.node = k
+    """,
+    "S6", "S4", "S13", "K7", "U2",
+)
+def pipeline_obo_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 ontology pipeline END-TO-END with REAL file round trips:
+
+    * a customer-derived OBO file (``[Term]`` stanzas: id/name/namespace,
+      ``is_a`` to k//2, ``relationship: part_of`` to k//3 for every 5th
+      term, synonyms, ``is_obsolete``) is staged to disk with the
+      blank-line stanza layout, then parsed back by the DISTRIBUTED
+      stanza source ``sources.obo.read_obo_terms`` (S6 —
+      ``ontologies/obo2json.pl:36-94``);
+    * the ancestor closure runs through ``terms_with_ancestors``
+      (K7/U2 path-doubling, ``obo2json.pl:100-113``);
+    * the flattened docs make a JSONL round trip through the S13 sink +
+      S4 source (``write_jsonl``/``read_jsonl``), so the returned frame
+      crossed BOTH text formats before hashing against the recursive-CTE
+      oracle.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from gramene_mongodb_spark.io import read_jsonl, write_jsonl
+    from gramene_mongodb_spark.sources.obo import read_obo_terms, terms_with_ancestors
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pad = F.lpad(k.cast("string"), 7, "0")
+    stanza = F.concat_ws(
+        "\n",
+        F.lit("[Term]"),
+        F.concat(F.lit("id: GO:"), pad),
+        F.concat(F.lit("name: term "), k.cast("string")),
+        F.concat(
+            F.lit("namespace: "),
+            F.when(k % 3 == 0, F.lit("biological_process"))
+            .when(k % 3 == 1, F.lit("molecular_function"))
+            .otherwise(F.lit("cellular_component")),
+        ),
+        F.when(
+            k >= 2,
+            F.concat(F.lit("is_a: GO:"), F.lpad(F.floor(k / 2).cast("string"), 7, "0"),
+                     F.lit(" ! parent term")),
+        ),
+        F.when(
+            (k % 5 == 0) & (k >= 3),
+            F.concat(F.lit("relationship: part_of GO:"),
+                     F.lpad(F.floor(k / 3).cast("string"), 7, "0")),
+        ),
+        F.when(k % 4 == 0, F.concat(F.lit('synonym: "syn '), k.cast("string"), F.lit('" EXACT []'))),
+        F.when(k % 97 == 0, F.lit("is_obsolete: true")),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), "obo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    obo_path, jsonl_path = base + ".obo", base + ".jsonl"
+    cust.select(stanza.alias("value")).write.mode("overwrite").option(
+        "lineSep", "\n\n"
+    ).text(obo_path)
+
+    terms = terms_with_ancestors(read_obo_terms(spark, obo_path))
+    flat = terms.select(
+        "_id",
+        "id",
+        "name",
+        "namespace",
+        F.size("ancestors").alias("n_ancestors"),
+        F.array_join(F.transform("ancestors", lambda a: a.cast("string")), ",").alias(
+            "ancestors_csv"
+        ),
+        F.size("synonyms").alias("n_synonyms"),
+        "is_obsolete",
+    )
+    write_jsonl(flat, jsonl_path)
+    return read_jsonl(
+        spark,
+        jsonl_path,
+        schema="_id BIGINT, id STRING, name STRING, namespace STRING, "
+        "n_ancestors INT, ancestors_csv STRING, n_synonyms INT, is_obsolete BOOLEAN",
+    ).withColumn("ancestors_csv", F.coalesce("ancestors_csv", F.lit("")))
+
+
+@register(
+    "x_xml_interpro",
+    """
+    WITH entries AS (
+      SELECT p_partkey AS k,
+             'IPR' || lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS id,
+             CASE WHEN p_partkey % 2 = 0 THEN 'Family' ELSE 'Domain' END AS type,
+             'sn_' || p_partkey AS short_name,
+             p_name AS name,
+             p_brand AS abstract
+      FROM part WHERE p_partkey <= 100
+    )
+    SELECT e.id, e.type, e.short_name, e.name, e.abstract,
+           CASE WHEN e.k >= 2
+                THEN 'IPR' || lpad(CAST(e.k // 2 AS VARCHAR), 6, '0') END AS parent
+    FROM entries e
+    """,
+    "S7",
+)
+def x_xml_interpro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — XML source EXECUTED end-to-end: an InterPro-style XML dump
+    plus a ``--``-indented ParentChildTree file are staged from part
+    rows, then parsed back through ``sources.xml.read_interpro_xml``
+    (ElementTree, proper escaping) and ``read_parent_child_tree`` (the
+    indent-stack walk of `ontologies/parseInterpro.js:19-36`), joined to
+    attach each entry's parent. Driver-side parse is the
+    SURVEY-sanctioned shape for these small metadata files; the fixture
+    subset (p_partkey ≤ 100) keeps it that way at every sf."""
+    import hashlib
+    import os
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    from gramene_mongodb_spark.sources.xml import (
+        read_interpro_xml,
+        read_parent_child_tree,
+    )
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+        .collect()  # fixture staging only: ≤100 rows by construction
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), "interpro_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    root = ET.Element("interprodb")
+    for r in parts:
+        e = ET.SubElement(
+            root,
+            "interpro",
+            id=f"IPR{r.p_partkey:06d}",
+            type="Family" if r.p_partkey % 2 == 0 else "Domain",
+            short_name=f"sn_{r.p_partkey}",
+        )
+        ET.SubElement(e, "name").text = r.p_name
+        ET.SubElement(e, "abstract").text = r.p_brand
+    ET.ElementTree(root).write(base + ".xml")
+    with open(base + ".tree", "w") as fh:
+        def walk(node: int, depth: int) -> None:
+            fh.write("--" * depth + f"IPR{node:06d}::name\n")
+            for child in (2 * node, 2 * node + 1):
+                if child <= len(parts):
+                    walk(child, depth + 1)
+        if parts:
+            walk(1, 0)
+
+    entries = read_interpro_xml(spark, base + ".xml")
+    tree = read_parent_child_tree(spark, base + ".tree")
+    return entries.join(
+        F.broadcast(tree), entries["id"] == tree["child"], "left"
+    ).select("id", "type", "short_name", "name", "abstract", "parent")
+
+
+@register(
+    "x_rest_lut",
+    """
+    WITH lut AS (
+      SELECT i AS idx, 'g' || i AS gene, (i * 3) % 17 AS score
+      FROM range(1, 51) r(i)
+    )
+    SELECT l.gene, CAST(l.score AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN lut l ON (c.c_custkey % 50) + 1 = l.idx
+    GROUP BY l.gene, l.score
+    """,
+    "S8",
+)
+def x_rest_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — REST source EXECUTED through the injectable-fetcher machinery
+    (`search/thalemine.js:7-28` shape): the fetcher serves a
+    deterministic ``{"results": [...]}`` envelope, ``fetch_json_lut``
+    stages it, and the LUT broadcast-joins into a customer aggregate.
+    No network anywhere — exactly how air-gapped runs snapshot upstream
+    APIs (SURVEY §7 risk 6)."""
+    import json
+
+    from gramene_mongodb_spark.sources.rest import fetch_json_lut
+
+    def fetcher(url: str) -> str:
+        return json.dumps(
+            {"results": [{"idx": i, "gene": f"g{i}", "score": (i * 3) % 17}
+                         for i in range(1, 51)]}
+        )
+
+    lut = fetch_json_lut(
+        spark,
+        "https://example.invalid/genes",
+        fetcher,
+        record_path=("results",),
+        schema="idx BIGINT, gene STRING, score BIGINT",
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(lut), (c["c_custkey"] % 50) + 1 == lut["idx"])
+        .groupBy("gene", "score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "x_cigar_identity",
+    """
+    WITH seqs AS (
+      SELECT c_custkey AS k,
+             substring(md5('s' || c_custkey), 1, 8) AS seq,
+             (c_custkey % 3) + 1 AS a,
+             c_custkey % 4 AS b
+      FROM customer
+    ),
+    aligned AS (
+      SELECT k,
+             CAST(a AS VARCHAR) || 'M' || CAST(b AS VARCHAR) || 'D'
+               || CAST(8 - a AS VARCHAR) || 'M' AS cigar,
+             substring(seq, 1, a) || repeat('-', b) || substring(seq, a + 1, 8 - a)
+               AS aligned
+      FROM seqs
+    ),
+    pairs AS (
+      SELECT x.k AS id_a, y.k AS id_b, x.aligned AS al_a, y.aligned AS al_b
+      FROM aligned x JOIN aligned y ON y.k = x.k + 1
+    )
+    SELECT id_a, id_b, al_a AS aligned_a, al_b AS aligned_b,
+           list_sum([CASE WHEN al_a[i] = al_b[i] AND al_a[i] <> '-' THEN 1 ELSE 0 END
+                     FOR i IN range(1, least(len(al_a), len(al_b)) + 1)]) / 8.0
+             AS identity
+    FROM pairs
+    """,
+    "K1", "K2",
+)
+def x_cigar_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 — CIGAR expansion + pairwise %identity through the REAL
+    pandas-UDF kernels (`search/genetree_adder.js:8-78`): per customer a
+    deterministic 8-char sequence (md5 prefix — portable) and a
+    ``{a}M{b}D{c}M`` cigar; consecutive customers pair up and the
+    gap-aware identity is computed over the expanded alignments. The
+    oracle re-expands the cigar with substring/repeat and re-scores the
+    alignment position-wise in SQL — both UDF outputs are pinned.
+    Non-gap length is 8 on both sides, so identity = matches/8."""
+    from gramene_mongodb_spark.operators import trees as TR
+
+    k = F.col("c_custkey")
+    a = (k % 3 + 1).cast("int")
+    b = (k % 4).cast("int")
+    seqs = _t(spark, sf_dir, "customer").select(
+        k.alias("k"),
+        F.substring(F.md5(F.concat(F.lit("s"), k.cast("string"))), 1, 8).alias("sequence"),
+        F.concat(a.cast("string"), F.lit("M"), b.cast("string"), F.lit("D"),
+                 (8 - a).cast("string"), F.lit("M")).alias("cigar"),
+    )
+    aligned = TR.with_aligned_sequence(seqs)  # K1 pandas UDF
+    x = aligned.select(F.col("k").alias("id_a"), F.col("aligned").alias("aligned_a"))
+    y = aligned.select(F.col("k").alias("id_b"), F.col("aligned").alias("aligned_b"))
+    pairs = x.join(y, F.col("id_b") == F.col("id_a") + 1)
+    return TR.pairwise_identity(pairs, "aligned_a", "aligned_b").select(
+        "id_a", "id_b", "aligned_a", "aligned_b", "identity"
+    )
+
+
+@register(
+    "j12_decorate_tree_leaves",
+    """
+    SELECT 'tree_' || c_nationkey AS tree_id,
+           c_custkey + 1000000 AS node_id,
+           c_name AS gene_stable_id,
+           c_mktsegment AS segment,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+    "J12",
+)
+def j12_decorate_tree_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — tree-leaf decoration from finished gene docs
+    (`trees/add_domains_to_tree.js:99-116`): the synthesized tree's
+    leaves joined to a customer-derived doc table on the stable id via
+    ``trees.decorate_leaves`` (broadcast-or-shuffle left join; branch
+    nodes pass through with nulls and are filtered here)."""
+    from gramene_mongodb_spark.operators import trees as TR
+
+    nodes = _synth_tree_nodes(spark, sf_dir)
+    docs = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    return (
+        TR.decorate_leaves(nodes, docs, "_id", ("segment", "acctbal"))
+        .filter(F.col("gene_stable_id").isNotNull())
+        .select("tree_id", "node_id", "gene_stable_id", "segment", "acctbal")
+    )
+
+
+@register(
+    "k9_prune_zero_gene",
+    """
+    WITH n AS (SELECT c_nationkey AS nk, count(*) AS n_leaves
+               FROM customer GROUP BY c_nationkey)
+    SELECT 'tree_' || nk AS tree_id, CAST(nk AS BIGINT) AS node_id,
+           CAST(n_leaves AS BIGINT) AS subtree_gene_count
+    FROM n
+    UNION ALL
+    SELECT 'tree_' || c_nationkey, c_custkey + 1000000, CAST(1 AS BIGINT)
+    FROM customer
+    """,
+    "K9",
+)
+def k9_prune_zero_gene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 — zero-gene-subtree prune (`trees/speciesTree.js:221-228`) over
+    the synthesized trees EXTENDED with one empty branch per tree (a
+    sibling subtree holding no gene leaves, appended inside a widened
+    root span). The prune must drop exactly those branches and keep
+    every real node with its sweep-computed subtree gene count — the
+    oracle states the surviving set arithmetically."""
+    from gramene_mongodb_spark.operators import trees as TR
+
+    nodes = _synth_tree_nodes(spark, sf_dir)
+    # widen each root's span by 2 and append an empty branch in the gap
+    root = F.col("parent_id").isNull()
+    widened = nodes.withColumn(
+        "right_index",
+        F.when(root, F.col("right_index") + 2).otherwise(F.col("right_index")),
+    )
+    empty = widened.filter(root).select(
+        "tree_id",
+        (F.col("node_id") + 500_000).alias("node_id"),
+        F.col("node_id").alias("parent_id"),
+        (F.col("right_index") - 2).alias("left_index"),
+        (F.col("right_index") - 1).alias("right_index"),
+        F.lit(0.5).alias("distance_to_parent"),
+        F.lit(2).cast("long").alias("taxon_id"),
+        F.lit(None).cast("string").alias("gene_stable_id"),
+        F.lit(None).cast("string").alias("gene_display_label"),
+        F.lit(None).cast("string").alias("gene_description"),
+        F.lit("speciation").alias("node_type"),
+        F.lit(None).cast("double").alias("duplication_confidence_score"),
+    )
+    pruned = TR.prune_zero_gene_subtrees(widened.unionByName(empty))
+    return pruned.select("tree_id", "node_id", "subtree_gene_count")
+
+
+@register(
+    "w3_species_ranked",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             CASE c_custkey % 6 WHEN 0 THEN 3702 WHEN 1 THEN 39947
+                                WHEN 2 THEN 4577 WHEN 3 THEN 4558
+                                WHEN 4 THEN 9606 ELSE 10090 END AS taxon_id
+      FROM customer
+    )
+    SELECT taxon_id,
+           CAST(CASE taxon_id WHEN 3702 THEN 1 WHEN 39947 THEN 2
+                              WHEN 4577 THEN 3 WHEN 4558 THEN 4
+                              ELSE taxon_id + 1000 END AS BIGINT) AS species_rank,
+           CAST(count(*) AS BIGINT) AS n_genes
+    FROM t GROUP BY taxon_id
+    """,
+    "W3",
+)
+def w3_species_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — ranked model-species ordering (`search/decorate.js:101-112`):
+    the fixed-rank CASE expression applied to customer-derived taxa,
+    aggregated per species. Models rank 1-4, everything else taxon+1000."""
+    from gramene_mongodb_spark.operators.genomics import species_rank
+
+    k = F.col("c_custkey")
+    taxa = _t(spark, sf_dir, "customer").select(
+        F.when(k % 6 == 0, 3702).when(k % 6 == 1, 39947).when(k % 6 == 2, 4577)
+        .when(k % 6 == 3, 4558).when(k % 6 == 4, 9606).otherwise(10090)
+        .cast("long").alias("taxon_id")
+    )
+    return (
+        taxa.withColumn("species_rank", species_rank(F.col("taxon_id")).cast("long"))
+        .groupBy("taxon_id", "species_rank")
+        .agg(F.count(F.lit(1)).alias("n_genes"))
+    )
+
+
+@register(
+    "p7_gene_split_filter",
+    """
+    WITH pairs AS (
+      SELECT o_orderkey AS pair_id,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'gene_split' ELSE 'ortholog' END AS kind,
+             o_orderkey % 5 AS gene_frag, (o_orderkey + 1) % 5 AS other_frag,
+             (o_orderkey % 1000) * 100 AS ga,
+             (o_orderkey % 1000) * 100 + 500 AS gb,
+             (o_orderkey % 1000) * 100 + (o_orderkey % 7) * 300 AS oa,
+             (o_orderkey % 1000) * 100 + (o_orderkey % 7) * 300 + 500 AS ob
+      FROM orders
+    ),
+    scored AS (
+      SELECT *,
+             greatest(0, least(gb, ob) - greatest(ga, oa) + 1) AS ov,
+             least(gb - ga + 1, ob - oa + 1) AS shorter,
+             greatest(0, greatest(ga, oa) - least(gb, ob) - 1) AS gap
+      FROM pairs
+    )
+    SELECT pair_id, kind FROM scored
+    WHERE kind <> 'gene_split'
+       OR (gene_frag = other_frag
+           AND ov::DOUBLE / shorter <= 0.2
+           AND gap <= 1000000)
+    """,
+    "P7",
+)
+def p7_gene_split_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — gene_split plausibility filter (`search/dump_homologs.js:
+    175-205`) over order-derived homology pairs: splits survive only on
+    the same fragment with ≤20% overlap of the shorter half and a
+    bounded gap; other kinds pass untouched. Pure pushed predicates."""
+    from gramene_mongodb_spark.operators.genomics import filter_gene_splits
+
+    o = F.col("o_orderkey")
+    base = (o % 1000) * 100
+    off = (o % 7) * 300
+    pairs = _t(spark, sf_dir, "orders").select(
+        o.alias("pair_id"),
+        F.when(o % 3 == 0, F.lit("gene_split")).otherwise(F.lit("ortholog")).alias("kind"),
+        (o % 5).alias("gene_dnafrag_id"),
+        ((o + 1) % 5).alias("other_dnafrag_id"),
+        base.alias("gene_dnafrag_start"),
+        (base + 500).alias("gene_dnafrag_end"),
+        (base + off).alias("other_dnafrag_start"),
+        (base + off + 500).alias("other_dnafrag_end"),
+    )
+    return filter_gene_splits(pairs).select("pair_id", "kind")
+
+
+@register(
+    "s17_reject_stream",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 1000 AND o_custkey % 10 <> 0
+    """,
+    "S17", "P6", "A9",
+)
+def s17_reject_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17/P6 — validation split with an EXECUTED quarantine write
+    (`search/decorate.js:37-46` insertion_errors.jsonl): rejects land in
+    a JSONL path, valid rows flow on, and A9 observation counters ride
+    the same job (no extra pass). The oracle pins the valid stream;
+    tests pin the reject file."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gramene_mongodb_spark.io import observed, split_rejects
+
+    reject_path = os.path.join(
+        tempfile.gettempdir(), "rejects_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    orders = _t(spark, sf_dir, "orders")
+    valid = split_rejects(
+        orders,
+        (F.col("o_totalprice") > 1000) & (F.col("o_custkey") % 10 != 0),
+        reject_path,
+    )
+    out, _obs = observed(
+        valid.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+        ),
+        "s17_valid",
+        rows=F.count(F.lit(1)),
+    )
+    return out
+
+
+@register(
+    "w5_canonical_transcript",
+    """
+    WITH tr AS (
+      SELECT o_custkey,
+             'T' || o_orderkey AS tid,
+             CAST(o_totalprice AS INT) AS tlen,
+             CAST(o_orderkey % 500 AS INT) AS translen,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderkey % 500 AS INT) DESC,
+                                         CAST(o_totalprice AS INT) DESC,
+                                         'T' || o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    )
+    SELECT o_custkey, tid AS canonical_transcript, tid AS first_transcript,
+           CAST(n AS INT) AS n_transcripts
+    FROM tr WHERE rn = 1
+    """,
+    "A5", "W5",
+)
+def w5_canonical_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+W5 — canonical transcript selection INSIDE the nested array
+    (`search/decorate.js:48-99`): per-customer transcript structs
+    (length from totalprice, translation length from orderkey) collected
+    into the document array, the canonical picked by the in-array sort
+    (longest translation → longest transcript → lexicographic id) and
+    moved to position 0 by ``canonical_first``. The output exposes the
+    canonical AND the array head — the oracle confirms they coincide
+    with the window-argmax pick. No shuffle beyond the single groupBy."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    o = _t(spark, sf_dir, "orders")
+    tr = o.select(
+        "o_custkey",
+        F.struct(
+            F.concat(F.lit("T"), F.col("o_orderkey").cast("string")).alias("id"),
+            F.col("o_totalprice").cast("int").alias("length"),
+            F.struct(
+                F.concat(F.lit("P"), F.col("o_orderkey").cast("string")).alias("id"),
+                (F.col("o_orderkey") % 500).cast("int").alias("length"),
+            ).alias("translation"),
+        ).alias("t"),
+    )
+    docs = tr.groupBy("o_custkey").agg(F.collect_list("t").alias("transcripts"))
+    picked = DOC.canonical_first(DOC.select_canonical_transcript(docs))
+    return picked.select(
+        "o_custkey",
+        F.col("canonical_transcript"),
+        F.col("transcripts")[0]["id"].alias("first_transcript"),
+        F.size("transcripts").alias("n_transcripts"),
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
