@@ -174,8 +174,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J8", "A4",
 )
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-shaped 6-way join (J8): big facts shuffle-joined, small
-    dims (nation/region/supplier) explicitly broadcast."""
+    """TPC-H-Q5-shaped 6-way join (J8): big facts shuffle-joined; the
+    fixed-size dims (nation/region) explicitly broadcast, supplier —
+    which GROWS with sf — left to AQE/statistics so a 100×-scale run
+    doesn't force-broadcast a no-longer-small table."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
@@ -188,7 +190,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
