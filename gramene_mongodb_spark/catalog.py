@@ -2123,6 +2123,72 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle template for x_pii_scan — .format so the regex braces ({2,} etc.)
+# survive; the pattern literals are taken from textops.PII_PATTERNS so the
+# Spark plan and the oracle can never drift apart.
+_PII_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text2, '{phone}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text2, '{ssn}')) AS BIGINT) AS n_ssn_like,
+           CAST(len(regexp_extract_all(text2, '{email}'))
+                + len(regexp_extract_all(text2, '{phone}'))
+                + len(regexp_extract_all(text2, '{ssn}')) AS BIGINT) AS n_pii_total
+    FROM t
+""".format(
+    email=T.PII_PATTERNS["email"],
+    phone=T.PII_PATTERNS["phone"],
+    ssn=T.PII_PATTERNS["ssn_like"],
+)
+
+
+@register("x_pii_scan", _PII_ORACLE, "text")
+def x_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit scan (extension surface): deterministic synthetic
+    email/phone/SSN-like spans are injected keyed on doc_id (the corpus
+    text is clean, so the counts would otherwise be trivially zero), then
+    counted with pure JVM ``regexp_count`` expressions — no Python in the
+    hot path, scan speed at 100 TB. The oracle re-injects the same spans
+    and recounts with RE2 ``regexp_extract_all``, so both the injection
+    arithmetic and the regex semantics are pinned cross-engine."""
+    doc = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pad4 = F.lpad((k % 10000).cast("string"), 4, "0")
+    injected = doc.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 7 == 0,
+                F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(k % 11 == 0, F.concat(F.lit(" call 555-867-"), pad4)).otherwise(
+                F.lit("")
+            ),
+            F.when(k % 13 == 0, F.concat(F.lit(" id 123-45-"), pad4)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return T.pii_scan(injected, "text2").select(
+        "doc_id", "n_email", "n_phone", "n_ssn_like", "n_pii_total"
+    )
+
+
 def _synth_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic star trees from customers: one tree per nation, the
     nation as root, customers as gene leaves (nested-set indexes from a
@@ -3781,6 +3847,33 @@ def pipeline_atlas_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media corpus keyed on c_custkey: even keys get a
+    REAL spec-valid PNG header (``make_png``), odd keys a complete WAV
+    file (``make_wav``) — built worker-side in a ``mapInPandas`` batch
+    generator so the binary payloads never pass through the driver.
+    Shared by every x_media_* entry so their oracles agree on the
+    arithmetic."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            payloads = [
+                MM.make_png((kk % 640) + 1, (kk % 480) + 1)
+                if kk % 2 == 0
+                else MM.make_wav((8000, 16000, 44100)[kk % 3], (kk % 100 + 1) * 80)
+                for kk in ks
+            ]
+            yield pd.DataFrame({"media_id": ks, "payload": payloads})
+
+    return cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+
+
 @register(
     "x_media_probe",
     """
@@ -3811,27 +3904,9 @@ def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration. The oracle predicts the parsed values arithmetically — any
     corruption in the binary round trip (payload build, Arrow transfer,
     header walk) breaks the hash."""
-    import pandas as pd  # noqa: F401 — worker-side import
-
     from gramene_mongodb_spark.operators import multimodal as MM
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ks = pdf["c_custkey"]
-            payloads = [
-                MM.make_png((kk % 640) + 1, (kk % 480) + 1)
-                if kk % 2 == 0
-                else MM.make_wav((8000, 16000, 44100)[kk % 3], (kk % 100 + 1) * 80)
-                for kk in ks
-            ]
-            yield pd.DataFrame({"media_id": ks, "payload": payloads})
-
-    media = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
-    probed = MM.probe_metadata(media)
+    probed = MM.probe_metadata(_synth_media(spark, sf_dir))
     return probed.select(
         "media_id",
         F.col("meta.media_type").alias("media_type"),
@@ -3841,6 +3916,70 @@ def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.duration_ms").alias("duration_ms"),
         F.col("meta.sample_rate").alias("sample_rate"),
     )
+
+
+@register(
+    "x_media_frames",
+    """
+    WITH a AS (
+      SELECT c_custkey AS media_id,
+             CAST(((c_custkey % 100 + 1) * 80) * 1000
+                  // (CASE c_custkey % 3 WHEN 0 THEN 8000
+                                         WHEN 1 THEN 16000
+                                         ELSE 44100 END) AS BIGINT) AS d
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT media_id,
+           CAST(unnest(generate_series(0, greatest(d - 1, 0), 100)) AS BIGINT)
+             AS frame_ms
+    FROM a
+    """,
+    "multimodal",
+)
+def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample-grid extraction end-to-end through real bytes: the
+    synthetic corpus flows through the mapInPandas header probe, then
+    ``sample_frames`` expands each payload's TRUE parsed duration into a
+    100 ms timestamp grid with pure column math (sequence + explode —
+    the per-frame decode fans out across executors downstream). Image
+    rows have null duration and contribute no frames (the null-guard in
+    sample_frames was added for exactly this entry); the oracle
+    recomputes the WAV duration arithmetic (data_size·1000 // byte_rate)
+    and the grid per key, so a header-walk or explode bug breaks the
+    hash."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    probed = MM.probe_metadata(_synth_media(spark, sf_dir))
+    frames = MM.sample_frames(probed, every_ms=100)
+    return frames.select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+@register(
+    "x_media_resize",
+    """
+    SELECT c_custkey AS media_id,
+           CAST(64 AS INT) AS width,
+           CAST(48 AS INT) AS height,
+           CAST(48 AS BIGINT) AS n_bytes
+    FROM customer WHERE c_custkey % 2 = 0
+    """,
+    "multimodal",
+)
+def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the Arrow-batched ``resize_images`` path:
+    every PNG payload is resampled to 64×48 worker-side (the stubbed
+    deterministic resampler — real codecs aren't in this container) and
+    the resized bytes stream back batch-by-batch. The oracle pins row
+    multiplicity, ids and the size accounting (w·h//64 bytes per image);
+    payload determinism (same input → same resized bytes) is pinned by
+    tests/test_streaming_multimodal.py."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    images = _synth_media(spark, sf_dir).filter(F.col("media_id") % 2 == 0)
+    out = MM.resize_images(images, 64, 48)
+    return out.select("media_id", "width", "height", "n_bytes")
 
 
 @register(

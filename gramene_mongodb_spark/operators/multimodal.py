@@ -219,17 +219,18 @@ def sample_frames(
     The timestamp grid is pure column math (sequence over duration), so
     Spark parallelizes per-frame decode downstream; the actual frame
     grab is the stubbed decode step.
+
+    Media with null duration (images, unparseable payloads) contribute
+    NO frames — the sequence is guarded with an explicit isNotNull
+    because Spark's ``greatest`` IGNORES nulls (greatest(NULL-1, 0) = 0,
+    which would silently emit a phantom frame at t=0).
     """
-    return media.select(
-        id_col,
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.col(f"{meta_col}.duration_ms") - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ).alias("frame_ms"),
+    dur = F.col(f"{meta_col}.duration_ms")
+    grid = F.when(
+        dur.isNotNull(),
+        F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms)),
     )
+    return media.select(id_col, F.explode(grid).alias("frame_ms"))
 
 
 _RESIZED_SCHEMA = (
