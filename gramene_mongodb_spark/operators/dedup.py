@@ -127,6 +127,14 @@ def ngram_jaccard_pairs(
     candidate join shuffles only the prefix (≈(1−t) of the index), and
     verification touches candidate pairs only.
 
+    The bound ⌊(1−t)·n⌋+1 is computed with a round-to-6dp guard before
+    the floor: in doubles ``1.0 − 0.8 = 0.19999999999999996``, so for
+    n=10 the raw product is 1.9999999999999996 and a bare floor yields
+    prefix 2 where the theorem requires 3 — which silently DROPPED a
+    jaccard-exactly-0.8 subset pair at sf0.1. Rounding first can only
+    enlarge the prefix (more candidates, never fewer), so exactness is
+    preserved in the safe direction.
+
     Output: (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
     """
     from pyspark.sql import Window
@@ -145,7 +153,8 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("rn")
-        <= F.floor((1.0 - threshold) * F.col("n_shingles")).cast("int") + 1
+        <= F.floor(F.round((1.0 - threshold) * F.col("n_shingles"), 6)).cast("int")
+        + 1
     ).select(id_col, "shingle")
     candidates = (
         prefix.alias("a")

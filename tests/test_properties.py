@@ -130,6 +130,23 @@ def test_ngram_jaccard_matches_all_pairs(spark, docs):
     assert got == jaccard_reference(docs, 3, 0.5)
 
 
+def test_ngram_jaccard_prefix_bound_float_boundary(spark):
+    """Regression: with t=0.8 the double (1.0−0.8)·10 = 1.9999999999999996,
+    and a bare floor under-sizes the 10-shingle side's prefix (2 instead
+    of 3), dropping a subset pair whose jaccard is exactly 0.8. Caught by
+    the sf0.1 oracle sweep; the bound now rounds before flooring."""
+    # doc 0: 10 words → 8 distinct 3-gram shingles; doc 1: the first 10
+    # words of doc 0 plus two more → 10 shingles, superset ⇒ jaccard 8/10.
+    base = " ".join(f"w{i}" for i in range(10))
+    docs = [(0, base), (1, base + " w10 w11")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        (r.id_a, r.id_b, r.inter, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert got == {(0, 1, 8, 8, 10)}
+
+
 # --------------------------------------------------------------------------
 # connected components vs union-find
 # --------------------------------------------------------------------------
