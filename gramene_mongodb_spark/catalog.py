@@ -1931,12 +1931,71 @@ def x_embed_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.4, round_to=4)
 
 
-@register("x_embed_near_lsh", None, "dedup", "similarity")
+def _embed_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 16, bands: int = 8, seed: int = 7
+) -> str:
+    """DuckDB replay of the full random-hyperplane LSH pipeline: the SAME
+    seeded Gaussian planes (numpy RandomState — embedded as double
+    literals, so the two engines read identical coefficients), sign-bit
+    signatures, band buckets, the (band, bucket) candidate equi-join and
+    the exact-cosine verify. Cross-engine float safety: the projections
+    differ by a few ULPs between engines (different summation order) but
+    the smallest |projection| margin is ~4e-3 at sf0.01 — eleven orders
+    of magnitude above the noise — so the sign bits (and hence the
+    candidate set) are deterministic."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    norm = _DOT.format(a="embedding", b="embedding")
+
+    def dotlit(i: int) -> str:
+        lits = "[" + ",".join(repr(float(w)) for w in planes[i]) + "]"
+        return _DOT.format(a="uv", b=lits)
+
+    bits = ",\n           ".join(
+        f"CASE WHEN {dotlit(i)} >= 0 THEN 1 ELSE 0 END AS b{i}"
+        for i in range(n_planes)
+    )
+    rows = n_planes // bands
+    assert rows == 2, "bucket arithmetic below is written for 2 rows/band"
+    band_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {b} AS band, b{b * rows} + 2 * b{b * rows + 1} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    vcos = _DOT.format(a="a.uv", b="b.uv")
+    return f"""
+    WITH u AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> x::DOUBLE / sqrt({norm})) AS uv
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT id,
+           {bits}
+      FROM u
+    ),
+    banded AS (
+      {band_sel}
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.id < y.id
+    )
+    SELECT c.id_a, c.id_b, round({vcos}, 4) AS cosine
+    FROM cand c JOIN u a ON a.id = c.id_a JOIN u b ON b.id = c.id_b
+    WHERE round({vcos}, 4) >= 0.4
+    """
+
+
+@register("x_embed_near_lsh", _embed_lsh_oracle_sql(), "dedup", "similarity")
 def x_embed_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH (16 seeded
-    planes, 8 bands × 2 rows), exact-verified at cosine ≥ 0.4. Rows-only
-    check (LSH banding has no SQL oracle); tests assert output ⊆ exact
-    and recall vs x_embed_near_exact."""
+    planes, 8 bands × 2 rows), exact-verified at cosine ≥ 0.4. The
+    oracle replays the whole pipeline — planes, sign bits, banding,
+    candidate join, verify — in DuckDB (see _embed_lsh_oracle_sql);
+    tests additionally assert output ⊆ exact and recall vs
+    x_embed_near_exact."""
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_lsh_near_pairs(
         emb, "vec_id", "embedding", dim=64, threshold=0.4, round_to=4
