@@ -2248,6 +2248,103 @@ def x_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT)
+             AS n_tokens
+    FROM s
+    """,
+    "text",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training/RAG pre-tokenization): 32-token
+    windows every 24 tokens (8 tokens of overlap). Map-only fan-out —
+    split → sequence → explode → slice, zero shuffle, no Python; the
+    oracle replays the token windows with list_slice so the chunk
+    boundaries, overlap arithmetic, and join-back text are all pinned."""
+    doc = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(doc, "doc_id", "text", chunk_tokens=32, stride=24)
+
+
+@register(
+    "x_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(text || CASE WHEN doc_id % 5 = 0
+                                 THEN repeat(' xyzzy plugh', 2 + doc_id % 3)
+                                 ELSE '' END),
+               '\\s+') AS toks
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram, count(*) AS cnt
+      FROM g0 GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, gram AS top_gram, cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram) AS rn
+        FROM c
+      ) WHERE rn = 1
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END
+                  AS BIGINT) AS n_grams
+      FROM t
+    )
+    SELECT tot.doc_id, n_grams, top_gram,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS top_gram_count,
+           CASE WHEN n_grams > 0
+                THEN round(coalesce(cnt, 0)::DOUBLE / n_grams, 4)
+                ELSE 0.0 END AS repetition_ratio
+    FROM tot LEFT JOIN top ON tot.doc_id = top.doc_id
+    """,
+    "text",
+)
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: fraction of word-bigram
+    positions held by the most frequent bigram. The corpus text is
+    near-unique, so every fifth doc gets a deterministic repeated phrase
+    appended (2-4 copies keyed on doc_id) to make the ratios non-trivial;
+    the unmodified docs stress the lexicographic argmax tie-break across
+    engines (all counts 1). The oracle re-injects and recounts in
+    DuckDB."""
+    doc = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = doc.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 5 == 0,
+                F.expr("repeat(' xyzzy plugh', 2 + doc_id % 3)"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return T.repetition_stats(injected, "doc_id", "text2", n=2)
+
+
 def _synth_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic star trees from customers: one tree per nation, the
     nation as root, customers as gene leaves (nested-set indexes from a

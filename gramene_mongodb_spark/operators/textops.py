@@ -235,3 +235,113 @@ def boilerplate_ratio(
             F.round(F.col("n_bp") / F.col("n_grams"), 4).alias("bp_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Context-window chunking — the standard pre-tokenization step of a
+    training/RAG pipeline: split each document into whitespace-token
+    windows of ``chunk_tokens`` starting every ``stride`` tokens
+    (``chunk_tokens − stride`` of overlap carries context across the
+    boundary; the final chunk may be shorter).
+
+    Contract: chunk k covers tokens [k·stride, k·stride + chunk_tokens);
+    starts are emitted while k·stride < n_tokens, so every token lands in
+    ≥1 chunk and chunk_id is reproducible (no content-dependent logic).
+
+    All pure column math (split → sequence → explode → slice/array_join):
+    the fan-out happens executor-side at scan speed, no Python, no
+    shuffle — at 100 TB this is a map-only stage whose output feeds
+    straight into a tokenizer ``mapInPandas``.
+
+    Output: (id, chunk_id, chunk_text, n_tokens) — one row per chunk.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    piece = lambda s: F.slice(F.col("__toks"), s + 1, chunk_tokens)  # noqa: E731
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            (F.col("__start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(piece(F.col("__start")), " ").alias("chunk_text"),
+            F.size(piece(F.col("__start"))).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    n-gram positions occupied by its single most-frequent n-gram (high →
+    looping/templated text, a standard pre-training removal filter).
+
+    Shape: explode gram positions → count per (doc, gram) → argmax per
+    doc with a lexicographic tie-break so the reported top gram is
+    deterministic. Both aggregations partial-aggregate map-side and
+    shuffle only (doc, gram) partial counts — no all-positions shuffle,
+    no Python. Docs with fewer than ``n`` tokens emit ratio 0 with a
+    null top gram (nothing can repeat).
+
+    Output: (id, n_grams, top_gram, top_gram_count, repetition_ratio).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_gram_count"),
+        )
+    )
+    totals = (
+        df.select(F.col(id_col), F.size(grams).cast("long").alias("n_grams"))
+    )
+    return (
+        totals.join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            "top_gram",
+            F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias(
+                "top_gram_count"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce(F.col("top_gram_count"), F.lit(0))
+                    / F.col("n_grams"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("repetition_ratio"),
+        )
+    )

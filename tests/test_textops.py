@@ -84,3 +84,43 @@ def test_deterministic_sample_by_respects_strata_rates(spark):
     assert {r.id for r in out.filter("lang='en'").collect()} == {
         r.id for r in en_only.collect()
     }
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    # 10 tokens, chunk 4, stride 3 → starts 0,3,6,9; last two are short
+    words = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], "doc_id LONG, text STRING")
+    rows = sorted(
+        T.chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.n_tokens) for r in rows] == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"  # 1 token of overlap
+    assert rows[3].chunk_text == "t9"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three words")], "doc_id LONG, text STRING")
+    rows = T.chunk_documents(df, chunk_tokens=128, stride=96).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "only three words"
+    assert rows[0].n_tokens == 3
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),       # 4 bigrams, all "spam spam"
+            (2, "all different words entirely"),   # 3 bigrams, counts 1
+            (3, "short"),                          # < n tokens → no grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in T.repetition_stats(df, n=2).collect()}
+    assert out[1].repetition_ratio == 1.0
+    assert out[1].top_gram == "spam spam" and out[1].top_gram_count == 4
+    # deterministic lexicographic tie-break among count-1 grams
+    assert out[2].top_gram == "all different" and out[2].repetition_ratio == 0.3333
+    assert out[3].n_grams == 0 and out[3].top_gram is None
+    assert out[3].repetition_ratio == 0.0
