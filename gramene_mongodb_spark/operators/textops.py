@@ -272,7 +272,7 @@ def chunk_documents(
         .select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("__start"))
         .select(
             F.col(id_col),
-            (F.col("__start") / stride).cast("long").alias("chunk_id"),
+            F.expr(f"__start div {stride}").cast("long").alias("chunk_id"),
             F.array_join(piece(F.col("__start")), " ").alias("chunk_text"),
             F.size(piece(F.col("__start"))).cast("long").alias("n_tokens"),
         )
@@ -290,16 +290,16 @@ def repetition_stats(
     looping/templated text, a standard pre-training removal filter).
 
     Shape: explode gram positions → count per (doc, gram) → argmax per
-    doc with a lexicographic tie-break so the reported top gram is
-    deterministic. Both aggregations partial-aggregate map-side and
-    shuffle only (doc, gram) partial counts — no all-positions shuffle,
-    no Python. Docs with fewer than ``n`` tokens emit ratio 0 with a
-    null top gram (nothing can repeat).
+    doc as ``min(struct(-cnt, gram))`` — the struct's field-wise order
+    makes that "largest count, then lexicographically-smallest gram" in
+    ONE hash aggregation (no per-doc sort, no window), and the same pass
+    sums the counts into n_grams. Both aggregations partial-aggregate
+    map-side; nothing but (doc, gram) partial counts ever shuffles; no
+    Python. Docs with fewer than ``n`` tokens emit ratio 0 with a null
+    top gram (nothing can repeat).
 
     Output: (id, n_grams, top_gram, top_gram_count, repetition_ratio).
     """
-    from pyspark.sql import Window
-
     toks = F.split(F.trim(F.col(text)), r"\s+")
     grams = F.when(
         F.size(toks) >= n,
@@ -313,15 +313,12 @@ def repetition_stats(
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram"))
-    top = (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("gram").alias("top_gram"),
-            F.col("cnt").alias("top_gram_count"),
-        )
+    top = counts.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("__top")
+    ).select(
+        F.col(id_col),
+        F.col("__top.gram").alias("top_gram"),
+        (-F.col("__top.neg")).alias("top_gram_count"),
     )
     totals = (
         df.select(F.col(id_col), F.size(grams).cast("long").alias("n_grams"))
