@@ -68,13 +68,21 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     means: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         samples = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            run(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+        # one broken query must not zero the whole bench line — record the
+        # error per-query and keep timing the rest
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                run(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(samples), 3)
         means[name] = round(sum(samples) / len(samples), 3)
         spread = ", ".join(f"{s:.3f}" for s in samples)
@@ -89,6 +97,8 @@ def main() -> None:
         "runs_per_query": n_runs,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

@@ -1139,7 +1139,12 @@ def x_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase event paired with the user's
     most recent click at-or-before it (relational.asof_join — union +
     single sorted window, never a per-key pair blowup). Oracle is
-    DuckDB's native ASOF LEFT JOIN."""
+    DuckDB's native ASOF LEFT JOIN.
+
+    ``gap_s`` counts second boundaries crossed (DuckDB ``date_diff``
+    semantics): truncate both endpoints to the second, then timestampdiff.
+    Wall-clock arithmetic — legal on TIMESTAMP_NTZ (a long cast is not)
+    and timezone-independent."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -1151,7 +1156,10 @@ def x_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        (F.col("ts").cast("long") - F.col("ts_asof").cast("long")).alias("gap_s"),
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', ts_asof),"
+            " date_trunc('second', ts))"
+        ).alias("gap_s"),
     )
 
 
@@ -3801,6 +3809,174 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_sampled"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "x_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                            '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 8
+                  THEN list_distinct([array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws)-6)])
+                  ELSE [array_to_string(ws, ' ')] END AS gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS shingle FROM g),
+    bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 23 = 0),
+    corpus AS (SELECT * FROM ex WHERE doc_id % 23 <> 0),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM corpus GROUP BY 1),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+    SELECT h.doc_id, s.n_grams, h.n_hit,
+           round(h.n_hit::DOUBLE / s.n_grams, 4) AS hit_ratio
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+    "dedup", "textops",
+)
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    8-gram with the held-out benchmark slice (doc_id % 23 == 0 stands in
+    for the eval suite). Benchmark grams broadcast; corpus side is a
+    map-side shingle scan — the GPT-3-style n-gram collision test at
+    corpus scale (dedup.contamination_check)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return D.contamination_check(corpus, bench, "doc_id", "text", n=8)
+
+
+@register(
+    "x_mixture_sample",
+    """
+    WITH counts AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+    rates AS (
+      SELECT source, n_total,
+             least(256, CAST(round(1024.0 / sqrt(n_total)) AS INT)) AS k
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id, d.n_chars
+      FROM documents d JOIN rates r USING (source)
+      WHERE r.k >= 256
+         OR substr(md5('mix1' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+            < lpad(lower(hex(r.k)), 2, '0')
+    )
+    SELECT r.source, CAST(r.n_total AS BIGINT) AS n_total, CAST(r.k AS BIGINT) AS k256,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS chars_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    GROUP BY r.source, r.n_total, r.k
+    """,
+    "dedup", "textops",
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: per-source temperature sampling at τ=0.5 —
+    rate_s = min(1, 4/√n_s), quantized to k/256 and applied with the
+    md5-prefix filter (relational.inverse_sqrt_sample), reported as
+    per-source keep counts. The oracle replays the quantization and the
+    exact hash filter."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = R.inverse_sqrt_sample(docs, "doc_id", "source", coeff=4.0, salt="mix1")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rates = counts.select(
+        "source",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.least(
+            F.lit(256), F.round(F.lit(1024.0) / F.sqrt(F.col("n_total"))).cast("int")
+        )
+        .cast("long")
+        .alias("k256"),
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept")
+    )
+    return rates.join(kept_agg, "source", "left").select(
+        "source",
+        "n_total",
+        "k256",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("chars_kept", F.lit(0)).cast("long").alias("chars_kept"),
+    )
+
+
+@register(
+    "x_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                            '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * CAST(round(ln(nd::DOUBLE / dfreq.df) * 1e6) AS BIGINT) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rank
+          FROM scored)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM r WHERE rank <= 3
+    """,
+    "textops",
+)
+def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (textops.tfidf_top_terms). The
+    idf is integer-scaled (round(ln(N/df)·1e6)) before scoring so the
+    ranking is exact integer arithmetic — no cross-engine float ordering
+    anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "x_asof_next_click",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    "streaming", "W2",
+)
+def x_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase paired with the user's EARLIEST
+    click at-or-after it (relational.asof_join direction="forward" —
+    same single-shuffle union+window plan, time order reversed). Oracle
+    is DuckDB's native forward ASOF LEFT JOIN; ``gap_s`` counts second
+    boundaries via truncate-then-diff, wall-clock arithmetic only."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = R.asof_join(purchases, clicks, on=["user_id"], direction="forward")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', ts),"
+            " date_trunc('second', ts_asof))"
+        ).alias("gap_s"),
     )
 
 

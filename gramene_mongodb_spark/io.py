@@ -37,8 +37,11 @@ TABLES = (
 )
 
 
-#: columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
-#: (spark.sql.legacy.parquet.nanosAsLong) and we convert to timestamp here
+#: columns that MAY be stored as parquet TIMESTAMP(NANOS) by older data
+#: generators; Spark reads those as long (spark.sql.legacy.parquet.nanosAsLong)
+#: and we convert to timestamp here.  Current testdata stores timestamp[us]
+#: (read natively as TIMESTAMP_NTZ), which the dtype check leaves untouched —
+#: downstream operators handle both flavors with wall-clock arithmetic.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
@@ -48,7 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     A bare parquet scan: filters/projections applied downstream are pushed
     into this scan by Catalyst, so callers should NOT pre-``select`` here.
     Nanosecond-precision timestamp columns (a parquet type Spark lacks)
-    arrive as long nanos and are converted to TimestampType (micros).
+    arrive as long nanos and are converted to TimestampType (micros);
+    micro-precision parquet timestamps pass through as TIMESTAMP_NTZ.
 
     ``nanosAsLong`` is set here (runtime-settable) rather than only at
     session build time, so the read works under ANY SparkSession — the

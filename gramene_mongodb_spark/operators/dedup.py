@@ -186,6 +186,55 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# benchmark contamination scan (decontamination)
+# --------------------------------------------------------------------------
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan — the decontamination pass every
+    training-data pipeline runs before a corpus ships: flag corpus
+    documents that share any word ``n``-gram with a held-out benchmark
+    set (the n-gram-collision test popularized by the GPT-3/PaLM data
+    cards, typically n≈8-13).
+
+    Returns one row per CONTAMINATED corpus doc: ``(id, n_grams,
+    n_hit, hit_ratio)`` where ``n_hit`` counts the doc's distinct
+    n-grams that occur anywhere in the benchmark and ``hit_ratio`` =
+    n_hit / n_grams rounded to 4 dp.
+
+    Scale shape: benchmark suites are tiny (thousands of docs) next to a
+    100 TB corpus, so the benchmark's distinct-gram set is BROADCAST —
+    the corpus side is a map-side shingle scan + hash-probe, and the only
+    shuffle is the per-doc hit count keyed by doc id. Same tokenization
+    as the jaccard/minhash family (``shingle_arrays``), so one shingle
+    pass can feed dedup and decontamination together.
+    """
+    arrays = shingle_arrays(corpus, id_col, text, n, materialize=True)
+    corpus_grams = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    bench_grams = (
+        shingles(benchmark, id_col, text, n).select("shingle").distinct()
+    )
+    # shingle_arrays dedupes per doc, so a plain count is the distinct-hit count
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = arrays.select(F.col(id_col), F.size("shingles").cast("long").alias("n_grams"))
+    return sizes.join(hits, id_col, "inner").select(
+        F.col(id_col),
+        "n_grams",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("hit_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 

@@ -246,14 +246,25 @@ def sessionize(
     Spark-first: ``lag(ts)`` per key, flag gaps > ``gap_seconds``, running
     sum → session id. One shuffle on the group key; linear per key.
 
+    The gap test is whole-second (floor-to-second on both endpoints, like
+    ``floor(epoch(ts))`` deltas) and is computed with wall-clock interval
+    arithmetic, never a cast-to-long: TIMESTAMP_NTZ forbids that cast, and
+    interval comparison is timezone-independent for both timestamp flavors.
+    Numeric ``ts`` columns (already epoch seconds) keep the plain subtract.
+
     Adds a ``session_id`` column (0-based per group).
     """
     order = Window.partitionBy(*group_by).orderBy(F.col(ts), *[F.col(c) for c in tiebreak])
     prev_ts = F.lag(F.col(ts)).over(order)
-    gap = F.col(ts).cast("long") - prev_ts.cast("long")
+    if dict(df.dtypes).get(ts, "").startswith("timestamp"):
+        sec = F.date_trunc("second", F.col(ts))
+        prev_sec = F.lag(sec).over(order)
+        is_gap = sec > prev_sec + F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    else:
+        is_gap = (F.col(ts).cast("long") - prev_ts.cast("long")) > gap_seconds
     flagged = df.withColumn(
         "__new_sess",
-        F.when(prev_ts.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+        F.when(prev_ts.isNull() | is_gap, F.lit(1)).otherwise(F.lit(0)),
     )
     return (
         flagged.withColumn(
@@ -348,9 +359,12 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gets the LATEST right row with
-    ``right_ts <= left_ts`` per key (equal timestamps match).
+    """As-of join. ``direction="backward"`` (default): each left row gets
+    the LATEST right row with ``right_ts <= left_ts`` per key;
+    ``direction="forward"``: the EARLIEST right row with
+    ``right_ts >= left_ts`` (equal timestamps match in both).
 
     An operator Spark's join set lacks. The naive formulation (per-left-row
     max-subquery, or an inequality join + argmax) shuffles candidate pairs
@@ -396,9 +410,15 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_pass],
         F.struct(*value_cols, right_ts).alias("__rvals"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # forward = backward over reversed time; __is_left stays ascending so a
+    # right row at the SAME instant precedes the left row in window order
+    # (inclusive match) in both directions
+    tord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__is_left")
+        .orderBy(tord, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = lsel.unionByName(rsel).select(
@@ -608,3 +628,45 @@ def deterministic_sample_by(
     for value, rate in sorted(rates.items()):
         cond = F.when(F.col(strata) == value, F.lit(_hex_threshold(rate))).otherwise(cond)
     return df.filter(hx < cond)
+
+
+def inverse_sqrt_sample(
+    df: DataFrame,
+    key: str | Column,
+    strata: str,
+    coeff: float = 4.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: stratum ``s`` of size
+    ``n_s`` keeps ``rate_s = min(1, coeff/sqrt(n_s))`` of its rows — the
+    τ=0.5 temperature reweighting used to balance training mixtures
+    (dominant sources downsampled ∝ n^-1/2, small sources kept whole).
+    Unlike ``deterministic_sample_by`` the rates come from the DATA, so
+    the mixture rebalances itself as sources grow.
+
+    Determinism across engines: the rate is quantized to k/256 with
+    ``k = round(256·coeff/√n)`` — sqrt and one division are correctly
+    rounded IEEE doubles on every engine, so k is identical everywhere,
+    and the keep test is the same exact two-hex-char md5-prefix compare
+    as ``deterministic_sample`` (no float boundary anywhere).
+
+    Scale: one tiny aggregate (stratum → count, broadcast back) + a pure
+    map-side filter. No RNG state; appending shards re-derives rates but
+    never reshuffles data.
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.select(
+        F.col(strata),
+        F.least(
+            F.lit(256),
+            F.round(F.lit(256.0 * float(coeff)) / F.sqrt(F.col("__n"))).cast("int"),
+        ).alias("__k"),
+    )
+    hx = F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 2)
+    thr = F.lpad(F.lower(F.hex(F.col("__k"))), 2, "0")
+    return (
+        df.join(F.broadcast(rates), strata)
+        .filter((F.col("__k") >= 256) | (hx < thr))
+        .drop("__k")
+    )

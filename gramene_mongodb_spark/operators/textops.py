@@ -342,3 +342,64 @@ def repetition_stats(
             ).otherwise(F.lit(0.0)).alias("repetition_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword /
+    salient-term extraction pass (feeds topic tagging, near-dup triage,
+    retrieval indexing).
+
+    Engine-portable by construction: idf = ln(N/df) is SCALED to an
+    integer once per term (``idf6 = round(idf·1e6)``) and the ranking
+    score is the exact integer ``tf·idf6`` — so ordering, tie-breaks
+    (score desc, then term asc) and output values carry no float
+    summation or comparison anywhere. Tokenization matches the dedup
+    family (lowercase, split on non-alphanumeric runs).
+
+    Scale shape: one explode + two aggregations. The term→df table is
+    orders of magnitude smaller than the corpus (vocabulary vs tokens)
+    and is BROADCAST back; N rides in a one-row broadcast. The only big
+    shuffles are the (doc, term) tf aggregation and the per-doc top-k
+    window — both keyed by doc id, both linear.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " "), r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "idf6",
+            F.round(F.log(F.col("__N") / F.col("df")) * 1e6).cast("long"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("idf6")).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "rank",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )

@@ -215,6 +215,26 @@ def test_asof_join_matches_brute_force(spark, left, right):
         assert got[i] == (max(prior) if prior else None), (i, k, t)
 
 
+@given(left=ts_rows, right=ts_rows)
+@settings(**SETTINGS)
+def test_asof_join_forward_matches_brute_force(spark, left, right):
+    from gramene_mongodb_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k: long, t: long, rid: long"
+    )
+    rdf = spark.createDataFrame(right, "k: long, t: long")
+    got = {
+        r.rid: r.t_asof
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="t", right_ts="t", direction="forward"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        later = [rt for rk, rt in right if rk == k and rt >= t]
+        assert got[i] == (min(later) if later else None), (i, k, t)
+
+
 # --------------------------------------------------------------------------
 # binned interval join vs brute force
 # --------------------------------------------------------------------------

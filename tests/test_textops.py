@@ -124,3 +124,67 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out[2].top_gram == "all different" and out[2].repetition_ratio == 0.3333
     assert out[3].n_grams == 0 and out[3].top_gram is None
     assert out[3].repetition_ratio == 0.0
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common"),
+            (3, "common common common durian"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = T.tfidf_top_terms(df, "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple (df=1, tf=2) must outrank banana (df=2) and common (df=3)
+    assert by_doc[1][0].term == "apple" and by_doc[1][0].rank == 1
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> score 0
+    common = [r for r in out if r.term == "common"]
+    assert all(r.score == 0 for r in common)
+    # durian unique to doc 3 -> its top term
+    assert by_doc[3][0].term == "durian"
+    # exactly k rows max per doc, ranks contiguous from 1
+    assert all(len(v) <= 2 and v[0].rank == 1 for v in by_doc.values())
+
+
+def test_contamination_check_flags_shared_ngrams(spark):
+    from gramene_mongodb_spark.operators import dedup as D
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "quick brown fox jumps over"
+            (1, "she saw the quick brown fox jumps over a fence today"),
+            (2, "completely unrelated words about spark and parquet files"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in
+           D.contamination_check(corpus, bench, "doc_id", n=5).collect()}
+    assert 1 in out and out[1].n_hit >= 1
+    assert 2 not in out  # clean docs are not emitted
+
+
+def test_inverse_sqrt_sample_rates_and_determinism(spark):
+    from gramene_mongodb_spark.operators.relational import inverse_sqrt_sample
+
+    rows = [(i, "big" if i < 400 else "tiny") for i in range(420)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING")
+    kept1 = {r.id for r in inverse_sqrt_sample(df, "id", "src", coeff=4.0).collect()}
+    kept2 = {r.id for r in inverse_sqrt_sample(df, "id", "src", coeff=4.0).collect()}
+    assert kept1 == kept2  # deterministic
+    # tiny stratum (n=20 < 16^2/... -> rate 4/sqrt(20) ~ 0.89): k=round(229)
+    # big stratum n=400 -> rate 4/20 = 0.2 -> k=51 -> ~20% kept
+    big = [i for i in kept1 if i < 400]
+    tiny = [i for i in kept1 if i >= 400]
+    assert 0.10 <= len(big) / 400 <= 0.30
+    assert len(tiny) / 20 >= 0.6
+    # n <= coeff^2 (=16) keeps EVERYTHING (rate clamps to 1)
+    small = spark.createDataFrame([(i, "s") for i in range(10)], "id LONG, src STRING")
+    assert inverse_sqrt_sample(small, "id", "src").count() == 10
