@@ -174,3 +174,33 @@ def test_corpus_clean_pipeline_is_one_shuffle(spark, sf_dir):
     assert final.count("Exchange") == 1
     assert final.count("FileScan") == 1          # documents scanned once
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    # the benchmark gram set must be the broadcast side — the corpus probe
+    # is a map-side hash join, never a corpus shuffle on shingle
+    plan = plan_of(spark, sf_dir, "x_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_vocab_and_stays_jvm(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_tfidf_topk")
+    assert "BroadcastHashJoin" in plan  # term -> df table broadcast back
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_sample_is_broadcast_filter(spark, sf_dir):
+    # stratum rates broadcast back onto the corpus; the keep test is a
+    # map-side filter (no corpus shuffle anywhere)
+    plan = plan_of(spark, sf_dir, "x_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_forward_asof_single_shuffle(spark, sf_dir):
+    # union + one window: exactly one exchange keyed on user_id feeds the
+    # sort/window; no pair-blowup join anywhere
+    plan = plan_of(spark, sf_dir, "x_asof_next_click")
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    assert plan.count("Window") >= 1
