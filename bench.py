@@ -39,6 +39,9 @@ HEADLINE = [
     "x_cosine_topk",
     "x_ivf_topk",
     "x_text_quality",
+    "x_contamination",
+    "x_tfidf_topk",
+    "x_asof_next_click",
 ]
 
 
@@ -90,8 +93,11 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        # a partial total is NOT comparable round-over-round: a failing
+        # query shrinking the sum must read as broken, not as a speedup
+        "value": round(sum(timings.values()), 3) if not errors else None,
         "unit": "sec",
+        "complete": not errors,
         "queries": timings,
         "queries_mean": means,
         "runs_per_query": n_runs,
@@ -99,6 +105,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
     spark.stop()
 

@@ -939,8 +939,10 @@ def k6_merge_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+           date_diff('second', TIMESTAMP '1970-01-01',
+                     date_trunc('second', min(ts))) AS session_start_s,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS session_value_micros
     FROM s GROUP BY user_id, session_id
     """,
     "A3",
@@ -949,18 +951,31 @@ def a3_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — gap-based sessionization (the group-adjacent accumulate/flush
     pattern of `trees/genetree.js:36-73`, keyed by time gap >30 min).
 
-    ``session_value`` is summed in DECIMAL(18,6) on BOTH sides (here and
-    the oracle) so the sum is exact and summation-order-independent —
-    a double sum rounded to 2 dp can flip at a rounding boundary when two
-    engines reduce in different orders."""
+    Every output column is an exact integer, by construction, on BOTH
+    engines: ``session_start_s`` is epoch seconds of the truncated-to-
+    second session start (wall-clock arithmetic — no timestamp
+    formatting, no timezone, no cast-to-long on TIMESTAMP_NTZ), and
+    ``session_value_micros`` is the DECIMAL(18,6) session sum scaled to
+    integer micros (order-independent, no float rounding boundary).
+    There is no float or timestamp serialization surface left for two
+    environments to disagree on."""
     ev = _t(spark, sf_dir, "events")
     s = R.sessionize(ev, ["user_id"], "ts", 1800, tiebreak=["event_id"])
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        # wall-clock seconds since the NTZ epoch — no timezone anywhere
+        start_s = F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            " date_trunc('second', min(ts)))"
+        )
+    else:
+        # LTZ stores a UTC instant; unix_timestamp is session-tz-independent
+        start_s = F.unix_timestamp(F.date_trunc("second", F.min("ts")))
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("session_value"),
+        start_s.cast("long").alias("session_start_s"),
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("session_value_micros"),
     )
 
 
@@ -1508,20 +1523,51 @@ def o2_sorted_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a_approx_aggregates", None, "A4")
+@register(
+    "a_approx_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A4",
+)
 def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for 100 TB interactive profiling:
     approx_count_distinct (HyperLogLog++) and approx_percentile
     (Greenwald-Khanna) per order priority. Sketches merge map-side, so
     the shuffle carries fixed-size state instead of distinct values.
-    Rows-only gate (sketch internals differ across engines);
-    tests assert ≤5% relative error vs the exact forms."""
+
+    Differential gate: sketch internals can't hash-match across engines,
+    but the GUARANTEE can — this emits the exact distinct count plus a
+    Spark-computed boolean asserting both sketches land within ±5% of
+    their exact forms; the oracle emits the exact count plus literal
+    TRUE, so sketch drift turns the row red instead of being invisible
+    behind a rows-only check."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.round(
-            F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2
-        ).alias("approx_p50_price"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx_cd"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("__approx_p50"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("__exact_p50"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("exact_customers").cast("long").alias("exact_customers"),
+            (
+                (
+                    F.abs(F.col("__approx_cd") - F.col("exact_customers"))
+                    <= 0.05 * F.col("exact_customers")
+                )
+                & (
+                    F.abs(F.col("__approx_p50") - F.col("__exact_p50"))
+                    <= 0.05 * F.abs(F.col("__exact_p50"))
+                )
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -4288,30 +4334,81 @@ def x_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_pixel_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REAL PNGs (pixels, not just headers) for even customer keys:
+    size (k%32+1)×(k%24+1), RGB content a deterministic lattice
+    r=(x·7+y·13+k)%256, g=(x·3+y·5+2k)%256, b=(x·11+y+3k)%256 — built
+    worker-side with numpy + the stdlib ``encode_png`` encoder, so an
+    oracle can replay every pixel arithmetically."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % 2 == 0)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            payloads = []
+            for kk in ks:
+                kk = int(kk)
+                w, h = (kk % 32) + 1, (kk % 24) + 1
+                y, x = np.ogrid[0:h, 0:w]
+                px = np.dstack(
+                    [
+                        (x * 7 + y * 13 + kk) % 256,
+                        (x * 3 + y * 5 + 2 * kk) % 256,
+                        (x * 11 + y + 3 * kk) % 256,
+                    ]
+                ).astype(np.uint8)
+                payloads.append(MM.encode_png(w, h, px.tobytes(), 3))
+            yield pd.DataFrame({"media_id": ks, "payload": payloads})
+
+    return cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+
+
 @register(
     "x_media_resize",
     """
-    SELECT c_custkey AS media_id,
-           CAST(64 AS INT) AS width,
-           CAST(48 AS INT) AS height,
-           CAST(48 AS BIGINT) AS n_bytes
-    FROM customer WHERE c_custkey % 2 = 0
+    WITH img AS (
+      SELECT c_custkey AS k,
+             (c_custkey % 32) + 1 AS w, (c_custkey % 24) + 1 AS h
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    grid AS (
+      SELECT k, (gx.x * w) // 16 AS sx, (gy.y * h) // 12 AS sy
+      FROM img, generate_series(0, 15) AS gx(x), generate_series(0, 11) AS gy(y)
+    )
+    SELECT k AS media_id,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum((sx * 7 + sy * 13 + k) % 256) AS BIGINT)    AS sum_r,
+           CAST(sum((sx * 3 + sy * 5 + 2 * k) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((sx * 11 + sy + 3 * k) % 256) AS BIGINT)    AS sum_b
+    FROM grid GROUP BY k
     """,
     "multimodal",
 )
 def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize through the Arrow-batched ``resize_images`` path:
-    every PNG payload is resampled to 64×48 worker-side (the stubbed
-    deterministic resampler — real codecs aren't in this container) and
-    the resized bytes stream back batch-by-batch. The oracle pins row
-    multiplicity, ids and the size accounting (w·h//64 bytes per image);
-    payload determinism (same input → same resized bytes) is pinned by
-    tests/test_streaming_multimodal.py."""
+    """Image resize through REAL pixels end-to-end: deterministic-lattice
+    RGB PNGs are encoded worker-side (stdlib zlib), resampled to 16×12
+    by the TRUE nearest-neighbor ``pixel_resample`` (decode → integer
+    grid sample → re-encode) inside Arrow-batched ``resize_images``,
+    then reduced to exact integer channel sums by ``pixel_stats``. The
+    oracle replays the pixel lattice and the ``(dst·src)//16`` sampling
+    grid arithmetically — one wrong pixel anywhere in encode, inflate,
+    unfilter, resample, or re-encode breaks the hash. Reference analog:
+    K1's packed-binary handling (`search/genetree_adder.js:25-46`)."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
-    images = _synth_media(spark, sf_dir).filter(F.col("media_id") % 2 == 0)
-    out = MM.resize_images(images, 64, 48)
-    return out.select("media_id", "width", "height", "n_bytes")
+    images = _synth_pixel_media(spark, sf_dir)
+    out = MM.resize_images(images, 16, 12, resampler=MM.pixel_resample)
+    return MM.pixel_stats(out)
 
 
 @register(

@@ -14,18 +14,23 @@ image/audio/video:
   (``parse_media_header`` / ``probe_metadata``): PNG IHDR, WAV RIFF
   chunk walk, GIF logical screen, JPEG SOF scan — true width/height/
   sample_rate/duration without any imaging library.
-* PIXEL/SAMPLE-level codec calls are STUBBED (image/audio libraries
-  are not in this container): ``decoder`` defaults to a deterministic
-  fake deriving pseudo-features from the bytes, and raises
-  ``NotImplementedError`` when a real codec is requested. The
+* PIXEL-level decode is REAL for PNG (stdlib ``zlib`` inflate + full
+  scanline unfilter — all five filter types), 24-bit BMP, and binary
+  PPM: ``decode_pixels`` returns true pixel bytes, ``encode_png`` is a
+  spec-valid encoder, ``pixel_resample`` does a genuine
+  nearest-neighbor resize, and ``pixel_stats`` reduces payloads to
+  exact integer channel sums (oracle-checkable arithmetic, no float).
+* AUDIO sample-level codecs beyond PCM-in-WAV are still STUBBED
+  (``NotImplementedError`` when a codec NAME is requested) — the
   Spark-side plumbing — schema, batching, partitioning — is real and
-  tested.
+  tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -165,6 +170,244 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
     body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
     body += b"data" + _struct.pack("<I", len(data)) + data
     return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# REAL pixel codec — stdlib only (zlib inflate + PNG scanline unfilter)
+# --------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(body))
+        + tag
+        + body
+        + _struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """REAL spec-valid PNG encoder (8-bit gray/gray+alpha/RGB/RGBA,
+    filter 0 per scanline, one zlib IDAT). ``pixels`` is row-major
+    interleaved bytes of length width·height·channels. Renderable by any
+    viewer; round-trips through ``decode_pixels``."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 = None
+        raw += pixels[y * stride : (y + 1) * stride]
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Reverse PNG scanline filtering (spec §9 Filtering): filter byte
+    per row, types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth, with
+    ``bpp``-byte pixel stride and a zero row above the first."""
+    bpp = channels  # 8-bit depth -> bytes per pixel == channels
+    stride = width * channels
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                up_left = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return bytes(out)
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pixel decode → (width, height, channels, row-major pixel
+    bytes). Stdlib only. Formats:
+
+    * PNG — 8-bit depth, color types 0/2/4/6, non-interlaced: IDAT
+      chunks concatenated, zlib-inflated, scanlines unfiltered (all
+      five filter types per the spec).
+    * BMP — uncompressed 24-bit BI_RGB: bottom-up rows, 4-byte row
+      padding stripped, BGR→RGB swapped.
+    * PPM — binary ``P6`` with maxval 255.
+
+    Raises ``ValueError`` on unsupported/corrupt payloads (palette or
+    interlaced PNG, compressed BMP, …) — callers decide quarantine.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        pos, width = 8, None
+        height = channels = 0
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            size = _struct.unpack(">I", payload[pos : pos + 4])[0]
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"IHDR":
+                width, height, depth, ctype, comp, filt, ilace = _struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or ctype not in _PNG_CHANNELS or ilace:
+                    raise ValueError(
+                        f"unsupported PNG (depth={depth} ctype={ctype} interlace={ilace})"
+                    )
+                channels = _PNG_CHANNELS[ctype]
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + size  # len + tag + body + crc
+        if width is None or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != height * (1 + width * channels):
+            raise ValueError("PNG pixel data size mismatch")
+        return width, height, channels, _png_unfilter(raw, width, height, channels)
+    if payload[:2] == b"BM":
+        off, hdr_size = _struct.unpack("<I", payload[10:14])[0], _struct.unpack(
+            "<I", payload[14:18]
+        )[0]
+        if hdr_size < 40:
+            raise ValueError("unsupported BMP header")
+        width, height = _struct.unpack("<ii", payload[18:26])
+        bits, comp = _struct.unpack("<HI", payload[28:34])
+        if bits != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP (bits={bits} compression={comp})")
+        flip = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            src_y = height - 1 - y if flip else y
+            row = payload[off + src_y * stride : off + src_y * stride + width * 3]
+            for x in range(width):
+                b, g, r = row[3 * x : 3 * x + 3]
+                out[3 * (y * width + x) : 3 * (y * width + x) + 3] = bytes((r, g, b))
+        return width, height, 3, bytes(out)
+    if payload[:2] == b"P6":
+        fields: list[int] = []
+        pos = 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        n = width * height * 3
+        if len(payload) < pos + n:
+            raise ValueError("PPM pixel data truncated")
+        return width, height, 3, payload[pos : pos + n]
+    raise ValueError("unrecognized pixel format (PNG/BMP/PPM supported)")
+
+
+def nearest_resize(
+    pixels: bytes, width: int, height: int, channels: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample on raw pixel bytes: source index
+    ``(dst·src_dim) // dst_dim`` per axis — pure integer arithmetic, so
+    an oracle can replay the exact sampling grid."""
+    out = bytearray(new_w * new_h * channels)
+    for y in range(new_h):
+        sy = (y * height) // new_h
+        row = pixels[sy * width * channels : (sy + 1) * width * channels]
+        base = y * new_w * channels
+        for x in range(new_w):
+            sx = (x * width) // new_w
+            out[base + x * channels : base + (x + 1) * channels] = row[
+                sx * channels : (sx + 1) * channels
+            ]
+    return bytes(out)
+
+
+def pixel_resample(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: decode true pixels (PNG/BMP/PPM), nearest-
+    neighbor resample, re-encode as PNG. The replacement for
+    ``fake_resample`` wherever payloads carry actual pixel data."""
+    w, h, c, px = decode_pixels(payload)
+    return encode_png(width, height, nearest_resize(px, w, h, c, width, height), c)
+
+
+_PIXEL_STATS_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, channels INT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+)
+
+
+def pixel_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer per-channel pixel sums via ``mapInPandas`` — the
+    oracle-checkable reduction of true pixel content (sums are integers,
+    so there is no float surface; a single wrong pixel anywhere in
+    decode → resample → encode breaks the hash). Grayscale payloads
+    report their sum as ``sum_r`` with null g/b."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = decode_pixels(bytes(payload))
+                sums = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(w * h, c)
+                    .sum(axis=0, dtype=np.int64)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]) if c >= 3 else None,
+                        "sum_b": int(sums[2]) if c >= 3 else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, _PIXEL_STATS_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> list[float]:

@@ -653,11 +653,16 @@ def inverse_sqrt_sample(
     Scale: one tiny aggregate (stratum → count, broadcast back) + a pure
     map-side filter. No RNG state; appending shards re-derives rates but
     never reshuffles data.
+
+    NULL strata form their own stratum: groupBy already counts the NULL
+    group, and the rate join is null-safe (``<=>``), so NULL-source rows
+    are sampled at their group's rate instead of silently vanishing
+    through a null-rejecting equi-join.
     """
     keyc = F.col(key) if isinstance(key, str) else key
     counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__n"))
     rates = counts.select(
-        F.col(strata),
+        F.col(strata).alias("__strata"),
         F.least(
             F.lit(256),
             F.round(F.lit(256.0 * float(coeff)) / F.sqrt(F.col("__n"))).cast("int"),
@@ -666,7 +671,7 @@ def inverse_sqrt_sample(
     hx = F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 2)
     thr = F.lpad(F.lower(F.hex(F.col("__k"))), 2, "0")
     return (
-        df.join(F.broadcast(rates), strata)
+        df.join(F.broadcast(rates), F.col(strata).eqNullSafe(F.col("__strata")))
         .filter((F.col("__k") >= 256) | (hx < thr))
-        .drop("__k")
+        .drop("__strata", "__k")
     )

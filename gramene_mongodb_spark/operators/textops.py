@@ -353,23 +353,32 @@ def tfidf_top_terms(
     id_col: str,
     text: str = "text",
     k: int = 3,
+    min_df: int = 1,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms — the classic keyword /
     salient-term extraction pass (feeds topic tagging, near-dup triage,
     retrieval indexing).
 
-    Engine-portable by construction: idf = ln(N/df) is SCALED to an
-    integer once per term (``idf6 = round(idf·1e6)``) and the ranking
-    score is the exact integer ``tf·idf6`` — so ordering, tie-breaks
-    (score desc, then term asc) and output values carry no float
-    summation or comparison anywhere. Tokenization matches the dedup
-    family (lowercase, split on non-alphanumeric runs).
+    Near-engine-portable: idf = ln(N/df) is SCALED to an integer once
+    per term (``idf6 = round(idf·1e6)``) and the ranking score is the
+    exact integer ``tf·idf6`` — no float summation or comparison in the
+    ranking itself. The one residual float is ``ln``: it is not
+    guaranteed correctly rounded across libm implementations, so a
+    last-ulp difference at a .5 rounding boundary could in principle
+    flip ``idf6`` by 1 and perturb a tie (probability ~1e-15 per term;
+    the oracle replays the same formula, so in practice they agree).
+    Tokenization matches the dedup family (lowercase, split on
+    non-alphanumeric runs).
 
-    Scale shape: one explode + two aggregations. The term→df table is
-    orders of magnitude smaller than the corpus (vocabulary vs tokens)
-    and is BROADCAST back; N rides in a one-row broadcast. The only big
-    shuffles are the (doc, term) tf aggregation and the per-doc top-k
-    window — both keyed by doc id, both linear.
+    Scale shape: one explode + two aggregations. The term→df join is a
+    plain equi-join on ``term`` — NOT a forced broadcast: at web scale
+    the distinct-term table (typos, ids, code tokens) runs to billions
+    of rows and must be allowed to shuffle; AQE still broadcasts it when
+    it is genuinely small. ``min_df`` prunes the hapax tail before the
+    join (a term in fewer than ``min_df`` docs can't be a useful
+    keyword and never survives ranking at corpus scale). N rides in a
+    one-row broadcast. The big shuffles are the (doc, term) tf
+    aggregation and the per-doc top-k window — both keyed, both linear.
     """
     from pyspark.sql import Window
 
@@ -380,9 +389,11 @@ def tfidf_top_terms(
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
     ndocs = df.agg(F.count(F.lit(1)).alias("__N"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "idf6",

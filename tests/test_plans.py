@@ -184,9 +184,18 @@ def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_tfidf_broadcasts_vocab_and_stays_jvm(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "x_tfidf_topk")
-    assert "BroadcastHashJoin" in plan  # term -> df table broadcast back
+def test_tfidf_vocab_join_not_force_broadcast(spark, sf_dir):
+    """The term→df join must carry NO broadcast hint: at web scale the
+    distinct-term table runs to billions of rows and a forced broadcast
+    OOMs every executor. AQE still picks broadcast at runtime when the
+    vocab is genuinely small — that's allowed; a mandatory hint is not.
+    The only hinted broadcast is the one-row N cross join."""
+    df = REGISTRY["x_tfidf_topk"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    inner_joins = [l for l in opt.splitlines() if "Join Inner" in l]
+    assert inner_joins and all("Hint" not in l for l in inner_joins)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
 
 

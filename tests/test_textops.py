@@ -188,3 +188,18 @@ def test_inverse_sqrt_sample_rates_and_determinism(spark):
     # n <= coeff^2 (=16) keeps EVERYTHING (rate clamps to 1)
     small = spark.createDataFrame([(i, "s") for i in range(10)], "id LONG, src STRING")
     assert inverse_sqrt_sample(small, "id", "src").count() == 10
+
+
+def test_inverse_sqrt_sample_null_strata_form_own_stratum(spark):
+    """NULL strata must not vanish through the rate join: a small NULL
+    stratum (n <= coeff^2) is kept whole, like any other small stratum."""
+    from gramene_mongodb_spark.operators.relational import inverse_sqrt_sample
+
+    rows = [(i, None if i >= 400 else "big") for i in range(410)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING")
+    kept = inverse_sqrt_sample(df, "id", "src", coeff=4.0).collect()
+    null_kept = [r.id for r in kept if r.src is None]
+    assert sorted(null_kept) == list(range(400, 410))  # n=10 <= 16 -> all kept
+    big_kept = [r.id for r in kept if r.src == "big"]
+    assert 0.10 <= len(big_kept) / 400 <= 0.30
+    assert set(df.columns) == {c for r in kept[:1] for c in r.asDict()}
