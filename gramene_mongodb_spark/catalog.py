@@ -3953,6 +3953,116 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_domain_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('q1' || CAST(doc_id AS VARCHAR)),
+                        CAST(doc_id AS VARCHAR)
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 10
+    """,
+    "dedup", "textops",
+)
+def x_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain hard cap (relational.quota_sample): keep at most 10
+    docs per source, selected by content-hash rank — the
+    domain-balancing pass rates can't express ("never more than N per
+    domain" regardless of domain size). The oracle replays the md5
+    ranking and the cap exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.quota_sample(docs, "doc_id", "source", quota=10, salt="q1").select(
+        "doc_id", "source"
+    )
+
+
+#: shared Spark/DuckDB arithmetic for the synthetic raw-URL corpus —
+#: messy on purpose: mixed-case scheme/host, www., default and explicit
+#: ports, trailing slashes, tracking params, unsorted params, fragments
+_URL_RAW_SQL = """
+      CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'HTTP' END
+      || '://'
+      || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      || source || '.Example.COM'
+      || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':80' ELSE ':8080' END
+      || '/Articles/' || CAST(doc_id % 7 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      || CASE doc_id % 5
+           WHEN 0 THEN '?utm_source=feed&z=9&a=' || CAST(doc_id % 11 AS VARCHAR)
+           WHEN 1 THEN '?b=2&a=1&fbclid=XYZ'
+           WHEN 2 THEN ''
+           ELSE '?q=' || CAST(doc_id % 13 AS VARCHAR) END
+      || CASE WHEN doc_id % 6 = 0 THEN '#Section2' ELSE '' END
+"""
+
+
+@register(
+    "x_url_canonical",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+    ),
+    s AS (
+      SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM raw
+    ),
+    p AS (
+      SELECT doc_id, url, u,
+             lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+      FROM s
+    ),
+    h AS (
+      SELECT doc_id, url, scheme,
+             regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                            '^www\\.', '') AS host0,
+             regexp_replace(rest, '^[^/?]*', '') AS pathq
+      FROM p
+    ),
+    h2 AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                  ELSE host0 END AS host,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+             regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM h
+    ),
+    q AS (
+      SELECT doc_id, url, scheme, host, path,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
+               '&') AS qstr
+      FROM h2
+    )
+    SELECT doc_id, url AS url_raw,
+           (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END)
+           || host || path
+           || (CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END) AS url_canon
+    FROM q
+    """,
+    "textops", "P8",
+)
+def x_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (textops.canonical_url) over a deliberately
+    messy synthetic URL corpus derived arithmetically from doc keys —
+    mixed-case schemes/hosts, www. prefixes, default vs explicit ports,
+    trailing slashes, unsorted + tracking query params, fragments. The
+    oracle rebuilds the same raw URLs and replays every normalization
+    step (fragment drop, case folding, port/www strip, param
+    filter+sort) in SQL, so any divergence in the regexp pipeline
+    breaks the hash. Pure JVM expressions — scan-speed at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = docs.withColumn("url", F.expr(_URL_RAW_SQL.replace("VARCHAR", "STRING")))
+    out = T.canonicalize_urls(raw, "url")
+    return out.select("doc_id", F.col("url").alias("url_raw"), "url_canon")
+
+
+@register(
     "x_tfidf_topk",
     """
     WITH toks AS (
@@ -4409,6 +4519,67 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _synth_pixel_media(spark, sf_dir)
     out = MM.resize_images(images, 16, 12, resampler=MM.pixel_resample)
     return MM.pixel_stats(out)
+
+
+@register(
+    "x_media_audio",
+    """
+    WITH a AS (
+      SELECT c_custkey AS k,
+             CASE c_custkey % 3 WHEN 0 THEN 8000
+                                WHEN 1 THEN 16000
+                                ELSE 44100 END AS rate,
+             (c_custkey % 50 + 1) * 20 AS n
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    s AS (
+      SELECT k, rate, n, unnest(generate_series(0, n - 1)) AS i FROM a
+    )
+    SELECT k AS media_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum((i * 7 + k) % 65536 - 32768) AS BIGINT) AS sum_samples,
+           CAST(min((i * 7 + k) % 65536 - 32768) AS INT) AS min_sample,
+           CAST(max((i * 7 + k) % 65536 - 32768) AS INT) AS max_sample
+    FROM s GROUP BY k, rate, n
+    """,
+    "multimodal",
+)
+def x_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio SAMPLE decode end-to-end through REAL bytes: odd customer
+    keys synthesize spec-valid 16-bit PCM WAVs whose samples are the
+    deterministic ramp ((i·7+k) mod 65536)−32768 (``make_wav_ramp``),
+    which flow through the Arrow-batched ``audio_stats`` operator where
+    the stdlib PCM decoder (``decode_wav_samples``) recovers every
+    int16 sample. The oracle replays the ramp arithmetic per sample —
+    one wrong sample (endianness, chunk walk, width) breaks the hash.
+    This closes the audio half of the former codec stub for PCM;
+    compressed codecs (MP3/AAC) still raise ValueError by design."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % 2 == 1)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            payloads = [
+                MM.make_wav_ramp(
+                    (8000, 16000, 44100)[int(kk) % 3],
+                    (int(kk) % 50 + 1) * 20,
+                    int(kk),
+                )
+                for kk in ks
+            ]
+            yield pd.DataFrame({"media_id": ks, "payload": payloads})
+
+    synth = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    return MM.audio_stats(synth)
 
 
 @register(

@@ -20,10 +20,13 @@ image/audio/video:
   spec-valid encoder, ``pixel_resample`` does a genuine
   nearest-neighbor resize, and ``pixel_stats`` reduces payloads to
   exact integer channel sums (oracle-checkable arithmetic, no float).
-* AUDIO sample-level codecs beyond PCM-in-WAV are still STUBBED
-  (``NotImplementedError`` when a codec NAME is requested) — the
-  Spark-side plumbing — schema, batching, partitioning — is real and
-  tested either way.
+* AUDIO sample decode is REAL for PCM WAV (``decode_wav_samples``:
+  RIFF chunk walk + 8/16-bit sample recovery; ``audio_stats`` reduces
+  to exact integer sums). Only COMPRESSED codecs (MP3/AAC, and
+  image codecs beyond PNG/BMP/PPM) remain stubbed — requesting one by
+  NAME raises ``NotImplementedError``/``ValueError``; the Spark-side
+  plumbing — schema, batching, partitioning — is real and tested
+  either way.
 """
 
 from __future__ import annotations
@@ -408,6 +411,93 @@ def pixel_stats(
             yield pd.DataFrame(rows)
 
     return media.select(id_col, payload_col).mapInPandas(run, _PIXEL_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL PCM audio decode — stdlib struct only
+# --------------------------------------------------------------------------
+
+
+def make_wav_ramp(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Spec-valid 16-bit mono PCM WAV whose samples are the deterministic
+    integer ramp ``((i·7 + seed) mod 65536) − 32768`` — real, non-silent
+    audio content an oracle can replay arithmetically."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((i * 7 + seed) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL PCM decode: RIFF/WAVE chunk walk (same walk as
+    ``parse_media_header``) → (sample_rate, channels, int numpy array of
+    interleaved samples). Supports PCM 16-bit (little-endian signed) and
+    8-bit (unsigned, returned as stored). Compressed codecs (MP3/AAC/…)
+    raise ``ValueError`` — those libraries aren't in this container."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = _struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            codec, channels, rate, _, _, bits = _struct.unpack("<HHIIHH", body[:16])
+            if codec != 1:
+                raise ValueError(f"unsupported WAV codec {codec} (PCM only)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    else:
+        raise ValueError(f"unsupported PCM width {bits}")
+    return rate, channels, samples
+
+
+_AUDIO_STATS_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, n_samples BIGINT, "
+    "sum_samples BIGINT, min_sample INT, max_sample INT"
+)
+
+
+def audio_stats(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact integer sample statistics through the REAL PCM decoder via
+    ``mapInPandas`` — the audio twin of ``pixel_stats`` (integer sums,
+    no float surface; one wrong sample breaks the oracle hash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, _, samples = decode_wav_samples(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "sum_samples": int(samples.sum()),
+                        "min_sample": int(samples.min()) if len(samples) else None,
+                        "max_sample": int(samples.max()) if len(samples) else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, _AUDIO_STATS_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> list[float]:

@@ -522,6 +522,41 @@ def deterministic_sample(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    key: str | Column,
+    strata: str,
+    quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hard CAP: keep at most ``quota`` rows from each
+    stratum — the domain-balancing pass every web-scale corpus needs
+    (one crawl-happy domain must not dominate the mixture; rates alone
+    can't express "never more than N per domain").
+
+    Selection is deterministic and unbiased: rows rank within their
+    stratum by ``md5(salt || key)`` (a content hash, not arrival
+    order), so the surviving set is stable across runs, partitionings,
+    and engines — and adding new rows to a stratum can evict old ones
+    only at the quota boundary. Ties on the full 32-hex digest are
+    broken by the key itself (exact, no digest truncation).
+
+    Scale: one shuffle on ``strata`` + a linear rank window per
+    stratum. A hot domain's rows land on one reducer — acceptable
+    because the window is O(n log n) in the stratum size and emits at
+    most ``quota`` rows; for pathological single-domain corpora,
+    pre-filter with ``deterministic_sample`` to tame the stratum first.
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    hx = F.md5(F.concat(F.lit(salt), keyc.cast("string")))
+    w = Window.partitionBy(strata).orderBy(hx.asc(), keyc.cast("string").asc())
+    return (
+        df.withColumn("__qrank", F.row_number().over(w))
+        .filter(F.col("__qrank") <= quota)
+        .drop("__qrank")
+    )
+
+
 def _hex_threshold(rate: float) -> str:
     """Rate → 2-hex-char exclusive upper bound for the md5-prefix filter.
     rate≥1 maps to 'g', which sorts after every hex pair (all-pass) —

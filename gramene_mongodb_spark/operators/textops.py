@@ -345,6 +345,67 @@ def repetition_stats(
 
 
 # --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+#: query params that never change content — stripped before dedup
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup/grouping — the pre-pass every web
+    corpus needs before URL-level dedup (the same page arrives as
+    ``HTTP://WWW.Site.com/a/?utm_source=x#frag`` and
+    ``http://site.com/a``).
+
+    Deterministic, engine-portable, pure JVM expressions (regexp +
+    array ops, no UDF, scan-speed over 100 TB):
+
+    1. drop the fragment;
+    2. lowercase scheme and host;
+    3. strip a leading ``www.`` and the scheme-default port
+       (``:80`` http, ``:443`` https);
+    4. strip trailing slashes from the path;
+    5. drop tracking params (``utm_*``/``fbclid``/``gclid``/…), sort
+       the survivors for order-independence, and rejoin.
+
+    Non-URL strings pass through best-effort (no scheme → returned
+    trimmed-lowercased-as-host); quarantine is the caller's call.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qstr = F.array_join(params, "&")
+    return F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        host,
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``url_canon`` next to ``url_col`` (see ``canonical_url``)."""
+    return df.withColumn("url_canon", canonical_url(F.col(url_col)))
+
+
+# --------------------------------------------------------------------------
 # TF-IDF top terms
 # --------------------------------------------------------------------------
 

@@ -213,3 +213,18 @@ def test_forward_asof_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_asof_next_click")
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_url_canonical_is_map_only(spark, sf_dir):
+    # canonicalization is pure projection: no shuffle, no Python anywhere
+    plan = plan_of(spark, sf_dir, "x_url_canonical")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_quota_single_shuffle_no_python(spark, sf_dir):
+    # one exchange on the stratum feeds the rank window; cap applied there
+    plan = plan_of(spark, sf_dir, "x_domain_quota")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "BatchEvalPython" not in final

@@ -349,3 +349,37 @@ def test_decode_pixels_rejects_unsupported():
     )
     with pytest.raises(ValueError):
         MM.decode_pixels(png)
+
+
+def test_wav_ramp_roundtrip_and_audio_stats(spark):
+    # decoder recovers the exact ramp the builder wrote
+    raw = MM.make_wav_ramp(8000, 100, seed=3)
+    rate, channels, samples = MM.decode_wav_samples(raw)
+    assert (rate, channels, len(samples)) == (8000, 1, 100)
+    assert samples[0] == (3 % 65536) - 32768
+    assert samples[1] == (7 + 3) % 65536 - 32768
+    # cross-check against the stdlib wave module on the same bytes
+    import io
+    import wave
+
+    ref = wave.open(io.BytesIO(raw))
+    assert ref.getframerate() == 8000 and ref.getnframes() == 100
+    # through Spark: exact integer stats
+    df = spark.createDataFrame([(1, raw)], "media_id BIGINT, payload BINARY")
+    r = MM.audio_stats(df).collect()[0]
+    expect = [((i * 7 + 3) % 65536) - 32768 for i in range(100)]
+    assert (r.n_samples, r.sum_samples) == (100, sum(expect))
+    assert (r.min_sample, r.max_sample) == (min(expect), max(expect))
+
+
+def test_decode_wav_samples_rejects_non_pcm():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 44100, 88200, 2, 16)  # codec 85 = MP3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        MM.decode_wav_samples(payload)
+    with pytest.raises(ValueError):
+        MM.decode_wav_samples(b"not audio at all")

@@ -203,3 +203,50 @@ def test_inverse_sqrt_sample_null_strata_form_own_stratum(spark):
     big_kept = [r.id for r in kept if r.src == "big"]
     assert 0.10 <= len(big_kept) / 400 <= 0.30
     assert set(df.columns) == {c for r in kept[:1] for c in r.asDict()}
+
+
+def test_quota_sample_caps_and_preserves(spark):
+    from gramene_mongodb_spark.operators.relational import quota_sample
+
+    rows = [(i, "big" if i < 100 else "small", i * 10) for i in range(105)]
+    df = spark.createDataFrame(rows, "id LONG, src STRING, payload LONG")
+    kept = quota_sample(df, "id", "src", quota=10).collect()
+    by_src: dict = {}
+    for r in kept:
+        by_src.setdefault(r.src, []).append(r.id)
+    assert len(by_src["big"]) == 10          # capped exactly
+    assert sorted(by_src["small"]) == [100, 101, 102, 103, 104]  # under quota -> whole
+    # deterministic + all columns preserved
+    again = quota_sample(df, "id", "src", quota=10).collect()
+    assert sorted((r.id, r.payload) for r in kept) == sorted(
+        (r.id, r.payload) for r in again
+    )
+    assert set(kept[0].asDict()) == {"id", "src", "payload"}
+    # a different salt changes the surviving set (independent draws)
+    other = {r.id for r in quota_sample(df, "id", "src", quota=10, salt="s2").collect()
+             if r.src == "big"}
+    assert other != set(by_src["big"])
+
+
+def test_canonical_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.textops import canonical_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Site.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://site.com/a/b?a=1&b=2"),
+        ("http://site.com:80/x", "http://site.com/x"),
+        ("https://site.com:80/x", "https://site.com:80/x"),  # non-default port kept
+        ("http://site.com:8080/x", "http://site.com:8080/x"),
+        ("HTTP://Example.org", "http://example.org"),
+        ("http://a.com/p?utm_campaign=z&fbclid=q", "http://a.com/p"),  # all tracked -> no ?
+        ("http://a.com/p/?q=1&q=1", "http://a.com/p?q=1&q=1"),  # duplicates kept, sorted
+        ("site.com/path/", "site.com/path"),  # schemeless best-effort
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)],
+                               "i LONG, url STRING")
+    got = {r.i: r.c for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
