@@ -2125,6 +2125,64 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_kmeans_clusters",
+    """
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qdim AS (
+      SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM quant
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+      FROM (SELECT vec_id, q FROM quant ORDER BY vec_id LIMIT 8)
+    ),
+    c0dim AS (SELECT cid, unnest(q) AS cv, generate_subscripts(q, 1) AS i FROM c0),
+    d1 AS (
+      SELECT d.vec_id, c.cid, sum((d.v - c.cv) * (d.v - c.cv)) AS dist
+      FROM qdim d JOIN c0dim c USING (i) GROUP BY d.vec_id, c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1dim AS (
+      SELECT a.cid, d.i,
+             CAST(round(CAST(sum(d.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      FROM qdim d JOIN a1 a USING (vec_id) GROUP BY a.cid, d.i
+    ),
+    d2 AS (
+      SELECT d.vec_id, c.cid, sum((d.v - c.cv) * (d.v - c.cv)) AS dist
+      FROM qdim d JOIN c1dim c USING (i) GROUP BY d.vec_id, c.cid
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d2) WHERE rn = 1
+    """,
+    "similarity",
+)
+def x_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering (similarity.kmeans_assign_exact): one Lloyd
+    round, k=8, EXACT integer arithmetic end-to-end — vectors quantized
+    once to int64 micros, distances as exact integer sums, centroid
+    updates as one correctly-rounded division of exact integer sums.
+    The oracle unrolls the identical round in SQL (init → assign →
+    recompute → final assign), so the full cluster assignment
+    hash-matches across engines — the property float Lloyd fundamentally
+    lacks. Semantic clustering feeds diversity sampling and per-cluster
+    quota curation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.kmeans_assign_exact(emb, k=8, iterations=1)
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+@register(
     "x_text_stats",
     f"""
     WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)

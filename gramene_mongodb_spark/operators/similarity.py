@@ -178,6 +178,96 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_assign_exact(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means clustering with EXACT integer arithmetic — the
+    oracle-checkable (and engine-portable) twin of ``kmeans_centroids``.
+
+    Embedding clustering is a standard curation pass (semantic
+    grouping, diversity sampling, per-cluster quotas). Plain float
+    Lloyd can't be differentially verified: mean computation depends on
+    float summation order, so two engines drift in the last ulp and
+    borderline assignments flip. Here every vector is quantized ONCE to
+    int64 micros (``round(v·1e6)`` — both engines round half away from
+    zero), after which
+
+    * distances are exact integer sums of squared differences
+      (order-independent; ≤ 4e12 per dim · 64 dims ≪ int64 range), and
+    * centroid updates are ``round(exact_int_sum / count)`` — one
+      correctly-rounded double division on identical integers.
+
+    Nothing is float-accumulated, so the full assignment hash-matches a
+    replay in any engine. Init: the ``k`` lowest-id vectors; one
+    "iteration" = assign + recompute; the output is the assignment
+    against the final centroids. Empty clusters drop out (both sides
+    drop them identically). Ties: lowest cluster id wins.
+
+    Scale: each assign is a broadcast-k·dim argmin over the corpus
+    (map-side); each recompute is one shuffle into k groups with
+    map-side partial sums. The corpus is never collected; centroids are
+    the only driver-sized state. Train on a sample at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    quant = vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("__q"),
+    )
+    probe = quant.select("__q").first()
+    if probe is None:  # empty corpus -> empty assignment, stable schema
+        return quant.select(F.col(id_col), F.lit(0).cast("int").alias("cluster"))
+    dim = len(probe[0])
+    cent = (
+        quant.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__cid"),
+            F.col("__q").alias("__c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(F.col("__q"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .withColumn("__dist", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__dist", "__c")
+        )
+
+    for _ in range(iterations):
+        assigned = assign(quant, cent)
+        sums = assigned.groupBy("__cid").agg(
+            *[F.sum(F.col("__q")[i]).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        cent = sums.select(
+            "__cid",
+            F.array(
+                *[
+                    F.round(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("__c"),
+        ).localCheckpoint(eager=True)
+    return assign(quant, cent).select(F.col(id_col), F.col("__cid").alias("cluster"))
+
+
 def ivf_search(
     vectors: DataFrame,
     queries: DataFrame,

@@ -78,3 +78,42 @@ def test_asof_join_empty_right(spark):
     out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t")
     rows = out.collect()
     assert len(rows) == 1 and rows[0].v_asof is None  # left kept, no match
+
+
+def test_quota_sample_empty_and_tiny(spark):
+    from gramene_mongodb_spark.operators.relational import quota_sample
+
+    empty = spark.createDataFrame([], "id LONG, src STRING")
+    assert quota_sample(empty, "id", "src", quota=5).count() == 0
+    one = spark.createDataFrame([(1, "a")], "id LONG, src STRING")
+    assert quota_sample(one, "id", "src", quota=5).count() == 1
+
+
+def test_kmeans_assign_exact_empty_and_fewer_than_k(spark):
+    from gramene_mongodb_spark.operators.similarity import kmeans_assign_exact
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = kmeans_assign_exact(empty, k=4)
+    assert out.count() == 0 and out.columns == ["vec_id", "cluster"]
+    # n < k: every point is its own (initial) centroid -> n distinct clusters
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    got = {r.vec_id: r.cluster for r in kmeans_assign_exact(tiny, k=4).collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_canonical_url_null_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.textops import canonical_url
+
+    df = spark.createDataFrame([(1, None)], "i LONG, url STRING")
+    assert df.select(canonical_url(F.col("url")).alias("c")).collect()[0].c is None
+
+
+def test_audio_stats_empty(spark):
+    from gramene_mongodb_spark.operators.multimodal import audio_stats
+
+    empty = spark.createDataFrame([], "media_id BIGINT, payload BINARY")
+    assert audio_stats(empty).count() == 0

@@ -125,3 +125,56 @@ def test_embedding_lsh_deterministic(spark, emb):
         for r in D.embedding_lsh_near_pairs(emb, dim=64, round_to=4).collect()
     )
     assert r1 == r2
+
+
+def test_kmeans_assign_exact_matches_numpy_reference(spark):
+    """Two Lloyd rounds on a crafted corpus must equal an independent
+    numpy implementation of the same integer-exact algorithm."""
+    import numpy as np
+
+    from gramene_mongodb_spark.operators.similarity import kmeans_assign_exact
+
+    rng = np.random.RandomState(11)
+    # three obvious blobs in 4-d plus a duplicate point
+    blobs = np.concatenate(
+        [rng.normal(c, 0.05, size=(7, 4)) for c in (-1.0, 0.0, 1.0)]
+    ).astype(np.float32)
+    blobs[20] = blobs[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(blobs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign_exact(df, k=3, iterations=2).collect()
+    }
+
+    q = np.round(blobs.astype(np.float64) * 1_000_000).astype(np.int64)
+    cent = q[:3].copy()
+    cids = np.arange(3)
+
+    def assign(c, ids):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # exact int64
+        order = np.lexsort((ids[np.argsort(d, kind="stable", axis=1)][:, 0],))
+        # argmin with lowest-cid tie-break:
+        best = np.empty(len(q), dtype=np.int64)
+        for i in range(len(q)):
+            m = d[i].min()
+            best[i] = ids[np.flatnonzero(d[i] == m)[0]]
+        return best
+
+    for _ in range(2):
+        a = assign(cent, cids)
+        new_cent, new_ids = [], []
+        for cid in cids:
+            members = q[a == cid]
+            if len(members):
+                new_cent.append(np.round(members.sum(axis=0) / len(members)))
+                new_ids.append(cid)
+        cent, cids = np.array(new_cent, dtype=np.int64), np.array(new_ids)
+    final = assign(cent, cids)
+    assert got == {i: int(final[i]) for i in range(len(q))}
+    # identical vectors always co-cluster; the two extreme blobs (-1, +1)
+    # can never share a centroid after a round
+    assert got[20] == got[0]
+    assert got[0] != got[14]
