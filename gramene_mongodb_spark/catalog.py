@@ -4011,6 +4011,54 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_span_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ')
+               AS span_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS i
+        FROM t WHERE len(toks) > 0
+      )
+    ),
+    kept AS (
+      SELECT doc_id, span_idx, span_text FROM (
+        SELECT *, row_number() OVER (PARTITION BY span_text
+                                     ORDER BY doc_id, span_idx) AS rn
+        FROM spans
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_spans AS BIGINT) AS n_spans,
+           CAST(coalesce(count(k.span_idx), 0) AS BIGINT) AS n_kept,
+           coalesce(string_agg(k.span_text, ' ' ORDER BY k.span_idx), '')
+             AS text_kept
+    FROM tot LEFT JOIN kept k USING (doc_id)
+    GROUP BY tot.doc_id, tot.n_spans
+    """,
+    "dedup",
+)
+def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level exact dedup (dedup.span_dedup): 16-token
+    spans, first-occurrence-wins across the corpus, docs reconstructed
+    from surviving spans. Catches boilerplate and partial copies that
+    document-level dedup misses. The oracle replays the span grid, the
+    (doc_id, span_idx) winner order, and the reassembly."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.span_dedup(docs, "doc_id", "text", span_tokens=16)
+
+
+@register(
     "x_domain_quota",
     """
     WITH ranked AS (

@@ -104,6 +104,72 @@ def shingles(df: DataFrame, id_col: str, text: str = "text", n: int = 3) -> Data
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Span-level exact dedup (the C4-style sub-document pass): split
+    each doc into consecutive ``span_tokens``-token spans, keep every
+    span only at its FIRST occurrence in the corpus (ordered by
+    (doc id, span index)), and reconstruct each doc from its surviving
+    spans. Catches boilerplate and partial copies that document-level
+    dedup misses — the near-universal companion to exact dedup in
+    training-data pipelines.
+
+    Deterministic: first-occurrence semantics need no similarity
+    threshold, and the winner per span is a total order. Output:
+    (id, n_spans, n_kept, text_kept) with empty-token docs dropped on
+    both engine and oracle sides alike.
+
+    Scale: tokenize/split is map-side; ONE shuffle keyed by span text
+    picks winners (span-frequency skew bounded — identical spans
+    collapse to one winner row each); one doc-keyed shuffle reassembles.
+    The span window (not shingles) keeps the blowup linear: each token
+    appears in exactly one span.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(_norm(F.col(text)), r"[^a-z0-9]+"), lambda t: t != "")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span_text")
+    )
+    w = Window.partitionBy("span_text").orderBy(F.col(id_col).asc(), F.col("span_idx").asc())
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+    return totals.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -347,3 +347,47 @@ def test_upsert_merge_matches_dict_semantics(spark, cur, upd):
         udf_ = udf_.filter("id IS NOT NULL")
     got = {r.id: r.v for r in upsert_merge(cdf, udf_, "id").collect()}
     assert got == expected
+
+
+url_strategy = st.builds(
+    lambda scheme, www, host, port, path, slash, params, frag: (
+        scheme
+        + "://"
+        + ("WWW." if www else "")
+        + host
+        + port
+        + "/"
+        + "/".join(path)
+        + ("/" if slash and path else "")
+        + ("?" + "&".join(params) if params else "")
+        + ("#Frag" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    www=st.booleans(),
+    host=st.sampled_from(["Example.COM", "site.org", "A.B.net"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.lists(st.sampled_from(["a", "B", "c7"]), max_size=3),
+    slash=st.booleans(),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "fbclid=Y", "z=9"]),
+        max_size=4,
+    ),
+    frag=st.booleans(),
+)
+
+
+@given(urls=st.lists(url_strategy, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_canonical_url_is_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): canonicalization must be
+    a projection onto its own fixed points, or dedup keyed on it would
+    depend on how many times the pipeline ran."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.textops import canonical_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i LONG, url STRING")
+    once = df.select("i", canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("i", "c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, f"not idempotent: {r.c1!r} -> {r.c2!r}"

@@ -250,3 +250,34 @@ def test_canonical_url_edge_cases(spark):
     got = {r.i: r.c for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
     for i, (raw, want) in enumerate(cases):
         assert got[i] == want, f"{raw!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from gramene_mongodb_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # spans (W=2): "a b", "c d"
+            (2, "a b x y"),          # "a b" already seen in doc 1 -> dropped
+            (3, "c d c d"),          # both spans duplicate doc 1's "c d"
+            (4, "zz"),               # single short span, unique
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in span_dedup(df, "doc_id", span_tokens=2).collect()}
+    assert (got[1].n_spans, got[1].n_kept, got[1].text_kept) == (2, 2, "a b c d")
+    assert (got[2].n_spans, got[2].n_kept, got[2].text_kept) == (2, 1, "x y")
+    # doc 3: both spans are "c d" — the corpus winner is doc 1, and the
+    # within-doc repeat loses to its own first index too
+    assert (got[3].n_spans, got[3].n_kept, got[3].text_kept) == (2, 0, "")
+    assert (got[4].n_spans, got[4].n_kept, got[4].text_kept) == (1, 1, "zz")
+
+
+def test_span_dedup_empty_doc_dropped(spark):
+    from gramene_mongodb_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, "...")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id for r in span_dedup(df, "doc_id", span_tokens=2).collect()}
+    assert got == {1}  # token-free docs vanish (same on the oracle side)
