@@ -228,3 +228,12 @@ def test_domain_quota_single_shuffle_no_python(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
     assert "BatchEvalPython" not in final
+
+
+def test_span_dedup_two_shuffles_no_python(spark, sf_dir):
+    # one exchange keyed by span text (winners) + one keyed by doc
+    # (reassembly/totals); everything else map-side, no Python anywhere
+    plan = plan_of(spark, sf_dir, "x_span_dedup")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+    assert final.count("Exchange") <= 4  # span win + totals/kept aggs + join
