@@ -64,6 +64,21 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _epoch_s(df, col: str):
+    """Session-timezone-INDEPENDENT epoch seconds for a timestamp column
+    of either flavor. TIMESTAMP_NTZ must never go through
+    ``cast("timestamp").cast("long")``: that reinterprets the wall clock
+    in the session timezone, so the same parquet file yields different
+    epochs on drivers with different TZs (caught by the round-5
+    cross-timezone sweep on k6). Wall-clock seconds via ``timestampdiff``
+    carry no timezone at all; an LTZ column is already a UTC instant."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+        )
+    return F.col(col).cast("timestamp").cast("long")
+
+
 # ===========================================================================
 # Relational spine (SURVEY.md §7 phase A)
 # ===========================================================================
@@ -914,8 +929,9 @@ def k6_merge_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 — interval-set merge (`trees/add_domains_to_tree.js:63-85`):
     7-day activity windows per customer merged into maximal spans with the
     running-max window trick (no UDF, linear per key)."""
-    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
-    iv = _t(spark, sf_dir, "orders").select(
+    orders = _t(spark, sf_dir, "orders")
+    epoch = _epoch_s(orders, "o_orderdate")
+    iv = orders.select(
         "o_custkey", epoch.alias("lo"), (epoch + 7 * 86400).alias("hi")
     )
     return R.merge_intervals(iv, ["o_custkey"], "lo", "hi")
@@ -1429,7 +1445,7 @@ def w2_genes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.min("l_suppkey").alias("dnafrag_id"),
-            F.min(F.col("l_shipdate").cast("timestamp").cast("long")).alias("start"),
+            F.min(_epoch_s(li, "l_shipdate")).alias("start"),
         )
         .withColumn("strand", F.lit(1))
     )

@@ -391,3 +391,40 @@ def test_canonical_url_is_idempotent(spark, urls):
     twice = once.select("i", "c1", canonical_url(F.col("c1")).alias("c2"))
     for r in twice.collect():
         assert r.c1 == r.c2, f"not idempotent: {r.c1!r} -> {r.c2!r}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    quota=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_quota_sample_cap_and_cross_stratum_independence(spark, rows, quota):
+    """Per-stratum counts are min(quota, n); and because selection ranks
+    by content hash WITHIN a stratum, deleting one stratum entirely never
+    changes another stratum's surviving set."""
+    from gramene_mongodb_spark.operators.relational import quota_sample
+
+    df = spark.createDataFrame(rows, "id LONG, src STRING")
+    kept = quota_sample(df, "id", "src", quota=quota).collect()
+    by_src: dict = {}
+    for r in kept:
+        by_src.setdefault(r.src, set()).add(r.id)
+    from collections import Counter
+
+    n_per = Counter(s for _, s in rows)
+    for s, n in n_per.items():
+        assert len(by_src.get(s, set())) == min(quota, n), s
+    # drop stratum 'a' from the input: b/c selections must be unchanged
+    rest = [r for r in rows if r[1] != "a"]
+    if rest:
+        df2 = spark.createDataFrame(rest, "id LONG, src STRING")
+        kept2: dict = {}
+        for r in quota_sample(df2, "id", "src", quota=quota).collect():
+            kept2.setdefault(r.src, set()).add(r.id)
+        for s in ("b", "c"):
+            assert kept2.get(s, set()) == by_src.get(s, set()), s

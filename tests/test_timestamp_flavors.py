@@ -146,3 +146,22 @@ def test_a3_catalog_query_is_flavor_stable(spark, sf_dir):
     as_ltz = run(ev.withColumn("ts", F.col("ts").cast("timestamp")))
     assert as_ntz == as_ltz
     assert len(flavors) == 1  # sanity: load_table yields one canonical flavor
+
+
+def test_k6_w2_epoch_is_session_tz_independent(spark, sf_dir):
+    """Regression (round-5 cross-TZ sweep): NTZ date columns must never
+    reach epoch seconds via cast(timestamp)->cast(long) — that detours
+    through the session timezone. Values must be identical under any TZ."""
+    from gramene_mongodb_spark.catalog import REGISTRY
+
+    def run(name):
+        return sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
+
+    base_tz = spark.conf.get("spark.sql.session.timeZone")
+    baseline = {n: run(n) for n in ("k6_merge_order_windows", "w2_genes_between")}
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Adelaide")
+        for n, want in baseline.items():
+            assert run(n) == want, f"{n} output depends on session timezone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", base_tz)
