@@ -3714,6 +3714,114 @@ def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_curate",
+    """
+    WITH canon AS (
+      SELECT doc_id, source, text,
+             'https://' || source || '.example.com/page/'
+               || CAST(doc_id % 25 AS VARCHAR) AS url_canon
+      FROM documents
+    ),
+    urlkept AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+        FROM canon
+      ) WHERE rn = 1
+    ),
+    t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM urlkept
+    ),
+    spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 16), ' ')
+               AS span_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS i
+        FROM t WHERE len(toks) > 0
+      )
+    ),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY span_text
+                                          ORDER BY doc_id, span_idx) AS rn
+        FROM spans
+      ) WHERE rn = 1
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source, count(w.doc_id) AS n_kept
+      FROM t LEFT JOIN winners w USING (doc_id)
+      GROUP BY t.doc_id, t.source
+    ),
+    survivors AS (SELECT doc_id, source, n_kept FROM per_doc WHERE n_kept >= 1),
+    quota AS (
+      SELECT doc_id, source, n_kept FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+        ) AS qrank FROM survivors
+      ) WHERE qrank <= 15
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_kept) AS BIGINT) AS spans_kept
+    FROM quota GROUP BY source
+    """,
+    "pipeline", "dedup", "textops",
+)
+def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship COMPOSITION of the round-5 curation operators, the order
+    a web corpus actually runs them: synthesize a messy URL per doc →
+    ``canonical_url`` (tracking-param strip) → URL-level dedup (first
+    doc per canonical URL) → ``span_dedup`` sub-document dedup over the
+    survivors → ``quota_sample`` per-domain cap (≤15) → per-source
+    audit report. The oracle replays every stage, including predicting
+    the canonicalizer's output arithmetically — a regression in ANY
+    stage (or in how the stages compose) breaks the hash.
+
+    Scale: one shuffle per keyed stage (url_canon, span_text, doc,
+    source), each linear, no stage widens the data — the 100 TB shape
+    for a curation DAG."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/page/"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=x")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    canon = T.canonicalize_urls(raw, "url")
+    wu = Window.partitionBy("url_canon").orderBy("doc_id")
+    urlkept = (
+        canon.withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    sd = D.span_dedup(urlkept, "doc_id", "text", span_tokens=16)
+    survivors = (
+        sd.filter(F.col("n_kept") >= 1)
+        .join(urlkept.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_kept")
+    )
+    quota = R.quota_sample(survivors, "doc_id", "source", quota=15, salt="cur")
+    return quota.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_kept").cast("long").alias("spans_kept"),
+    )
+
+
+@register(
     "pipeline_corpus_clean",
     f"""
     WITH fp AS (
