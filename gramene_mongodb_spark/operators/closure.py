@@ -34,12 +34,22 @@ def transitive_closure(
     child: str = "child",
     parent: str = "parent",
     max_iterations: int = 64,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """All (node, ancestor) pairs reachable via parent edges.
 
     ``edges`` is the direct-parent relation (one row per edge; DAGs with
     multiple parents per child are fine).  Output columns: ``node``,
     ``ancestor`` — one row per distinct pair, excluding self-pairs.
+
+    ``max_depth``: a caller-known upper bound on the longest path in the
+    hierarchy (ontologies/taxonomies publish theirs). When given, the
+    loop runs exactly ⌈log2(max_depth)⌉ doubling rounds with NO per-round
+    count action and NO final fixpoint-detect round — each round becomes
+    a single checkpoint job, which removes one full pass over the
+    (largest) closure table plus one Spark action per round. An
+    UNDERESTIMATE returns an incomplete closure; when the depth is
+    unknown, leave it None and pay the detect round.
     """
     # iteration tables are sized from the MEASURED pair count (we count
     # every round for the fixpoint check anyway): tiny closures run in a
@@ -59,21 +69,38 @@ def transitive_closure(
     n_pairs = base.count()
     closure = sized(base, n_pairs)
 
-    # path doubling: after k iterations the closure holds every path of
-    # length ≤ 2^k, so a depth-d hierarchy converges in ⌈log2 d⌉ joins
-    # (4 iterations for the reference's ~20-deep ontologies) instead of d
-    # one-hop extensions — each iteration is one self-join + distinct.
-    for _ in range(max_iterations):
-        extended = sized(
-            closure.join(
-                closure.select(
+    def extend(df: DataFrame) -> DataFrame:
+        return (
+            df.join(
+                df.select(
                     F.col("node").alias("ancestor"), F.col("ancestor").alias("grand")
                 ),
                 "ancestor",
             )
             .select("node", F.col("grand").alias("ancestor"))
-            .unionByName(closure)
-            .distinct(),
+            .unionByName(df)
+            .distinct()
+        )
+
+    # path doubling: after k iterations the closure holds every path of
+    # length ≤ 2^k, so a depth-d hierarchy converges in ⌈log2 d⌉ joins
+    # (4 iterations for the reference's ~20-deep ontologies) instead of d
+    # one-hop extensions — each iteration is one self-join + distinct.
+    if max_depth is not None:
+        import math
+
+        rounds = math.ceil(math.log2(max(2, max_depth)))
+        est = n_pairs
+        for _ in range(rounds):
+            # size from a growth estimate instead of counting: pairs at
+            # most double per round and never exceed n_edges · depth
+            est = min(est * 2, n_pairs * max_depth)
+            closure = sized(extend(closure), est)
+        return closure
+
+    for _ in range(max_iterations):
+        extended = sized(
+            extend(closure),
             n_pairs,  # sized from the previous round's measured count
         )
         n_next = extended.count()

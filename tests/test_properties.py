@@ -91,7 +91,30 @@ def closure_reference(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
 def test_transitive_closure_matches_dfs(spark, edges):
     df = spark.createDataFrame(edges, "child BIGINT, parent BIGINT")
     got = {(r.node, r.ancestor) for r in transitive_closure(df).collect()}
-    assert got == closure_reference(edges)
+    want = closure_reference(edges)
+    assert got == want
+    # the bounded-depth fast path (no fixpoint-detect round) must return
+    # the identical closure when the bound is >= the true longest path
+    def longest_path() -> int:
+        parents: dict[int, set[int]] = {}
+        for c, p in edges:
+            parents.setdefault(c, set()).add(p)
+
+        def depth(n: int, seen: frozenset) -> int:
+            best = 0
+            for p in parents.get(n, ()):  # acyclic by construction (p < c)
+                if p not in seen:
+                    best = max(best, 1 + depth(p, seen | {p}))
+            return best
+
+        return max((depth(n, frozenset([n])) for n in parents), default=1)
+
+    d = longest_path()
+    bounded = {
+        (r.node, r.ancestor)
+        for r in transitive_closure(df, max_depth=max(1, d)).collect()
+    }
+    assert bounded == want
 
 
 docs_strategy = st.lists(
