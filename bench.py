@@ -42,6 +42,9 @@ HEADLINE = [
     "x_contamination",
     "x_tfidf_topk",
     "x_asof_next_click",
+    "x_span_dedup",
+    "x_kmeans_clusters",
+    "pipeline_corpus_curate",
 ]
 
 
