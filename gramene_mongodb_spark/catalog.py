@@ -71,12 +71,23 @@ def _epoch_s(df, col: str):
     in the session timezone, so the same parquet file yields different
     epochs on drivers with different TZs (caught by the round-5
     cross-timezone sweep on k6). Wall-clock seconds via ``timestampdiff``
-    carry no timezone at all; an LTZ column is already a UTC instant."""
-    if dict(df.dtypes).get(col) == "timestamp_ntz":
+    carry no timezone at all; an LTZ column is already a UTC instant.
+    DATE is handled explicitly (datediff — pure calendar arithmetic):
+    casting DATE through timestamp would reintroduce the session-TZ leak
+    if a testdata regeneration ever stages date columns as DATE."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "timestamp_ntz":
         return F.expr(
             f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
         )
-    return F.col(col).cast("timestamp").cast("long")
+    if dtype == "date":
+        return (F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")) * 86400
+    if dtype != "timestamp":
+        raise TypeError(
+            f"_epoch_s({col}): unexpected dtype {dtype!r} — add an explicit "
+            "TZ-independent conversion rather than falling through"
+        )
+    return F.col(col).cast("long")
 
 
 # ===========================================================================
@@ -950,8 +961,13 @@ def k6_merge_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      -- CAST: DuckDB widens sum(INTEGER) to HUGEINT (int128); this was the
+      -- only int128 output column among all registered oracles and made a
+      -- type-sensitive result hash mismatch while rows/schema/values all
+      -- matched (four rounds of hash-only red on this entry).
+      SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                AS session_id
       FROM x
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -1020,11 +1036,14 @@ def k7_closure_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a binary tree ~11 deep at sf 0.01; each iteration is one equi-join +
     distinct, localCheckpoint-ed so the plan stays flat.
 
-    The depth bound is DERIVED from the data (⌊log2(max key)⌋ is exactly
-    the longest k→k//2 chain), so the closure runs the minimal
-    ⌈log2(depth)⌉ doubling rounds with no per-round counts and no
-    fixpoint-detect pass — the same bounded-depth contract real
-    ontologies/taxonomies ship with (depth ≤ ~20)."""
+    The depth bound is DERIVED from the data: the longest k→k//2 chain
+    from max_key runs all the way to 0 (the edge relation keeps 1→0), so
+    it has ⌊log2(max key)⌋+1 edges — the +1 matters exactly when
+    ⌊log2(max key)⌋ is itself a power of two, where a bound one short
+    would silently drop the deepest (node, 0) pairs. The closure then
+    runs the minimal ⌈log2(depth)⌉ doubling rounds with no per-round
+    counts and no fixpoint-detect pass — the same bounded-depth contract
+    real ontologies/taxonomies ship with (depth ≤ ~20)."""
     import math
 
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 1)
@@ -1033,7 +1052,7 @@ def k7_closure_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
     )
     max_key = cust.agg(F.max("c_custkey")).first()[0] or 2
-    closure = transitive_closure(edges, max_depth=max(1, int(math.log2(max_key))))
+    closure = transitive_closure(edges, max_depth=int(math.log2(max_key)) + 1)
     return closure.groupBy("node").agg(
         F.count(F.lit(1)).alias("depth"),
         F.array_join(

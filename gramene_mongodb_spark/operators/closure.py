@@ -90,11 +90,14 @@ def transitive_closure(
         import math
 
         rounds = math.ceil(math.log2(max(2, max_depth)))
-        est = n_pairs
+        # size every round from the closure's upper bound (n_edges · depth)
+        # instead of a per-round growth model: a doubling round over a
+        # multi-parent DAG can MORE than double the pair count, so
+        # anything tighter risks under-partitioning. sized() floors tiny
+        # closures to one partition regardless, so small inputs don't pay
+        # for the conservatism; huge ones cap at session parallelism.
+        est = n_pairs * max_depth
         for _ in range(rounds):
-            # size from a growth estimate instead of counting: pairs at
-            # most double per round and never exceed n_edges · depth
-            est = min(est * 2, n_pairs * max_depth)
             closure = sized(extend(closure), est)
         return closure
 

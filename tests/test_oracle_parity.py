@@ -52,3 +52,42 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     for k, n in exact.items():
         assert got[k].exact_customers == n, k
         assert got[k].approx_within_5pct is True, k
+
+
+def test_oracle_output_types_are_hash_safe(sf_dir):
+    """Type-lint every oracle: no HUGEINT/UHUGEINT (DuckDB widens
+    sum(INTEGER) to int128, which a type-sensitive driver hash serializes
+    differently from Spark's int64 even when every value matches — the
+    root cause of four rounds of hash-only red on a3) and no DECIMAL
+    (scale/precision metadata is another hash surface; oracles that need
+    exact decimals cast to BIGINT micros instead). Binding the query is
+    enough to resolve types — nothing executes."""
+    import os
+
+    import duckdb
+
+    from gramene_mongodb_spark.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if not spec.oracle:
+            continue
+        rel = con.sql(spec.oracle)
+        sus = [
+            (c, str(ty))
+            for c, ty in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(ty) or "DECIMAL" in str(ty)
+        ]
+        if sus:
+            offenders[name] = sus
+    assert not offenders, (
+        "oracle output columns with hash-unsafe types (cast to BIGINT "
+        f"or DOUBLE in the oracle SQL): {offenders}"
+    )

@@ -451,3 +451,35 @@ def test_quota_sample_cap_and_cross_stratum_independence(spark, rows, quota):
             kept2.setdefault(r.src, set()).add(r.id)
         for s in ("b", "c"):
             assert kept2.get(s, set()) == by_src.get(s, set()), s
+
+
+def test_k7_depth_bound_at_power_of_two_boundary(spark):
+    """Regression for the k7 depth-bound off-by-one: with edges k→k//2
+    (k=1..max_key, INCLUDING 1→0), the longest chain from max_key has
+    ⌊log2(max_key)⌋+1 edges, not ⌊log2(max_key)⌋. The two bounds produce
+    different round counts exactly when ⌊log2(max_key)⌋ is a power of two
+    (max_key 16–31, 256–511, 65536–131071 ≈ sf 0.44–0.87), where the
+    short bound silently drops the deepest (node, 0) pairs. max_key=31
+    sits on that boundary: chain 31→15→7→3→1→0 is 5 edges; bound 4 runs
+    ceil(log2(4))=2 doubling rounds (paths ≤ 4) and loses (31, 0)."""
+    import math
+
+    keys = list(range(1, 32))  # max_key = 31, floor(log2) = 4 = 2^2
+    edges = spark.createDataFrame(
+        [(k, k // 2) for k in keys], "child BIGINT, parent BIGINT"
+    )
+    want = set()
+    for k in keys:
+        a = k // 2
+        while True:
+            want.add((k, a))
+            if a == 0:
+                break
+            a //= 2
+    bound = int(math.log2(max(keys))) + 1  # the formula the catalog uses
+    got = {
+        (r.node, r.ancestor)
+        for r in transitive_closure(edges, max_depth=bound).collect()
+    }
+    assert got == want
+    assert (31, 0) in got
