@@ -72,10 +72,17 @@ def main() -> None:
     # round-over-round comparison tell a real plan regression from a
     # noisy neighbor (mean rides along for context)
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # optional subset (comma-separated names): lets an A/B run isolate
+    # harness-position effects (JIT/GC pressure from the growing set)
+    # from real per-query regressions without editing HEADLINE
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [n for n in subset.split(",") if n] if subset else HEADLINE
+    )
     timings: dict[str, float] = {}
     means: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = REGISTRY[name].fn
         samples = []
         # one broken query must not zero the whole bench line — record the

@@ -3031,7 +3031,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_partkey)
     SELECT l_partkey, round(val, 2) AS part_value
     FROM nat
-    WHERE round(val, 2) > (SELECT round(sum(val) * 0.001, 2) FROM nat)
+    WHERE round(val, 2) >
+          (SELECT round(sum(val) / (10.0 * (SELECT count(*) FROM supplier)), 2)
+           FROM nat)
     """,
     "A4", "J10",
 )
@@ -3039,9 +3041,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11-shaped HAVING-vs-global-scalar: parts whose one-nation
     inventory value exceeds a fraction of the nation total.
 
+    The fraction is DERIVED from the data (1 / (10 · supplier count)),
+    mirroring the TPC-H spec's 0.0001/SF scaling: a fixed fraction makes
+    the predicate trivially empty as SF grows (0 rows at sf0.1 with the
+    old 0.001), so the parity row would verify nothing. This form stays
+    non-trivial at every scale factor (16/363/3232 rows at sf
+    0.001/0.01/0.1).
+
     Scale: the per-part agg shuffles once on partkey; the global total
-    is an agg OVER that result (tiny) cross-joined back as a broadcast
-    scalar — the base lineitem scan happens exactly once.
+    and supplier count are tiny aggregates cross-joined back as a
+    broadcast scalar — the base lineitem scan happens exactly once.
     """
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -3053,9 +3062,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("val"))
     )
+    s_count = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("__n"))
     # both comparison sides rounded to cents: double summation order is
     # engine-dependent and can flip borderline rows otherwise
-    threshold = per_part.agg(F.round(F.sum("val") * 0.001, 2).alias("__thresh"))
+    threshold = (
+        per_part.agg(F.sum("val").alias("__sum"))
+        .join(F.broadcast(s_count))
+        .select(F.round(F.col("__sum") / (10.0 * F.col("__n")), 2).alias("__thresh"))
+    )
     return (
         per_part.join(F.broadcast(threshold))
         .filter(F.round("val", 2) > F.col("__thresh"))
@@ -4774,6 +4788,83 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _synth_pixel_media(spark, sf_dir)
     out = MM.resize_images(images, 16, 12, resampler=MM.pixel_resample)
     return MM.pixel_stats(out)
+
+
+@register(
+    "x_media_formats",
+    """
+    WITH img AS (
+      SELECT c_custkey AS k,
+             (c_custkey % 16) + 1 AS w, (c_custkey % 12) + 1 AS h,
+             CASE c_custkey % 3 WHEN 0 THEN 'png'
+                                WHEN 1 THEN 'bmp'
+                                ELSE 'ppm' END AS format
+      FROM customer
+    ),
+    px AS (
+      SELECT k, w, h, format, gx.x AS x, gy.y AS y
+      FROM img, generate_series(0, 15) AS gx(x), generate_series(0, 11) AS gy(y)
+      WHERE gx.x < w AND gy.y < h
+    )
+    SELECT k AS media_id, format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum((x * 7 + y * 13 + k) % 256) AS BIGINT)    AS sum_r,
+           CAST(sum((x * 3 + y * 5 + 2 * k) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 11 + y + 3 * k) % 256) AS BIGINT)    AS sum_b
+    FROM px GROUP BY k, format, w, h
+    """,
+    "multimodal",
+)
+def x_media_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every stdlib pixel codec exercised on REAL bytes in one corpus:
+    each customer key renders the same deterministic RGB lattice
+    (r=(x·7+y·13+k)%256, g=(x·3+y·5+2k)%256, b=(x·11+y+3k)%256) but
+    serializes it in a format chosen by k%3 — spec-valid PNG
+    (zlib/filter pipeline), 24-bit BMP (bottom-up BGR rows + stride
+    padding), or binary PPM — via the matching ``encode_*`` helper.
+    ``pixel_stats`` then decodes all three through the one
+    ``decode_pixels`` dispatcher and reduces to exact integer channel
+    sums; the oracle replays the lattice arithmetically, so a wrong
+    pixel in ANY of the three decode paths (or any encoder) breaks the
+    hash. Closes the 'second stdlib pixel format' breadth gap: BMP and
+    PPM are now load-bearing for a driver-gated entry, not just
+    unit-tested. Reference analog: K1's packed-binary handling
+    (`search/genetree_adder.js:25-46`)."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            payloads = []
+            for kk in ks:
+                kk = int(kk)
+                w, h = (kk % 16) + 1, (kk % 12) + 1
+                y, x = np.ogrid[0:h, 0:w]
+                px = np.dstack(
+                    [
+                        (x * 7 + y * 13 + kk) % 256,
+                        (x * 3 + y * 5 + 2 * kk) % 256,
+                        (x * 11 + y + 3 * kk) % 256,
+                    ]
+                ).astype(np.uint8)
+                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
+            yield pd.DataFrame({"media_id": ks, "payload": payloads})
+
+    corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    return MM.pixel_stats(corpus).withColumn(
+        "format",
+        F.element_at(
+            F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm")),
+            (F.col("media_id") % 3 + 1).cast("int"),
+        ),
+    )
 
 
 @register(

@@ -213,6 +213,38 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL spec-valid 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding). ``pixels`` is
+    row-major TOP-DOWN interleaved RGB; round-trips through
+    ``decode_pixels``."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(pixels)}")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = pixels[y * width * 3 : (y + 1) * width * 3]
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            body += bytes((b, g, r))
+        body += pad
+    off = 14 + 40
+    hdr = b"BM" + _struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + bytes(body)
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (``P6``, maxval 255). ``pixels`` is row-major RGB;
+    round-trips through ``decode_pixels``."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(pixels)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

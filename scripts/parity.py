@@ -36,6 +36,14 @@ def main() -> int:
         .getOrCreate()
     )
     qs, osql = entry.queries(), entry.oracle_sql()
+    from gramene_mongodb_spark.catalog import REGISTRY
+
+    # loud staleness guard: a sweep that covers fewer queries than the
+    # catalog registers is a stale artifact, not evidence (round-4 bug)
+    assert len(qs) == len(REGISTRY), (
+        f"entry.queries() exposes {len(qs)} queries but the catalog "
+        f"registers {len(REGISTRY)} — __spark_entry__ is stale"
+    )
     report: dict[str, dict] = {}
     n_fail = 0
     t0 = time.time()
@@ -60,9 +68,17 @@ def main() -> int:
     summary = {
         "sf_dir": sf_dir,
         "total": len(qs),
+        "registry_total": len(REGISTRY),
         "oracle_backed": sum(1 for r in report.values() if r["gate"] == "oracle"),
         "rows_only": sum(1 for r in report.values() if r["gate"] == "rows_only"),
         "failures": n_fail,
+        # a passing oracle row over an EMPTY result verifies nothing —
+        # list them so triviality is visible in the artifact (q11 bug)
+        "zero_row_passes": sorted(
+            n
+            for n, r in report.items()
+            if r["gate"] == "oracle" and r["ok"] and r.get("msg") == "ok (0 rows)"
+        ),
         "wall_seconds": round(time.time() - t0, 1),
     }
     with open(report_path, "w") as fh:

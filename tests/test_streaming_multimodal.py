@@ -383,3 +383,140 @@ def test_decode_wav_samples_rejects_non_pcm():
         MM.decode_wav_samples(payload)
     with pytest.raises(ValueError):
         MM.decode_wav_samples(b"not audio at all")
+
+
+def test_encode_bmp_ppm_roundtrip():
+    px = bytes(range(5 * 3 * 3))  # 5x3 RGB
+    assert MM.decode_pixels(MM.encode_bmp(5, 3, px)) == (5, 3, 3, px)
+    assert MM.decode_pixels(MM.encode_ppm(5, 3, px)) == (5, 3, 3, px)
+    # width 4: BMP stride needs no padding — exercise both branches
+    px4 = bytes(range(4 * 2 * 3))
+    assert MM.decode_pixels(MM.encode_bmp(4, 2, px4)) == (4, 2, 3, px4)
+
+
+def test_tumbling_foreachbatch_exact_batch_equality(spark, sf_dir, tmp_path):
+    """A REAL incremental StreamingQuery (file source split across
+    multiple micro-batches via maxFilesPerTrigger + foreachBatch sink)
+    must converge to EXACTLY the batch twin's aggregate — not the
+    looser >=count-5 check the append-mode test settles for. Update
+    mode + a beyond-horizon watermark means no row is ever dropped, so
+    last-write-wins per (window, event_type) is the final aggregate."""
+    from pyspark.sql import functions as F
+
+    staged = str(tmp_path / "events_mb")
+    load_table(spark, sf_dir, "events").repartition(6).write.parquet(staged)
+
+    stream = SW.read_events_stream(spark, staged, max_files_per_trigger=2)
+    agg = SW.tumbling_counts(stream, watermark="366 days")
+
+    state: dict = {}
+    epochs: list[int] = []
+
+    def sink(df, epoch_id):
+        rows = df.collect()
+        if rows:
+            epochs.append(epoch_id)
+        for r in rows:
+            state[(r.window_start, r.window_end, r.event_type)] = (
+                r.n_events,
+                r.total_value,
+            )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(epochs) >= 2, f"expected multiple micro-batches, got {epochs}"
+
+    expect = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert state.keys() == expect.keys()
+    for k, (n, tv) in expect.items():
+        sn, stv = state[k]
+        assert sn == n, k
+        # float sum order differs between incremental and one-shot plans
+        assert abs(stv - tv) < 1e-6 * max(1.0, abs(tv)), k
+
+
+def test_session_stream_foreachbatch_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """Native session_window streaming (the A3 twin) driven through a
+    real incremental micro-batch run. Session-window aggregation
+    rejects update mode (sessions merge), so run complete mode: each
+    epoch re-emits the full merged state and the LAST epoch must equal
+    the batch session_window aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    staged = str(tmp_path / "events_sess")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(staged)
+
+    stream = SW.read_events_stream(spark, staged, max_files_per_trigger=2)
+    agg = SW.session_aggregates(stream, gap="30 minutes", watermark="366 days")
+
+    finals: list[dict] = []
+
+    def sink(df, epoch_id):
+        finals.append(
+            {
+                (r.user_id, r.session_start): (
+                    r.session_end,
+                    r.n_events,
+                    r.session_value,
+                )
+                for r in df.collect()
+            }
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(finals) >= 2, "expected multiple micro-batches"
+    state = finals[-1]
+
+    expect = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.session_value)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "session_value",
+            )
+        ).collect()
+    }
+    assert state.keys() == expect.keys()
+    for k, (end, n, sv) in expect.items():
+        send, sn, ssv = state[k]
+        assert (send, sn) == (end, n), k
+        assert abs(ssv - sv) < 1e-6 * max(1.0, abs(sv)), k
