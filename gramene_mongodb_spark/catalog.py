@@ -4369,6 +4369,108 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS shard,
+             md5(concat('pack', CAST(doc_id AS VARCHAR))) AS hx
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS "offset"
+      FROM d
+    )
+    SELECT doc_id, shard, n_tokens, "offset",
+           "offset" // 512 AS first_pack,
+           greatest("offset" // 512, ("offset" + n_tokens - 1) // 512) AS last_pack,
+           greatest("offset" // 512, ("offset" + n_tokens - 1) // 512)
+             - "offset" // 512 + 1 AS n_packs
+    FROM o
+    """,
+    "llm", "W1",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (textops.pack_documents): every
+    document gets its shard, token offset in the shard's concatenation
+    stream, and the first/last 512-token pack it occupies. Sharding here
+    is ``doc_id % 8`` so the oracle replays it verbatim; intra-shard
+    order is the salted md5 both engines agree on. All-integer output
+    (window cumsum + integer division) — no float, no timestamp.
+    Reference analog: the reference has no packing stage (it predates
+    LLM pipelines); this is extension surface per the repo charter, with
+    W1's running-index window as the underlying shape."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__n", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return T.pack_documents(
+        docs,
+        id_col="doc_id",
+        tokens_col="__n",
+        budget=512,
+        shards=8,
+        shard_col=F.col("doc_id") % 8,
+    )
+
+
+@register(
+    "x_bm25_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    d AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) // count(*) AS avgdl
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM d WHERE term IN ('spark', 'window', 'dup')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             greatest(0, CAST(round(ln((stats.n - count(*) + 0.5)
+                                       / (count(*) + 0.5)) * 1e6) AS BIGINT))
+               AS idf6
+      FROM tf, stats GROUP BY term, stats.n
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(sum((idf.idf6 * 22 * stats.avgdl * tf.tf)
+                      // (10 * stats.avgdl * tf.tf + 3 * stats.avgdl + 9 * tf.dl))
+                  AS BIGINT) AS score_micro,
+             count(*) AS n_terms_matched
+      FROM tf JOIN idf USING (term), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                AS BIGINT) AS rank,
+           doc_id, score_micro, n_terms_matched
+    FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+    """,
+    "llm", "A4", "O1",
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {spark, window, dup} over the documents
+    corpus (textops.bm25_scores). Scoring is the integer rational
+    idf6·22·avgdl·tf div (10·avgdl·tf + 3·avgdl + 9·dl) with k1=1.2,
+    b=0.75 multiplied through by 10·avgdl — integer division end to
+    end, so per-term scores sum exactly and the ranking has no float
+    surface ('dup' is the rare high-idf term that drives the ordering;
+    the common terms clamp toward idf 0). Extension surface: retrieval /
+    decontamination scoring the reference lacks."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bm25_scores(docs, ["spark", "window", "dup"], "doc_id", "text", k=20)
+
+
+@register(
     "x_asof_next_click",
     """
     SELECT p.event_id, p.user_id,

@@ -475,3 +475,157 @@ def tfidf_top_terms(
             "score",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) + BM25 ranking
+# --------------------------------------------------------------------------
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 16,
+    shard_col: Column | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that concatenates documents in a deterministic order and cuts
+    the stream every ``budget`` tokens into fixed-size training
+    sequences. This computes, per document, WHERE it lands: its shard,
+    its token offset within the shard's stream, and the first/last pack
+    (context window) it occupies — documents straddle pack boundaries by
+    design, exactly like the real pipelines that follow it with a
+    tokenizer ``mapInPandas``.
+
+    Determinism + scale shape: a single global concatenation order would
+    serialize 100 TB behind one window, so the corpus is salted-hash
+    SHARDED first (``shards`` independent streams — the parallel unit),
+    and the running token offset is ONE window cumsum per shard. Shard
+    assignment and intra-shard order both come from ``md5(salt || id)``
+    (content-addressed, so re-runs and engine swaps agree; pass
+    ``shard_col`` to override with your own distribution key). All
+    arithmetic is integer (offsets, ``div``) — no float surface.
+
+    Output: (id, shard, n_tokens, offset, first_pack, last_pack,
+    n_packs) — ``offset`` is tokens before this doc in its shard's
+    stream; packs are shard-local indices of ``budget``-token windows.
+    """
+    if budget <= 0 or shards <= 0:
+        raise ValueError("budget and shards must be positive")
+    from pyspark.sql import Window
+
+    hx = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__hx", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(tokens_col).cast("long")
+    out = (
+        df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            shard.cast("long").alias("shard"),
+            hx.alias("__hx"),
+        )
+        .withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("first_pack", F.expr(f"offset div {budget}"))
+        .withColumn(
+            "last_pack",
+            F.expr(
+                f"greatest(offset div {budget},"
+                f" (offset + n_tokens - 1) div {budget})"
+            ),
+        )
+        .withColumn("n_packs", F.col("last_pack") - F.col("first_pack") + 1)
+    )
+    return out.drop("__hx")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """BM25 top-``k`` retrieval scoring (k1=1.2, b=0.75) — the
+    length-normalized upgrade of TF-IDF that every retrieval /
+    decontamination / quality-mining pass reaches for.
+
+    Engine-portable by integer-exact construction: with k1=1.2, b=0.75
+    the per-term score  idf · tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+    multiplied through by 10·avgdl becomes the INTEGER rational
+
+        idf6 · 22·avgdl·tf  div  (10·avgdl·tf + 3·avgdl + 9·dl)
+
+    where ``avgdl = total_tokens div N`` (integer), ``idf6`` is the
+    Robertson idf ln((N−df+0.5)/(df+0.5)) scaled to integer micros and
+    clamped at 0, and ``div`` is integer division — order-independent,
+    no float summation anywhere in scoring or ranking (the one float is
+    the idf ``ln``, same residual as ``tfidf_top_terms``). Scores sum
+    exactly over query terms; ties break on id.
+
+    Scale shape: the query-term list is a literal filter pushed into the
+    explode (the scan keeps only matching tokens), then one (doc, term)
+    aggregation, one tiny per-term df aggregate (≤ |query| rows,
+    broadcast), and one top-k window — no corpus-wide term table at all,
+    unlike TF-IDF keyword extraction.
+    """
+    from pyspark.sql import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = _tokens(F.col(text))
+    # corpus stats: N docs, total tokens, integer avgdl
+    stats = df.select(F.size(toks).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum(F.col("__dl").cast("long")).alias("__T"),
+    )
+    docs = df.select(F.col(id_col), F.explode(toks).alias("term"), F.size(toks).alias("dl"))
+    matched = docs.filter(F.col("term").isin(list(query_terms)))
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__avgdl", F.expr("__T div __N"))
+        .withColumn(
+            "idf6",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.round(
+                    F.log((F.col("__N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                    * 1e6
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "term_score_micro",
+            F.expr(
+                "(idf6 * 22 * __avgdl * tf) div"
+                " (10 * __avgdl * tf + 3 * __avgdl + 9 * dl)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("term_score_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    # TakeOrdered top-k FIRST (per-partition heads + tiny merge — no
+    # global shuffle), then rank the k survivors with a window that is
+    # single-partition by construction and trivially small
+    top = per_doc.orderBy(F.col("score_micro").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col("rank"), F.col(id_col), "score_micro", "n_terms_matched"
+    )

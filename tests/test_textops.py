@@ -281,3 +281,64 @@ def test_span_dedup_empty_doc_dropped(spark):
     )
     got = {r.doc_id for r in span_dedup(df, "doc_id", span_tokens=2).collect()}
     assert got == {1}  # token-free docs vanish (same on the oracle side)
+
+
+def test_pack_documents_covers_every_token_contiguously(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + (i * 37) % 90) for i in range(60)],
+        "doc_id LONG, text STRING, n_tokens LONG",
+    )
+    out = T.pack_documents(
+        docs, "doc_id", "n_tokens", budget=100, shards=4
+    ).collect()
+    assert len(out) == 60
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # hash sharding actually spreads
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.offset)
+        # offsets tile the shard stream exactly: no gaps, no overlaps
+        pos = 0
+        for r in rows:
+            assert r.offset == pos, (shard, r.doc_id)
+            assert r.first_pack == pos // 100
+            assert r.last_pack == max(pos // 100, (pos + r.n_tokens - 1) // 100)
+            assert r.n_packs == r.last_pack - r.first_pack + 1 >= 1
+            pos += r.n_tokens
+
+
+def test_pack_documents_deterministic_order(spark):
+    docs = spark.createDataFrame(
+        [(i, 5) for i in range(40)], "doc_id LONG, n_tokens LONG"
+    )
+    a = {r.doc_id: (r.shard, r.offset) for r in T.pack_documents(docs).collect()}
+    b = {r.doc_id: (r.shard, r.offset) for r in T.pack_documents(docs).collect()}
+    assert a == b  # content-addressed: re-run identical
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    rows = [(i, "common words filler " + ("common " * 5)) for i in range(20)]
+    rows.append((100, "common words needle filler"))
+    rows.append((101, "needle needle unrelated"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = T.bm25_scores(df, ["needle", "common"], k=5).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    # docs containing the rare term outrank ubiquitous-term-only docs
+    top2 = {out[0].doc_id, out[1].doc_id}
+    assert top2 == {100, 101}
+    assert all(r.score_micro >= 0 for r in out)
+    # scores strictly ordered by (score desc, doc_id asc)
+    pairs = [(-r.score_micro, r.doc_id) for r in out]
+    assert pairs == sorted(pairs)
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for the query term; shorter doc must score higher (needle
+    # kept under half the corpus so the Robertson idf doesn't clamp to 0)
+    rows = [(1, "needle " + "pad " * 3), (2, "needle " + "pad " * 50)]
+    rows += [(10 + i, "no match here") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r.score_micro for r in T.bm25_scores(df, ["needle"], k=10).collect()}
+    assert out[1] > out[2] > 0
+    assert 3 not in out
