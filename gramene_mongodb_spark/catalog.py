@@ -5592,6 +5592,190 @@ def w5_canonical_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(concat('budget', CAST(doc_id AS VARCHAR))) AS hx
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY hx, CAST(doc_id AS VARCHAR)
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 600
+    """,
+    "llm", "W1",
+)
+def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget (relational.token_budget_sample): keep
+    documents from each source, in deterministic md5 order, until the
+    source's cumulative token count reaches 600 — the tokens-not-rows
+    mixture knob quota_sample can't express. All-integer output (window
+    cumsum); the 600-token budget keeps roughly half of each source at
+    sf0.01 and a strict subset at every larger sf, so the filter is
+    non-trivial at both driver gate scales (the q11 lesson). Extension
+    surface: training-mixture budgeting the reference lacks."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return R.token_budget_sample(
+        docs, "doc_id", "n_tokens", "source", 600, salt="budget"
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@register(
+    "x_cluster_split",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    ),
+    cl AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS cluster_id
+      FROM fp
+    )
+    SELECT doc_id, cluster_id,
+           CASE
+             WHEN substring(md5(concat('split', CAST(cluster_id AS VARCHAR))), 1, 2)
+                  < 'cd' THEN 'train'
+             WHEN substring(md5(concat('split', CAST(cluster_id AS VARCHAR))), 1, 2)
+                  < 'e6' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM cl
+    """,
+    "llm", "dedup",
+)
+def x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (relational.split_by_cluster):
+    the split hashes the exact-dup CLUSTER id (min doc_id per content
+    fingerprint), so every duplicate of a training document lands in the
+    same split — eval contamination by near-copies is structurally
+    impossible, which a per-row hash split cannot guarantee. 80/10/10 at
+    1/256 md5-prefix granularity (train < 0xcd, val < 0xe6). Map-side
+    expression after one fingerprint window; no extra shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = D.normalized_fingerprint(docs, "text")
+    clustered = fp.withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    return R.split_by_cluster(
+        clustered,
+        "cluster_id",
+        (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        salt="split",
+    ).select("doc_id", "cluster_id", "split")
+
+
+@register(
+    "x_inverted_index",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    u AS (SELECT DISTINCT doc_id, term FROM e)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM u GROUP BY term HAVING count(*) >= 2
+    """,
+    "llm", "A1", "O2",
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (textops.inverted_index): term → document
+    frequency + ascending-sorted posting list, the indexing half of the
+    BM25 retrieval pair. Postings emitted as a joined string (the o2
+    array convention — the driver hash never sees a raw array type).
+    One term-keyed shuffle with map-side partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = T.inverted_index(docs, "doc_id", "text", min_df=2)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
+
+
+@register(
+    "x_top_ngrams",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> concat(toks[i], ' ', toks[i + 1]))) AS gram
+      FROM t
+    ),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank,
+           gram, cnt
+    FROM c ORDER BY cnt DESC, gram LIMIT 50
+    """,
+    "llm", "A4", "O1",
+)
+def x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (textops.top_ngrams): the 50 most frequent
+    word bigrams with exact counts — boilerplate/contamination
+    reconnaissance, and the exact baseline a count-min sketch
+    approximates at scale. Zipf-head grams partially aggregate map-side
+    so the single gram-keyed shuffle moves ≤ partitions rows per gram;
+    top-k is TakeOrdered (no global sort). Ties break on gram text."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.top_ngrams(docs, "text", n=2, k=50)
+
+
+@register(
+    "x_embed_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    d AS (SELECT unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS i FROM q),
+    r AS (SELECT i, min(v) AS mn, max(v) AS mx FROM d GROUP BY i),
+    a AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM r)
+    SELECT vec_id,
+           array_to_string(
+             list_transform(qv, (v, i) ->
+               CAST(((v - mins[i]) * 255) // greatest(1, maxs[i] - mins[i])
+                    AS VARCHAR)),
+             ',') AS qvec,
+           CAST(list_sum(list_transform(qv, (v, i) ->
+                  ((v - mins[i]) * 255) // greatest(1, maxs[i] - mins[i])))
+                AS BIGINT) AS q_l1
+    FROM q, a
+    """,
+    "llm", "similarity",
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max int8 quantization of the embedding corpus
+    (similarity.quantize_embeddings) — the SQ8 compression pass ANN
+    indexes apply before vectors hit an index structure. Differentially
+    exact via the kmeans trick: floats → int64 micros once, integer
+    min/max, pure integer code arithmetic (truncating and floor division
+    agree on non-negative operands). Codes emitted as a joined string
+    (o2 convention); q_l1 is the BIGINT audit invariant. Stats pass is a
+    posexplode groupBy(dim) → one broadcast row; encode is map-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(emb, "vec_id", "embedding", levels=255)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+        "q_l1",
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -143,6 +143,35 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source — format breadth beyond the reference's JSONL/TSV
+    (S4/S5): ORC is the other columnar interchange format a Spark shop
+    ingests from Hive-era warehouses. Same pushdown/pruning contract as
+    parquet (predicate pushdown + column pruning reach the ORC reader;
+    Spark's vectorized ORC scan applies)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    sort_within_partitions: tuple[str, ...] = (),
+) -> None:
+    """ORC sink — mirror of ``write_parquet`` (hive partitioning +
+    within-file ordering for stripe-level min/max pruning)."""
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 # --------------------------------------------------------------------------
 # reject channel (S17)
 # --------------------------------------------------------------------------

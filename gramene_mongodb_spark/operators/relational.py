@@ -710,3 +710,83 @@ def inverse_sqrt_sample(
         .filter((F.col("__k") >= 256) | (hx < thr))
         .drop("__strata", "__k")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key: str | Column,
+    tokens_col: str,
+    strata: str,
+    budget: int,
+    salt: str = "",
+    out_cum: str = "cum_tokens",
+) -> DataFrame:
+    """Per-stratum TOKEN budget: keep rows from each stratum, in
+    deterministic md5 order, until the stratum's cumulative token count
+    reaches ``budget`` — the "at most N tokens per source" knob a
+    training-mixture spec expresses in tokens, which a row quota
+    (``quota_sample``) cannot: documents differ in length by orders of
+    magnitude, so capping rows caps nothing.
+
+    A row is kept iff its cumulative token sum (inclusive) is ≤
+    ``budget``; the first over-budget document and everything after it
+    in hash order are dropped, so the kept set never exceeds the budget
+    and is a deterministic function of content — stable across runs,
+    partitionings, and engines that agree on md5. The inclusive-sum
+    rule means a single document larger than the whole budget is
+    dropped, not truncated (truncation is ``chunk_documents``'s job).
+
+    Scale: one shuffle on ``strata`` + a linear cumulative-sum window
+    per stratum — the same shape and skew contract as ``quota_sample``
+    (a hot stratum lands on one reducer; pre-tame it with
+    ``deterministic_sample`` if a single stratum dominates the corpus).
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    hx = F.md5(F.concat(F.lit(salt), keyc.cast("string")))
+    w = (
+        Window.partitionBy(strata)
+        .orderBy(hx.asc(), keyc.cast("string").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_cum, F.sum(F.col(tokens_col).cast("long")).over(w)
+    ).filter(F.col(out_cum) <= budget)
+
+
+def split_by_cluster(
+    df: DataFrame,
+    cluster_col: str | Column,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a hash of the
+    CLUSTER id, not the row id, so every member of a duplicate cluster
+    (exact-dup group, MinHash component, …) lands in the SAME split —
+    near-duplicates of a training document can never leak into the eval
+    set, the failure mode row-hash splits are blind to.
+
+    ``splits`` is an ordered (label, fraction) list; fractions are
+    quantized to the same 1/256 md5-prefix granularity as
+    ``deterministic_sample`` (exact two-hex-char compares, no float
+    boundary), and the LAST label absorbs the hash tail so every row is
+    labeled even when fractions round short of 1.0.
+
+    Scale: pure map-side expression over an existing cluster-id column —
+    no shuffle, no RNG; composes after ``dedup_clusters`` (which already
+    paid its shuffles) or after a window over ``fingerprint``.
+    """
+    cc = F.col(cluster_col) if isinstance(cluster_col, str) else cluster_col
+    hx = F.substring(F.md5(F.concat(F.lit(salt), cc.cast("string"))), 1, 2)
+    labels = list(splits)
+    cum = 0.0
+    bounds = []
+    for label, frac in labels[:-1]:
+        cum += frac
+        bounds.append((label, _hex_threshold(cum)))
+    # innermost = tail absorber; wrap outward so the FIRST (smallest)
+    # cumulative boundary is tested first
+    expr = F.lit(labels[-1][0])
+    for label, thr in reversed(bounds):
+        expr = F.when(hx < F.lit(thr), F.lit(label)).otherwise(expr)
+    return df.withColumn(out, expr)

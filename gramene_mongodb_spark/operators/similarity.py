@@ -377,3 +377,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar (per-dimension min-max) int8-style quantization: map each
+    float dimension to an integer code in ``[0, levels]`` — the 4×
+    memory/IO compression every large ANN index applies before vectors
+    go near an index structure (IVF residuals, SQ8 flat scans).
+
+    Differential determinism (the same trick as ``kmeans_assign_exact``):
+    floats are quantized ONCE to int64 micros (``round(v·1e6)``, both
+    engines round half away from zero); per-dimension min/max are exact
+    integer aggregates; and the code is the pure integer expression
+    ``(v - min) · levels div max(1, span)`` — truncating and floor
+    division agree because every operand is non-negative, so the code
+    array hash-matches any engine that agrees on the arithmetic.
+
+    Output: ``id_col``, ``qvec`` (array<int> codes), ``q_l1`` (BIGINT
+    sum of codes — a cheap scalar invariant for audits).
+
+    Scale: the min/max pass is a posexplode + groupBy(pos) — dim·1 rows
+    out of a corpus-sized scan with map-side partial min/max; the d-row
+    range table is collapsed to ONE broadcast row of two arrays, and
+    encoding is a pure map-side transform. Two scans total (stats +
+    encode), no corpus shuffle anywhere.
+    """
+    quant = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("__q"),
+    )
+    ranges = (
+        quant.select(F.posexplode("__q").alias("__pos", "__v"))
+        .groupBy("__pos")
+        .agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__mn", "__mx"))).alias("__r")
+        )
+        .select(
+            F.expr("transform(__r, s -> s.__mn)").alias("__mins"),
+            F.expr("transform(__r, s -> s.__mx)").alias("__maxs"),
+        )
+    )
+    encoded = quant.crossJoin(F.broadcast(ranges)).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(__q, (v, i) -> CAST(((v - __mins[i]) * {int(levels)})"
+            " div greatest(1L, __maxs[i] - __mins[i]) AS INT))"
+        ).alias("qvec"),
+    )
+    return encoded.withColumn(
+        "q_l1",
+        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, v: a + v),
+    )

@@ -629,3 +629,78 @@ def bm25_scores(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         F.col("rank"), F.col(id_col), "score_micro", "n_terms_matched"
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted-index construction: ``term → (df, sorted posting list)``
+    — the indexing half of the retrieval pair whose scoring half is
+    ``bm25_scores``. Postings are document ids, deduplicated per
+    document and sorted ascending, which is the on-disk layout every
+    posting-list codec (delta + varint) assumes.
+
+    ``min_df`` drops hapax terms — at web scale the term dictionary is
+    Zipf, and hapaxes are most of it while serving no retrieval purpose.
+
+    Scale: explode → per-doc distinct → ONE shuffle on ``term`` with
+    map-side partial aggregation; ``collect_set`` keeps each posting
+    list on its term's reducer (never the driver). Posting-list skew
+    (stopword terms have corpus-sized lists) is real: cap it upstream
+    by stopword removal or df-ceiling if needed; here df is unbounded
+    because the corpus fits the reducer comfortably at any tested sf.
+    """
+    terms = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(_tokens(F.col(text)))).alias("term"))
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_sort(F.collect_set(F.col(id_col))).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent word
+    ``n``-grams with exact counts — the boilerplate/contamination
+    reconnaissance pass (what phrases dominate this crawl?) and the
+    exact baseline a count-min sketch would approximate.
+
+    Scale: n-gram explode → ONE shuffle on the gram with map-side
+    partial counts (Zipf head grams partially aggregate in every map
+    task, so the reducer sees ≤ #partitions rows per gram, not corpus
+    rows) → TakeOrdered top-k (per-partition heads + driver-side merge
+    of k·#partitions tuples, no global sort shuffle). Ties break on the
+    gram text so the result set is deterministic.
+    """
+    toks = _tokens(F.col(text))
+    # the size filter below guarantees sequence() gets a non-descending
+    # range (Spark's sequence(0, -1) would DESCEND, not return empty)
+    grams = F.expr(
+        f"transform(sequence(0, size(__toks) - {n}),"
+        f" i -> array_join(slice(__toks, i + 1, {n}), ' '))"
+    )
+    exploded = (
+        df.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.explode(grams).alias("gram"))
+    )
+    counted = exploded.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = counted.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "gram", "cnt"
+    )

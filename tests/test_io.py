@@ -174,3 +174,25 @@ def test_observed_metrics_ride_the_job(spark, sf_dir):
     got = obs.get
     assert got["rows"] == n
     assert got["negative_prices"] == 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink: round-trip preserves values; filters reach the
+    ORC scan (same pushdown contract as parquet)."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.io import load_table, read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, sort_within_partitions=("o_orderkey",))
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    filtered = back.filter(F.col("o_orderkey") == 1).select("o_orderkey", "o_totalprice")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)" in plan.replace("\n", "")

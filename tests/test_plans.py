@@ -237,3 +237,31 @@ def test_span_dedup_two_shuffles_no_python(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
     assert final.count("Exchange") <= 4  # span win + totals/kept aggs + join
+
+
+def test_round6_entries_stay_jvm_side(spark, sf_dir):
+    """The new curation entries are pure DataFrame plans — no Python
+    evaluation anywhere (the 100-TB hot-path contract)."""
+    for name in (
+        "x_token_budget",
+        "x_cluster_split",
+        "x_inverted_index",
+        "x_top_ngrams",
+        "x_embed_quantize",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_embed_quantize_broadcasts_range_row(spark, sf_dir):
+    """The d-row min/max stats collapse to ONE broadcast row; the corpus
+    side is never shuffled for the encode (map-side transform)."""
+    plan = plan_of(spark, sf_dir, "x_embed_quantize")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_ngrams_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_top_ngrams")
+    assert "TakeOrderedAndProject" in plan

@@ -178,3 +178,25 @@ def test_kmeans_assign_exact_matches_numpy_reference(spark):
     # can never share a centroid after a round
     assert got[20] == got[0]
     assert got[0] != got[14]
+
+
+def test_quantize_embeddings_bounds_and_extremes(spark):
+    from gramene_mongodb_spark.operators import similarity as S
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [1.0, 5.0, 0.0]),
+        (3, [0.5, 5.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    for r in out.values():
+        assert all(0 <= c <= 255 for c in r.qvec)
+        assert r.q_l1 == sum(r.qvec)
+    # per-dim min maps to 0, max to 255
+    assert out[1].qvec[0] == 0 and out[2].qvec[0] == 255
+    assert out[1].qvec[2] == 0 and out[3].qvec[2] == 255
+    # constant dimension (span 0) maps to code 0 everywhere, no div-by-zero
+    assert all(out[v].qvec[1] == 0 for v in (1, 2, 3))
+    # midpoint lands mid-range
+    assert 120 <= out[3].qvec[0] <= 135

@@ -342,3 +342,81 @@ def test_bm25_length_normalization(spark):
     out = {r.doc_id: r.score_micro for r in T.bm25_scores(df, ["needle"], k=10).collect()}
     assert out[1] > out[2] > 0
     assert 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# round 6: token budget / cluster split / inverted index / top n-grams
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_respects_budget_per_stratum(spark):
+    from gramene_mongodb_spark.operators import relational as R
+
+    rows = [(i, "a", 100) for i in range(10)] + [(100 + i, "b", 300) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_tokens LONG")
+    out = R.token_budget_sample(df, "doc_id", "n_tokens", "source", 500).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # inclusive-sum rule: each stratum's kept total never exceeds the budget
+    assert sum(r.n_tokens for r in by_src["a"]) <= 500
+    assert sum(r.n_tokens for r in by_src["b"]) <= 500
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 1
+    # cum_tokens is the inclusive running sum in selection order
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.cum_tokens)
+        total = 0
+        for r in rs:
+            total += r.n_tokens
+            assert r.cum_tokens == total
+
+
+def test_token_budget_oversized_doc_dropped_not_truncated(spark):
+    from gramene_mongodb_spark.operators import relational as R
+
+    df = spark.createDataFrame([(1, "a", 10_000)], "doc_id LONG, source STRING, n_tokens LONG")
+    assert R.token_budget_sample(df, "doc_id", "n_tokens", "source", 500).count() == 0
+
+
+def test_split_by_cluster_is_leakage_safe_and_total(spark):
+    from gramene_mongodb_spark.operators import relational as R
+    from pyspark.sql import Window, functions as F
+
+    # two docs per cluster, 200 clusters
+    rows = [(i, i // 2) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id LONG, cluster_id LONG")
+    out = R.split_by_cluster(df, "cluster_id").collect()
+    assert len(out) == 400 and all(r.split in ("train", "val", "test") for r in out)
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every member of a cluster lands in the SAME split
+    assert all(len(s) == 1 for s in per_cluster.values())
+    # all three labels occur at 200 clusters / default 90-5-5
+    labels = {next(iter(s)) for s in per_cluster.values()}
+    assert labels == {"train", "val", "test"}
+    n_train = sum(1 for s in per_cluster.values() if "train" in s)
+    assert n_train > 140  # ~90% of 200, generous slack
+
+
+def test_inverted_index_postings_sorted_and_df_consistent(spark):
+    docs = spark.createDataFrame(
+        [(3, "alpha beta"), (1, "beta gamma beta"), (2, "alpha"), (4, "delta")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.term: r for r in T.inverted_index(docs, min_df=2).collect()}
+    assert set(out) == {"alpha", "beta"}  # gamma/delta are hapax
+    assert out["alpha"].postings == [2, 3]
+    assert out["beta"].postings == [1, 3]  # per-doc distinct: doc 1 counted once
+    assert all(r.df == len(r.postings) for r in out.values())
+
+
+def test_top_ngrams_exact_counts_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id LONG, text STRING"
+    )
+    out = T.top_ngrams(docs, n=2, k=10).collect()
+    assert [(r.gram, r.cnt) for r in out[:2]] == [("a b", 3), ("b a", 1)]
+    # single-token doc contributes no bigram; ranks are dense from 1
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert sum(r.cnt for r in out) == 5
