@@ -45,6 +45,12 @@ HEADLINE = [
     "x_span_dedup",
     "x_kmeans_clusters",
     "pipeline_corpus_curate",
+    "x_pack_sequences",
+    "x_bm25_topk",
+    "x_embed_quantize",
+    "x_semantic_dedup",
+    "x_lm_score",
+    "pipeline_training_mix",
 ]
 
 

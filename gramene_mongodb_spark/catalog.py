@@ -5776,6 +5776,201 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_semantic_dedup",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id > b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.qv) + 1),
+                     i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))
+            <= 1500000000000
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.vec_id = e.vec_id)
+    """,
+    "llm", "similarity", "dedup",
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): within each cluster (the
+    label column here; x_kmeans_clusters supplies the learned variant),
+    drop vectors with a lower-id neighbor inside squared int64-micro
+    distance 1.5e12 — leader-by-id, no transitive closure, exact
+    integer distances so both engines agree on every borderline pair.
+    Survivors: 293/500 at sf0.01, 424/2000 at sf0.1 — non-trivial at
+    every driver scale. One cluster-keyed shuffle + per-cluster
+    quadratic verify + key-only anti join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        emb, "vec_id", "embedding", "label", 1_500_000_000_000
+    ).select("vec_id", "label")
+
+
+@register(
+    "pipeline_training_mix",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, text, md5({_NORM_SQL}) AS fingerprint FROM documents
+    ),
+    cl AS (
+      SELECT doc_id, source, text,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS cluster_id
+      FROM fp
+    ),
+    sp AS (
+      SELECT doc_id, source, text, cluster_id,
+             CASE
+               WHEN substring(md5(concat('split', CAST(cluster_id AS VARCHAR))), 1, 2)
+                    < 'cd' THEN 'train'
+               WHEN substring(md5(concat('split', CAST(cluster_id AS VARCHAR))), 1, 2)
+                    < 'e6' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM cl
+    ),
+    tr AS (
+      SELECT doc_id, source, cluster_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(concat('budget', CAST(doc_id AS VARCHAR))) AS hx
+      FROM sp WHERE split = 'train'
+    ),
+    c AS (
+      SELECT doc_id, source, cluster_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY hx, CAST(doc_id AS VARCHAR)
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM tr
+    )
+    SELECT doc_id, source, cluster_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 600
+    """,
+    "pipeline", "llm",
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly, the round-6 operators composed end to end
+    in ONE lazy plan: content fingerprint → exact-dup cluster id →
+    leakage-safe cluster split (80/10/10) → train split only → per-source
+    600-token budget in deterministic md5 order. The oracle replays every
+    stage including the split CASE and the budget cumsum. Shuffle
+    profile: fingerprint window + budget window — two keyed shuffles
+    total; the split is a map-side expression between them."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = D.normalized_fingerprint(docs, "text")
+    clustered = fp.withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    split = R.split_by_cluster(
+        clustered,
+        "cluster_id",
+        (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        salt="split",
+    )
+    train = split.filter(F.col("split") == "train").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    kept = R.token_budget_sample(train, "doc_id", "n_tokens", "source", 600, salt="budget")
+    return kept.select("doc_id", "source", "cluster_id", "n_tokens", "cum_tokens")
+
+
+@register(
+    "x_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+      FROM t
+    ),
+    pp AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM p),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM pp GROUP BY 1, 2),
+    ug AS (SELECT w, count(*) AS c1
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+    v AS (SELECT count(*) AS nv FROM ug),
+    m AS (
+      SELECT w1, w2,
+             CAST(round(ln((c1 + nv) / (c12 + 1.0)) * 1e6) AS BIGINT) AS nll6
+      FROM bc JOIN ug ON bc.w1 = ug.w CROSS JOIN v
+    ),
+    s AS (
+      SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(m.nll6) AS BIGINT) AS sum_nll6
+      FROM pp JOIN m USING (w1, w2) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, sum_nll6, sum_nll6 // n_bigrams AS avg_nll6
+    FROM s
+    """,
+    "llm", "textops", "A4",
+)
+def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality scoring (textops.ngram_lm_score)
+    — the CCNet/KenLM-style perplexity filter with the model trained on
+    the corpus itself. Integer micro-NLL per bigram (round(ln((C(w1)+V)
+    /(C(w1,w2)+1))·1e6), add-one smoothing), exact integer sums, and a
+    deliberately NON-NEGATIVE score so Spark's truncating div and
+    DuckDB's floor // agree on the per-doc mean. Higher avg_nll6 =
+    less probable under the corpus = lower quality."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.ngram_lm_score(docs, "doc_id", "text")
+
+
+@register(
+    "x_funnel_stages",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t0
+             AND e.ts <= s0.t0 + INTERVAL 86400 SECOND GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 86400 SECOND GROUP BY 1)
+    SELECT u.user_id,
+           CAST(CASE WHEN s2.user_id IS NOT NULL THEN 3
+                     WHEN s1.user_id IS NOT NULL THEN 2
+                     WHEN s0.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM u
+    LEFT JOIN s0 USING (user_id)
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    """,
+    "llm", "A3", "J8",
+)
+def x_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (relational.funnel_stages): per user, how far
+    through view → click → purchase they progressed, each step strictly
+    after the user's ENTRY into the previous one (min-after-min; ties at
+    the identical timestamp do not advance) and within a 1-day
+    conversion window — the window is what differentiates users (stage
+    mix 90/35/25 at sf0.01, 964/319/217 at sf0.1; unbounded, every user
+    trivially converts — the q11 lesson). Wall-clock interval
+    arithmetic on NTZ, and timestamps never reach the output, so the
+    entry is tz-proof by construction. Every shuffle is user-keyed; the
+    stage tables shrink monotonically."""
+    ev = _t(spark, sf_dir, "events")
+    return R.funnel_stages(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        window_s=86400,
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

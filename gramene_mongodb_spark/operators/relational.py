@@ -790,3 +790,57 @@ def split_by_cluster(
     for label, thr in reversed(bounds):
         expr = F.when(hx < F.lit(thr), F.lit(label)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[tuple[str, Column]],
+    window_s: int | None = None,
+    out: str = "funnel_stage",
+) -> DataFrame:
+    """N-step funnel analysis: for each user, how far through an ordered
+    step sequence (view → click → purchase, …) they progressed, where
+    step k+1 must occur STRICTLY AFTER the user's entry into step k
+    (min-after-min semantics: entry time of step k+1 = min ts among
+    events matching step k+1 with ts > entry(k); ties at the exact same
+    timestamp do NOT advance — strict ordering is the deterministic
+    choice both engines replay identically). ``window_s`` bounds each
+    conversion: step k+1 must land within that many seconds of entering
+    step k (wall-clock interval arithmetic — tz-proof on NTZ columns),
+    which is what makes a funnel a funnel rather than an existence
+    check over an unbounded history.
+
+    Output: one row per distinct user with ``funnel_stage`` = number of
+    steps completed (0..len(steps)).
+
+    Scale: per-step = one filter + one user-keyed min aggregate + one
+    equi-join against the previous stage's (shrinking) user set. Every
+    shuffle is on ``user_col``, so AQE/exchange-reuse co-partitions the
+    whole chain after the first hash; the stage tables shrink
+    monotonically (funnel property), and nothing is ever collected.
+    """
+    uc, tc = F.col(user_col), F.col(ts_col)
+    stage_tables = []
+    prev = None  # DataFrame[user_col, __entry]
+    for i, (_name, pred) in enumerate(steps):
+        cur = df.filter(pred)
+        if prev is not None:
+            gate = tc > F.col("__entry")
+            if window_s is not None:
+                gate = gate & (
+                    tc <= F.col("__entry") + F.expr(f"INTERVAL {int(window_s)} SECOND")
+                )
+            cur = cur.join(prev, user_col).filter(gate)
+        nxt = cur.groupBy(user_col).agg(F.min(tc).alias("__entry"))
+        stage_tables.append(nxt.select(uc, F.lit(1).alias(f"__s{i}")).withColumnRenamed(user_col, f"__u{i}"))
+        prev = nxt
+    result = df.select(uc).distinct()
+    stage_expr = F.lit(0)
+    for i, st in enumerate(stage_tables):
+        result = result.join(
+            st, result[user_col] == st[f"__u{i}"], "left"
+        ).drop(f"__u{i}")
+        stage_expr = stage_expr + F.when(F.col(f"__s{i}").isNotNull(), 1).otherwise(0)
+    return result.select(uc, stage_expr.cast("int").alias(out))

@@ -704,3 +704,77 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "gram", "cnt"
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the
+    perplexity-style quality filter (CCNet's KenLM pass) with the model
+    trained on the corpus itself: documents whose bigrams are improbable
+    under the corpus distribution (boilerplate soup, lorem-noise,
+    wrong-language fragments) score low and get filtered.
+
+    Per bigram (w1, w2): ``nll6 = round(ln((C(w1)+V) / (C(w1,w2)+1))
+    · 1e6)`` — add-one-smoothed negative log likelihood over vocabulary
+    size V; the integer micro-log trick BM25/TF-IDF already use, so
+    scores sum exactly and per-doc means are integer division. NLL is
+    kept NON-NEGATIVE deliberately: truncating (Spark ``div``) and floor
+    (DuckDB ``//``) division diverge on negative quotients, so a
+    log-prob formulation would hash-mismatch on every doc whose sum
+    doesn't divide evenly. Per doc: ``avg_nll6 = sum(nll6) //
+    n_bigrams`` over bigram OCCURRENCES (repeats count); higher = less
+    probable = lower quality. Docs with no bigram are excluded.
+
+    Scale: two count aggregations (bigram, unigram — Zipf-head keys
+    partially aggregate map-side), one scalar V, then one equi-join of
+    doc-bigram occurrences against the bigram model and a doc-keyed
+    aggregation. The model side is corpus-vocabulary-sized — broadcast
+    when small, AQE decides otherwise; the corpus is never collected.
+    """
+    toks = _tokens(F.col(text))
+    pairs = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2),"
+                    " i -> named_struct('w1', __toks[i], 'w2', __toks[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bigram_c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigram.groupBy().agg(F.count(F.lit(1)).alias("__V"))
+    model = (
+        bigram_c.join(unigram, bigram_c["w1"] == unigram["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c1") + F.col("__V")) / (F.col("c12") + 1)) * 1e6
+            )
+            .cast("long")
+            .alias("nll6"),
+        )
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll6").alias("sum_nll6"),
+        )
+        .withColumn("avg_nll6", F.expr("sum_nll6 div n_bigrams"))
+    )

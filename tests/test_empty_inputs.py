@@ -117,3 +117,48 @@ def test_audio_stats_empty(spark):
 
     empty = spark.createDataFrame([], "media_id BIGINT, payload BINARY")
     assert audio_stats(empty).count() == 0
+
+
+def test_token_budget_empty(spark):
+    from gramene_mongodb_spark.operators.relational import token_budget_sample
+
+    df = spark.createDataFrame([], "doc_id LONG, source STRING, n_tokens LONG")
+    assert token_budget_sample(df, "doc_id", "n_tokens", "source", 100).count() == 0
+
+
+def test_split_by_cluster_empty(spark):
+    from gramene_mongodb_spark.operators.relational import split_by_cluster
+
+    df = spark.createDataFrame([], "doc_id LONG, cluster_id LONG")
+    out = split_by_cluster(df, "cluster_id")
+    assert out.count() == 0 and "split" in out.columns
+
+
+def test_inverted_index_empty(spark):
+    from gramene_mongodb_spark.operators.textops import inverted_index
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert inverted_index(docs).count() == 0
+
+
+def test_top_ngrams_empty(spark):
+    from gramene_mongodb_spark.operators.textops import top_ngrams
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert top_ngrams(docs).count() == 0
+
+
+def test_quantize_embeddings_empty(spark):
+    from gramene_mongodb_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = quantize_embeddings(df)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "qvec", "q_l1"}
+
+
+def test_semantic_dedup_empty(spark):
+    from gramene_mongodb_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    assert semantic_dedup(df).count() == 0

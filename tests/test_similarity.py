@@ -200,3 +200,51 @@ def test_quantize_embeddings_bounds_and_extremes(spark):
     assert all(out[v].qvec[1] == 0 for v in (1, 2, 3))
     # midpoint lands mid-range
     assert 120 <= out[3].qvec[0] <= 135
+
+
+def test_semantic_dedup_leader_survives_cross_cluster_ignored(spark):
+    from gramene_mongodb_spark.operators import similarity as S
+
+    rows = [
+        (1, [0.0, 0.0], 0),       # leader of cluster 0
+        (2, [0.0005, 0.0], 0),    # within tau of 1 -> dropped
+        (3, [9.0, 9.0], 0),       # far -> survives
+        (4, [0.0, 0.0], 1),       # identical to 1 but other cluster -> survives
+        (5, [0.00051, 0.0], 1),   # within tau of 4 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    # tau: 0.0005 micros = 500; 500^2 = 250_000
+    out = sorted(
+        r.vec_id
+        for r in S.semantic_dedup(df, tau_micros_sq=300_000).collect()
+    )
+    assert out == [1, 3, 4]
+
+
+def test_semantic_dedup_no_transitive_chaining_leader_rule(spark):
+    from gramene_mongodb_spark.operators import similarity as S
+
+    # chain 1 -- 2 -- 3 where 1-3 are NOT within tau: leader rule drops
+    # 2 (near 1) and ALSO drops 3 only if near a lower-id SURVIVOR or
+    # any lower id within tau; 3 is near 2 (dropped) -> still dropped,
+    # because the rule is "exists lower id within tau", not "exists
+    # surviving lower id" — document the exact contract
+    rows = [(1, [0.0]), (2, [0.0004]), (3, [0.0008])]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = sorted(
+        r.vec_id for r in S.semantic_dedup(df, tau_micros_sq=250_000).collect()
+    )
+    # 2 near 1 (400^2=160k <= 250k) dropped; 3 near 2 (160k) dropped
+    assert out == [1]
+
+
+def test_semantic_dedup_kernels_agree(spark, sf_dir):
+    from gramene_mongodb_spark.io import load_table
+    from gramene_mongodb_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(r.vec_id for r in S.semantic_dedup(emb, kernel="numpy").collect())
+    b = sorted(r.vec_id for r in S.semantic_dedup(emb, kernel="sql").collect())
+    assert a == b and len(a) > 0

@@ -420,3 +420,75 @@ def test_top_ngrams_exact_counts_and_tiebreak(spark):
     # single-token doc contributes no bigram; ranks are dense from 1
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
     assert sum(r.cnt for r in out) == 5
+
+
+def test_lm_score_rare_bigrams_score_higher_nll(spark):
+    # "the cat" repeated everywhere is probable; "zk qx" appears once
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zk qx zz vv"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in T.ngram_lm_score(df).collect()}
+    assert len(out) == 11
+    # repeats count as occurrences: 5 bigrams per common doc, 3 for the odd one
+    assert out[0].n_bigrams == 5 and out[100].n_bigrams == 3
+    assert out[100].avg_nll6 > out[0].avg_nll6
+    for r in out.values():
+        assert r.sum_nll6 >= 0 and r.avg_nll6 == r.sum_nll6 // r.n_bigrams
+
+
+def test_lm_score_single_token_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "word"), (2, "two words")], "doc_id LONG, text STRING"
+    )
+    out = T.ngram_lm_score(df).collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_token_budget_monotone_in_budget(spark):
+    """A larger budget keeps a SUPERSET of a smaller budget's rows (the
+    kept set is a prefix of the same md5-ordered cumsum), so budget
+    tuning never swaps documents, only extends the prefix."""
+    from gramene_mongodb_spark.operators import relational as R
+
+    rows = [(i, f"s{i % 3}", 50 + (i * 37) % 200) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_tokens LONG")
+    small = {r.doc_id for r in R.token_budget_sample(df, "doc_id", "n_tokens", "source", 500).collect()}
+    large = {r.doc_id for r in R.token_budget_sample(df, "doc_id", "n_tokens", "source", 2000).collect()}
+    assert small < large
+
+
+def test_funnel_stages_ordering_window_and_ties(spark):
+    from datetime import datetime
+
+    from gramene_mongodb_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full ordered funnel inside the window
+        (1, t(10), "view"), (1, t(20), "click"), (1, t(30), "purchase"),
+        # u2: click BEFORE first view -> never advances past stage 1
+        (2, t(20), "click"), (2, t(30), "view"),
+        # u3: click at the EXACT view timestamp -> strict > does not advance
+        (3, t(10), "view"), (3, t(10), "click"),
+        # u4: click outside the window -> stage 1 only
+        (4, t(0), "view"), (4, t(50), "click"),
+        # u5: no matching step at all
+        (5, t(0), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ, event_type STRING")
+    out = {
+        r.user_id: r.funnel_stage
+        for r in R.funnel_stages(
+            df,
+            "user_id",
+            "ts",
+            [
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+            window_s=30,
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0}
