@@ -155,6 +155,26 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source (``binaryFile`` format): ingest a directory of
+    opaque media payloads (images/audio/video) as rows of (path,
+    modificationTime, length, content BINARY) — the standard entry
+    point of the multimodal pipeline (``multimodal.probe_metadata`` /
+    ``decode_pixels`` consume the ``content`` column directly).
+
+    Scale: files become splits (one row per file, many files per task);
+    ``pathGlobFilter`` prunes at listing time — no bytes are read for
+    filtered-out files. Keep payloads ≤ a few MB per row (Arrow batch
+    sizing downstream); larger blobs should ride as object-store URIs.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def write_orc(
     df: DataFrame,
     path: str,

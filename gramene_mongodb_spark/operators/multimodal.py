@@ -126,9 +126,15 @@ def parse_media_header(payload: bytes) -> dict | None:
     return None
 
 
-_META_OUT_SCHEMA = T.StructType(
-    [T.StructField("media_id", T.LongType()), T.StructField("meta", MEDIA_META_SCHEMA)]
-)
+def _meta_out_schema(id_type: "T.DataType") -> "T.StructType":
+    # media_id follows the INPUT id type: BIGINT keys from a media table,
+    # STRING paths from binaryFile ingestion — same kernel either way
+    return T.StructType(
+        [T.StructField("media_id", id_type), T.StructField("meta", MEDIA_META_SCHEMA)]
+    )
+
+
+_META_OUT_SCHEMA = _meta_out_schema(T.LongType())
 
 
 def probe_metadata(
@@ -150,7 +156,10 @@ def probe_metadata(
                 }
             )
 
-    return media.select(id_col, payload_col).mapInPandas(run, _META_OUT_SCHEMA)
+    id_type = media.schema[id_col].dataType
+    return media.select(id_col, payload_col).mapInPandas(
+        run, _meta_out_schema(id_type)
+    )
 
 
 def make_png(width: int, height: int) -> bytes:

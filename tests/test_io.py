@@ -196,3 +196,28 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     filtered = back.filter(F.col("o_orderkey") == 1).select("o_orderkey", "o_totalprice")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)" in plan.replace("\n", "")
+
+
+def test_binary_file_source_feeds_multimodal_probe(spark, tmp_path):
+    """binaryFile ingestion: a directory of PNG payloads becomes
+    (path, content) rows; the glob prunes non-matching files at listing
+    time; probe_metadata parses the ingested bytes."""
+    from gramene_mongodb_spark.io import read_binary_files
+    from gramene_mongodb_spark.operators.multimodal import encode_png, probe_metadata
+
+    for i in range(3):
+        w = 2 + i
+        (tmp_path / f"img{i}.png").write_bytes(
+            encode_png(w, 2, bytes(range(w * 2 * 3)))
+        )
+    (tmp_path / "notes.txt").write_text("not an image")
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert df.count() == 3  # the .txt never enters the scan
+    probed = probe_metadata(
+        df.selectExpr("path AS media_id", "content AS payload"), "media_id", "payload"
+    )
+    got = {
+        r.media_id.rsplit("/", 1)[-1]: (r.meta.width, r.meta.height)
+        for r in probed.collect()
+    }
+    assert got == {"img0.png": (2, 2), "img1.png": (3, 2), "img2.png": (4, 2)}

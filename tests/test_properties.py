@@ -483,3 +483,71 @@ def test_k7_depth_bound_at_power_of_two_boundary(spark):
     }
     assert got == want
     assert (31, 0) in got
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages vs brute force
+# ---------------------------------------------------------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),            # user
+        st.integers(0, 50),           # second offset
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def funnel_reference(events, steps, window_s):
+    """Brute force min-after-min with window: entry(0) = min ts matching
+    step 0; entry(k+1) = min ts matching step k+1 with
+    entry(k) < ts <= entry(k) + window."""
+    users = {u for u, _, _ in events}
+    out = {}
+    for u in users:
+        stage, entry = 0, None
+        for step in steps:
+            cand = [
+                t
+                for uu, t, e in events
+                if uu == u
+                and e == step
+                and (entry is None or (entry < t <= entry + window_s))
+            ]
+            if not cand:
+                break
+            entry = min(cand)
+            stage += 1
+        out[u] = stage
+    return out
+
+
+@given(events=funnel_events)
+@settings(**SETTINGS)
+def test_funnel_stages_matches_brute_force(spark, events):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.relational import funnel_stages
+
+    base = datetime(2024, 1, 1)
+    rows = [(u, base + timedelta(seconds=t), e) for u, t, e in events]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ, event_type STRING")
+    got = {
+        r.user_id: r.funnel_stage
+        for r in funnel_stages(
+            df,
+            "user_id",
+            "ts",
+            [
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+            window_s=10,
+        ).collect()
+    }
+    assert got == funnel_reference(events, ["view", "click", "purchase"], 10)
