@@ -5971,6 +5971,114 @@ def x_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, d,
+             min(d) OVER (PARTITION BY user_id) AS cohort_period
+      FROM e
+    )
+    SELECT CAST(cohort_period AS BIGINT) AS cohort_period,
+           CAST(d - cohort_period AS BIGINT) AS period_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+    "llm", "A4", "W1",
+)
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (relational.cohort_retention): users
+    cohorted by their FIRST PURCHASE day from the 2024-01-01 anchor;
+    each (cohort_period, period_offset) cell counts distinct cohort
+    members purchasing that many days later. Day granularity over the
+    purchase subset is what differentiates (214 cells, counts 1-56 at
+    sf0.01; week granularity over all events collapses to a 5-row
+    near-constant matrix — the q11 lesson). Wall-clock datediff on the
+    NTZ date (tz-proof), non-negative by the anchor contract so
+    truncating and floor division agree. One user-keyed window + one
+    (cohort, offset) count-distinct."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return R.cohort_retention(ev, "user_id", "ts", "2024-01-01", unit="day").select(
+        F.col("cohort_period").cast("long"),
+        F.col("period_offset").cast("long"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "x_scd2_history",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c2 AS (
+      SELECT user_id, ts, event_id, event_type FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    iv AS (
+      SELECT user_id, event_type, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM c2
+    )
+    SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           CASE WHEN vt IS NULL THEN NULL
+                ELSE strftime(vt, '%Y-%m-%d %H:%M:%S') END AS valid_to,
+           vt IS NULL AS is_current
+    FROM iv
+    """,
+    "llm", "W2", "A3",
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history assembly (relational.scd2_history): each
+    user's event-type stream compressed to its CHANGES, every surviving
+    version carrying [valid_from, valid_to) and an is_current flag —
+    the dimension-history twin of the SCD1 ``upsert_merge``. The oracle
+    replays change detection (lag over the same (ts, event_id) order —
+    equivalent to the operator's md5 attr-hash compare since md5
+    equality ≡ string equality) and the lead-based interval derivation.
+    Timestamps emitted as formatted UTC strings (catalog convention)."""
+    ev = _t(spark, sf_dir, "events")
+    hist = R.scd2_history(
+        ev, "user_id", "ts", ["event_type"], order_extra=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "x_fixed_sample",
+    """
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(concat('fix', CAST(doc_id AS VARCHAR))), CAST(doc_id AS VARCHAR)
+    LIMIT 100
+    """,
+    "llm", "O1",
+)
+def x_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic sample (relational.fixed_sample): the 100
+    documents with the lowest md5(salt||doc_id) — a fixed-size,
+    engine-stable eval set, which rate-based sampling (±1/256
+    granularity, corpus-size-dependent count) cannot produce. Executes
+    as TakeOrdered (per-partition heaps + tiny merge, no global sort
+    shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.fixed_sample(docs, "doc_id", 100, salt="fix").select("doc_id", "source")
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -844,3 +844,110 @@ def funnel_stages(
         ).drop(f"__u{i}")
         stage_expr = stage_expr + F.when(F.col(f"__s{i}").isNotNull(), 1).otherwise(0)
     return result.select(uc, stage_expr.cast("int").alias(out))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    anchor_date: str = "2024-01-01",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the calendar
+    period (``unit`` = "week" or "day") of their FIRST event, counted
+    from ``anchor_date``; each (cohort_period, period_offset) cell
+    counts the distinct cohort members active ``offset`` periods after
+    their cohort period — the standard retention triangle every
+    product-analytics stack computes. Filter the input first to cohort
+    on a specific action (e.g. purchases only).
+
+    Week arithmetic is wall-clock (``datediff`` on the DATE of an NTZ
+    timestamp — tz-proof) and non-negative by the anchor contract
+    (anchor ≤ min event date), so truncating and floor division agree
+    across engines.
+
+    Scale: one user-keyed window (min week per user — the same shuffle
+    profile as sessionize) followed by a (cohort, offset)-keyed count
+    distinct whose output is weeks² rows; nothing is collected. Skew:
+    a mega-cohort lands on one reducer only for its count-distinct,
+    which Spark executes as a two-level partial aggregate.
+    """
+    uc = F.col(user_col)
+    days = f"datediff(CAST({ts_col} AS DATE), DATE '{anchor_date}')"
+    period = F.expr(days if unit == "day" else f"{days} div 7").cast("long")
+    w = Window.partitionBy(user_col)
+    ev = df.select(uc, period.alias("__p")).withColumn(
+        "cohort_period", F.min("__p").over(w)
+    )
+    return (
+        ev.groupBy(
+            "cohort_period",
+            (F.col("__p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(uc).alias("n_users"))
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """SCD type-2 history assembly from snapshots/events: per key,
+    collapse consecutive rows whose tracked attributes did not change
+    (change detection via lag over a deterministic attribute hash), then
+    derive each surviving version's validity interval — ``valid_from`` =
+    its timestamp, ``valid_to`` = the NEXT change's timestamp (null for
+    the current version, flagged ``is_current``). The dimension-table
+    twin of ``upsert_merge`` (SCD1): type 1 overwrites, type 2 keeps the
+    full change history every warehouse audit asks for.
+
+    ``order_extra`` appends tie-break columns (e.g. an event id) so
+    same-timestamp snapshots order deterministically.
+
+    Scale: two windows over the SAME (key × time) partitioning — AQE
+    reuses the exchange, so it is one shuffle; change compression
+    happens before the interval window, so the second pass sees only
+    changed rows. The attribute hash is ``md5`` over a unit-separator
+    join (engine-portable, null-safe via an explicit sentinel).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_extra]
+    w = Window.partitionBy(key).orderBy(*order)
+    attr_hash = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols]
+        )
+    )
+    changed = (
+        df.withColumn("__h", attr_hash)
+        .withColumn("__ph", F.lag("__h").over(w))
+        .filter(F.col("__ph").isNull() | (F.col("__h") != F.col("__ph")))
+        .drop("__h", "__ph")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def fixed_sample(
+    df: DataFrame, key: str | Column, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly-N deterministic sample: the ``n`` rows whose
+    ``md5(salt || key)`` ranks lowest (ties broken by the key) — the
+    "give me exactly 10k eval documents, stable across runs and
+    engines" contract that rate-based ``deterministic_sample`` (±1/256
+    granularity, size varies with the corpus) cannot make.
+
+    Scale: TakeOrdered — per-partition top-n heaps + a driver-side merge
+    of n·partitions tuples; no global sort shuffle. For n large enough
+    that n·partitions strains the driver, pre-filter with
+    ``deterministic_sample`` at a slightly generous rate first.
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    hx = F.md5(F.concat(F.lit(salt), keyc.cast("string")))
+    return df.orderBy(hx.asc(), keyc.cast("string").asc()).limit(int(n))

@@ -492,3 +492,66 @@ def test_funnel_stages_ordering_window_and_ties(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 1, 3: 1, 4: 1, 5: 0}
+
+
+def test_cohort_retention_day_semantics(spark):
+    from datetime import datetime
+
+    from gramene_mongodb_spark.operators import relational as R
+
+    d = lambda day, h=0: datetime(2024, 1, 1 + day, h)
+    rows = [
+        # u1 first active day 0, returns day 2 (twice -> still 1 distinct)
+        (1, d(0)), (1, d(2)), (1, d(2, 5)),
+        # u2 first active day 2, returns day 3
+        (2, d(2)), (2, d(3)),
+        # u3 only day 0
+        (3, d(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP_NTZ")
+    out = {
+        (r.cohort_period, r.period_offset): r.n_users
+        for r in R.cohort_retention(df, "user_id", "ts", "2024-01-01", unit="day").collect()
+    }
+    assert out == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_scd2_history_change_compression_and_intervals(spark):
+    from datetime import datetime
+
+    from gramene_mongodb_spark.operators import relational as R
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), 1, "A"), (1, t(10), 2, "A"),  # unchanged -> compressed away
+        (1, t(20), 3, "B"), (1, t(30), 4, "A"),  # A again = NEW version
+        (2, t(5), 5, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, ts TIMESTAMP_NTZ, eid LONG, attr STRING")
+    out = sorted(
+        (r.k, r.ts, r.attr, r.valid_to, r.is_current)
+        for r in R.scd2_history(df, "k", "ts", ["attr"], order_extra=["eid"]).collect()
+    )
+    assert [(k, a, vt is None, cur) for k, _, a, vt, cur in out] == [
+        (1, "A", False, False),
+        (1, "B", False, False),
+        (1, "A", True, True),
+        (2, "X", True, True),
+    ]
+    # valid_to chains to the next change's valid_from
+    k1 = [r for r in out if r[0] == 1]
+    assert k1[0][3] == k1[1][1] and k1[1][3] == k1[2][1]
+
+
+def test_fixed_sample_exact_n_stable_and_subset_free(spark):
+    from gramene_mongodb_spark.operators import relational as R
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id LONG")
+    a = sorted(r.doc_id for r in R.fixed_sample(df, "doc_id", 50).collect())
+    b = sorted(r.doc_id for r in R.fixed_sample(df, "doc_id", 50).collect())
+    assert a == b and len(a) == 50
+    # different salt -> different (decorrelated) selection
+    c = sorted(r.doc_id for r in R.fixed_sample(df, "doc_id", 50, salt="other").collect())
+    assert c != a
+    # n > corpus -> whole corpus
+    assert R.fixed_sample(df, "doc_id", 1000).count() == 500
