@@ -206,26 +206,40 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     arrays = shingle_arrays(df, id_col, text, n, materialize=True)
-    sh = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # shingles are per-doc distinct (array_distinct in shingle_arrays),
+    # so the set size rides along from the array — no count window
+    sh = arrays.select(
+        F.col(id_col),
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy(id_col)
-    ranked = (
-        sh.join(doc_freq, "shingle")
-        .withColumn("n_shingles", F.count(F.lit(1)).over(w_doc))
-        .withColumn(
-            "rn",
-            F.row_number().over(w_doc.orderBy(F.col("df"), F.col("shingle"))),
-        )
+    ranked = sh.join(doc_freq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(w_doc.orderBy(F.col("df"), F.col("shingle"))),
     )
     prefix = ranked.filter(
         F.col("rn")
         <= F.floor(F.round((1.0 - threshold) * F.col("n_shingles"), 6)).cast("int")
         + 1
-    ).select(id_col, "shingle")
+    ).select(id_col, "n_shingles", "shingle")
+    # length filter: jaccard ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|);
+    # the 1e-6 slack keeps exact-boundary pairs that float rounding of
+    # t·max would wrongly exclude (pruning may only over-admit — the
+    # verify step is exact either way)
     candidates = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_shingles"), F.col("b.n_shingles")).cast("double")
+                >= threshold
+                * F.greatest(F.col("a.n_shingles"), F.col("b.n_shingles"))
+                - 1e-6
+            )
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )

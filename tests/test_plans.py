@@ -265,3 +265,22 @@ def test_embed_quantize_broadcasts_range_row(spark, sf_dir):
 def test_top_ngrams_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_top_ngrams")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_analytics_entries_stay_jvm_side(spark, sf_dir):
+    """Funnel/LM/SCD2/cohort/fixed-sample are pure DataFrame plans."""
+    for name in (
+        "x_funnel_stages",
+        "x_lm_score",
+        "x_scd2_history",
+        "x_cohort_retention",
+        "x_fixed_sample",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_fixed_sample_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_fixed_sample")
+    assert "TakeOrderedAndProject" in plan
