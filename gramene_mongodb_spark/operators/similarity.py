@@ -236,18 +236,27 @@ def kmeans_assign_exact(
     )
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with(F.col("__q"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        # argmin as a PURE map-side expression: the k centroids collapse
+        # to ONE broadcast row holding a cid-sorted struct array, and
+        # array_min over (dist, cid) structs picks nearest-centroid with
+        # the lowest-cid tie-break via lexicographic struct ordering —
+        # no k·n row explosion, no id-keyed shuffle per iteration (the
+        # previous form windowed the k-replicated corpus every round)
+        one = (
+            centroids.select(F.struct(F.col("__cid"), F.col("__c")).alias("s"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list("s")).alias("__cents"))
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+        pick = F.expr(
+            "array_min(transform(__cents, cc -> named_struct("
+            "'d', aggregate(zip_with(__q, cc.__c, (x, y) -> (x - y) * (x - y)),"
+            "               0L, (a, v) -> a + v),"
+            "'cid', cc.__cid))).cid"
+        )
         return (
-            points.crossJoin(F.broadcast(centroids))
-            .withColumn("__dist", dist)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__dist", "__c")
+            points.crossJoin(F.broadcast(one))
+            .withColumn("__cid", pick)
+            .drop("__cents")
         )
 
     for _ in range(iterations):
