@@ -109,20 +109,35 @@ def assign_ivf_buckets(
     side (map-only). At scale, write the result partitioned by ``bucket``
     so probes prune partitions at the parquet scan.
     """
-    from pyspark.sql import Window
-
-    c = centroids.select(
-        F.col(centroid_id).alias("bucket"), F.col(centroid_vec).alias("__ctr")
+    # truly map-only: centroids collapse to ONE broadcast row (with
+    # per-centroid norms precomputed once); the nearest bucket is
+    # array_min over (-cosine, bucket) structs — lexicographic struct
+    # ordering reproduces the previous (sim desc, bucket asc) pick, and
+    # the corpus is never replicated k× through an id-keyed window
+    # shuffle (the previous plan's hidden exchange)
+    one = (
+        centroids.select(
+            F.struct(
+                F.col(centroid_id).alias("bucket"),
+                F.col(centroid_vec).alias("__ctr"),
+                _norm(F.col(centroid_vec)).alias("__cn"),
+            ).alias("s")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("s")).alias("__cents"))
     )
-    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
-        "__sim",
-        _dot(F.col(vec_col), F.col("__ctr")) / (_norm(F.col(vec_col)) * _norm(F.col("__ctr"))),
+    pick = F.expr(
+        f"array_min(transform(__cents, cc -> named_struct("
+        f"'ns', -(aggregate(zip_with({vec_col}, cc.__ctr,"
+        f"                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f"        CAST(0 AS DOUBLE), (a, v) -> a + v) / (__nv * cc.__cn)),"
+        f"'bucket', cc.bucket))).bucket"
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("bucket").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "__ctr")
+        vectors.withColumn("__nv", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(one))
+        .withColumn("bucket", pick)
+        .drop("__cents", "__nv")
     )
 
 
