@@ -37,7 +37,7 @@ from gramene_mongodb_spark.operators import dedup as D
 from gramene_mongodb_spark.operators import relational as R
 from gramene_mongodb_spark.operators import similarity as SIM
 from gramene_mongodb_spark.operators import textops as T
-from gramene_mongodb_spark.operators.closure import transitive_closure
+from gramene_mongodb_spark.operators.closure import pagerank, transitive_closure
 
 
 @dataclass
@@ -6077,6 +6077,90 @@ def x_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle)."""
     docs = _t(spark, sf_dir, "documents")
     return R.fixed_sample(docs, "doc_id", 100, salt="fix").select("doc_id", "source")
+
+
+_PAGERANK_ROUND = """
+  SELECT verts.v,
+         CAST(150000 + coalesce(sum((p.pr * 85) // (100 * d.outdeg)), 0)
+              AS BIGINT) AS pr
+  FROM verts
+  LEFT JOIN edges e ON e.dst = verts.v
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN {prev} p ON p.v = e.src
+  GROUP BY verts.v
+"""
+
+
+@register(
+    "x_pagerank_hosts",
+    f"""
+    WITH e0 AS (
+      SELECT doc_id AS src,
+             ('0x' || substring(md5('pg' || CAST(doc_id AS VARCHAR) || '-'
+                                    || CAST(links.j AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT count(*) FROM documents) AS dst
+      FROM documents, (VALUES (1), (2), (3)) links(j)
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+    deg   AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    pr0   AS (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM verts),
+    pr1   AS ({_PAGERANK_ROUND.format(prev="pr0")}),
+    pr2   AS ({_PAGERANK_ROUND.format(prev="pr1")}),
+    pr3   AS ({_PAGERANK_ROUND.format(prev="pr2")})
+    SELECT v AS vertex, pr AS rank_micros FROM pr3
+    """,
+    "llm", "graph",
+)
+def x_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (closure.pagerank) — the quality prior a
+    web-curation pipeline computes over the host graph, as extension
+    surface (the reference has no graph-rank operator; its iterative
+    ops stop at ancestor closure, `ontologies/obo2json.pl:100-113`).
+
+    The directed graph is derived deterministically from doc keys (the
+    x_url_canonical convention): each doc links to 3 md5-hashed targets
+    modulo the corpus size (md5 is bit-identical on both engines — the
+    dedup._md5_base31 convention; an affine LCG map would be a per-j
+    BIJECTION, giving every vertex in-degree 3 and a degenerate uniform
+    rank), self-loops dropped — so the vertex count scales with SF,
+    in-degree is Poisson-like, and both engines rebuild the identical
+    edge list. Three integer-exact rank rounds (int64 micros,
+    truncating division, order-independent integer sums — zero float
+    surface); the oracle unrolls the same three rounds as chained CTEs.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # driver-side scalar (the k7 max-key precedent)
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(*[F.lit(j) for j in (1, 2, 3)])).alias("j"),
+        )
+        .select(
+            "src",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("pg"),
+                                F.col("src").cast("string"),
+                                F.lit("-"),
+                                F.col("j").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return pagerank(edges, iterations=3, damping_pct=85, scale=1_000_000)
 
 
 # ===========================================================================

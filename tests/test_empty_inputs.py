@@ -22,6 +22,13 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_pagerank_empty(spark):
+    from gramene_mongodb_spark.operators.closure import pagerank
+
+    edges = spark.createDataFrame([], "src LONG, dst LONG")
+    assert pagerank(edges).count() == 0
+
+
 def test_dedup_exact_empty(spark):
     from gramene_mongodb_spark.operators.dedup import dedup_exact
 

@@ -212,6 +212,46 @@ def test_connected_components_match_union_find(spark, edges):
 
 
 # --------------------------------------------------------------------------
+# pagerank vs integer reference
+# --------------------------------------------------------------------------
+
+
+def pagerank_reference(
+    edges: list[tuple[int, int]], iterations: int = 3
+) -> dict[int, int]:
+    """Same integer recurrence as closure.pagerank, computed sequentially:
+    rank' = 150000 + Σ_in (rank_u * 85) // (100 * outdeg_u)."""
+    es = sorted(set(edges))
+    verts = sorted({u for e in es for u in e})
+    outdeg: dict[int, int] = {}
+    for u, _ in es:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {v: 1_000_000 for v in verts}
+    for _ in range(iterations):
+        nxt = {v: 150_000 for v in verts}
+        for u, v in es:
+            nxt[v] += (pr[u] * 85) // (100 * outdeg[u])
+        pr = nxt
+    return pr
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_pagerank_matches_integer_reference(spark, edges):
+    from gramene_mongodb_spark.operators.closure import pagerank
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r.vertex: r.rank_micros
+        for r in pagerank(df, "src", "dst", iterations=3).collect()
+    }
+    assert got == pagerank_reference(edges)
+
+
+# --------------------------------------------------------------------------
 # as-of join vs brute force
 # --------------------------------------------------------------------------
 
