@@ -51,6 +51,7 @@ HEADLINE = [
     "x_semantic_dedup",
     "x_lm_score",
     "pipeline_training_mix",
+    "x_pagerank_hosts",
 ]
 
 

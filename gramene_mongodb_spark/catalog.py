@@ -6163,6 +6163,98 @@ def x_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3, damping_pct=85, scale=1_000_000)
 
 
+@register(
+    "x_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 1000000) AS BIGINT) AS value_micros
+      FROM events
+    ),
+    a AS (
+      SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+             row_number() OVER (PARTITION BY user_id ORDER BY value_micros)
+               AS rn
+      FROM v
+    ),
+    m AS (
+      SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN value_micros END)
+                  OVER (PARTITION BY user_id) AS med
+      FROM a
+    ),
+    d AS (SELECT *, abs(value_micros - med) AS dev FROM m),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn2
+      FROM d
+    ),
+    md AS (
+      SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY user_id) AS mad
+      FROM r2
+    )
+    SELECT event_id, user_id, value_micros, med AS med_micros,
+           mad AS mad_micros, dev > 3 * mad AS is_outlier
+    FROM md
+    """,
+    "llm", "W",
+)
+def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier flags on event values
+    (relational.grouped_mad_outliers): median/MAD order-statistic picks
+    on micro-quantized integers — the anomaly screen that survives the
+    outliers a mean±k·σ screen is destroyed by. One shuffle on user_id
+    serves every window; oracle replays the identical rank-pick
+    recurrence (no interpolated percentile on either side)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("value_micros"),
+    )
+    out = R.grouped_mad_outliers(ev, ["user_id"], "value_micros", k=3)
+    return out.select(
+        "event_id",
+        "user_id",
+        "value_micros",
+        F.col("med").alias("med_micros"),
+        F.col("mad").alias("mad_micros"),
+        "is_outlier",
+    )
+
+
+@register(
+    "x_adaptive_filter",
+    """
+    WITH counts AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS n
+      FROM counts
+    ),
+    thr AS (
+      SELECT CAST(min(v) AS BIGINT) AS threshold FROM cum
+      WHERE cum >= (3 * n + 3) // 4
+    )
+    SELECT d.doc_id, d.n_chars, t.threshold
+    FROM documents d, thr t
+    WHERE d.n_chars >= t.threshold
+    """,
+    "llm", "P4",
+)
+def x_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative adaptive length filter
+    (relational.percentile_threshold_filter): keep the longest quartile,
+    where the threshold is the exact p75 order statistic of THIS corpus
+    — quality gates that track the corpus instead of hardcoded
+    constants. The quantile runs on the value domain (groupBy(n_chars)
+    counts + a distinct-value running sum), never a corpus-wide sort;
+    the 1-row threshold broadcasts back and the filter is map-side."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = R.percentile_threshold_filter(docs, "n_chars", 3, 4, keep_ge=True)
+    return out.select("doc_id", "n_chars", "threshold")
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

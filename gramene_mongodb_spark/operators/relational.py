@@ -951,3 +951,114 @@ def fixed_sample(
     keyc = F.col(key) if isinstance(key, str) else key
     hx = F.md5(F.concat(F.lit(salt), keyc.cast("string")))
     return df.orderBy(hx.asc(), keyc.cast("string").asc()).limit(int(n))
+
+
+# --------------------------------------------------------------------------
+# robust per-group outlier flags (median / MAD, integer-exact)
+# --------------------------------------------------------------------------
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value: str,
+    k: int = 3,
+) -> DataFrame:
+    """Flag per-group outliers by median absolute deviation — the robust
+    anomaly screen a telemetry/curation pipeline runs per entity (mean ±
+    k·stddev breaks on the very outliers it hunts; median/MAD does not).
+
+    ``value`` must already be an integer column (quantize floats to
+    micros first — the similarity.py convention). Both location and
+    spread are ORDER-STATISTIC picks, not interpolated percentiles:
+
+    * ``med  = value at sorted position ⌈n/2⌉`` within the group,
+    * ``mad  = |value − med| at sorted position ⌈n/2⌉``,
+    * outlier ⇔ ``|value − med| > k · mad``.
+
+    A position pick on integers is deterministic on any engine and any
+    partitioning (ties don't matter: equal values yield the same pick),
+    so the whole operator is oracle-replayable — unlike float
+    ``percentile()``/``stddev`` pipelines.
+
+    Scale: ONE hash shuffle on the group key serves all four window
+    computations (count, two ranked picks, spread) — the second ranked
+    pick re-sorts within partitions but does not re-exchange. Skewed
+    groups are per-key linear, same posture as ``sessionize``.
+
+    Output: input columns + ``med``, ``mad``, ``is_outlier``.
+    """
+    keys = list(group_by)
+    wp = Window.partitionBy(*keys)
+    wv = wp.orderBy(F.col(value).asc())
+    pos = F.expr("(__n + 1) div 2")
+    out = (
+        df.withColumn("__n", F.count("*").over(wp))
+        .withColumn("__rn", F.row_number().over(wv))
+        .withColumn(
+            "med",
+            F.max(F.when(F.col("__rn") == pos, F.col(value))).over(wp),
+        )
+        .withColumn("__dev", F.abs(F.col(value) - F.col("med")))
+    )
+    wd = wp.orderBy(F.col("__dev").asc())
+    out = (
+        out.withColumn("__rn2", F.row_number().over(wd))
+        .withColumn(
+            "mad",
+            F.max(F.when(F.col("__rn2") == pos, F.col("__dev"))).over(wp),
+        )
+        .withColumn("is_outlier", F.col("__dev") > F.lit(int(k)) * F.col("mad"))
+        .drop("__n", "__rn", "__rn2", "__dev")
+    )
+    return out
+
+
+def percentile_threshold_filter(
+    df: DataFrame,
+    value: str,
+    q_num: int,
+    q_den: int,
+    keep_ge: bool = True,
+) -> DataFrame:
+    """Corpus-relative adaptive filter: keep rows whose integer ``value``
+    is ≥ (or <) the corpus's exact q-quantile, computed as the value at
+    sorted position ⌈q·n⌉ — "drop the shortest quartile of documents"
+    where the threshold FOLLOWS the corpus instead of being hardcoded.
+
+    ``q = q_num/q_den`` as an integer rational, so the needed rank is
+    ``(q_num·n + q_den − 1) div q_den`` — no float rank boundary for two
+    engines to disagree on.
+
+    Scale shape (the reason this is not one global sort): the quantile
+    is computed on the VALUE DOMAIN, not the corpus — ``groupBy(value)``
+    counts (map-side combinable, one shuffle keyed on value), a
+    running-sum window over the distinct-value table (value-domain-sized
+    — thousands of rows at 100 TB, the only single-partition step), then
+    the 1-row threshold broadcast-joins back and the filter runs
+    map-side. A corpus-sized global ``orderBy`` never happens.
+
+    Output: input columns + ``threshold`` (the same value on every row).
+    """
+    counts = df.groupBy(F.col(value).alias("__v")).agg(
+        F.count("*").alias("__c")
+    )
+    wcum = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy())
+    )
+    thr = (
+        cum.filter(
+            F.col("__cum")
+            >= F.expr(f"({q_num} * __n + {q_den} - 1) div {q_den}")
+        )
+        .agg(F.min("__v").alias("threshold"))
+    )
+    joined = df.join(F.broadcast(thr))
+    cond = (
+        F.col(value) >= F.col("threshold")
+        if keep_ge
+        else F.col(value) < F.col("threshold")
+    )
+    return joined.filter(cond)

@@ -45,7 +45,8 @@ def run(df): df.write.format("noop").mode("overwrite").save()
 
 OPS = ["x_semantic_dedup", "x_lm_score", "x_bm25_topk", "x_inverted_index",
        "x_embed_quantize", "x_top_ngrams", "x_funnel_stages",
-       "x_token_budget", "pipeline_training_mix", "x_pack_sequences"]
+       "x_token_budget", "pipeline_training_mix", "x_pack_sequences",
+       "x_pagerank_hosts"]
 
 replicate()
 # warm-up

@@ -252,6 +252,65 @@ def test_pagerank_matches_integer_reference(spark, edges):
 
 
 # --------------------------------------------------------------------------
+# median/MAD outliers and percentile threshold vs brute force
+# --------------------------------------------------------------------------
+
+
+def lower_median(xs: list[int]) -> int:
+    """Value at sorted position ceil(n/2) — the operators' order-statistic
+    pick."""
+    s = sorted(xs)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_mad_outliers_match_brute_force(spark, rows):
+    from gramene_mongodb_spark.operators.relational import grouped_mad_outliers
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id: long, g: long, v: long")
+    got = {
+        r.id: (r.med, r.mad, r.is_outlier)
+        for r in grouped_mad_outliers(df, ["g"], "v", k=3).collect()
+    }
+    by_g: dict[int, list[int]] = {}
+    for _, g, v in data:
+        by_g.setdefault(g, []).append(v)
+    for i, g, v in data:
+        med = lower_median(by_g[g])
+        mad = lower_median([abs(x - med) for x in by_g[g]])
+        assert got[i] == (med, mad, abs(v - med) > 3 * mad), (i, g, v)
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    q=st.tuples(st.integers(1, 9), st.just(10)),
+)
+@settings(**SETTINGS)
+def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
+    from gramene_mongodb_spark.operators.relational import (
+        percentile_threshold_filter,
+    )
+
+    q_num, q_den = q
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id: long, v: long"
+    )
+    out = percentile_threshold_filter(df, "v", q_num, q_den).collect()
+    n = len(vals)
+    thr = sorted(vals)[(q_num * n + q_den - 1) // q_den - 1]
+    assert {r.id for r in out} == {i for i, v in enumerate(vals) if v >= thr}
+    assert all(r.threshold == thr for r in out)
+
+
+# --------------------------------------------------------------------------
 # as-of join vs brute force
 # --------------------------------------------------------------------------
 
