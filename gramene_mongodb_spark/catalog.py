@@ -4417,9 +4417,11 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x_bm25_topk",
-    f"""
+def _bm25_ranked_sql(limit: int) -> str:
+    """DuckDB replay of textops.bm25_scores for query {spark,window,dup}
+    — shared by the x_bm25_topk oracle and the lexical arm of
+    x_rrf_hybrid (same ranking, different list depth)."""
+    return f"""
     WITH t AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ),
@@ -4453,8 +4455,13 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
                 AS BIGINT) AS rank,
            doc_id, score_micro, n_terms_matched
-    FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 20
-    """,
+    FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT {int(limit)}
+    """
+
+
+@register(
+    "x_bm25_topk",
+    _bm25_ranked_sql(20),
     "llm", "A4", "O1",
 )
 def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6253,6 +6260,89 @@ def x_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = R.percentile_threshold_filter(docs, "n_chars", 3, 4, keep_ge=True)
     return out.select("doc_id", "n_chars", "threshold")
+
+
+@register(
+    "x_heavy_hitters",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS token FROM t),
+    n AS (SELECT count(*) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok, n
+    GROUP BY token, n.n
+    HAVING count(*) * 200 > n.n
+    """,
+    "llm", "A4",
+)
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens above 1/200 of the corpus token stream
+    (textops.heavy_hitters): per-partition Misra–Gries candidate
+    sketches (bounded memory at any token cardinality) + an exact
+    broadcast-recount verify, so the answer equals the oracle's plain
+    GROUP BY/HAVING exactly — sketch-accelerated but not approximate.
+    The full-cardinality token table is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.heavy_hitters(docs, "text", k_den=200)
+
+
+@register(
+    "x_rrf_hybrid",
+    f"""
+    WITH lex AS (
+      SELECT doc_id, rank FROM ({_bm25_ranked_sql(50)})
+    ),
+    sem AS (
+      SELECT neighbor_id AS doc_id, rank FROM (
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id AS neighbor_id,
+                 round({_DOT.format(a='qv', b='e.embedding')}
+                       / (sqrt({_DOT.format(a='qv', b='qv')})
+                          * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})),
+                       4) AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT neighbor_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rank
+        FROM scored
+        ORDER BY cosine DESC, neighbor_id LIMIT 50
+      )
+    ),
+    u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+    f AS (
+      SELECT doc_id,
+             CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, rrf_score, n_lists
+    FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    "llm", "similarity", "O1",
+)
+def x_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with embedding-cosine
+    top-50 (query vector = vec_id 0) by reciprocal-rank fusion
+    (similarity.rrf_fuse) — the standard two-arm hybrid-search combiner.
+    RRF reciprocals are truncating integer division on rank positions,
+    so the fused ordering is engine-exact; each arm is already a tiny
+    top-k list, so fusion moves k·2 rows regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = T.bm25_scores(
+        docs, ["spark", "window", "dup"], "doc_id", "text", k=50
+    ).select("doc_id", "rank")
+    q = emb.filter(F.col("vec_id") == 0)
+    sem = SIM.cosine_topk(emb, q, "vec_id", "embedding", k=50, round_to=4).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return SIM.rrf_fuse([lex, sem], "doc_id", "rank", top_k=20)
 
 
 # ===========================================================================

@@ -565,3 +565,56 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(dups, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid lexical + semantic retrieval)
+# --------------------------------------------------------------------------
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    scale: int = 1_000_000_000,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of heterogeneous retrieval arms (the
+    standard hybrid-search combiner: BM25 lexical + embedding cosine,
+    or any number of rankers):
+
+        rrf(d) = Σ over arms containing d of  scale div (k_const + rank_d)
+
+    Rank positions are integers and the reciprocal is TRUNCATING integer
+    division, so fusion is engine- and order-exact — no float
+    reciprocal sums to diverge between engines. An id missing from an
+    arm simply contributes nothing (union semantics, the usual RRF
+    treatment).
+
+    Scale: each arm is already a top-k list (tiny); the union + groupBy
+    touch k·#arms rows, the final top-k is TakeOrdered + a window over
+    ≤ top_k rows. Nothing corpus-sized moves.
+
+    Output: (rank, id_col, rrf_score, n_lists), rank 1-based by fused
+    score descending, id ascending.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        df.select(F.col(id_col), F.col(rank_col).cast("long").alias("__r"))
+        for df in ranked
+    ]
+    un = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = un.groupBy(id_col).agg(
+        F.sum(F.expr(f"{scale} div ({k_const} + __r)")).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    top = fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(int(top_k))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", id_col, "rrf_score", "n_lists"
+    )

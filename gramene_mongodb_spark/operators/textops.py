@@ -778,3 +778,76 @@ def ngram_lm_score(
         )
         .withColumn("avg_nll6", F.expr("sum_nll6 div n_bigrams"))
     )
+
+
+# --------------------------------------------------------------------------
+# heavy hitters: bounded-memory candidate sketch + exact verify
+# --------------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    text: str = "text",
+    k_den: int = 200,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACTLY the tokens whose corpus frequency exceeds ``n/k_den``
+    (n = total token count), with exact counts — found without ever
+    building a full token frequency table.
+
+    ``top_ngrams`` is the exact groupBy baseline; this is the shape that
+    survives when token cardinality overflows aggregation hash tables
+    (URLs, ids, typo-space at 100 TB): a per-partition **Misra–Gries**
+    summary of bounded ``capacity`` (default ``2·k_den``) proposes
+    candidates, then an exact recount over the (tiny, broadcast)
+    candidate set verifies. MG guarantee: a token with global freq
+    > n/k_den has, in ≥1 partition (pigeonhole), local freq
+    > n_p/k_den ≥ n_p/(capacity+1), so it survives that partition's
+    summary — the candidate union is a guaranteed superset and the
+    final filter makes the answer EXACT, not approximate.
+
+    Plan: one mapInPandas pass over the token stream (vectorized
+    value_counts per Arrow batch + MG reduction: subtract the
+    (capacity+1)-th largest, drop non-positives — memory is O(capacity)
+    regardless of cardinality; partition token totals ride along so no
+    separate counting scan), one distinct on the candidate set, one
+    broadcast-semi-joined recount (map-side combinable, reducer sees
+    only candidate tokens). No full-cardinality shuffle anywhere.
+
+    Output: (token, cnt) for every token with cnt·k_den > n.
+    """
+    import pandas as pd
+
+    cap = int(capacity) if capacity is not None else 2 * int(k_den)
+
+    toks = (
+        df.select(_tokens(F.col(text)).alias("__toks"))
+        .select(F.explode("__toks").alias("token"))
+    )
+
+    def sketch(batches):
+        agg: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for tok, c in pdf["token"].value_counts().items():
+                agg[tok] = agg.get(tok, 0) + int(c)
+            if len(agg) > cap:
+                s = pd.Series(agg)
+                s = s - s.nlargest(cap + 1).iloc[-1]
+                agg = s[s > 0].to_dict()
+        out = pd.DataFrame(
+            {"token": list(agg.keys()) + [None], "n_part": 0}
+        )
+        out.loc[out.index[-1], "n_part"] = n_part
+        yield out
+
+    summary = toks.mapInPandas(sketch, "token string, n_part long")
+    summary = summary.localCheckpoint(eager=True)  # one pass, reused twice
+    n_total = summary.agg(F.sum("n_part")).collect()[0][0] or 0
+    cands = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * k_den > F.lit(n_total))
+    )

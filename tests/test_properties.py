@@ -311,6 +311,81 @@ def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
 
 
 # --------------------------------------------------------------------------
+# reciprocal-rank fusion vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    arm_a=st.lists(st.integers(0, 20), min_size=1, max_size=12, unique=True),
+    arm_b=st.lists(st.integers(0, 20), min_size=1, max_size=12, unique=True),
+)
+@settings(**SETTINGS)
+def test_rrf_fuse_matches_brute_force(spark, arm_a, arm_b):
+    from gramene_mongodb_spark.operators.similarity import rrf_fuse
+
+    dfa = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(arm_a)], "doc_id: long, rank: long"
+    )
+    dfb = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(arm_b)], "doc_id: long, rank: long"
+    )
+    got = [
+        (r.rank, r.doc_id, r.rrf_score, r.n_lists)
+        for r in rrf_fuse([dfa, dfb], top_k=10).orderBy("rank").collect()
+    ]
+    scores: dict[int, list[int]] = {}
+    for arm in (arm_a, arm_b):
+        for i, d in enumerate(arm):
+            scores.setdefault(d, []).append(10**9 // (60 + i + 1))
+    fused = sorted(
+        ((sum(v), -d, d, len(v)) for d, v in scores.items()), reverse=True
+    )[:10]
+    want = [
+        (i + 1, d, s, n) for i, (s, _, d, n) in enumerate(fused)
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# heavy hitters (Misra–Gries + exact verify) vs plain counting
+# --------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            min_size=1,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=30,
+    ),
+    k_den=st.integers(3, 8),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_exact_under_tiny_capacity(spark, docs, k_den):
+    """The MG sketch only PROPOSES; the exact verify must make the output
+    identical to plain counting even when capacity is at the theoretical
+    floor (k_den−1 would break the superset guarantee; k_den holds it)
+    and the token stream is split across several partitions."""
+    from gramene_mongodb_spark.operators.textops import heavy_hitters
+
+    df = spark.createDataFrame([(d,) for d in docs], "text: string").repartition(4)
+    got = {
+        (r.token, r.cnt)
+        for r in heavy_hitters(df, "text", k_den=k_den, capacity=k_den).collect()
+    }
+    toks = [t for d in docs for t in d.split()]
+    n = len(toks)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    want = {(t, c) for t, c in counts.items() if c * k_den > n}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
 # as-of join vs brute force
 # --------------------------------------------------------------------------
 
