@@ -6345,6 +6345,98 @@ def x_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rrf_fuse([lex, sem], "doc_id", "rank", top_k=20)
 
 
+@register(
+    "x_cdc_replay",
+    """
+    WITH log AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type IN ('purchase', 'signup') THEN 'U'
+                  ELSE 'I' END AS op,
+             CAST(round(value * 1000000) AS BIGINT) AS value_micros
+      FROM events
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, event_id, value_micros
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    "llm", "A5", "S12",
+)
+def x_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay (relational.cdc_replay): the events stream read as
+    a change log on user state (error → delete, purchase/signup →
+    update, else insert); latest change per user wins, deleted users
+    vanish — the log-structured twin of SCD1 ``upsert_merge`` (one
+    batch) and ``scd2_history`` (all versions). One user-keyed shuffle;
+    WindowGroupLimit prunes to top-1 map-side before the exchange."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("purchase", "signup"), "U")
+        .otherwise("I")
+        .alias("op"),
+        F.round(F.col("value") * 1000000).cast("long").alias("value_micros"),
+    )
+    out = R.cdc_replay(ev, ["user_id"], ["ts", "event_id"], op="op")
+    return out.select("user_id", "event_id", "value_micros")
+
+
+@register(
+    "x_agg_merge",
+    """
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders GROUP BY o_custkey
+    """,
+    "llm", "A4",
+)
+def x_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (relational.merge_partial_aggregates): orders are split into a
+    'historical state' (even keys) and a 'new batch' (odd keys), each
+    pre-aggregated per customer, then FOLDED — sum/count add, min/max
+    combine, keys on either side survive the full-outer merge. The
+    oracle is the direct aggregate over all orders: the merge must be
+    indistinguishable from re-aggregating history, which is exactly the
+    materialized-view-maintenance contract. Prices in integer cents so
+    sums are order-exact."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum("cents").alias("total_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+
+    state = partial(orders.filter(F.col("o_orderkey") % 2 == 0))
+    batch = partial(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return R.merge_partial_aggregates(
+        state,
+        batch,
+        ["o_custkey"],
+        sums=["total_cents"],
+        counts=["n_orders"],
+        mins=["first_key"],
+        maxs=["last_key"],
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -1062,3 +1062,93 @@ def percentile_threshold_filter(
         else F.col(value) < F.col("threshold")
     )
     return joined.filter(cond)
+
+
+# --------------------------------------------------------------------------
+# CDC log replay and incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+def cdc_replay(
+    log: DataFrame,
+    keys: Sequence[str],
+    seq: Sequence[str],
+    op: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a change-data-capture log (insert/update/delete rows with
+    a per-key sequence) to the final table state: the LATEST op per key
+    wins; keys whose latest op is a delete vanish.
+
+    ``seq`` columns must totally order each key's changes (ts + a
+    unique change id — same pinned-tie-break contract as
+    ``argmax_per_group``). This is the log-structured twin of
+    ``upsert_merge`` (one batch vs current state) and ``scd2_history``
+    (which keeps all versions): replay keeps exactly one.
+
+    Scale: one shuffle on the key, WindowGroupLimit prunes to the
+    top-1 row per key map-side before the exchange — the log never
+    re-sorts globally.
+    """
+    order = [F.col(c).desc() for c in seq]
+    latest = argmax_per_group(log, list(keys), order)
+    return latest.filter(F.col(op) != F.lit(delete_op)).drop(op)
+
+
+def merge_partial_aggregates(
+    state: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a new batch's
+    partial aggregates into a stored aggregate table without
+    re-aggregating history — the kappa-architecture pattern that keeps
+    a 100 TB rollup fresh for the cost of the day's delta.
+
+    ``state`` and ``batch`` both carry the SAME pre-aggregated columns
+    (sum/count/min/max are the self-mergeable algebra; avg is derived
+    sum/count downstream). Full-outer join on the key, combine with
+    null-neutral coalesce — a key present in either side survives.
+
+    Scale: the join shuffles on the aggregate key — aggregate-sized
+    (|distinct keys|), not corpus-sized; co-partition/bucket both
+    sides on the key and the exchange disappears entirely
+    (io.write_bucketed, plan-asserted in test_io.py).
+    """
+    merged = state.alias("s").join(
+        batch.alias("b"), on=list(keys), how="full_outer"
+    )
+    cols: list = [F.col(k) for k in keys]
+    zero = F.lit(0).cast("long")
+    for c in sums:
+        cols.append(
+            (
+                F.coalesce(F.col(f"s.{c}"), zero)
+                + F.coalesce(F.col(f"b.{c}"), zero)
+            ).alias(c)
+        )
+    for c in counts:
+        cols.append(
+            (
+                F.coalesce(F.col(f"s.{c}"), zero)
+                + F.coalesce(F.col(f"b.{c}"), zero)
+            ).alias(c)
+        )
+    for c in mins:
+        cols.append(
+            F.least(
+                F.coalesce(F.col(f"s.{c}"), F.col(f"b.{c}")),
+                F.coalesce(F.col(f"b.{c}"), F.col(f"s.{c}")),
+            ).alias(c)
+        )
+    for c in maxs:
+        cols.append(
+            F.greatest(
+                F.coalesce(F.col(f"s.{c}"), F.col(f"b.{c}")),
+                F.coalesce(F.col(f"b.{c}"), F.col(f"s.{c}")),
+            ).alias(c)
+        )
+    return merged.select(*cols)

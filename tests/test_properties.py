@@ -311,6 +311,83 @@ def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
 
 
 # --------------------------------------------------------------------------
+# CDC replay and partial-aggregate merge vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # key
+            st.integers(0, 30),  # seq (may tie; change id breaks it)
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_cdc_replay_matches_brute_force(spark, log):
+    from gramene_mongodb_spark.operators.relational import cdc_replay
+
+    rows = [(k, s, i, op, v) for i, (k, s, op, v) in enumerate(log)]
+    df = spark.createDataFrame(
+        rows, "k: long, seq: long, cid: long, op: string, v: long"
+    )
+    got = {
+        r.k: (r.seq, r.cid, r.v)
+        for r in cdc_replay(df, ["k"], ["seq", "cid"], op="op").collect()
+    }
+    want = {}
+    for k in {r[0] for r in rows}:
+        latest = max((r for r in rows if r[0] == k), key=lambda r: (r[1], r[2]))
+        if latest[3] != "D":
+            want[k] = (latest[1], latest[2], latest[4])
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-100, 100), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_merge_partial_aggregates_equals_direct(spark, rows):
+    """Folding per-split partial aggregates must be indistinguishable
+    from aggregating everything at once — for ANY split, including ones
+    where a key appears on only one side."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.relational import (
+        merge_partial_aggregates,
+    )
+
+    data = [(k, v, i) for i, (k, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k: long, v: long, i: long")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    side = [s for _, _, s in rows]
+    a = partial(df.filter(F.col("i").isin([i for i, s in enumerate(side) if s]) if any(side) else F.lit(False)))
+    b = partial(df.filter(~F.col("i").isin([i for i, s in enumerate(side) if s]) if not all(side) else F.lit(False)))
+    merged = merge_partial_aggregates(
+        a, b, ["k"], sums=["s"], counts=["c"], mins=["mn"], maxs=["mx"]
+    )
+    got = {r.k: (r.s, r.c, r.mn, r.mx) for r in merged.collect()}
+    want = {r.k: (r.s, r.c, r.mn, r.mx) for r in partial(df).collect()}
+    assert got == want
+
+
+# --------------------------------------------------------------------------
 # reciprocal-rank fusion vs brute force
 # --------------------------------------------------------------------------
 
