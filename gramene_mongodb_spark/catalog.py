@@ -37,7 +37,11 @@ from gramene_mongodb_spark.operators import dedup as D
 from gramene_mongodb_spark.operators import relational as R
 from gramene_mongodb_spark.operators import similarity as SIM
 from gramene_mongodb_spark.operators import textops as T
-from gramene_mongodb_spark.operators.closure import pagerank, transitive_closure
+from gramene_mongodb_spark.operators.closure import (
+    pagerank,
+    transitive_closure,
+    triangle_count,
+)
 
 
 @dataclass
@@ -6086,59 +6090,25 @@ def x_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.fixed_sample(docs, "doc_id", 100, salt="fix").select("doc_id", "source")
 
 
-_PAGERANK_ROUND = """
-  SELECT verts.v,
-         CAST(150000 + coalesce(sum((p.pr * 85) // (100 * d.outdeg)), 0)
-              AS BIGINT) AS pr
-  FROM verts
-  LEFT JOIN edges e ON e.dst = verts.v
-  LEFT JOIN deg d ON d.src = e.src
-  LEFT JOIN {prev} p ON p.v = e.src
-  GROUP BY verts.v
-"""
-
-
-@register(
-    "x_pagerank_hosts",
-    f"""
-    WITH e0 AS (
+_LINKGRAPH_E0_SQL = """
       SELECT doc_id AS src,
              ('0x' || substring(md5('pg' || CAST(doc_id AS VARCHAR) || '-'
                                     || CAST(links.j AS VARCHAR)), 1, 8))::BIGINT
                % (SELECT count(*) FROM documents) AS dst
       FROM documents, (VALUES (1), (2), (3)) links(j)
-    ),
-    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
-    deg   AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-    verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
-    pr0   AS (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM verts),
-    pr1   AS ({_PAGERANK_ROUND.format(prev="pr0")}),
-    pr2   AS ({_PAGERANK_ROUND.format(prev="pr1")}),
-    pr3   AS ({_PAGERANK_ROUND.format(prev="pr2")})
-    SELECT v AS vertex, pr AS rank_micros FROM pr3
-    """,
-    "llm", "graph",
-)
-def x_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link-graph PageRank (closure.pagerank) — the quality prior a
-    web-curation pipeline computes over the host graph, as extension
-    surface (the reference has no graph-rank operator; its iterative
-    ops stop at ancestor closure, `ontologies/obo2json.pl:100-113`).
+"""
 
-    The directed graph is derived deterministically from doc keys (the
-    x_url_canonical convention): each doc links to 3 md5-hashed targets
-    modulo the corpus size (md5 is bit-identical on both engines — the
-    dedup._md5_base31 convention; an affine LCG map would be a per-j
-    BIJECTION, giving every vertex in-degree 3 and a degenerate uniform
-    rank), self-loops dropped — so the vertex count scales with SF,
-    in-degree is Poisson-like, and both engines rebuild the identical
-    edge list. Three integer-exact rank rounds (int64 micros,
-    truncating division, order-independent integer sums — zero float
-    surface); the oracle unrolls the same three rounds as chained CTEs.
-    """
+
+def _linkgraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared derived link graph (x_url_canonical convention): each
+    doc links to 3 md5-hashed targets modulo the corpus size (md5 —
+    NOT an affine LCG, which is a per-j bijection giving constant
+    in-degree), self-loops dropped. Vertex count scales with SF; both
+    engines rebuild the identical edge list (oracle twin:
+    ``_LINKGRAPH_E0_SQL``)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # driver-side scalar (the k7 max-key precedent)
-    edges = (
+    return (
         docs.select(
             F.col("doc_id").alias("src"),
             F.explode(F.array(*[F.lit(j) for j in (1, 2, 3)])).alias("j"),
@@ -6167,6 +6137,53 @@ def x_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst") != F.col("src"))
     )
+
+
+_PAGERANK_ROUND = """
+  SELECT verts.v,
+         CAST(150000 + coalesce(sum((p.pr * 85) // (100 * d.outdeg)), 0)
+              AS BIGINT) AS pr
+  FROM verts
+  LEFT JOIN edges e ON e.dst = verts.v
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN {prev} p ON p.v = e.src
+  GROUP BY verts.v
+"""
+
+
+@register(
+    "x_pagerank_hosts",
+    f"""
+    WITH e0 AS ({_LINKGRAPH_E0_SQL}),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+    deg   AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    pr0   AS (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM verts),
+    pr1   AS ({_PAGERANK_ROUND.format(prev="pr0")}),
+    pr2   AS ({_PAGERANK_ROUND.format(prev="pr1")}),
+    pr3   AS ({_PAGERANK_ROUND.format(prev="pr2")})
+    SELECT v AS vertex, pr AS rank_micros FROM pr3
+    """,
+    "llm", "graph",
+)
+def x_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (closure.pagerank) — the quality prior a
+    web-curation pipeline computes over the host graph, as extension
+    surface (the reference has no graph-rank operator; its iterative
+    ops stop at ancestor closure, `ontologies/obo2json.pl:100-113`).
+
+    The directed graph is derived deterministically from doc keys (the
+    x_url_canonical convention): each doc links to 3 md5-hashed targets
+    modulo the corpus size (md5 is bit-identical on both engines — the
+    dedup._md5_base31 convention; an affine LCG map would be a per-j
+    BIJECTION, giving every vertex in-degree 3 and a degenerate uniform
+    rank), self-loops dropped — so the vertex count scales with SF,
+    in-degree is Poisson-like, and both engines rebuild the identical
+    edge list. Three integer-exact rank rounds (int64 micros,
+    truncating division, order-independent integer sums — zero float
+    surface); the oracle unrolls the same three rounds as chained CTEs.
+    """
+    edges = _linkgraph_edges(spark, sf_dir)
     return pagerank(edges, iterations=3, damping_pct=85, scale=1_000_000)
 
 
@@ -6435,6 +6452,54 @@ def x_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         mins=["first_key"],
         maxs=["last_key"],
     )
+
+
+@register(
+    "x_triangle_count",
+    f"""
+    WITH e0 AS ({_LINKGRAPH_E0_SQL}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+      GROUP BY v
+    ),
+    orient AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS s,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS t
+      FROM und u
+      JOIN deg da ON da.v = u.a
+      JOIN deg db ON db.v = u.b
+    ),
+    wedge AS (
+      SELECT o1.s, o1.t AS x, o2.t AS y
+      FROM orient o1 JOIN orient o2 ON o1.s = o2.s AND o1.t < o2.t
+    ),
+    tri AS (
+      SELECT count(*) AS n FROM wedge w
+      WHERE EXISTS (SELECT 1 FROM und
+                    WHERE a = least(w.x, w.y) AND b = greatest(w.x, w.y))
+    )
+    SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM wedge) AS BIGINT) AS n_wedges
+    FROM tri
+    """,
+    "llm", "graph",
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the derived link graph (closure.triangle_count
+    — same md5 edge derivation as x_pagerank_hosts): degree-ordered
+    orientation bounds the wedge join at O(m^1.5) independent of hub
+    skew, and each triangle is counted exactly once at its
+    order-minimal apex. Exact integer counts; the oracle replays the
+    identical orientation and wedge/closing joins."""
+    edges = _linkgraph_edges(spark, sf_dir)
+    return triangle_count(edges)
 
 
 # ===========================================================================

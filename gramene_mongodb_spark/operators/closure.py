@@ -317,3 +317,68 @@ def pagerank(
     return ranks.select(
         F.col("u").alias("vertex"), F.col("pr").alias("rank_micros")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count over an undirected graph (edge list in
+    either/both directions; self-loops ignored) — the clustering-
+    coefficient / community-structure primitive, fourth graph op beside
+    closure, components and pagerank.
+
+    Degree-ordered edge orientation, the standard distributed-triangle
+    trick: orient every edge from the (degree, id)-smaller endpoint to
+    the larger, so each triangle is counted EXACTLY once (its
+    order-minimal vertex is the unique apex with two out-edges) and the
+    wedge join fans out from low-degree vertices only — total wedge
+    volume is O(m^1.5) regardless of hub skew, vs O(Σ deg²) for naive
+    wedge counting (a single celebrity hub would otherwise explode).
+
+    Plan: dedup to canonical undirected pairs (one shuffle), vertex-
+    sized degree table joined back (broadcastable), wedge self-join on
+    the apex (one shuffle on the oriented source), closing-edge
+    semi-join on the canonical pair key (one shuffle). No iteration.
+
+    Output: one row (n_triangles, n_wedges) — both exact BIGINTs.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+    o1 = orient.select(F.col("s"), F.col("t").alias("x"))
+    o2 = orient.select(F.col("s"), F.col("t").alias("y"))
+    wedges = o1.join(o2, "s").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und,
+        (F.least("x", "y") == F.col("a")) & (F.greatest("x", "y") == F.col("b")),
+        "left_semi",
+    )
+    n_wedges = wedges.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    return n_tri.select(F.col("n").alias("n_triangles")).crossJoin(
+        n_wedges.select(F.col("n").alias("n_wedges"))
+    )

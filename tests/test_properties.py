@@ -237,6 +237,25 @@ def pagerank_reference(
 
 @given(edges=edges_strategy)
 @settings(**SETTINGS)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from gramene_mongodb_spark.operators.closure import triangle_count
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = triangle_count(df, "src", "dst").collect()[0]
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    verts = sorted({x for e in und for x in e})
+    want = sum(
+        1
+        for a, b, c in combinations(verts, 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    )
+    assert got.n_triangles == want
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
 def test_pagerank_matches_integer_reference(spark, edges):
     from gramene_mongodb_spark.operators.closure import pagerank
 
