@@ -368,3 +368,41 @@ def observed(df: DataFrame, name: str, **metrics):
 
     obs = Observation(name)
     return df.observe(obs, *[expr.alias(alias) for alias, expr in metrics.items()]), obs
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_bytes`` files — the maintenance job that keeps a 100 TB
+    lake scannable after streaming/incremental writers fragment it
+    (every tiny file costs a task + an open + footer reads; compaction
+    restores row-group-sized scans and healthy listing times).
+
+    Sizing reads the CURRENT on-disk bytes (the only honest signal —
+    row counts don't predict encoded size), then one
+    ``repartition(n)`` rewrite. Round-robin repartition, so output
+    files are uniformly sized even when the input is skewed. Returns
+    the number of output partitions.
+
+    At real scale run per partition-directory (dt=.../hour=...) so
+    compaction parallelizes across partitions and never rewrites the
+    whole table; this single-dir form is that building block.
+    """
+    df = spark.read.parquet(src)
+    # size via the Hadoop FS API so any scheme (s3a://, hdfs://, file:/)
+    # works — os.walk would silently see nothing on object stores
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = fs.listFiles(jpath, True)
+    total = 0
+    while files.hasNext():
+        st = files.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    n = max(1, -(-total // int(target_bytes)))
+    df.repartition(n).write.mode("overwrite").parquet(dst)
+    return n

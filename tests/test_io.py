@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -221,3 +222,22 @@ def test_binary_file_source_feeds_multimodal_probe(spark, tmp_path):
         for r in probed.collect()
     }
     assert got == {"img0.png": (2, 2), "img1.png": (3, 2), "img2.png": (4, 2)}
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from gramene_mongodb_spark.io import compact_parquet, load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(20).write.parquet(src)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in == 20
+
+    n_out = compact_parquet(spark, src, dst, target_bytes=64 * 1024 * 1024)
+    files_out = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files_out) == n_out < n_in
+
+    a = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    b = {tuple(r) for r in ev.collect()}
+    assert a == b

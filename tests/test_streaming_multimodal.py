@@ -520,3 +520,74 @@ def test_session_stream_foreachbatch_matches_batch_sessionize(spark, sf_dir, tmp
         send, sn, ssv = state[k]
         assert (send, sn) == (end, n), k
         assert abs(ssv - sv) < 1e-6 * max(1.0, abs(sv)), k
+
+
+def test_incremental_agg_maintenance_via_foreachbatch(spark, sf_dir, tmp_path):
+    """relational.merge_partial_aggregates driven by a REAL
+    StreamingQuery: each micro-batch's per-user partials (sum, count,
+    min, max in int64 micros) are folded into an accumulating state
+    table inside foreachBatch; after the stream drains, the state must
+    EQUAL the direct aggregate over all events — the materialized-view
+    maintenance contract exercised through the actual streaming path,
+    not just the any-split property test."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.relational import (
+        merge_partial_aggregates,
+    )
+
+    staged = str(tmp_path / "events_inc")
+    load_table(spark, sf_dir, "events").repartition(6).write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    quant = stream.select(
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.sum("vm").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("vm").alias("mn"),
+            F.max("vm").alias("mx"),
+        )
+
+    state = {"df": None}
+    epochs: list[int] = []
+
+    def sink(df, epoch_id):
+        if df.isEmpty():
+            return
+        epochs.append(epoch_id)
+        part = partial(df).localCheckpoint(eager=True)
+        if state["df"] is None:
+            state["df"] = part
+        else:
+            state["df"] = merge_partial_aggregates(
+                state["df"], part, ["user_id"],
+                sums=["s"], counts=["c"], mins=["mn"], maxs=["mx"],
+            ).localCheckpoint(eager=True)
+
+    q = (
+        quant.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(epochs) >= 2, f"expected multiple micro-batches, got {epochs}"
+    got = {r.user_id: (r.s, r.c, r.mn, r.mx) for r in state["df"].collect()}
+    direct = partial(
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+        )
+    )
+    want = {r.user_id: (r.s, r.c, r.mn, r.mx) for r in direct.collect()}
+    assert got == want  # integer micros: exact, no float tolerance needed
