@@ -1864,7 +1864,7 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: exact jaccard-0.8 near-dup pairs → connected
-    components (iterative min-label propagation with pointer jumping) →
+    components (alternating large-star/small-star contraction) →
     every doc labeled with its cluster id + size, singletons included.
     The oracle mirrors the components with a recursive CTE."""
     docs = _t(spark, sf_dir, "documents")
@@ -6500,6 +6500,66 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical orientation and wedge/closing joins."""
     edges = _linkgraph_edges(spark, sf_dir)
     return triangle_count(edges)
+
+
+@register(
+    "x_graph_components",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT doc_id AS src,
+             ('0x' || substring(md5('pg' || CAST(doc_id AS VARCHAR) || '-1'),
+                                1, 8))::BIGINT
+               % (SELECT count(*) FROM documents) AS dst
+      FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT s.u, r.v FROM sym s JOIN reach r ON s.v = r.u
+    )
+    SELECT u AS vertex, CAST(min(v) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+    "llm", "graph",
+)
+def x_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components gated DIRECTLY (closure.connected_components
+    — previously exercised only through the dedup-clusters composition):
+    the sparse 1-out-link slice of the shared md5 link graph (a random
+    functional graph — subcritical, so components stay O(√n)-sized and
+    the recursive-CTE oracle's reachability table stays bounded at
+    every SF). Min-label propagation + pointer jumping, O(log diameter)
+    rounds, no driver-side union-find."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # driver-side scalar (the k7 max-key precedent)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pg"), F.col("doc_id").cast("string"), F.lit("-1")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    from gramene_mongodb_spark.operators.closure import connected_components
+
+    return connected_components(edges, "src", "dst")
 
 
 # ===========================================================================

@@ -17,8 +17,10 @@ small and data-independent of total size.
 Scale notes:
 * pair table is (node, ancestor) — for 100 TB graphs this stays columnar
   and shuffle-partitioned on ``node``; no driver-side structures.
-* ``localCheckpoint`` per iteration truncates the lineage so the plan
-  doesn't grow exponentially across iterations.
+* every iteration is plan-severed with ``lineage.hard_checkpoint`` —
+  plain ``localCheckpoint`` RETAINS its child plan for lazy stats, and a
+  self-joining round doubles that retained tree per iteration
+  (measured: exponential analysis cost + driver OOM; see lineage.py).
 * multi-parent DAGs converge because ``distinct`` dedups pairs found via
   different paths (SURVEY.md §7 risk 1).
 """
@@ -27,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from gramene_mongodb_spark.lineage import hard_checkpoint
 
 
 def transitive_closure(
@@ -61,7 +65,10 @@ def transitive_closure(
 
     def sized(df: DataFrame, n_rows: int) -> DataFrame:
         parts = min(max(1, n_rows // 500_000 + 1), max_parts)
-        return df.repartition(parts).localCheckpoint(eager=True)
+        # hard_checkpoint, not localCheckpoint: the closure is self-joined
+        # every round, and a localCheckpoint's retained child plan would
+        # double per round (see lineage.py) — exponential analysis cost
+        return hard_checkpoint(df.repartition(parts))
 
     base = edges.select(
         F.col(child).alias("node"), F.col(parent).alias("ancestor")
@@ -133,83 +140,96 @@ def connected_components(
     gets its component's minimum vertex id as ``component``.
 
     The dedup-cluster primitive (near-dup pairs → duplicate groups) and a
-    general graph op the reference lacks.  Iterative min-label
-    propagation, accelerated with one pointer-jump per round:
+    general graph op the reference lacks. Alternating **large-star /
+    small-star contraction** (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the production-standard formulation
+    with provable O(log² n) round convergence on ANY topology:
 
-    1. relax: label(v) ← min(label(v), min label over neighbors);
-    2. jump:  label(v) ← label(label(v))  (a self-join on the label),
-       which short-circuits long chains, so convergence is
-       O(log diameter) rounds, not O(diameter).
+    * large-star(u): attach every neighbor v > u to
+      m(u) = min(Γ(u) ∪ {u});
+    * small-star(u): attach every neighbor v ≤ u, and u itself, to m(u).
 
-    Each round is two shuffle joins over the (vertex, label) table —
-    columnar, keyed on vertex, no driver-side union-find.  Rounds are
-    ``localCheckpoint``-ed to keep lineage flat; fixpoint detected via a
-    changed-label count (an action per round, same posture as
-    ``transitive_closure``).  Output: (vertex, component), vertices = every
-    id appearing in ``edges``.
+    Converged when the canonical edge set stops changing; final edges
+    form stars whose centers are the component minima.
+
+    Why not min-label propagation with pointer jumping: the jump
+    label(v) ← label(label(v)) is a NO-OP once labels point at local
+    minima (a local min's label is itself), so that scheme degrades to
+    one graph hop per round — O(diameter) rounds, measured NOT converged
+    after 64 rounds on a 5,000-vertex functional graph that star
+    contraction finishes in 8. Large components with long cycles
+    (real dedup graphs at 100 TB) hit exactly that shape.
+
+    Each round is two star steps — groupBy(u) min + join, both keyed
+    shuffles over the (shrinking) edge table; no driver-side union-find.
+    Rounds are plan-severed via ``hard_checkpoint`` (a self-referencing
+    localCheckpoint would grow 2^rounds — lineage.py); convergence is
+    detected with a (count, checksum) aggregate — one action per round.
+    Output: (vertex, component), vertices = every id in ``edges``.
     """
     max_parts = edges.sparkSession.sparkContext.defaultParallelism
 
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.unionByName(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    n_edges = sym.count()
-    # size iteration tables from measured counts (see transitive_closure)
-    parts = min(max(1, n_edges // 500_000 + 1), max_parts)
-    sym = sym.repartition(parts).localCheckpoint(eager=True)
-
-    labels = (
-        sym.select("u")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .select("u", F.col("u").alias("label"))
+    )
+    n_edges = e.count()
+    parts = min(max(1, n_edges // 500_000 + 1), max_parts)
+    e = hard_checkpoint(e.repartition(parts))
+    verts = hard_checkpoint(
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .distinct()
         .repartition(parts)
-        .localCheckpoint(eager=True)
     )
 
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least("__mn", F.col("u")).alias("m"))
+        j = sym.join(mins, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("x"), F.col("m").alias("y")
+            )
+        else:
+            out = (
+                j.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("x"), F.col("m").alias("y"))
+                .unionByName(
+                    mins.select(F.col("u").alias("x"), F.col("m").alias("y"))
+                )
+            )
+        return (
+            out.filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .distinct()
+        )
+
+    prev: tuple | None = None
     for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("u").alias("v"), F.col("label").alias("__nl")),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("__nl").alias("__min_nbr"))
-        )
-        relaxed = labels.join(nbr_min, "u", "left").select(
-            "u",
-            F.least(
-                F.col("label"), F.coalesce(F.col("__min_nbr"), F.col("label"))
-            ).alias("label"),
-        )
-        jumped = (
-            relaxed.alias("a")
-            .join(
-                relaxed.select(
-                    F.col("u").alias("__lu"), F.col("label").alias("__ll")
-                ),
-                F.col("a.label") == F.col("__lu"),
-                "left",
-            )
-            .select(
-                F.col("a.u").alias("u"),
-                F.least(
-                    F.col("a.label"), F.coalesce(F.col("__ll"), F.col("a.label"))
-                ).alias("label"),
-            )
-            .repartition(parts)
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        e = hard_checkpoint(star(star(e, large=True), large=False).repartition(parts))
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("a") * F.lit(31) + F.col("b")).alias("s"),
+        ).collect()[0]
+        chk = (row["c"], row["s"])
+        if chk == prev:  # canonical edge set stable → stars reached
             break
-    return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
+        prev = chk
+
+    return verts.join(
+        e.select(F.col("b").alias("v"), F.col("a").alias("__comp")), "v", "left"
+    ).select(
+        F.col("v").alias("vertex"),
+        F.coalesce(F.col("__comp"), F.col("v")).alias("component"),
+    )
 
 
 def most_specific(annotations: DataFrame, closure: DataFrame, entity: str, term: str) -> DataFrame:
@@ -268,8 +288,8 @@ def pagerank(
     re-shuffled side) plus one ``groupBy(dst)`` sum with map-side
     partial aggregation — the canonical two-shuffle PageRank round.
     Rank tables are vertex-sized (two int64 columns), orders of
-    magnitude smaller than the edge set; rounds are localCheckpoint-ed
-    to keep lineage flat. Overflow headroom: total mass ≤ n_vertices ×
+    magnitude smaller than the edge set; rounds are plan-severed via
+    ``hard_checkpoint`` (lineage.py). Overflow headroom: total mass ≤ n_vertices ×
     scale, so int64 holds up to ~9e12 vertices at the default scale.
 
     Output: (``vertex`` long, ``rank_micros`` long) — one row per vertex
@@ -279,15 +299,14 @@ def pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     n_edges = e.count()
     parts = min(max(1, n_edges // 500_000 + 1), max_parts)
-    e = e.repartition(parts, "u").localCheckpoint(eager=True)
+    e = hard_checkpoint(e.repartition(parts, "u"))
 
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    verts = (
+    verts = hard_checkpoint(
         e.select("u")
         .unionByName(e.select(F.col("v").alias("u")))
         .distinct()
         .repartition(parts)
-        .localCheckpoint(eager=True)
     )
 
     base = (100 - damping_pct) * scale // 100
@@ -303,7 +322,7 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
+        ranks = hard_checkpoint(
             verts.join(contrib, verts["u"] == contrib["v"], "left")
             .select(
                 "u",
@@ -312,7 +331,6 @@ def pagerank(
                 .alias("pr"),
             )
             .repartition(parts)
-            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("u").alias("vertex"), F.col("pr").alias("rank_micros")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gramene_mongodb_spark.lineage import hard_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -171,8 +173,8 @@ def kmeans_centroids(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("centroid_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
         )
-        .localCheckpoint(eager=True)
     )
+    centroids = hard_checkpoint(centroids)
     for _ in range(iterations):
         assigned = assign_ivf_buckets(
             vectors, centroids, id_col, vec_col, "centroid_id", "centroid"
@@ -189,7 +191,8 @@ def kmeans_centroids(
             F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias(
                 "centroid"
             ),
-        ).localCheckpoint(eager=True)
+        )
+        centroids = hard_checkpoint(centroids)
     return centroids
 
 
@@ -247,8 +250,8 @@ def kmeans_assign_exact(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("__cid"),
             F.col("__q").alias("__c"),
         )
-        .localCheckpoint(eager=True)
     )
+    cent = hard_checkpoint(cent)
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
         # argmin as a PURE map-side expression: the k centroids collapse
@@ -288,7 +291,8 @@ def kmeans_assign_exact(
                     for i in range(dim)
                 ]
             ).alias("__c"),
-        ).localCheckpoint(eager=True)
+        )
+        cent = hard_checkpoint(cent)
     return assign(quant, cent).select(F.col(id_col), F.col("__cid").alias("cluster"))
 
 

@@ -40,13 +40,22 @@ def replicate():
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite").parquet(f"{DST}/events.parquet"))
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    (orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * 100_000_000)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("__rep") * 1_000_000)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(f"{DST}/orders.parquet"))
 
 def run(df): df.write.format("noop").mode("overwrite").save()
 
 OPS = ["x_semantic_dedup", "x_lm_score", "x_bm25_topk", "x_inverted_index",
        "x_embed_quantize", "x_top_ngrams", "x_funnel_stages",
        "x_token_budget", "pipeline_training_mix", "x_pack_sequences",
-       "x_pagerank_hosts"]
+       "x_pagerank_hosts", "x_triangle_count", "x_mad_outliers",
+       "x_heavy_hitters", "x_cdc_replay", "x_agg_merge",
+       "x_adaptive_filter", "x_rrf_hybrid"]
 
 replicate()
 # warm-up
