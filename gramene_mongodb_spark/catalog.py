@@ -6562,6 +6562,39 @@ def x_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "src", "dst")
 
 
+@register(
+    "x_priority_sample",
+    """
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) * 4294967296 /
+               CAST(('0x' || substring(md5('ps' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT + 1 AS DOUBLE) AS q
+      FROM documents
+    ),
+    top AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 51),
+    tau AS (SELECT CASE WHEN count(*) > 50 THEN min(q) ELSE 0 END AS t
+            FROM top),
+    kept AS (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 50)
+    SELECT kept.doc_id, kept.n_chars,
+           CAST(round(greatest(CAST(kept.n_chars AS DOUBLE), tau.t))
+                AS BIGINT) AS est_weight
+    FROM kept, tau
+    """,
+    "llm", "O1",
+)
+def x_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 50-doc sample by priority sampling
+    (relational.priority_sample, weight = n_chars): long documents
+    proportionally more likely, deterministic across engines (priority
+    q = w/u is one IEEE multiply + divide — bit-identical everywhere),
+    and each kept row carries the Duffield max(w, τ) estimator so
+    subset sums stay unbiased. TakeOrdered top-(n+1), no global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = R.priority_sample(docs, "n_chars", "doc_id", 50, salt="ps")
+    return out.select("doc_id", "n_chars", "est_weight")
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -1152,3 +1152,64 @@ def merge_partial_aggregates(
             ).alias(c)
         )
     return merged.select(*cols)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight: str,
+    key: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield–Lund–Thorup): each row gets priority q = w / u with u a
+    deterministic md5-uniform in (0,1]; the top-``n`` priorities are
+    the sample, and ``est_weight = max(w, τ)`` (τ = the (n+1)-th
+    priority) makes subset-sum estimates unbiased — the weighted
+    counterpart of ``fixed_sample`` ("give me 10k docs, long ones
+    proportionally more likely, stable across runs and engines, with
+    weights I can still sum").
+
+    Engine-exactness: u and q involve ONE multiply and ONE divide on
+    IEEE doubles — individually correctly-rounded operations are
+    bit-identical on any engine (only float SUMS are order-sensitive),
+    so the ranking and τ replay exactly in SQL.
+
+    Scale: TakeOrdered top-(n+1) — per-partition heaps, no global sort
+    shuffle; τ is a 1-row aggregate broadcast back.
+
+    Output: input columns + ``est_weight`` (BIGINT, rounded).
+    """
+    keyc = F.col(key)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), keyc.cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    q = F.col(weight).cast("double") * F.lit(4294967296.0) / h.cast("double")
+    top = (
+        df.withColumn("__q", q)
+        .orderBy(F.col("__q").desc(), keyc.asc())
+        .limit(int(n) + 1)
+    )
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > n, F.min("__q")).otherwise(0.0).alias("__tau")
+    )
+    kept = top.orderBy(F.col("__q").desc(), keyc.asc()).limit(int(n))
+    return (
+        kept.join(F.broadcast(tau))
+        .withColumn(
+            "est_weight",
+            F.round(
+                F.greatest(F.col(weight).cast("double"), F.col("__tau"))
+            ).cast("long"),
+        )
+        .drop("__q", "__tau")
+    )

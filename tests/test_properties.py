@@ -330,6 +330,43 @@ def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
 
 
 # --------------------------------------------------------------------------
+# priority sampling vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    weights=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    n=st.integers(1, 12),
+)
+@settings(**SETTINGS)
+def test_priority_sample_matches_brute_force(spark, weights, n):
+    """Python floats are IEEE doubles, so the w·2³²/h priority computed
+    here must equal Spark's bit-for-bit — same sample, same τ, same
+    estimator."""
+    import hashlib
+
+    from gramene_mongodb_spark.operators.relational import priority_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    got = {
+        r.id: r.est_weight
+        for r in priority_sample(df, "w", "id", n, salt="t").collect()
+    }
+
+    def q(i, w):
+        h = int(hashlib.md5(f"t{i}".encode()).hexdigest()[:8], 16) + 1
+        return float(w) * 4294967296.0 / float(h)
+
+    ranked = sorted(rows, key=lambda r: (-q(*r), r[0]))
+    tau = q(*ranked[n]) if len(ranked) > n else 0.0
+    want = {
+        i: int(round(max(float(w), tau))) for i, w in ranked[:n]
+    }
+    assert got == want
+
+
+# --------------------------------------------------------------------------
 # CDC replay and partial-aggregate merge vs brute force
 # --------------------------------------------------------------------------
 
