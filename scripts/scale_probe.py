@@ -5,6 +5,9 @@ non-degenerate), then time catalog operators at 1x and 10x.
 Usage: python scripts/scale_probe.py   (from the repo root)
 Results are recorded in SCALE.md §Measured scaling."""
 import time, os, sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import functions as F
 from gramene_mongodb_spark.session import get_spark
 from gramene_mongodb_spark.catalog import REGISTRY

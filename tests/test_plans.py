@@ -284,3 +284,60 @@ def test_analytics_entries_stay_jvm_side(spark, sf_dir):
 def test_fixed_sample_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_fixed_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_outliers_single_exchange(spark, sf_dir):
+    """All four window computations (count, two ranked picks, spread)
+    share ONE hash exchange on the group key — the second ranked pick
+    re-sorts within partitions but must not re-shuffle. Asserted on the
+    pre-execution plan: AQE's post-run stage dump repeats the exchange
+    at stage boundaries, which would double-count it."""
+    df = REGISTRY["x_mad_outliers"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cdc_replay_prunes_top1_before_exchange(spark, sf_dir):
+    """Latest-change-wins executes as WindowGroupLimit — per-partition
+    top-1 pruning runs map-side before the single key shuffle, so the
+    full log never crosses the wire."""
+    plan = plan_of(spark, sf_dir, "x_cdc_replay")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial + final limit
+
+
+def test_adaptive_filter_threshold_broadcasts(spark, sf_dir):
+    """The 1-row corpus-quantile threshold reaches the filter via a
+    broadcast — the corpus side is never shuffled for the comparison."""
+    plan = plan_of(spark, sf_dir, "x_adaptive_filter")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark, sf_dir):
+    """The exact recount probes the tiny candidate set via broadcast
+    join with map-side partial counts — the full-cardinality token
+    table is never shuffled."""
+    plan = plan_of(spark, sf_dir, "x_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_graph_and_fusion_entries_stay_jvm_side(spark, sf_dir):
+    """PageRank, triangle census, components, RRF fusion, agg merge:
+    pure DataFrame plans, zero Python evaluation."""
+    for name in (
+        "x_pagerank_hosts",
+        "x_triangle_count",
+        "x_graph_components",
+        "x_rrf_hybrid",
+        "x_agg_merge",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
