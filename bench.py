@@ -52,6 +52,7 @@ HEADLINE = [
     "x_lm_score",
     "pipeline_training_mix",
     "x_pagerank_hosts",
+    "pipeline_web_curate",
 ]
 
 

@@ -6595,6 +6595,117 @@ def x_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars", "est_weight")
 
 
+@register(
+    "pipeline_web_curate",
+    f"""
+    WITH e0 AS ({_LINKGRAPH_E0_SQL}),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+    deg   AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    pr0   AS (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM verts),
+    pr1   AS ({_PAGERANK_ROUND.format(prev="pr0")}),
+    pr2   AS ({_PAGERANK_ROUND.format(prev="pr1")}),
+    pr3   AS ({_PAGERANK_ROUND.format(prev="pr2")}),
+    counts AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents
+      WHERE lang = 'en' GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS n
+      FROM counts
+    ),
+    thr AS (
+      SELECT CAST(min(v) AS BIGINT) AS threshold FROM cum
+      WHERE cum >= (3 * n + 3) // 4
+    ),
+    kept AS (
+      SELECT d.doc_id, d.n_chars, t.threshold, r.pr AS rank_micros
+      FROM documents d
+      JOIN pr3 r ON r.v = d.doc_id
+      CROSS JOIN thr t
+      WHERE d.lang = 'en' AND d.n_chars >= t.threshold
+    ),
+    pri AS (
+      SELECT *,
+             CAST(rank_micros AS DOUBLE) * 4294967296 /
+               CAST(('0x' || substring(md5('wc' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT + 1 AS DOUBLE) AS q
+      FROM kept
+    ),
+    top AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT 51),
+    tau AS (SELECT CASE WHEN count(*) > 50 THEN min(q) ELSE 0 END AS t
+            FROM top),
+    sel AS (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 50)
+    SELECT sel.doc_id, sel.n_chars, sel.threshold, sel.rank_micros,
+           CAST(round(greatest(CAST(sel.rank_micros AS DOUBLE), tau.t))
+                AS BIGINT) AS est_weight
+    FROM sel, tau
+    """,
+    "llm", "pipeline",
+)
+def pipeline_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation DAG composing the round-6 operators end to end, one
+    lazy plan per stage family: the derived link graph → 3-round
+    integer PageRank prior (closure.pagerank) → English docs gated by
+    the corpus-relative p75 length quantile
+    (relational.percentile_threshold_filter, value-domain plan) →
+    PageRank-WEIGHTED priority sampling (relational.priority_sample:
+    high-rank pages proportionally more likely, Duffield estimator
+    rides along so the sample's rank mass is still unbiased). The
+    oracle replays every stage: graph derivation, three rank rounds,
+    quantile threshold, IEEE priority ranking and τ."""
+    edges = _linkgraph_edges(spark, sf_dir)
+    ranks = pagerank(edges, iterations=3, damping_pct=85, scale=1_000_000)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    gated = R.percentile_threshold_filter(docs, "n_chars", 3, 4, keep_ge=True)
+    joined = gated.join(
+        ranks.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("rank_micros"),
+        ),
+        "doc_id",
+    )
+    out = R.priority_sample(joined, "rank_micros", "doc_id", 50, salt="wc")
+    return out.select(
+        "doc_id", "n_chars", "threshold", "rank_micros", "est_weight"
+    )
+
+
+@register(
+    "x_equidepth_bins",
+    """
+    WITH counts AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, c,
+             sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS n
+      FROM counts
+    ),
+    binned AS (SELECT v, c, CAST((cum - 1) * 8 // n AS BIGINT) AS bin FROM cum)
+    SELECT bin, CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM binned GROUP BY bin
+    """,
+    "llm", "A4", "K10",
+)
+def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 8-bin histogram of document lengths
+    (relational.equidepth_bins): data-adaptive quantile boundaries from
+    exact integer arithmetic on the VALUE DOMAIN — the equi-width
+    binning's (K10/J7) adaptive sibling and the exact baseline that
+    approx_percentile sketches at 100 TB. One value-keyed shuffle; the
+    running sum touches only distinct values."""
+    docs = _t(spark, sf_dir, "documents").select("n_chars")
+    return R.equidepth_bins(docs, "n_chars", 8)
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

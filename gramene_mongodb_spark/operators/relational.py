@@ -1213,3 +1213,44 @@ def priority_sample(
         )
         .drop("__q", "__tau")
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value: str,
+    k: int,
+) -> DataFrame:
+    """Equi-depth histogram of an integer column: ``k`` bins of
+    approximately equal row count — the quantile summary a planner or
+    profiler publishes (equi-WIDTH binning is ``bin_fixed_width``; this
+    is its data-adaptive sibling, and the exact baseline for
+    ``approx_percentile``'s sketch).
+
+    A distinct value lands wholly in one bin (no row-splitting):
+    ``bin(v) = (cum(v) − 1) · k div n`` where cum is the running row
+    count through v in value order — deterministic integer arithmetic,
+    so the same boundaries fall out of any engine.
+
+    Scale: same value-domain plan as ``percentile_threshold_filter`` —
+    one groupBy(value) shuffle with map-side combine, then the running
+    sum and bin assignment run on the distinct-value table (thousands
+    of rows at 100 TB; the only single-partition step), never a
+    corpus-wide sort.
+
+    Output: (bin, lo, hi, n_rows), bin ∈ [0, k).
+    """
+    counts = df.groupBy(F.col(value).alias("v")).agg(F.count("*").alias("c"))
+    wcum = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("__cum", F.sum("c").over(wcum)).withColumn(
+        "__n", F.sum("c").over(Window.partitionBy())
+    )
+    binned = cum.withColumn(
+        "bin", F.expr(f"(__cum - 1) * {int(k)} div __n").cast("long")
+    )
+    return binned.groupBy("bin").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("c").alias("n_rows"),
+    )

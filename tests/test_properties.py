@@ -330,6 +330,39 @@ def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
 
 
 # --------------------------------------------------------------------------
+# equi-depth binning vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=1, max_size=50),
+    k=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_equidepth_bins_match_brute_force(spark, vals, k):
+    from gramene_mongodb_spark.operators.relational import equidepth_bins
+
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    got = {
+        r.bin: (r.lo, r.hi, r.n_rows)
+        for r in equidepth_bins(df, "v", k).collect()
+    }
+    n = len(vals)
+    by_v: dict[int, int] = {}
+    for v in vals:
+        by_v[v] = by_v.get(v, 0) + 1
+    cum = 0
+    want: dict[int, list] = {}
+    for v in sorted(by_v):
+        cum += by_v[v]
+        b = (cum - 1) * k // n
+        lo, hi, c = want.setdefault(b, [v, v, 0])
+        want[b] = [min(lo, v), max(hi, v), c + by_v[v]]
+    assert got == {b: tuple(x) for b, x in want.items()}
+    assert sum(c for _, _, c in got.values()) == n
+
+
+# --------------------------------------------------------------------------
 # priority sampling vs brute force
 # --------------------------------------------------------------------------
 
