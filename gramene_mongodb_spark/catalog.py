@@ -6706,6 +6706,52 @@ def x_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.equidepth_bins(docs, "n_chars", 8)
 
 
+@register(
+    "x_group_percentiles",
+    """
+    WITH v AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    a AS (
+      SELECT *, count(*) OVER (PARTITION BY o_orderpriority) AS n,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+               AS rn
+      FROM v
+    ),
+    m AS (
+      SELECT *,
+        max(CASE WHEN rn = (1 * n + 3) // 4 THEN cents END)
+          OVER (PARTITION BY o_orderpriority) AS p1_4,
+        max(CASE WHEN rn = (1 * n + 1) // 2 THEN cents END)
+          OVER (PARTITION BY o_orderpriority) AS p1_2,
+        max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+          OVER (PARTITION BY o_orderpriority) AS p3_4
+      FROM a
+    )
+    SELECT o_orderpriority, max(p1_4) AS p1_4, max(p1_2) AS p1_2,
+           max(p3_4) AS p3_4
+    FROM m GROUP BY o_orderpriority
+    """,
+    "llm", "A4",
+)
+def x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of order value per priority
+    (relational.grouped_rank_percentiles): percentile_disc semantics —
+    order-statistic picks on integer cents, so the quartiles are
+    engine-exact where interpolated percentile() floats are not
+    (`a_percentiles` pins the interpolated form; this is the discrete
+    sibling). All three quantiles from ONE group-key shuffle."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return R.grouped_rank_percentiles(
+        orders, ["o_orderpriority"], "cents"
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -1254,3 +1254,44 @@ def equidepth_bins(
         F.max("v").alias("hi"),
         F.sum("c").alias("n_rows"),
     )
+
+
+def grouped_rank_percentiles(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value: str,
+    quantiles: Sequence[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+    prefix: str = "p",
+) -> DataFrame:
+    """Exact per-group percentiles as ORDER-STATISTIC picks — the
+    ``percentile_disc`` semantics Spark lacks (its ``percentile`` /
+    ``median`` interpolate, producing engine-dependent floats):
+    quantile q = num/den picks the value at sorted position
+    ``(num·n + den − 1) div den`` within the group. Integer in, integer
+    out, identical on every engine — the grouped generalization of
+    ``grouped_mad_outliers``'s median pick.
+
+    ALL requested quantiles come out of ONE window pass (one hash
+    shuffle on the group key: count + row_number + one conditional-max
+    per quantile share the exchange), then a groupBy collapses to one
+    row per group — same-keyed, so AQE usually folds it into the same
+    stage.
+
+    Output: group keys + one ``{prefix}{num}_{den}`` column per
+    quantile.
+    """
+    keys = list(group_by)
+    wp = Window.partitionBy(*keys)
+    wv = wp.orderBy(F.col(value).asc())
+    out = df.withColumn("__n", F.count("*").over(wp)).withColumn(
+        "__rn", F.row_number().over(wv)
+    )
+    names = []
+    for num, den in quantiles:
+        pos = F.expr(f"({num} * __n + {den} - 1) div {den}")
+        name = f"{prefix}{num}_{den}"
+        names.append(name)
+        out = out.withColumn(
+            name, F.max(F.when(F.col("__rn") == pos, F.col(value))).over(wp)
+        )
+    return out.groupBy(*keys).agg(*[F.max(c).alias(c) for c in names])

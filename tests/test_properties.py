@@ -330,6 +330,41 @@ def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
 
 
 # --------------------------------------------------------------------------
+# grouped rank percentiles vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_grouped_rank_percentiles_match_sorted_picks(spark, rows):
+    from gramene_mongodb_spark.operators.relational import (
+        grouped_rank_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "g: long, v: long")
+    got = {
+        r.g: (r.p1_4, r.p1_2, r.p3_4)
+        for r in grouped_rank_percentiles(df, ["g"], "v").collect()
+    }
+    by_g: dict[int, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = {}
+    for g, vs in by_g.items():
+        s, n = sorted(vs), len(vs)
+        want[g] = tuple(
+            s[(num * n + den - 1) // den - 1] for num, den in ((1, 4), (1, 2), (3, 4))
+        )
+    assert got == want
+
+
+# --------------------------------------------------------------------------
 # equi-depth binning vs brute force
 # --------------------------------------------------------------------------
 
