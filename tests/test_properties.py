@@ -926,3 +926,29 @@ def test_funnel_stages_matches_brute_force(spark, events):
         ).collect()
     }
     assert got == funnel_reference(events, ["view", "click", "purchase"], 10)
+
+
+def test_connected_components_converge_on_cyclic_functional_graph(spark):
+    """Regression for the round-6 CC rewrite: a functional graph (one
+    md5-derived out-edge per node) has few, large components with long
+    cycles — the shape on which min-label + pointer-jump silently
+    degraded to O(diameter) and never converged within 64 rounds.
+    Star contraction must finish and match union-find exactly."""
+    import hashlib
+
+    from gramene_mongodb_spark.operators.closure import connected_components
+
+    n = 500
+    edges = [
+        (i, d)
+        for i in range(n)
+        if (d := int(hashlib.md5(f"cc{i}".encode()).hexdigest()[:8], 16) % n) != i
+    ]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    want = components_reference(edges)
+    assert got == want
+    assert len(got) == len({v for e in edges for v in e})
