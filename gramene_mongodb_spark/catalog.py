@@ -6752,6 +6752,111 @@ def x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_skyline_orders",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS ep_day
+      FROM orders
+    ),
+    w AS (
+      SELECT *,
+             max(ep_day) OVER (ORDER BY cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS rmax,
+             max(ep_day) OVER (PARTITION BY cents) AS pmax
+      FROM v
+    )
+    SELECT o_orderkey, cents, ep_day
+    FROM w
+    WHERE ep_day = pmax AND (rmax IS NULL OR ep_day > rmax)
+    """,
+    "llm", "O1", "W",
+)
+def x_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders — cheapest AND most recent
+    (relational.skyline_2d: minimize price cents, maximize order-date
+    epoch day): no other order is both no-pricier and no-older with one
+    strict. Two-phase skyline-of-skylines (parallel local elimination
+    per partition, global pass only over the frontier-sized
+    survivors); the oracle replays the window formulation (RANGE frame
+    to 1 PRECEDING excludes price ties from the strict running max)."""
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        _epoch_s(orders, "o_orderdate").cast("long").alias("__s"),
+    ).select(
+        "o_orderkey", "cents", F.expr("__s div 86400").alias("ep_day")
+    )
+    return R.skyline_2d(v, minimize="cents", maximize="ep_day")
+
+
+@register(
+    "x_temporal_join",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c2 AS (
+      SELECT user_id, ts, event_id, event_type FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    iv AS (
+      SELECT user_id, event_type, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM c2
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           iv.event_type AS state_at_purchase,
+           strftime(iv.vf, '%Y-%m-%d %H:%M:%S') AS state_since
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN iv ON iv.user_id = p.user_id
+           AND iv.vf <= p.ts AND (iv.vt IS NULL OR p.ts < iv.vt)
+    """,
+    "llm", "J5", "W2",
+)
+def x_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (validity) join — every purchase event matched to the
+    SCD2 dimension VERSION valid at its timestamp
+    (relational.scd2_history + a user-keyed equi-join filtered on
+    [valid_from, valid_to)): the fact-to-dimension-history join every
+    warehouse runs. One shuffle on the join key; per-key version
+    fan-out is bounded by versions-per-user, so the filter prunes
+    reducer-side. Empty [v, v) intervals (same-timestamp changes)
+    match nothing on either engine by construction."""
+    ev = _t(spark, sf_dir, "events")
+    hist = R.scd2_history(
+        ev, "user_id", "ts", ["event_type"], order_extra=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = purchases.join(hist, "user_id").filter(
+        (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "state_at_purchase",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("state_since"),
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -1295,3 +1295,54 @@ def grouped_rank_percentiles(
             name, F.max(F.when(F.col("__rn") == pos, F.col(value))).over(wp)
         )
     return out.groupBy(*keys).agg(*[F.max(c).alias(c) for c in names])
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other —
+    no row with ``minimize`` ≤ and ``maximize`` ≥ (one strict). The
+    classic multi-criteria shortlist ("cheapest AND freshest") that
+    no single ORDER BY can produce; both columns must be integers.
+
+    Two-phase distributed plan (skyline-of-skylines: a locally
+    dominated row is globally dominated, so phase 1 never drops a
+    frontier point):
+
+    1. LOCAL skyline per input partition — window keyed on
+       ``spark_partition_id()``, so the heavy elimination runs in
+       parallel with no shuffle;
+    2. GLOBAL skyline over the survivors (frontier-sized — typically
+       orders of magnitude smaller) — the only single-partition window.
+
+    Within a pass, a row survives iff its ``maximize`` equals its
+    ``minimize``-group max AND strictly exceeds the running max over
+    all strictly-smaller ``minimize`` values (RANGE frame to
+    1 PRECEDING — excludes ties). Exact-duplicate pairs survive
+    together (neither strictly dominates).
+    """
+
+    def pass_(d: DataFrame, part_cols: list) -> DataFrame:
+        wo = Window.partitionBy(*part_cols).orderBy(F.col(minimize).asc())
+        strict = wo.rangeBetween(Window.unboundedPreceding, -1)
+        grp = Window.partitionBy(*(part_cols + [F.col(minimize)]))
+        out = (
+            d.withColumn("__rmax", F.max(maximize).over(strict))
+            .withColumn("__pmax", F.max(maximize).over(grp))
+            .filter(
+                (F.col(maximize) == F.col("__pmax"))
+                & (
+                    F.col("__rmax").isNull()
+                    | (F.col(maximize) > F.col("__rmax"))
+                )
+            )
+            .drop("__rmax", "__pmax")
+        )
+        return out
+
+    local = pass_(
+        df.withColumn("__pid", F.spark_partition_id()), [F.col("__pid")]
+    ).drop("__pid")
+    return pass_(local, [])

@@ -952,3 +952,29 @@ def test_connected_components_converge_on_cyclic_functional_graph(spark):
     want = components_reference(edges)
     assert got == want
     assert len(got) == len({v for e in edges for v in e})
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_2d_matches_dominance_check(spark, rows):
+    from gramene_mongodb_spark.operators.relational import skyline_2d
+
+    data = [(i, x, y) for i, (x, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id: long, x: long, y: long").repartition(3)
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+
+    def dominated(i, x, y):
+        return any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for j, x2, y2 in data
+            if j != i
+        )
+
+    want = {i for i, x, y in data if not dominated(i, x, y)}
+    assert got == want
