@@ -1346,3 +1346,50 @@ def skyline_2d(
         df.withColumn("__pid", F.spark_partition_id()), [F.col("__pid")]
     ).drop("__pid")
     return pass_(local, [])
+
+
+def interval_max_overlap(
+    df: DataFrame,
+    group_by: Sequence[str],
+    lo: str,
+    hi: str,
+) -> DataFrame:
+    """Peak overlap depth per key: the maximum number of [lo, hi)
+    intervals covering any single point — coverage depth in genomics,
+    peak concurrency in ops analytics. The counting sibling of
+    ``merge_intervals`` (which only fuses; this measures how deep the
+    pile gets).
+
+    Boundary sweep as pure windows: every interval contributes a +1 at
+    ``lo`` and a −1 at ``hi``; sorting boundaries per key with ends
+    BEFORE starts at the same position (half-open semantics: an
+    interval ending where another starts does not overlap it) and
+    running-summing gives the depth profile; the answer is its max.
+
+    One shuffle on the group key (explode to 2 rows per interval,
+    window, max) — per-key linear, same posture as ``merge_intervals``.
+
+    Output: group keys + ``max_depth`` (long).
+    """
+    keys = list(group_by)
+    b = df.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(lo).alias("pos"), F.lit(1).cast("long").alias("delta")
+                ),
+                F.struct(
+                    F.col(hi).alias("pos"), F.lit(-1).cast("long").alias("delta")
+                ),
+            )
+        ).alias("b"),
+    ).select(*keys, F.col("b.pos").alias("pos"), F.col("b.delta").alias("delta"))
+    # ends (-1) sort before starts (+1) at equal pos → delta ascending
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("pos").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = b.withColumn("__d", F.sum("delta").over(w))
+    return depth.groupBy(*keys).agg(F.max("__d").alias("max_depth"))

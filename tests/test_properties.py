@@ -978,3 +978,23 @@ def test_skyline_2d_matches_dominance_check(spark, rows):
 
     want = {i for i, x, y in data if not dominated(i, x, y)}
     assert got == want
+
+
+@given(intervals=intervals_strategy)
+@settings(**SETTINGS)
+def test_interval_max_overlap_matches_sweep(spark, intervals):
+    from gramene_mongodb_spark.operators.relational import interval_max_overlap
+
+    # drop empty intervals: [x, x) covers nothing
+    intervals = [(lo, hi) for lo, hi in intervals if lo < hi]
+    if not intervals:
+        return
+    df = spark.createDataFrame(
+        [("k", lo, hi) for lo, hi in intervals], "k STRING, lo BIGINT, hi BIGINT"
+    )
+    got = interval_max_overlap(df, ["k"], "lo", "hi").collect()[0].max_depth
+    points = sorted({p for iv in intervals for p in iv})
+    want = max(
+        sum(1 for lo, hi in intervals if lo <= p < hi) for p in points
+    )
+    assert got == want
