@@ -6857,6 +6857,49 @@ def x_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_overlap_depth",
+    """
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(date_diff('second', TIMESTAMP '1970-01-01',
+                            date_trunc('second', CAST(o_orderdate AS TIMESTAMP)))
+                  AS BIGINT) AS lo
+      FROM orders
+    ),
+    b AS (
+      SELECT o_custkey, lo AS pos, CAST(1 AS BIGINT) AS delta FROM iv
+      UNION ALL
+      SELECT o_custkey, lo + 7 * 86400, CAST(-1 AS BIGINT) FROM iv
+    ),
+    d AS (
+      SELECT o_custkey,
+             sum(delta) OVER (PARTITION BY o_custkey
+                              ORDER BY pos, delta
+                              ROWS UNBOUNDED PRECEDING) AS depth
+      FROM b
+    )
+    SELECT o_custkey, CAST(max(depth) AS BIGINT) AS max_depth
+    FROM d GROUP BY o_custkey
+    """,
+    "llm", "K6", "J6",
+)
+def x_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak overlap depth (relational.interval_max_overlap): the maximum
+    number of simultaneously-open 7-day order windows per customer —
+    coverage depth in genomics, peak concurrency in ops, the COUNTING
+    sibling of the K6 interval merge (which fuses spans, this measures
+    how deep the pile gets). Boundary sweep with half-open
+    ends-before-starts ordering; one customer-keyed shuffle. Same
+    wall-clock epoch arithmetic as k6 (TZ-proof)."""
+    orders = _t(spark, sf_dir, "orders")
+    epoch = _epoch_s(orders, "o_orderdate")
+    iv = orders.select(
+        "o_custkey", epoch.alias("lo"), (epoch + 7 * 86400).alias("hi")
+    )
+    return R.interval_max_overlap(iv, ["o_custkey"], "lo", "hi")
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
