@@ -53,6 +53,9 @@ HEADLINE = [
     "pipeline_training_mix",
     "x_pagerank_hosts",
     "pipeline_web_curate",
+    "x_temporal_join",
+    "x_skyline_orders",
+    "x_overlap_depth",
 ]
 
 
