@@ -169,3 +169,52 @@ def test_semantic_dedup_empty(spark):
 
     df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
     assert semantic_dedup(df).count() == 0
+
+
+def test_round6_operators_empty(spark):
+    """Every round-6 operator returns empty (not throws) on an empty
+    input — partition-pruned pipeline branches routinely are empty."""
+    from gramene_mongodb_spark.operators.closure import triangle_count
+    from gramene_mongodb_spark.operators.relational import (
+        cdc_replay,
+        equidepth_bins,
+        grouped_mad_outliers,
+        grouped_rank_percentiles,
+        interval_max_overlap,
+        merge_partial_aggregates,
+        percentile_threshold_filter,
+        priority_sample,
+        skyline_2d,
+    )
+    from gramene_mongodb_spark.operators.similarity import rrf_fuse
+    from gramene_mongodb_spark.operators.textops import heavy_hitters
+
+    kv = spark.createDataFrame([], "k LONG, v LONG")
+    assert grouped_mad_outliers(kv, ["k"], "v").count() == 0
+    assert grouped_rank_percentiles(kv, ["k"], "v").count() == 0
+    assert percentile_threshold_filter(kv, "v", 3, 4).count() == 0
+    assert equidepth_bins(kv, "v", 4).count() == 0
+    assert skyline_2d(kv, "k", "v").count() == 0
+    assert priority_sample(kv, "v", "k", 10).count() == 0
+
+    ivs = spark.createDataFrame([], "k LONG, lo LONG, hi LONG")
+    assert interval_max_overlap(ivs, ["k"], "lo", "hi").count() == 0
+
+    log = spark.createDataFrame([], "k LONG, seq LONG, op STRING, v LONG")
+    assert cdc_replay(log, ["k"], ["seq"], op="op").count() == 0
+
+    agg = spark.createDataFrame([], "k LONG, s LONG, c LONG")
+    assert (
+        merge_partial_aggregates(agg, agg, ["k"], sums=["s"], counts=["c"]).count()
+        == 0
+    )
+
+    edges = spark.createDataFrame([], "src LONG, dst LONG")
+    tri = triangle_count(edges).collect()[0]
+    assert (tri.n_triangles, tri.n_wedges) == (0, 0)
+
+    ranked = spark.createDataFrame([], "doc_id LONG, rank LONG")
+    assert rrf_fuse([ranked, ranked]).count() == 0
+
+    docs = spark.createDataFrame([], "text STRING")
+    assert heavy_hitters(docs, "text", k_den=10).count() == 0
