@@ -299,14 +299,23 @@ def pagerank(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     n_edges = e.count()
     parts = min(max(1, n_edges // 500_000 + 1), max_parts)
-    e = hard_checkpoint(e.repartition(parts, "u"))
+    # plain localCheckpoint ON PURPOSE (not hard_checkpoint): this is a
+    # single pre-loop checkpoint — the exponential retained-plan growth
+    # (lineage.py) needs an ITERATED checkpoint whose round plan
+    # references the previous checkpoint twice, which never happens to
+    # the edge table. And localCheckpoint preserves outputPartitioning,
+    # so the per-round join sees edges already hashed on "u" and only
+    # the vertex-sized rank table moves; hard_checkpoint would drop
+    # that metadata and re-shuffle the (100 TB) edge side every round.
+    e = e.repartition(parts, "u").localCheckpoint(eager=True)
 
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    verts = hard_checkpoint(
+    verts = (
         e.select("u")
         .unionByName(e.select(F.col("v").alias("u")))
         .distinct()
         .repartition(parts)
+        .localCheckpoint(eager=True)
     )
 
     base = (100 - damping_pct) * scale // 100
