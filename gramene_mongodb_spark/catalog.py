@@ -6900,6 +6900,45 @@ def x_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.interval_max_overlap(iv, ["o_custkey"], "lo", "hi")
 
 
+@register(
+    "x_forward_fill",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(round(value * 1000000) AS BIGINT) END AS vm
+      FROM events
+    )
+    SELECT event_id, user_id, vm,
+           last_value(vm IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS vm_filled
+    FROM v
+    """,
+    "llm", "W2", "P8",
+)
+def x_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (relational.forward_fill): error events'
+    readings are treated as sensor dropouts (NULL micros) and each is
+    replaced by the user's LAST good reading in event order; leading
+    gaps stay NULL (honest, not zero-filled). One user-keyed shuffle;
+    last(ignorenulls) with an unbounded-preceding frame is per-key
+    linear."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.round(F.col("value") * 1000000).cast("long"))
+        .alias("vm"),
+    )
+    out = R.forward_fill(
+        ev, ["user_id"], ["ts", "event_id"], ["vm"], suffix="_filled"
+    )
+    return out.select("event_id", "user_id", "vm", "vm_filled")
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

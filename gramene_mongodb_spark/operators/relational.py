@@ -1393,3 +1393,36 @@ def interval_max_overlap(
     )
     depth = b.withColumn("__d", F.sum("delta").over(w))
     return depth.groupBy(*keys).agg(F.max("__d").alias("max_depth"))
+
+
+def forward_fill(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[str],
+    cols: Sequence[str],
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Gap filling: per key, replace NULLs with the LAST non-null value
+    in event order (sensor dropout, missing snapshot fields — the
+    imputation every telemetry/dimension pipeline runs before
+    aggregating). Leading NULLs (no prior observation) stay NULL —
+    honest, not zero-filled.
+
+    One window per filled column over the SAME (key × order)
+    partitioning — one shuffle total, `last(ignorenulls=True)` with an
+    unbounded-preceding frame is per-key linear and skew-tolerant.
+
+    Output: input columns + one ``{col}{suffix}`` per filled column.
+    """
+    keys = list(group_by)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

@@ -998,3 +998,32 @@ def test_interval_max_overlap_matches_sweep(spark, intervals):
         sum(1 for lo, hi in intervals if lo <= p < hi) for p in points
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_forward_fill_matches_brute_force(spark, rows):
+    from gramene_mongodb_spark.operators.relational import forward_fill
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i: long, g: long, v: long")
+    got = {
+        r.i: r.v_filled
+        for r in forward_fill(df, ["g"], ["i"], ["v"]).collect()
+    }
+    last: dict[int, int | None] = {}
+    want = {}
+    for i, g, v in data:
+        if v is not None:
+            last[g] = v
+        want[i] = last.get(g)
+    assert got == want
