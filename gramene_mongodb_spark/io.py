@@ -397,6 +397,15 @@ def compact_parquet(
     # works — os.walk would silently see nothing on object stores
     jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # dst == src would let mode("overwrite") delete the input out from
+    # under the lazy read — that destroys the data, not compacts it.
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    dfs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if str(fs.makeQualified(jpath)) == str(dfs.makeQualified(jdst)):
+        raise ValueError(
+            f"compact_parquet: dst must differ from src ({src!r}); "
+            "write to a sibling path and swap"
+        )
     files = fs.listFiles(jpath, True)
     total = 0
     while files.hasNext():

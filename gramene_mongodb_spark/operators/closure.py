@@ -164,8 +164,14 @@ def connected_components(
     shuffles over the (shrinking) edge table; no driver-side union-find.
     Rounds are plan-severed via ``hard_checkpoint`` (a self-referencing
     localCheckpoint would grow 2^rounds — lineage.py); convergence is
-    detected with a (count, checksum) aggregate — one action per round.
-    Output: (vertex, component), vertices = every id in ``edges``.
+    detected EXACTLY — count equality, then a left-anti probe only on
+    the round where counts match (both sides are distinct canonical
+    edge sets, so equal count + empty difference ⇔ set equality). A
+    checksum shortcut was rejected: the contract is exactness, and a
+    sum-based digest can both collide and overflow under ANSI mode.
+    Output: (vertex, component), vertices = every id in ``edges``;
+    the final mapping is min-aggregated per vertex, so even a
+    max_iterations bailout yields one deterministic row per vertex.
     """
     max_parts = edges.sparkSession.sparkContext.defaultParallelism
 
@@ -212,23 +218,30 @@ def connected_components(
             .distinct()
         )
 
-    prev: tuple | None = None
+    prev: DataFrame | None = None
+    prev_count = -1
     for _ in range(max_iterations):
         e = hard_checkpoint(star(star(e, large=True), large=False).repartition(parts))
-        row = e.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(F.col("a") * F.lit(31) + F.col("b")).alias("s"),
-        ).collect()[0]
-        chk = (row["c"], row["s"])
-        if chk == prev:  # canonical edge set stable → stars reached
+        c = e.count()
+        # exact stability: both sides are distinct canonical (a<b) sets,
+        # so equal cardinality + empty set-difference ⇔ equality. The
+        # anti-join probe runs only on count-match rounds (in practice,
+        # once), and limit(1) short-circuits it.
+        if (
+            c == prev_count
+            and prev is not None
+            and e.join(prev, ["a", "b"], "left_anti").limit(1).count() == 0
+        ):
             break
-        prev = chk
+        prev, prev_count = e, c
 
-    return verts.join(
-        e.select(F.col("b").alias("v"), F.col("a").alias("__comp")), "v", "left"
-    ).select(
-        F.col("v").alias("vertex"),
-        F.coalesce(F.col("__comp"), F.col("v")).alias("component"),
+    return (
+        verts.join(
+            e.select(F.col("b").alias("v"), F.col("a").alias("__comp")), "v", "left"
+        )
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("__comp"), F.col("v"))).alias("component"))
+        .select(F.col("v").alias("vertex"), "component")
     )
 
 

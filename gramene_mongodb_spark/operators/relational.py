@@ -1091,7 +1091,11 @@ def cdc_replay(
     """
     order = [F.col(c).desc() for c in seq]
     latest = argmax_per_group(log, list(keys), order)
-    return latest.filter(F.col(op) != F.lit(delete_op)).drop(op)
+    # NULL op must mean "not a delete", not "silently vanish": a bare
+    # `op != delete_op` is NULL (filtered out) for NULL ops, which would
+    # drop keys whose latest log row has no op as if they were deleted.
+    keep = F.coalesce(F.col(op) != F.lit(delete_op), F.lit(True))
+    return latest.filter(keep).drop(op)
 
 
 def merge_partial_aggregates(
