@@ -462,11 +462,19 @@ def decorate_leaves(
 # K8 — flat → nested JSON assembly (sink format)
 # ---------------------------------------------------------------------------
 
-def assemble_nested_trees(nodes: DataFrame) -> DataFrame:
+def assemble_nested_trees(
+    nodes: DataFrame, extra_fields: tuple[str, ...] = ()
+) -> DataFrame:
     """K8 — adjacency rows → one nested-JSON document per tree
     (`trees/genetree.js:75-80` FlatToNested). Children ordered by
     ``left_index`` (O4, `trees/genetree.js:5-9`). Output:
     (tree_id, n_nodes, doc JSON string) — a sink-side format only.
+
+    ``extra_fields``: additional per-node columns copied into each
+    node's JSON object when non-null (the decorated publish shape —
+    `trees/add_domains_to_tree.js:99-116` writes rep/domain/doc fields
+    straight into the nested nodes). Keys are emitted sorted, so
+    field names are stable regardless of tuple order.
     """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -478,6 +486,10 @@ def assemble_nested_trees(nodes: DataFrame) -> DataFrame:
             obj = {"node_id": int(row.node_id), "taxon_id": int(row.taxon_id)}
             if row.gene_stable_id is not None and not pd.isna(row.gene_stable_id):
                 obj["gene_stable_id"] = row.gene_stable_id
+            for f in extra_fields:
+                v = getattr(row, f)
+                if v is not None and not pd.isna(v):
+                    obj[f] = v
             objs[int(row.node_id)] = obj
             if row.parent_id is None or pd.isna(row.parent_id):
                 root = obj
@@ -492,7 +504,7 @@ def assemble_nested_trees(nodes: DataFrame) -> DataFrame:
 
     return (
         nodes.select("tree_id", "node_id", "parent_id", "left_index",
-                     "taxon_id", "gene_stable_id")
+                     "taxon_id", "gene_stable_id", *extra_fields)
         .groupBy("tree_id")
         .applyInPandas(kernel, "tree_id STRING, n_nodes BIGINT, doc STRING")
     )
