@@ -242,7 +242,11 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     genes AS (
       SELECT 'G' || CAST(c_custkey AS VARCHAR) AS _id, c_custkey,
              CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS raw_name,
-             (c_custkey * 37) % 10000 AS start
+             (c_custkey * 37) % 10000 AS start,
+             CASE c_custkey % 6 WHEN 0 THEN 3702 WHEN 1 THEN 39947
+                                WHEN 2 THEN 4577 WHEN 3 THEN 4558
+                                WHEN 4 THEN 9606 ELSE 10090 END AS taxon_id,
+             (c_custkey % 50) + 1 AS slot
       FROM customer),
     lut AS (
       SELECT CASE WHEN c_custkey % 2 = 0 THEN 'G' ELSE 'g' END
@@ -252,7 +256,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lut_upper AS (SELECT upper(key) AS ukey, min(old_name) AS old_name
                   FROM lut GROUP BY 1),
     decorated AS (
-      SELECT g._id, g.c_custkey, g.start,
+      SELECT g.*,
              coalesce(g.raw_name, coalesce(le.old_name, lu.old_name), g._id) AS name
       FROM genes g
       LEFT JOIN lut le ON g._id = le.key
@@ -279,54 +283,200 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE i.term IS NULL GROUP BY 1),
     anc_counts AS (
       SELECT an.o_custkey, count(DISTINCT a.ancestor) AS n_ancestors
-      FROM annos an JOIN anc a ON an.term = a.node GROUP BY 1)
+      FROM annos an JOIN anc a ON an.term = a.node GROUP BY 1),
+    tr AS (
+      SELECT o_custkey, 'T' || CAST(o_orderkey AS VARCHAR) AS tid,
+             CAST(o_totalprice AS INT) AS tlen,
+             CAST((o_orderkey % 500) // 3 AS INT) AS translen
+      FROM orders),
+    canon AS (
+      SELECT o_custkey, tid, translen,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY translen DESC, tlen DESC, tid) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM tr),
+    canon1 AS (
+      SELECT o_custkey, tid AS canonical_transcript,
+             CAST(translen AS BIGINT) AS canonical_translation_len,
+             CAST(n AS BIGINT) AS n_transcripts
+      FROM canon WHERE rn = 1),
+    treelut AS (
+      SELECT c_custkey % 100 AS tslot, min(c_custkey) AS mink
+      FROM customer GROUP BY 1),
+    rifs AS (SELECT o_custkey, count(*) AS n_rifs FROM orders
+             WHERE o_orderstatus = 'F' GROUP BY 1),
+    qt AS (SELECT o_custkey, count(*) AS n_qtls FROM orders
+           WHERE o_orderpriority LIKE '1%' GROUP BY 1),
+    pw AS (SELECT i AS idx, (i * 7) % 5 + 1 AS np FROM range(1, 51) r(i)),
+    hom AS (SELECT o_custkey,
+                   count(DISTINCT (o_orderkey % 1500) + 1) AS n_homologs
+            FROM orders GROUP BY 1),
+    featsD AS (
+      SELECT DISTINCT 'G' || CAST(o_custkey AS VARCHAR) AS gid,
+             'P' || CAST(o_orderkey % 10 AS VARCHAR) AS interpro,
+             'R' || CAST((o_orderkey % 10) % 3 AS VARCHAR) AS root,
+             (o_orderkey % 97) * 100 + 1 AS s
+      FROM orders WHERE o_custkey % 100 = 0),
+    archclusters AS (
+      SELECT gid, root, s, min(interpro) AS mi
+      FROM featsD GROUP BY gid, root, s),
+    arch AS (
+      SELECT gid, string_agg(root, ' ' ORDER BY s, mi) AS architecture
+      FROM archclusters GROUP BY gid)
     SELECT d._id AS gene_id, d.name,
-           CAST(coalesce(x.n_dbs, 0) AS BIGINT)        AS n_dbs,
-           CAST(coalesce(x.n_ids, 0) AS BIGINT)        AS n_ids,
-           CAST(d.start // 500 AS BIGINT)              AS bin,
-           CAST(coalesce(e.n_entries, 0) AS BIGINT)    AS n_entries,
-           CAST(coalesce(ac.n_ancestors, 0) AS BIGINT) AS n_ancestors
+           CASE WHEN d.taxon_id = 3702 AND d.slot % 7 IN (1, 2, 3, 5)
+                THEN 'thal-' || CAST(d.slot AS VARCHAR)
+                WHEN d.taxon_id = 39947 AND d.slot % 5 IN (0, 1, 2)
+                THEN 'rap-' || CAST(d.slot AS VARCHAR)
+                ELSE NULL END                            AS description,
+           CAST(coalesce(x.n_dbs, 0) AS BIGINT)          AS n_dbs,
+           CAST(coalesce(x.n_ids, 0) AS BIGINT)          AS n_ids,
+           CAST(d.start // 500 AS BIGINT)                AS bin,
+           CAST(coalesce(e.n_entries, 0) AS BIGINT)      AS n_entries,
+           CAST(coalesce(ac.n_ancestors, 0) AS BIGINT)   AS n_ancestors,
+           c1.canonical_transcript,
+           c1.canonical_translation_len,
+           CAST(coalesce(c1.n_transcripts, 0) AS BIGINT) AS n_transcripts,
+           'tree_' || CAST(d.c_custkey % 100 AS VARCHAR) AS tree_id,
+           'G' || CAST(tl.mink AS VARCHAR)               AS tree_rep,
+           CAST(coalesce(r.n_rifs, 0) AS BIGINT)         AS n_rifs,
+           CAST(coalesce(q.n_qtls, 0) AS BIGINT)         AS n_qtls,
+           CAST(p.np AS BIGINT)                          AS n_pathways,
+           CAST(coalesce(h.n_homologs, 0) AS BIGINT)     AS n_homologs,
+           ar.architecture,
+           CAST(CASE d.taxon_id WHEN 3702 THEN 1 WHEN 39947 THEN 2
+                                WHEN 4577 THEN 3 WHEN 4558 THEN 4
+                                ELSE d.taxon_id + 1000 END AS BIGINT)
+                                                         AS species_idx
     FROM decorated d
-    LEFT JOIN xstats x     ON d.c_custkey = x.o_custkey
-    LEFT JOIN entries e    ON d.c_custkey = e.o_custkey
+    LEFT JOIN xstats x      ON d.c_custkey = x.o_custkey
+    LEFT JOIN entries e     ON d.c_custkey = e.o_custkey
     LEFT JOIN anc_counts ac ON d.c_custkey = ac.o_custkey
+    LEFT JOIN canon1 c1     ON d.c_custkey = c1.o_custkey
+    JOIN treelut tl         ON d.c_custkey % 100 = tl.tslot
+    LEFT JOIN rifs r        ON d.c_custkey = r.o_custkey
+    LEFT JOIN qt q          ON d.c_custkey = q.o_custkey
+    JOIN pw p               ON d.slot = p.idx
+    LEFT JOIN hom h         ON d.c_custkey = h.o_custkey
+    LEFT JOIN arch ar       ON d._id = ar.gid
     """,
-    "J1", "J2", "A1", "K10", "K7", "U3",
+    "pipeline", "J1", "J2", "A1", "A5", "W5", "W3", "K5", "K10", "K7",
+    "U3", "S8", "P3", "P8",
 )
 def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship §3.1 decorate pipeline END-TO-END through the real
-    operators, on gene-shaped inputs derived deterministically from the
-    TPC-H tables: id-history decoration with case fallback
-    (relational.ci_fallback_join, J1/J2), name defaulting, xref grouping
-    (documents.group_xrefs, A1), genome binning (K10), ancestor closure
-    (closure.transitive_closure, K7) and most-specific-annotation split
-    (closure.most_specific, U3) — one composed lazy plan, the Spark
-    restatement of the 16-stage through2 chain `search/decorate.js:167-194`.
-    Output: one flat summary row per gene, hash-checked against a single
-    SQL oracle (recursive CTE for the closure)."""
+    """Flagship §3.1 decorate pipeline at FULL reference fidelity — the
+    complete 16-stage through2 chain `search/decorate.js:167-194`
+    re-expressed as ONE lazy Spark plan over gene-shaped inputs derived
+    deterministically from the TPC-H tables, one flat summary row per
+    gene, hash-checked against a single recursive-CTE SQL oracle:
+
+      1-3 id-history fixes (fixMaizeV4/fixSorghumV2/fixBarley)
+          → relational.ci_fallback_join (J1 broadcast + J2 case
+            fallback) + name defaulting
+      4   thalemine  → sources.rest.fetch_json_lut (S8) gated to
+            arabidopsis genes, broadcast left join
+      5   rapdb      → second REST LUT, gated to rice, coalesce fallback
+      6   generifs   → orders-derived summary-count LUT join (J1)
+      7   qtls       → priority-filtered count LUT join (J1)
+      8   fixTranslationLength (P8) → in-array struct rebuild, aa := nt/3
+      9   assignCanonicalTranscript (A5) →
+            documents.select_canonical_transcript on the FIXED lengths
+      10  orderTranscripts (W5) → documents.canonical_first
+      11  genetreeAdder → per-tree-slot representative join (J1/A5)
+      12  binAdder (K10) → start // bin_size
+      13  pathwayAdder → broadcast static LUT join (J1)
+      14  homologAdder → the one LARGE join: per-gene distinct-homolog
+            count over the orders-derived pair table (Redis hop
+            eliminated → shuffle agg + join, COVERAGE.md §2.1)
+      15  domainArchitect (K5) → domains.cluster_architecture +
+            architecture_strings (Arrow kernel) on the %100 gene subset
+      16  ancestorAdder (K7+U3) → closure.transitive_closure +
+            most_specific (n_entries / n_ancestors)
+      17  speciesRanker (W3) → genomics.species_rank CASE expression
+      18  cleanup (P3) → documents.nullify_empties ('' → NULL, proven
+            by unmatched genes' description being NULL, not '')
+
+    Scale: every per-gene derived table shuffles once on the gene key;
+    LUT sides are broadcast; the homolog/xref/anno aggregates are
+    map-side-combined counts; the domain kernel runs per-gene groups on
+    a 1% subset exactly like the reference's per-genome sharding. The
+    oracle re-states stages 8-10 as a window argmax (fixed lengths),
+    stage 15 in closed form (spacing 100 means clusters merge only at
+    identical starts), and the closure as a recursive CTE."""
     from gramene_mongodb_spark.operators import documents as DOC
+    from gramene_mongodb_spark.operators import domains as DM
     from gramene_mongodb_spark.operators.closure import most_specific
+    from gramene_mongodb_spark.operators.genomics import species_rank
+    from gramene_mongodb_spark.sources.rest import fetch_json_lut
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    k = F.col("c_custkey")
 
     genes = cust.select(
-        F.concat(F.lit("G"), F.col("c_custkey").cast("string")).alias("_id"),
-        F.col("c_custkey"),
-        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("raw_name"),
-        ((F.col("c_custkey") * 37) % 10000).alias("start"),
+        F.concat(F.lit("G"), k.cast("string")).alias("_id"),
+        k,
+        F.when(k % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("raw_name"),
+        ((k * 37) % 10000).alias("start"),
+        F.when(k % 6 == 0, 3702).when(k % 6 == 1, 39947).when(k % 6 == 2, 4577)
+        .when(k % 6 == 3, 4558).when(k % 6 == 4, 9606).otherwise(10090)
+        .cast("long").alias("taxon_id"),
+        ((k % 50) + 1).alias("slot"),
     )
-    lut = cust.filter(F.col("c_custkey") % 5 == 0).select(
+
+    # stages 1-3: id-history LUT with case-insensitive fallback
+    lut = cust.filter(k % 5 == 0).select(
         F.concat(
-            F.when(F.col("c_custkey") % 2 == 0, F.lit("G")).otherwise(F.lit("g")),
-            F.col("c_custkey").cast("string"),
+            F.when(k % 2 == 0, F.lit("G")).otherwise(F.lit("g")),
+            k.cast("string"),
         ).alias("key"),
-        F.concat(F.lit("hist-"), F.col("c_custkey").cast("string")).alias("old_name"),
+        F.concat(F.lit("hist-"), k.cast("string")).alias("old_name"),
     )
     decorated = R.ci_fallback_join(genes, lut, "_id", "key").withColumn(
         "name", F.coalesce("raw_name", "old_name", "_id")
     )
 
+    # stages 4-5: REST LUTs (injectable fetchers — air-gapped snapshot)
+    import json as _json
+
+    def _thal_fetch(url: str) -> str:
+        return _json.dumps(
+            {"results": [{"idx": i, "description": f"thal-{i}"}
+                         for i in range(1, 51) if i % 7 in (1, 2, 3, 5)]}
+        )
+
+    def _rap_fetch(url: str) -> str:
+        return _json.dumps(
+            {"results": [{"idx": i, "description": f"rap-{i}"}
+                         for i in range(1, 51) if i % 5 in (0, 1, 2)]}
+        )
+
+    thal = fetch_json_lut(
+        spark, "https://example.invalid/thalemine", _thal_fetch,
+        record_path=("results",), schema="idx BIGINT, description STRING",
+    ).withColumnRenamed("description", "thal_desc")
+    rap = fetch_json_lut(
+        spark, "https://example.invalid/rapdb", _rap_fetch,
+        record_path=("results",), schema="idx BIGINT, description STRING",
+    ).withColumnRenamed("description", "rap_desc")
+    decorated = (
+        decorated.join(
+            F.broadcast(thal),
+            (decorated["taxon_id"] == 3702) & (decorated["slot"] == thal["idx"]),
+            "left",
+        )
+        .drop(thal["idx"])
+        .join(
+            F.broadcast(rap),
+            (decorated["taxon_id"] == 39947) & (decorated["slot"] == rap["idx"]),
+            "left",
+        )
+        .drop(rap["idx"])
+        # '' here, nullified by the P3 cleanup stage at the end
+        .withColumn("description", F.coalesce("thal_desc", "rap_desc", F.lit("")))
+    )
+
+    # xref grouping (A1) — feeds n_dbs/n_ids
     xr = orders.select(
         F.col("o_custkey").alias("gene_key"),
         F.col("o_orderpriority").alias("db"),
@@ -342,6 +492,95 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_ids"),
     )
 
+    # stages 6-7 + 14 in ONE keyed pass: generif counts, qtl counts and
+    # the homolog distinct-count share the o_custkey shuffle — at scale
+    # this is one scan + one exchange instead of three of each
+    ostats = orders.groupBy(F.col("o_custkey").alias("os_key")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_rifs"
+        ),
+        F.sum(
+            F.when(F.col("o_orderpriority").startswith("1"), 1).otherwise(0)
+        ).alias("n_qtls"),
+        F.count_distinct((F.col("o_orderkey") % 1500) + 1).alias("n_homologs"),
+    )
+
+    # stages 8-10: transcript array → length fix → canonical pick → reorder
+    tr = orders.select(
+        "o_custkey",
+        F.struct(
+            F.concat(F.lit("T"), F.col("o_orderkey").cast("string")).alias("id"),
+            F.col("o_totalprice").cast("int").alias("length"),
+            F.struct(
+                F.concat(F.lit("P"), F.col("o_orderkey").cast("string")).alias("id"),
+                (F.col("o_orderkey") % 500).cast("int").alias("length"),
+            ).alias("translation"),
+        ).alias("t"),
+    )
+    tdocs = tr.groupBy(F.col("o_custkey").alias("tr_key")).agg(
+        F.collect_list("t").alias("transcripts")
+    )
+    fixed = tdocs.withColumn(
+        "transcripts",
+        F.transform(
+            "transcripts",
+            lambda t: F.struct(
+                t["id"].alias("id"),
+                t["length"].alias("length"),
+                F.struct(
+                    t["translation"]["id"].alias("id"),
+                    F.floor(t["translation"]["length"] / 3)
+                    .cast("int")
+                    .alias("length"),
+                ).alias("translation"),
+            ),
+        ),
+    )
+    picked = DOC.canonical_first(DOC.select_canonical_transcript(fixed))
+    canon = picked.select(
+        "tr_key",
+        F.col("transcripts")[0]["id"].alias("canonical_transcript"),
+        F.col("transcripts")[0]["translation"]["length"]
+        .cast("long")
+        .alias("canonical_translation_len"),
+        F.size("transcripts").cast("long").alias("n_transcripts"),
+    )
+
+    # stage 11: genetree adder — per-tree-slot representative
+    treelut = genes.groupBy((F.col("c_custkey") % 100).alias("tslot")).agg(
+        F.min("c_custkey").alias("mink")
+    )
+
+    # stage 13: pathway LUT (broadcast static)
+    pathways = spark.range(1, 51).select(
+        F.col("id").alias("pw_idx"),
+        ((F.col("id") * 7) % 5 + 1).cast("long").alias("n_pathways"),
+    )
+
+    # stage 15: domain architect on the %100 gene subset
+    feats = (
+        orders.filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            F.concat(F.lit("G"), F.col("o_custkey").cast("string")).alias(
+                "translation_id"
+            ),
+            F.concat(F.lit("P"), (F.col("o_orderkey") % 10).cast("string")).alias(
+                "interpro"
+            ),
+            ((F.col("o_orderkey") % 97) * 100 + 1).cast("long").alias("start"),
+            ((F.col("o_orderkey") % 97) * 100 + 16).cast("long").alias("end"),
+        )
+        .dropDuplicates(["translation_id", "interpro", "start"])
+    )
+    paths = spark.createDataFrame(
+        [(f"P{i}", [f"R{i % 3}", f"P{i}"]) for i in range(10)],
+        "interpro STRING, path ARRAY<STRING>",
+    )
+    arch = DM.architecture_strings(DM.cluster_architecture(feats, paths)).select(
+        F.col("translation_id").alias("arch_key"), "architecture"
+    )
+
+    # stage 16: ancestor adder — closure + most-specific split
     edges = spark.range(2, 64).select(
         F.col("id").alias("child"), (F.col("id") / 2).cast("long").alias("parent")
     )
@@ -361,23 +600,49 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("ancestor").alias("n_ancestors"))
     )
 
+    ck = decorated["c_custkey"]
     out = (
-        decorated.join(xstats, decorated["c_custkey"] == xstats["gene_key"], "left")
+        decorated.join(xstats, ck == xstats["gene_key"], "left")
         .drop(xstats["gene_key"])
-        .join(entries, decorated["c_custkey"] == entries["gene_key"], "left")
+        .join(entries, ck == entries["gene_key"], "left")
         .drop(entries["gene_key"])
-        .join(anc_counts, decorated["c_custkey"] == anc_counts["gene_key"], "left")
+        .join(anc_counts, ck == anc_counts["gene_key"], "left")
         .drop(anc_counts["gene_key"])
+        .join(canon, ck == F.col("tr_key"), "left")
+        .drop("tr_key")
+        .join(F.broadcast(treelut), ck % 100 == F.col("tslot"))
+        .join(ostats, ck == F.col("os_key"), "left")
+        .drop("os_key")
+        .join(F.broadcast(pathways), decorated["slot"] == F.col("pw_idx"))
+        .drop("pw_idx")
+        .join(arch, decorated["_id"] == F.col("arch_key"), "left")
+        .drop("arch_key")
     )
-    return out.select(
+    flat = out.select(
         F.col("_id").alias("gene_id"),
         "name",
+        "description",
         F.coalesce("n_dbs", F.lit(0)).cast("long").alias("n_dbs"),
         F.coalesce("n_ids", F.lit(0)).cast("long").alias("n_ids"),
         F.floor(F.col("start") / 500).cast("long").alias("bin"),
         F.coalesce("n_entries", F.lit(0)).cast("long").alias("n_entries"),
         F.coalesce("n_ancestors", F.lit(0)).cast("long").alias("n_ancestors"),
+        "canonical_transcript",
+        "canonical_translation_len",
+        F.coalesce("n_transcripts", F.lit(0)).cast("long").alias("n_transcripts"),
+        F.concat(F.lit("tree_"), (F.col("c_custkey") % 100).cast("string")).alias(
+            "tree_id"
+        ),
+        F.concat(F.lit("G"), F.col("mink").cast("string")).alias("tree_rep"),
+        F.coalesce("n_rifs", F.lit(0)).cast("long").alias("n_rifs"),
+        F.coalesce("n_qtls", F.lit(0)).cast("long").alias("n_qtls"),
+        F.col("n_pathways"),
+        F.coalesce("n_homologs", F.lit(0)).cast("long").alias("n_homologs"),
+        "architecture",
+        species_rank(F.col("taxon_id")).cast("long").alias("species_idx"),
     )
+    # stage 18: P3 cleanup — '' → NULL (unmatched descriptions)
+    return DOC.nullify_empties(flat)
 
 
 @register(
