@@ -1019,6 +1019,7 @@ def percentile_threshold_filter(
     q_num: int,
     q_den: int,
     keep_ge: bool = True,
+    value_quantum: int | None = None,
 ) -> DataFrame:
     """Corpus-relative adaptive filter: keep rows whose integer ``value``
     is ≥ (or <) the corpus's exact q-quantile, computed as the value at
@@ -1037,9 +1038,31 @@ def percentile_threshold_filter(
     the 1-row threshold broadcast-joins back and the filter runs
     map-side. A corpus-sized global ``orderBy`` never happens.
 
+    CARDINALITY CONTRACT: the unpartitioned running sum is bounded by
+    the number of DISTINCT values, not rows. That is fine for
+    integer-ish domains (n_chars, cents, token counts — thousands to
+    millions of distinct values), but a high-cardinality continuous
+    column (float scores, epoch micros) degrades toward a
+    single-partition corpus sort. For those, set ``value_quantum``:
+    values are floored to multiples of the quantum BEFORE counting, so
+    the distinct table is at most range/quantum rows and the threshold
+    is exact on the quantized domain (error < one quantum in value
+    units — pick the quantum at the resolution the filter decision
+    actually needs). The returned ``threshold`` is then a quantum
+    multiple and the filter compares quantized values against it.
+
     Output: input columns + ``threshold`` (the same value on every row).
     """
-    counts = df.groupBy(F.col(value).alias("__v")).agg(
+    if value_quantum is not None:
+        if value_quantum <= 0:
+            raise ValueError(f"value_quantum must be positive: {value_quantum}")
+        vexpr = (
+            F.floor(F.col(value) / F.lit(int(value_quantum)))
+            * F.lit(int(value_quantum))
+        ).cast("long")
+    else:
+        vexpr = F.col(value)
+    counts = df.groupBy(vexpr.alias("__v")).agg(
         F.count("*").alias("__c")
     )
     wcum = Window.orderBy(F.col("__v").asc()).rowsBetween(
@@ -1056,10 +1079,11 @@ def percentile_threshold_filter(
         .agg(F.min("__v").alias("threshold"))
     )
     joined = df.join(F.broadcast(thr))
+    side = vexpr if value_quantum is not None else F.col(value)
     cond = (
-        F.col(value) >= F.col("threshold")
+        side >= F.col("threshold")
         if keep_ge
-        else F.col(value) < F.col("threshold")
+        else side < F.col("threshold")
     )
     return joined.filter(cond)
 
@@ -1223,6 +1247,7 @@ def equidepth_bins(
     df: DataFrame,
     value: str,
     k: int,
+    value_quantum: int | None = None,
 ) -> DataFrame:
     """Equi-depth histogram of an integer column: ``k`` bins of
     approximately equal row count — the quantile summary a planner or
@@ -1241,9 +1266,26 @@ def equidepth_bins(
     of rows at 100 TB; the only single-partition step), never a
     corpus-wide sort.
 
+    CARDINALITY CONTRACT (same as ``percentile_threshold_filter``): the
+    single-partition running sum is distinct-value-bounded. For
+    high-cardinality continuous domains set ``value_quantum`` — values
+    are floored to quantum multiples first, bounding the distinct table
+    to range/quantum rows; bin boundaries are then exact on the
+    quantized domain (lo/hi come out as quantum multiples, boundary
+    error < one quantum).
+
     Output: (bin, lo, hi, n_rows), bin ∈ [0, k).
     """
-    counts = df.groupBy(F.col(value).alias("v")).agg(F.count("*").alias("c"))
+    if value_quantum is not None:
+        if value_quantum <= 0:
+            raise ValueError(f"value_quantum must be positive: {value_quantum}")
+        vexpr = (
+            F.floor(F.col(value) / F.lit(int(value_quantum)))
+            * F.lit(int(value_quantum))
+        ).cast("long")
+    else:
+        vexpr = F.col(value)
+    counts = df.groupBy(vexpr.alias("v")).agg(F.count("*").alias("c"))
     wcum = Window.orderBy(F.col("v").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

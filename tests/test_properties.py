@@ -329,6 +329,37 @@ def test_percentile_threshold_filter_matches_sorted_pick(spark, vals, q):
     assert all(r.threshold == thr for r in out)
 
 
+@given(
+    vals=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    q=st.tuples(st.integers(1, 9), st.just(10)),
+    quantum=st.sampled_from([1, 7, 10, 100]),
+)
+@settings(**SETTINGS)
+def test_percentile_threshold_filter_quantized(spark, vals, q, quantum):
+    """The value_quantum escape hatch (high-cardinality contract): the
+    quantized path must equal the exact path run on floored values —
+    threshold a quantum multiple, filter decided on quantized values."""
+    from gramene_mongodb_spark.operators.relational import (
+        percentile_threshold_filter,
+    )
+
+    q_num, q_den = q
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id: long, v: long"
+    )
+    out = percentile_threshold_filter(
+        df, "v", q_num, q_den, value_quantum=quantum
+    ).collect()
+    n = len(vals)
+    qvals = [v // quantum * quantum for v in vals]
+    thr = sorted(qvals)[(q_num * n + q_den - 1) // q_den - 1]
+    assert thr % quantum == 0
+    assert {r.id for r in out} == {
+        i for i, v in enumerate(qvals) if v >= thr
+    }
+    assert all(r.threshold == thr for r in out)
+
+
 # --------------------------------------------------------------------------
 # grouped rank percentiles vs brute force
 # --------------------------------------------------------------------------
@@ -395,6 +426,38 @@ def test_equidepth_bins_match_brute_force(spark, vals, k):
         want[b] = [min(lo, v), max(hi, v), c + by_v[v]]
     assert got == {b: tuple(x) for b, x in want.items()}
     assert sum(c for _, _, c in got.values()) == n
+
+
+@given(
+    vals=st.lists(st.integers(0, 400), min_size=1, max_size=50),
+    k=st.integers(1, 8),
+    quantum=st.sampled_from([1, 9, 50]),
+)
+@settings(**SETTINGS)
+def test_equidepth_bins_quantized(spark, vals, k, quantum):
+    """Quantized equi-depth == exact equi-depth over floored values
+    (bounded distinct-value table for continuous domains)."""
+    from gramene_mongodb_spark.operators.relational import equidepth_bins
+
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    got = {
+        r.bin: (r.lo, r.hi, r.n_rows)
+        for r in equidepth_bins(df, "v", k, value_quantum=quantum).collect()
+    }
+    qvals = [v // quantum * quantum for v in vals]
+    n = len(qvals)
+    by_v: dict[int, int] = {}
+    for v in qvals:
+        by_v[v] = by_v.get(v, 0) + 1
+    cum = 0
+    want: dict[int, list] = {}
+    for v in sorted(by_v):
+        cum += by_v[v]
+        b = (cum - 1) * k // n
+        lo, hi, c = want.setdefault(b, [v, v, 0])
+        want[b] = [min(lo, v), max(hi, v), c + by_v[v]]
+    assert got == {b: tuple(x) for b, x in want.items()}
+    assert all(lo % quantum == 0 and hi % quantum == 0 for lo, hi, _ in got.values())
 
 
 # --------------------------------------------------------------------------
