@@ -56,7 +56,14 @@ HEADLINE = [
     "x_temporal_join",
     "x_skyline_orders",
     "x_overlap_depth",
+    # round 7: the two composite flagships
+    "pipeline_genes_decorate",
+    "pipeline_tree_publish",
 ]
+
+#: the round-6 headline set, for the same-set A/B control run
+#: (BENCH_NOTES.md methodology: cross-round deltas stay attributable)
+R6_SET = HEADLINE[:31]
 
 
 def main() -> None:
