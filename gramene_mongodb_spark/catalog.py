@@ -580,11 +580,15 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("translation_id").alias("arch_key"), "architecture"
     )
 
-    # stage 16: ancestor adder — closure + most-specific split
+    # stage 16: ancestor adder — closure + most-specific split. The
+    # term hierarchy is the halving chain over [2, 64): longest path =
+    # 5 (63→31→15→7→3→1), a caller-KNOWN depth — so take the bounded
+    # fast path (3 doubling rounds, no per-round count, no final
+    # fixpoint-detect round; transitive_closure docstring contract)
     edges = spark.range(2, 64).select(
         F.col("id").alias("child"), (F.col("id") / 2).cast("long").alias("parent")
     )
-    closure = transitive_closure(edges)
+    closure = transitive_closure(edges, max_depth=6)
     annos = orders.select(
         F.col("o_custkey").alias("gene_key"),
         ((F.col("o_orderkey") % 63) + 1).alias("term"),
@@ -7215,6 +7219,152 @@ def x_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ["ts", "event_id"], ["vm"], suffix="_filled"
     )
     return out.select("event_id", "user_id", "vm", "vm_filled")
+
+
+def _zorder_oracle_sql(bits: int = 10) -> str:
+    terms = " + ".join(
+        f"(((({c}) >> {b}) & 1) << {b * 2 + i})"
+        for b in range(bits)
+        for i, c in enumerate(("x", "y"))
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_id % 1024 AS x, user_id % 1024 AS y FROM events
+    ),
+    z AS (SELECT x, y, {terms} AS zkey FROM pts)
+    SELECT CAST(zkey >> 12 AS BIGINT) AS zblock,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+    FROM z GROUP BY zblock
+    """
+
+
+@register("x_zorder_layout", _zorder_oracle_sql(), "llm", "O1", "K10")
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key (relational.zorder_key): events
+    mapped to a 2-D (event_id, user_id) lattice, interleaved into a
+    20-bit Morton key, then aggregated per 4096-key z-block — each
+    block's min/max bounds in BOTH dimensions are tight (the multi-dim
+    clustering property that makes parquet row-group stats prune scans
+    on EITHER column after a `repartitionByRange(zkey)` rewrite; Delta
+    OPTIMIZE ZORDER semantics). Pure shift/mask JVM arithmetic — the
+    oracle restates all 20 interleave terms and must produce identical
+    keys, blocks, and bounds."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 1024).alias("x"),
+        (F.col("user_id") % 1024).alias("y"),
+    )
+    keyed = ev.withColumn("zkey", R.zorder_key(["x", "y"], bits=10))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 12).cast("long").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )
+
+
+@register(
+    "x_hll_distinct_merge",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    "llm", "A4",
+)
+def x_hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (HyperLogLog): per-event-type
+    distinct users computed by building INDEPENDENT HLL sketches over
+    two disjoint halves of the log and MERGING them (hll_union_agg) —
+    the incremental-maintenance shape partial-agg merge can't cover
+    (COUNT DISTINCT is not decomposable exactly; the sketch is its
+    bounded-state decomposition, the same contract a streaming or
+    kappa rollup needs). Differential gate, a_approx_aggregates
+    precedent: the merged estimate must land within 5% of the exact
+    count (the oracle emits literal TRUE, so sketch drift turns the
+    row red), and the exact count rides along for the hash match."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "x_edit_distance_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'corpus title '
+                           || lpad(CAST(doc_id % 60 AS VARCHAR), 3, '0')
+               WHEN 1 THEN 'corpys title '
+                           || lpad(CAST(doc_id % 60 AS VARCHAR), 3, '0')
+               WHEN 2 THEN 'corpus title '
+                           || lpad(CAST(doc_id % 60 AS VARCHAR), 3, '0') || '!'
+               ELSE 'xcorpus title '
+                    || lpad(CAST(doc_id % 60 AS VARCHAR), 3, '0')
+             END AS title
+      FROM documents WHERE doc_id % 12 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE abs(len(a.title) - len(b.title)) <= 2
+      AND levenshtein(a.title, b.title) <= 2
+    """,
+    "llm", "dedup",
+)
+def x_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance near-dup join (dedup.edit_distance_pairs,
+    Ed-Join prefix filter + exact levenshtein verify): variant titles
+    synthesized from documents — four mutation classes (identity, one
+    substitution, one append, one prepend) over shared 60-slot bases,
+    so true pairs span ed 0/1/2 within AND across bases (adjacent
+    3-digit suffixes are themselves 1-2 edits apart). The oracle is the
+    NAIVE all-pairs formulation — the differential therefore proves
+    the prefix filter is lossless, not just fast."""
+    d = F.col("doc_id")
+    base = F.lpad((d % 60).cast("string"), 3, "0")
+    titles = (
+        _t(spark, sf_dir, "documents")
+        .filter(d % 12 == 0)
+        .select(
+            "doc_id",
+            F.when(d % 4 == 0, F.concat(F.lit("corpus title "), base))
+            .when(d % 4 == 1, F.concat(F.lit("corpys title "), base))
+            .when(d % 4 == 2, F.concat(F.lit("corpus title "), base, F.lit("!")))
+            .otherwise(F.concat(F.lit("xcorpus title "), base))
+            .alias("title"),
+        )
+    )
+    return D.edit_distance_pairs(titles, "doc_id", "title", k=2, q=3).select(
+        "id_a", "id_b", "dist"
+    )
 
 
 @register(

@@ -97,6 +97,20 @@ def transitive_closure(
         import math
 
         rounds = math.ceil(math.log2(max(2, max_depth)))
+        # SMALL bounded closures (LUT-sized term/taxon hierarchies used
+        # as one stage of a larger plan — the decorate flagship's shape)
+        # skip checkpointing entirely and return a pure LAZY composition:
+        # the plan holds at most 2^rounds ≤ 16 references to the edge
+        # scan (identical exchanges, so ReusedExchange collapses them at
+        # runtime), analysis stays trivial, and the closure contributes
+        # ZERO driver actions — it inlines into whatever job consumes
+        # it. The checkpoint-per-round path below exists for plans that
+        # self-reference across MANY rounds (lineage.py); with rounds
+        # and pair counts both bounded, neither hazard applies.
+        if rounds <= 4 and n_pairs <= 100_000:
+            for _ in range(rounds):
+                closure = extend(closure)
+            return closure
         # size every round from the closure's upper bound (n_edges · depth)
         # instead of a per-round growth model: a doubling round over a
         # multi-parent DAG can MORE than double the pair count, so

@@ -265,6 +265,102 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    k: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT bounded edit-distance near-dup join: all pairs with
+    ``levenshtein(text_a, text_b) <= k``, for strings of length
+    ≥ ``q·(k+1)`` (shorter strings carry no q-gram guarantee — filter
+    them upstream or lower q). The typo/variant-title dedup semantic
+    that token-set jaccard and MinHash cannot express (a one-character
+    edit inside a word changes every covering shingle).
+
+    Candidate generation is the Ed-Join prefix filter (Xiao, Wang, Lin,
+    VLDB'08) over POSITIONAL character q-grams: an edit operation
+    destroys at most ``q`` of a string's ``len−q+1`` grams and shifts
+    survivors by at most ``k`` positions, so ed ≤ k leaves at most
+    ``k·q`` grams of each side unmatched — a matching gram pair with
+    position gap ≤ k must therefore fall inside each side's
+    ``k·q + 1`` globally-rarest grams. The candidate equi-join runs
+    only over that prefix; frequent stop-grams never enter the join.
+    Exactness: prefix bound (theorem, not heuristic) + length-difference
+    band ≤ k + final exact ``levenshtein`` verify — results equal the
+    naive all-pairs formulation, which is exactly how the catalog
+    oracle states it.
+
+    Scale: gram explode + one df-count shuffle + prefix self-equi-join
+    (shuffles only (k·q+1) rows per doc) + candidate-pair verify.
+    Verification is per-pair O(len²) JVM levenshtein on candidates
+    only; never n² on the corpus.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ k.
+    """
+    from pyspark.sql import Window
+
+    min_len = q * (k + 1)
+    base = df.select(
+        F.col(id_col), F.col(text).alias("__t"), F.length(text).alias("__len")
+    ).filter(F.col("__len") >= min_len)
+
+    n_grams = F.col("__len") - q + 1
+    grams = base.select(
+        F.col(id_col),
+        F.col("__len"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.col("__t").substr(i, F.lit(q)),
+            )
+        ).alias("pos", "gram"),
+    )
+    doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy(id_col)
+    prefix = (
+        grams.join(doc_freq, "gram")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w_doc.orderBy(F.col("df"), F.col("gram"), F.col("pos"))
+            ),
+        )
+        .filter(F.col("rn") <= k * q + 1)
+        .select(id_col, "__len", "gram", "pos")
+    )
+    candidates = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= k),
+        )
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.abs(F.col("a.__len") - F.col("b.__len")) <= k)
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = base.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+    )
+
+
 # --------------------------------------------------------------------------
 # benchmark contamination scan (decontamination)
 # --------------------------------------------------------------------------

@@ -1090,3 +1090,51 @@ def test_forward_fill_matches_brute_force(spark, rows):
             last[g] = v
         want[i] = last.get(g)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# bounded edit-distance join vs brute force
+# --------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=9, max_size=14), min_size=2, max_size=12
+    ),
+    k=st.integers(1, 2),
+)
+@settings(**SETTINGS)
+def test_edit_distance_pairs_match_brute_force(spark, texts, k):
+    """The Ed-Join prefix filter must be LOSSLESS: operator pairs ==
+    naive all-pairs levenshtein ≤ k over strings of length ≥ q(k+1).
+    Tiny 3-letter alphabet maximizes gram collisions and near-miss
+    pairs — the regime where a buggy prefix bound would drop pairs."""
+    from gramene_mongodb_spark.operators.dedup import edit_distance_pairs
+
+    q = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id: long, t: string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "id", "t", k=k, q=q).collect()
+    }
+    eligible = {i: t for i, t in enumerate(texts) if len(t) >= q * (k + 1)}
+    want = {}
+    for a in eligible:
+        for b in eligible:
+            if a < b:
+                d = _lev(eligible[a], eligible[b])
+                if d <= k:
+                    want[(a, b)] = d
+    assert got == want
