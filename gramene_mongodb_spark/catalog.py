@@ -6782,6 +6782,206 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_entity_resolution",
+    """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 2 AS rec_id, c_name AS name,
+             c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1,
+             CASE c_custkey % 3
+               WHEN 0 THEN replace(c_name, 'Customer', 'Custmer')
+               WHEN 1 THEN replace(c_name, '#', '-')
+               ELSE c_name || 'x'
+             END,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
+      FROM customer
+    ),
+    keyed AS (
+      SELECT rec_id, name, seg,
+             right(regexp_replace(name, '[^0-9]', '', 'g'), 3) AS blk
+      FROM recs
+    ),
+    matches AS (
+      SELECT a.rec_id AS ma, b.rec_id AS mb
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk AND a.rec_id < b.rec_id
+      WHERE 100 - 25 * levenshtein(a.name, b.name)
+            + CASE WHEN a.seg = b.seg THEN 20 ELSE 0 END >= 85
+    ),
+    sym AS (SELECT ma AS u, mb AS v FROM matches
+            UNION ALL SELECT mb, ma FROM matches),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym) t
+      UNION
+      SELECT s.u, r.v FROM sym s JOIN reach r ON s.v = r.u
+    ),
+    comp AS (SELECT u AS rec_id, min(v) AS c FROM reach GROUP BY u),
+    labeled AS (
+      SELECT k.rec_id, k.name, coalesce(c.c, k.rec_id) AS cluster
+      FROM keyed k LEFT JOIN comp c ON k.rec_id = c.rec_id
+    ),
+    ranked AS (
+      SELECT cluster, name,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY len(name) DESC, name, rec_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n
+      FROM labeled
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(n AS BIGINT) AS n_records,
+           name AS canonical_name
+    FROM ranked WHERE rn = 1
+    """,
+    "pipeline", "llm", "dedup", "J9", "A5", "graph",
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution composite — the record-linkage lifecycle as one
+    lazy plan over duplicate "CRM" records synthesized from customers
+    (two systems per customer; system B mutates the name by one edit
+    and sometimes loses the segment):
+
+      blocking        → digit-fingerprint key (last 3 digits), the
+                        equi-join that bounds the pair space; recall
+                        holds because the mutations never touch digits
+      field sim       → JVM levenshtein per candidate pair (J9 shape)
+      match scoring   → integer Fellegi-Sunter-style weighted score
+                        (100 − 25·ed + 20·segment-agree), threshold 85 —
+                        a missing segment correctly BLOCKS the lev-1
+                        match (missing data ⇒ no link, not a weak link)
+      match graph →   closure.connected_components (star contraction)
+      clusters        with singletons restored via left join + coalesce
+      canonical pick  → argmax_per_group (longest name, lexicographic,
+                        rec_id — fully pinned)
+
+    The oracle replays blocking, scoring and the canonical window, and
+    resolves the match graph with a recursive reachability CTE. Every
+    stage is an existing gated operator; this entry proves they compose
+    into the standard ER DAG. Scale: blocking key bounds candidates,
+    match graph is pair-sized, CC is the O(log² n) contraction."""
+    from gramene_mongodb_spark.operators.closure import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    rec_a = c.select(
+        (k * 2).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    rec_b = c.select(
+        (k * 2 + 1).alias("rec_id"),
+        F.when(k % 3 == 0, F.regexp_replace("c_name", "Customer", "Custmer"))
+        .when(k % 3 == 1, F.regexp_replace("c_name", "#", "-"))
+        .otherwise(F.concat(F.col("c_name"), F.lit("x")))
+        .alias("name"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    recs = rec_a.unionByName(rec_b)
+    keyed = recs.withColumn(
+        "blk", F.substring(F.regexp_replace("name", "[^0-9]", ""), -3, 3)
+    )
+    a = keyed.select(
+        F.col("rec_id").alias("ma"), F.col("name").alias("na"),
+        F.col("seg").alias("sa"), "blk",
+    )
+    b = keyed.select(
+        F.col("rec_id").alias("mb"), F.col("name").alias("nb"),
+        F.col("seg").alias("sb"), "blk",
+    )
+    score = (
+        F.lit(100)
+        - 25 * F.levenshtein("na", "nb")
+        + F.when(F.col("sa") == F.col("sb"), 20).otherwise(0)
+    )
+    matches = (
+        a.join(b, "blk")
+        .filter((F.col("ma") < F.col("mb")) & (score >= 85))
+        .select("ma", "mb")
+    )
+    comp = connected_components(matches, "ma", "mb").select(
+        F.col("vertex").alias("rec_id"), F.col("component").alias("cluster")
+    )
+    labeled = keyed.join(comp, "rec_id", "left").withColumn(
+        "cluster", F.coalesce("cluster", "rec_id")
+    )
+    canon = R.argmax_per_group(
+        labeled,
+        ["cluster"],
+        [F.length("name").desc(), F.col("name").asc(), F.col("rec_id").asc()],
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    return canon.join(sizes, "cluster").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_records",
+        F.col("name").alias("canonical_name"),
+    )
+
+
+@register(
+    "x_bfs_distance",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT doc_id AS src,
+             ('0x' || substring(md5('pg' || CAST(doc_id AS VARCHAR) || '-1'),
+                                1, 8))::BIGINT
+               % (SELECT count(*) FROM documents) AS dst
+      FROM documents
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    seeds AS (SELECT doc_id AS v FROM documents WHERE doc_id % 97 = 0),
+    reach(v, d) AS (
+      SELECT v, 0 FROM seeds
+      UNION
+      SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON r.v = e.src
+      WHERE r.d < 6
+    )
+    SELECT v AS vertex, CAST(min(d) AS BIGINT) AS dist
+    FROM reach GROUP BY v
+    """,
+    "llm", "graph",
+)
+def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (closure.bfs_distance): minimum
+    hops from a trusted seed set (every 97th doc) over the shared md5
+    link graph, bounded at 6 hops — the "distance from seeds"
+    trust/quality feature next to PageRank. Frontier iteration with
+    partitioning-preserving edge checkpoint (only the vertex-sized
+    frontier moves per round); the oracle is a recursive CTE over
+    (vertex, depth) states with a min collapse. Unreached vertices are
+    absent on both sides."""
+    from gramene_mongodb_spark.operators.closure import bfs_distance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # driver-side scalar (the k7 max-key precedent)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pg"), F.col("doc_id").cast("string"), F.lit("-1")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    seeds = docs.filter(F.col("doc_id") % 97 == 0)
+    return bfs_distance(edges, seeds, max_hops=6)
+
+
+@register(
     "x_graph_components",
     """
     WITH RECURSIVE e0 AS (

@@ -1138,3 +1138,49 @@ def test_edit_distance_pairs_match_brute_force(spark, texts, k):
                 if d <= k:
                     want[(a, b)] = d
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS distance vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_seeds=st.integers(1, 3),
+    max_hops=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_bfs_distance_matches_brute_force(spark, edges, n_seeds, max_hops):
+    from gramene_mongodb_spark.operators.closure import bfs_distance
+
+    verts = sorted({v for e in edges for v in e})
+    seeds = verts[:n_seeds]
+    edf = spark.createDataFrame(edges, "src: long, dst: long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "v: long")
+    got = {
+        r.vertex: r.dist
+        for r in bfs_distance(edf, sdf, max_hops=max_hops).collect()
+    }
+    # brute-force BFS (directed, min over seeds, bounded)
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    nxt.add(v)
+        for v in nxt:
+            want[v] = hop
+        frontier = nxt
+    assert got == want
