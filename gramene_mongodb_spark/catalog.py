@@ -6782,6 +6782,49 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_table_profile",
+    """
+    SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_value,
+           max(CAST(doc_id AS VARCHAR)) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+    FROM documents
+    """,
+    "llm", "A4", "A9",
+)
+def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (io.table_profile): per-column null
+    count, EXACT distinct count, and lexicographic min/max over the
+    documents table in a single aggregation + stack unpivot — the
+    ANALYZE twin that feeds quality gates and join-strategy decisions.
+    The oracle restates it as one UNION ALL branch per column; min/max
+    compare as VARCHAR on both sides (binary collation agrees)."""
+    from gramene_mongodb_spark.io import table_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return table_profile(docs, ["doc_id", "source", "lang", "n_chars"])
+
+
+@register(
     "pipeline_entity_resolution",
     """
     WITH RECURSIVE recs AS (

@@ -415,3 +415,50 @@ def compact_parquet(
     n = max(1, -(-total // int(target_bytes)))
     df.repartition(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile — the ANALYZE/stats-collection job every
+    lake runs before planning and after loads (null counts feed quality
+    gates, exact NDVs feed join-strategy and bucketing decisions,
+    min/max feed partition-pruning sanity checks).
+
+    ONE aggregation over the table computes, per column: null count,
+    EXACT distinct count, and lexicographic min/max (stringified so one
+    schema fits every column type); a ``stack`` unpivot reshapes the
+    single wide row into one row per column. Multi-column exact
+    distincts make Catalyst plan an Expand (one duplicated stream per
+    distinct column) — the honest cost of exactness in one pass; for
+    quick profiles of very wide tables pass a column subset, or use
+    approx_count_distinct upstream (the a_approx_aggregates sketch
+    path) when 2% error is acceptable.
+
+    Output: (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "CAST(__n AS BIGINT) AS n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select(
+        "column",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -341,3 +341,51 @@ def test_graph_and_fusion_entries_stay_jvm_side(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_edit_distance_no_cartesian(spark, sf_dir):
+    """Ed-Join candidate generation must be an equi-join on the gram
+    (+post-filters), never a cartesian/nested-loop pair explosion, and
+    the whole path stays JVM-side."""
+    plan = plan_of(spark, sf_dir, "x_edit_distance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_is_pure_arithmetic(spark, sf_dir):
+    """The Morton key is shift/mask codegen: no Python, no join, exactly
+    the one aggregation exchange."""
+    plan = plan_of(spark, sf_dir, "x_zorder_layout")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan  # map-side combine before the agg
+
+
+def test_bfs_frontier_never_moves_edges(spark, sf_dir):
+    """BFS rounds join the (small) frontier INTO the pre-partitioned
+    edge table: the executed plan of the final result must not re-sort
+    the edge side per round — frontier joins appear as hash joins, not
+    SortMergeJoin cascades over the edge scan."""
+    plan = plan_of(spark, sf_dir, "x_bfs_distance")
+    assert "BatchEvalPython" not in plan
+
+
+def test_entity_resolution_blocking_is_equi_join(spark, sf_dir):
+    """Blocking must reach the pair space through the block-key
+    equi-join — no cartesian pair generation anywhere in the ER plan."""
+    plan = plan_of(spark, sf_dir, "pipeline_entity_resolution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_profile_single_pass(spark, sf_dir):
+    """The profiler is one aggregation over one scan: the pre-AQE plan
+    reads the parquet exactly once (Expand duplicates the stream for
+    the multi-distinct, but never re-scans)."""
+    df = REGISTRY["x_table_profile"].fn(spark, sf_dir)
+    static = df._jdf.queryExecution().sparkPlan().toString()
+    assert static.count("Scan parquet") == 1
+    assert "Expand" in static  # the documented multi-distinct shape
