@@ -6782,6 +6782,129 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    new AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN cents + 500 ELSE cents END AS cents,
+             status
+      FROM old WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k + 1000000000, cents, status FROM old WHERE k % 11 = 0
+    ),
+    j AS (
+      SELECT coalesce(o.k, n.k) AS k,
+             o.k IS NULL AS only_new, n.k IS NULL AS only_old,
+             (o.cents IS DISTINCT FROM n.cents) AS dc,
+             (o.status IS DISTINCT FROM n.status) AS ds
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT k AS o_orderkey,
+           CASE WHEN only_new THEN 'insert'
+                WHEN only_old THEN 'delete'
+                WHEN dc OR ds THEN 'update'
+                ELSE 'unchanged' END AS op,
+           CASE WHEN NOT only_new AND NOT only_old AND (dc OR ds)
+                THEN concat_ws(',',
+                       CASE WHEN dc THEN 'cents' END,
+                       CASE WHEN ds THEN 'status' END)
+                ELSE '' END AS changed
+    FROM j
+    WHERE only_new OR only_old OR dc OR ds
+    """,
+    "llm", "J8", "S12",
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (relational.snapshot_diff) — the validation twin of
+    cdc_replay/upsert_merge: a mutated copy of orders (every 13th key
+    deleted, every 7th repriced, every 11th re-keyed as an insert) is
+    diffed against the original; the operator must classify exactly the
+    inserts/deletes/updates with the per-row changed-column list
+    (null-safe comparison). One bucketable full-outer join."""
+    old = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    k = F.col("k")
+    new = (
+        old.filter(k % 13 != 0)
+        .withColumn(
+            "cents",
+            F.when(k % 7 == 0, F.col("cents") + 500).otherwise(F.col("cents")),
+        )
+        .unionByName(
+            old.filter(k % 11 == 0).withColumn("k", k + 1_000_000_000)
+        )
+    )
+    d = R.snapshot_diff(old, new, ["k"], ["cents", "status"])
+    return d.filter(F.col("op") != "unchanged").select(
+        F.col("k").alias("o_orderkey"),
+        "op",
+        F.array_join("changed_cols", ",").alias("changed"),
+    )
+
+
+@register(
+    "x_linear_interpolate",
+    """
+    WITH v AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(round(value * 1000000) AS BIGINT) END AS vm
+      FROM events
+    ),
+    b AS (
+      SELECT event_id, user_id, vm,
+             last_value(vm IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN vm IS NOT NULL THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(vm IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN vm IS NOT NULL THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM v
+    )
+    SELECT event_id, user_id, vm,
+           CASE WHEN vm IS NOT NULL THEN vm
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (event_id - pt) // (nt - pt)
+                ELSE NULL END AS vm_interp
+    FROM b
+    """,
+    "llm", "W2", "P8",
+)
+def x_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation imputation (relational.linear_interpolate),
+    the ramp-aware sibling of x_forward_fill on the same dropout
+    fixture: error events' NULL readings are lerped between the user's
+    bracketing good readings over the event_id axis (integer truncating
+    division — Spark `div` and DuckDB `//` agree, negatives included);
+    leading/trailing gaps stay NULL. One user-keyed shuffle serves all
+    four bracketing windows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.round(F.col("value") * 1000000).cast("long"))
+        .alias("vm"),
+    )
+    out = R.linear_interpolate(ev, ["user_id"], "event_id", "vm")
+    return out.select("event_id", "user_id", "vm", "vm_interp")
+
+
+@register(
     "x_table_profile",
     """
     SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,

@@ -1507,3 +1507,119 @@ def zorder_key(
                 b * n + i,
             ).cast("long")
     return key
+
+
+def linear_interpolate(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_col: str,
+    value: str,
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Gap filling by LINEAR interpolation: per key, a NULL integer
+    ``value`` between two non-null observations is replaced by the
+    integer lerp  v0 + (v1 - v0) * (t - t0) div (t1 - t0)  over the
+    integer ``order_col`` axis — the imputation ``forward_fill`` is too
+    blunt for (a dropout mid-ramp should not repeat the stale reading).
+    Leading/trailing gaps (no bracketing sample on one side) stay NULL,
+    same honesty contract as forward_fill.
+
+    Integer-exact and engine-portable: the division TRUNCATES toward
+    zero, which Spark's ``div`` and DuckDB's ``//`` both do (verified
+    including negative deltas — unlike floor division, where engines
+    disagree with Python). ``order_col`` must be integer and unique per
+    key (epoch micros, sequence ids).
+
+    One key-ordered shuffle serves all four bracketing windows
+    (prev/next value and position share the exchange); the lerp itself
+    is codegen arithmetic.
+
+    Output: input columns + ``{value}{suffix}``.
+    """
+    keys = list(group_by)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_of_obs = F.when(F.col(value).isNotNull(), F.col(order_col))
+    out = (
+        df.withColumn("__pv", F.last(F.col(value), ignorenulls=True).over(wb))
+        .withColumn("__pt", F.last(t_of_obs, ignorenulls=True).over(wb))
+        .withColumn("__nv", F.first(F.col(value), ignorenulls=True).over(wf))
+        .withColumn("__nt", F.first(t_of_obs, ignorenulls=True).over(wf))
+    )
+    lerp = F.col("__pv") + F.expr(
+        f"(__nv - __pv) * ({order_col} - __pt) div (__nt - __pt)"
+    )
+    return out.withColumn(
+        f"{value}{suffix}",
+        F.when(F.col(value).isNotNull(), F.col(value)).otherwise(
+            F.when(F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), lerp)
+        ),
+    ).drop("__pv", "__pt", "__nv", "__nt")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two snapshots of a table: ``insert``
+    (key only in new), ``delete`` (only in old), ``update`` (in both
+    with any compared column differing, null-safely), ``unchanged``.
+    The VALIDATION twin of the incremental family: replaying a CDC log
+    onto ``old`` must reproduce ``new`` — ``snapshot_diff(replayed,
+    new)`` returning all-unchanged is the end-to-end assertion, and the
+    diff itself is how a lake backfills a missing log (diff two
+    snapshots → synthesize the changes).
+
+    One full-outer join keyed on ``keys`` — bucket both snapshots on
+    the key to make it shuffle-free at 100 TB. Comparison uses
+    null-safe equality (``<=>``), so NULL→NULL is unchanged and
+    NULL→value is an update, matching SQL IS DISTINCT FROM.
+
+    Output: keys + ``op`` + ``changed_cols`` (sorted array of differing
+    column names; empty for non-updates).
+    """
+    cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(1).alias("__in_o"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(1).alias("__in_n"),
+    )
+    j = o.join(n, list(keys), "full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in cols
+    ]
+    changed = F.array_sort(F.array_compact(F.array(*diffs)))
+    op = (
+        F.when(F.col("__in_o").isNull(), F.lit("insert"))
+        .when(F.col("__in_n").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    empty = F.array().cast("array<string>")
+    return j.select(
+        *keys,
+        op.alias("op"),
+        F.when(op == "update", changed).otherwise(empty).alias("changed_cols"),
+    )

@@ -1184,3 +1184,117 @@ def test_bfs_distance_matches_brute_force(spark, edges, n_seeds, max_hops):
             want[v] = hop
         frontier = nxt
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# linear interpolation vs brute force (incl. negative deltas)
+# --------------------------------------------------------------------------
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.one_of(st.none(), st.integers(-100, 100)),  # value (may be NULL)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_linear_interpolate_matches_brute_force(spark, rows):
+    """Engine lerp must equal the TRUNCATING-division reference
+    (Python's // floors, so the reference uses explicit truncation —
+    the semantics Spark div and DuckDB // share)."""
+    from gramene_mongodb_spark.operators.relational import linear_interpolate
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "t: long, k: long, v: long")
+    got = {
+        r.t: r.v_interp
+        for r in linear_interpolate(df, ["k"], "t", "v").collect()
+    }
+    by_k: dict[int, list[tuple[int, int | None]]] = {}
+    for t, k, v in data:
+        by_k.setdefault(k, []).append((t, v))
+    want = {}
+    for k, series in by_k.items():
+        series.sort()
+        obs = [(t, v) for t, v in series if v is not None]
+        for t, v in series:
+            if v is not None:
+                want[t] = v
+                continue
+            prev = max(((ot, ov) for ot, ov in obs if ot < t), default=None)
+            nxt = min(((ot, ov) for ot, ov in obs if ot > t), default=None)
+            if prev is None or nxt is None:
+                want[t] = None
+            else:
+                (t0, v0), (t1, v1) = prev, nxt
+                want[t] = v0 + _trunc_div((v1 - v0) * (t - t0), t1 - t0)
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# snapshot diff vs brute force + CDC round-trip
+# --------------------------------------------------------------------------
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 12), st.one_of(st.none(), st.integers(0, 5)), max_size=10),
+    new=st.dictionaries(st.integers(0, 12), st.one_of(st.none(), st.integers(0, 5)), max_size=10),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_brute_force(spark, old, new):
+    """Null-safe classification: NULL→NULL unchanged, NULL→v update."""
+    from gramene_mongodb_spark.operators.relational import snapshot_diff
+
+    odf = spark.createDataFrame(list(old.items()) or [(None, None)], "k: long, v: long").filter("k IS NOT NULL")
+    ndf = spark.createDataFrame(list(new.items()) or [(None, None)], "k: long, v: long").filter("k IS NOT NULL")
+    got = {
+        r.k: (r.op, tuple(r.changed_cols))
+        for r in snapshot_diff(odf, ndf, ["k"], ["v"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = ("insert", ())
+        elif k not in new:
+            want[k] = ("delete", ())
+        elif old[k] != new[k]:
+            want[k] = ("update", ("v",))
+        else:
+            want[k] = ("unchanged", ())
+    assert got == want
+
+
+def test_snapshot_diff_cdc_round_trip(spark):
+    """The validation contract: synthesize a CDC log from the diff,
+    replay it onto old with upsert_merge + delete filtering, and the
+    re-diff against new must be all-unchanged."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.relational import (
+        snapshot_diff,
+        upsert_merge,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, None)], "k: long, v: long"
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 99), (4, 40), (5, 50)], "k: long, v: long"
+    )
+    d = snapshot_diff(old, new, ["k"], ["v"])
+    upserts = new.join(
+        d.filter(F.col("op").isin("insert", "update")).select("k"), "k"
+    )
+    deletes = d.filter(F.col("op") == "delete").select("k")
+    replayed = upsert_merge(old, upserts, ["k"]).join(deletes, "k", "left_anti")
+    redo = snapshot_diff(replayed, new, ["k"], ["v"])
+    assert redo.filter(F.col("op") != "unchanged").count() == 0
