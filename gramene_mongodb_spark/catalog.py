@@ -6782,6 +6782,79 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_pq_codes",
+    """
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qdim AS (
+      SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM quant
+    ),
+    sdim AS (
+      SELECT vec_id, (i - 1) // 16 AS sub, (i - 1) % 16 AS j, v FROM qdim
+    ),
+    firstk AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM quant ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (
+      SELECT f.cid, s.sub, s.j, s.v AS cv
+      FROM sdim s JOIN firstk f USING (vec_id)
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.sub, c.cid, sum((s.v - c.cv) * (s.v - c.cv)) AS dist
+      FROM sdim s JOIN c0 c ON s.sub = c.sub AND s.j = c.j
+      GROUP BY s.vec_id, s.sub, c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.sub, a.cid, s.j,
+             CAST(round(CAST(sum(s.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      FROM sdim s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+      GROUP BY a.sub, a.cid, s.j
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.sub, c.cid, sum((s.v - c.cv) * (s.v - c.cv)) AS dist
+      FROM sdim s JOIN c1 c ON s.sub = c.sub AND s.j = c.j
+      GROUP BY s.vec_id, s.sub, c.cid
+    ),
+    a2 AS (
+      SELECT vec_id, sub, cid, dist FROM (
+        SELECT vec_id, sub, cid, dist,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS codes,
+           CAST(sum(dist) AS BIGINT) AS err
+    FROM a2 GROUP BY vec_id
+    """,
+    "llm", "similarity",
+)
+def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (similarity.pq_codes): 64-dim embeddings
+    split into 4 subspaces, each with its own exact-integer k-means
+    codebook (k=4, one Lloyd iteration — the x_kmeans arithmetic per
+    subspace), every vector encoded as 4 codes plus its exact integer
+    quantization error. The oracle unrolls init/assign/update/assign
+    with the subspace as a grouping dimension — codes AND errors must
+    hash-match, so one flipped borderline assignment anywhere fails
+    the row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_codes(emb, m=4, k=4, iterations=1)
+
+
+@register(
     "x_snapshot_diff",
     """
     WITH old AS (

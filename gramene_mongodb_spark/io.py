@@ -441,7 +441,10 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            # count(when(...)) not sum(when(...)): sum over an EMPTY
+            # table is NULL, count is 0 — the empty profile must read
+            # as zeros, not nulls
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
             F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),

@@ -622,3 +622,124 @@ def rrf_fuse(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", id_col, "rrf_score", "n_lists"
     )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (PQ, Jégou et al. TPAMI'11) with EXACT
+    integer arithmetic — the vector-compression step that turns a
+    100 TB float embedding store into an m-byte-per-vector code table
+    an ANN index scans in memory (IVF-PQ = ``ivf_search`` buckets over
+    these codes; ``quantize_embeddings`` is the scalar special case).
+
+    Each vector is split into ``m`` subvectors; each subspace gets its
+    own k-means codebook trained by the ``kmeans_assign_exact``
+    arithmetic (int64-micro quantization, integer squared distances,
+    round(sum/n) centroid updates, lowest-cid ties) — so codes and
+    quantization errors are bit-identical on any engine and the whole
+    operator is differentially verifiable, which float PQ is not.
+
+    ONE plan for all subspaces: subvectors are posexploded into
+    (vec_id, sub, subvec) rows, so training/assignment shuffle once per
+    round keyed on (sub, cid) — m never multiplies the number of
+    passes. Codebooks stay broadcast-sized (m·k rows); the corpus is
+    never collected. Train on a sample at 100 TB (quantizer quality
+    needs only a representative subset), then encode map-side.
+
+    Output: (``vec_id``, ``codes`` — '-'-joined per-subspace codes,
+    ``err`` — exact integer total squared quantization error).
+    """
+    from pyspark.sql import Window
+
+    quant = vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("__q"),
+    )
+    probe = quant.select("__q").first()
+    if probe is None:
+        return quant.select(
+            F.col(id_col),
+            F.lit(None).cast("string").alias("codes"),
+            F.lit(None).cast("long").alias("err"),
+        ).limit(0)
+    dim = len(probe[0])
+    if dim % m:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    subs = quant.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice("__q", s * subdim + 1, subdim) for s in range(m)])
+        ).alias("sub", "__sq"),
+    )
+
+    w_init = Window.partitionBy("sub").orderBy(id_col)
+    cent = (
+        subs.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= k)
+        .select("sub", (F.col("__rn") - 1).alias("__cid"), F.col("__sq").alias("__c"))
+    )
+    cent = hard_checkpoint(cent)
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        per_sub = centroids.groupBy("sub").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__cid"), F.col("__c")))
+            ).alias("__cents")
+        )
+        pick = F.expr(
+            "array_min(transform(__cents, cc -> named_struct("
+            "'d', aggregate(zip_with(__sq, cc.__c, (x, y) -> (x - y) * (x - y)),"
+            "               0L, (a, v) -> a + v),"
+            "'cid', cc.__cid)))"
+        )
+        return (
+            points.join(F.broadcast(per_sub), "sub")
+            .withColumn("__pick", pick)
+            .select(
+                points[id_col],
+                "sub",
+                "__sq",
+                F.col("__pick.cid").alias("__cid"),
+                F.col("__pick.d").alias("__d"),
+            )
+        )
+
+    for _ in range(iterations):
+        assigned = assign(subs, cent)
+        sums = assigned.groupBy("sub", "__cid").agg(
+            *[F.sum(F.col("__sq")[i]).alias(f"s{i}") for i in range(subdim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        cent = sums.select(
+            "sub",
+            "__cid",
+            F.array(
+                *[
+                    F.round(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+                    for i in range(subdim)
+                ]
+            ).alias("__c"),
+        )
+        cent = hard_checkpoint(cent)
+
+    final = assign(subs, cent)
+    return final.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "__cid"))),
+                lambda s: s["__cid"].cast("string"),
+            ),
+            "-",
+        ).alias("codes"),
+        F.sum("__d").cast("long").alias("err"),
+    )

@@ -218,3 +218,38 @@ def test_round6_operators_empty(spark):
 
     docs = spark.createDataFrame([], "text STRING")
     assert heavy_hitters(docs, "text", k_den=10).count() == 0
+
+
+def test_round7_operators_empty(spark):
+    """Round-7 operators on empty inputs: empty results, never throws."""
+    from gramene_mongodb_spark.io import table_profile
+    from gramene_mongodb_spark.operators.closure import bfs_distance
+    from gramene_mongodb_spark.operators.dedup import edit_distance_pairs
+    from gramene_mongodb_spark.operators.relational import (
+        linear_interpolate,
+        snapshot_diff,
+        zorder_key,
+    )
+
+    docs = spark.createDataFrame([], "id LONG, t STRING")
+    assert edit_distance_pairs(docs, "id", "t").count() == 0
+
+    edges = spark.createDataFrame([], "src LONG, dst LONG")
+    seeds = spark.createDataFrame([], "v LONG")
+    assert bfs_distance(edges, seeds).count() == 0
+
+    tkv = spark.createDataFrame([], "t LONG, k LONG, v LONG")
+    assert linear_interpolate(tkv, ["k"], "t", "v").count() == 0
+
+    kv = spark.createDataFrame([], "k LONG, v LONG")
+    assert snapshot_diff(kv, kv, ["k"], ["v"]).count() == 0
+
+    # profiler on an empty table still yields one row per column with
+    # zero counts and NULL min/max — the honest empty-table profile
+    prof = {r.column: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value)
+            for r in table_profile(kv).collect()}
+    assert prof == {"k": (0, 0, 0, None), "v": (0, 0, 0, None)}
+
+    # zorder_key on an empty frame: expression builds and yields no rows
+    keyed = kv.withColumn("z", zorder_key(["k", "v"], bits=4))
+    assert keyed.count() == 0
