@@ -6855,6 +6855,99 @@ def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_pq_adc_topk",
+    """
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qdim AS (
+      SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM quant
+    ),
+    sdim AS (
+      SELECT vec_id, (i - 1) // 16 AS sub, (i - 1) % 16 AS j, v FROM qdim
+    ),
+    firstk AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM quant ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (
+      SELECT f.cid, s.sub, s.j, s.v AS cv
+      FROM sdim s JOIN firstk f USING (vec_id)
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.sub, c.cid, sum((s.v - c.cv) * (s.v - c.cv)) AS dist
+      FROM sdim s JOIN c0 c ON s.sub = c.sub AND s.j = c.j
+      GROUP BY s.vec_id, s.sub, c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.sub, a.cid, s.j,
+             CAST(round(CAST(sum(s.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      FROM sdim s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+      GROUP BY a.sub, a.cid, s.j
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.sub, c.cid, sum((s.v - c.cv) * (s.v - c.cv)) AS dist
+      FROM sdim s JOIN c1 c ON s.sub = c.sub AND s.j = c.j
+      GROUP BY s.vec_id, s.sub, c.cid
+    ),
+    a2 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS qid, sub, j, v FROM sdim WHERE vec_id < 3
+    ),
+    lut AS (
+      SELECT q.qid, c.sub, c.cid, sum((q.v - c.cv) * (q.v - c.cv)) AS ld
+      FROM qsub q JOIN c1 c ON q.sub = c.sub AND q.j = c.j
+      GROUP BY q.qid, c.sub, c.cid
+    ),
+    scored AS (
+      SELECT l.qid, a.vec_id, sum(l.ld) AS adc
+      FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+      GROUP BY l.qid, a.vec_id
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, vec_id,
+           CAST(adc AS BIGINT) AS adc, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, vec_id, adc,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    "llm", "similarity", "O1",
+)
+def x_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (similarity.pq_adc_topk) — the
+    query half of IVF-PQ: three query vectors build broadcast m×k
+    integer lookup tables against the trained codebook; each coded
+    vector's distance is the sum of m lookups, top-10 per query with
+    (adc, vec_id)-pinned ties. The oracle extends the x_pq_codes
+    unroll with the LUT join and scoring sum — exact integer ADC, so
+    rank boundaries can't drift between engines. Full-precision
+    vectors are never touched at query time."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, codebook = SIM.pq_model(emb, m=4, k=4, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_adc_topk(assigned, codebook, queries, k_top=10)
+
+
+@register(
     "x_snapshot_diff",
     """
     WITH old AS (

@@ -655,6 +655,40 @@ def pq_codes(
     Output: (``vec_id``, ``codes`` — '-'-joined per-subspace codes,
     ``err`` — exact integer total squared quantization error).
     """
+    assigned, _ = pq_model(vectors, m, k, iterations, id_col, vec_col)
+    if assigned is None:
+        return vectors.select(
+            F.col(id_col),
+            F.lit(None).cast("string").alias("codes"),
+            F.lit(None).cast("long").alias("err"),
+        ).limit(0)
+    return assigned.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "__cid"))),
+                lambda s: s["__cid"].cast("string"),
+            ),
+            "-",
+        ).alias("codes"),
+        F.sum("__d").cast("long").alias("err"),
+    )
+
+
+def pq_model(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """The trainable core of ``pq_codes``: returns ``(assignments,
+    codebook)`` — assignments as (id, sub, __cid, __d) rows, the
+    codebook as broadcast-sized (sub, __cid, __c int64-micro subvector)
+    rows — so downstream consumers (``pq_adc_topk``) can score against
+    the codes without re-deriving the model. (None, None) on an empty
+    corpus.
+    """
     from pyspark.sql import Window
 
     quant = vectors.select(
@@ -666,14 +700,10 @@ def pq_codes(
     )
     probe = quant.select("__q").first()
     if probe is None:
-        return quant.select(
-            F.col(id_col),
-            F.lit(None).cast("string").alias("codes"),
-            F.lit(None).cast("long").alias("err"),
-        ).limit(0)
+        return None, None
     dim = len(probe[0])
     if dim % m:
-        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+        raise ValueError(f"pq_model: dim {dim} not divisible by m={m}")
     subdim = dim // m
     subs = quant.select(
         F.col(id_col),
@@ -732,14 +762,79 @@ def pq_codes(
         )
         cent = hard_checkpoint(cent)
 
-    final = assign(subs, cent)
-    return final.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "__cid"))),
-                lambda s: s["__cid"].cast("string"),
-            ),
-            "-",
-        ).alias("codes"),
-        F.sum("__d").cast("long").alias("err"),
+    return assign(subs, cent), cent
+
+
+def pq_adc_topk(
+    assignments: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of IVF-PQ: every query builds an m×k lookup table of exact integer
+    squared distances from its subvectors to the codebook centroids;
+    a coded vector's ADC distance is then the SUM of m table lookups —
+    no float math, no decompression, and the corpus side touches only
+    its (id, sub, code) rows.
+
+    Plan shape at 100 TB: the LUT is (queries × m × k) rows — broadcast
+    — so scoring is the code table joined map-side to the LUT, one
+    groupBy (query, id) with map-side partial sums, and a per-query
+    TakeOrdered. The full-precision corpus is never read at query time.
+
+    Ties pinned by (adc, id). Output: (query_id, id, adc, rank ≤ k_top).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ).alias("__q"),
+    )
+    probe = codebook.select(F.size("__c").alias("s")).first()
+    if probe is None:
+        return assignments.select(
+            F.lit(None).cast("long").alias(query_id),
+            F.col(id_col),
+            F.lit(None).cast("long").alias("adc"),
+            F.lit(None).cast("long").alias("rank"),
+        ).limit(0)
+    subdim = probe[0]
+    qsubs = q.select(
+        query_id,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(size(__q) / {subdim}) - 1),"
+                f" s -> slice(__q, s * {subdim} + 1, {subdim}))"
+            )
+        ).alias("sub", "__qs"),
+    )
+    lut = (
+        qsubs.join(F.broadcast(codebook), "sub")
+        .select(
+            query_id,
+            "sub",
+            "__cid",
+            F.expr(
+                "aggregate(zip_with(__qs, __c, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (a, v) -> a + v)"
+            ).alias("__ld"),
+        )
+    )
+    scored = (
+        assignments.select(id_col, "sub", "__cid")
+        .join(F.broadcast(lut), ["sub", "__cid"])
+        .groupBy(query_id, id_col)
+        .agg(F.sum("__ld").cast("long").alias("adc"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_top)
     )
