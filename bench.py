@@ -56,9 +56,11 @@ HEADLINE = [
     "x_temporal_join",
     "x_skyline_orders",
     "x_overlap_depth",
-    # round 7: the two composite flagships
+    # round 7: the composite flagships + the IVF-PQ search half
     "pipeline_genes_decorate",
     "pipeline_tree_publish",
+    "pipeline_entity_resolution",
+    "x_pq_adc_topk",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

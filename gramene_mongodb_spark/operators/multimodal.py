@@ -75,6 +75,9 @@ def parse_media_header(payload: bytes) -> dict | None:
     * JPEG — marker scan to the first SOF0-SOF15 frame header
       (height/width big-endian at +5/+7), skipping entropy-free
       segments by their declared lengths.
+    * BMP — 'BM' magic; little-endian int32 width/height at offsets
+      18/22 (negative height = top-down rows → abs).
+    * PPM — 'P6' magic; ASCII width/height tokens (comments skipped).
 
     Returns None for unrecognized/truncated payloads (callers keep the
     row with null metadata — the quarantine decision is theirs).
@@ -108,6 +111,31 @@ def parse_media_header(payload: bytes) -> dict | None:
     if payload[:3] == b"GIF" and len(payload) >= 10:
         w, h = _struct.unpack("<HH", payload[6:10])
         meta.update(media_type="image", format="gif", width=w, height=h)
+        return meta
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = _struct.unpack("<ii", payload[18:26])
+        meta.update(media_type="image", format="bmp", width=w, height=abs(h))
+        return meta
+    if payload[:2] == b"P6":
+        # ASCII header: P6 <ws> width <ws> height <ws> maxval; '#'
+        # comment lines allowed anywhere in the whitespace
+        toks: list[int] = []
+        pos, n = 2, len(payload)
+        while pos < n and len(toks) < 2:
+            c = payload[pos]
+            if c == 0x23:  # '#' comment → skip to newline
+                while pos < n and payload[pos] not in (0x0A, 0x0D):
+                    pos += 1
+            elif chr(c).isdigit():
+                start = pos
+                while pos < n and chr(payload[pos]).isdigit():
+                    pos += 1
+                toks.append(int(payload[start:pos]))
+            else:
+                pos += 1
+        if len(toks) < 2:
+            return None
+        meta.update(media_type="image", format="ppm", width=toks[0], height=toks[1])
         return meta
     if payload[:2] == b"\xff\xd8":
         pos = 2
