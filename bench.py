@@ -61,6 +61,7 @@ HEADLINE = [
     "pipeline_tree_publish",
     "pipeline_entity_resolution",
     "x_pq_adc_topk",
+    "pipeline_media_curate",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

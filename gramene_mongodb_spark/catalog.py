@@ -8116,6 +8116,158 @@ def pipeline_tree_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLF_SQL = f"""
+    WITH __toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    __tok AS (SELECT doc_id, unnest(toks) AS tok FROM __toks),
+    __w AS (
+      SELECT doc_id,
+             ((('0x' || substring(md5(tok), 1, 8))::BIGINT % 2147483647) % 64)
+               AS b
+      FROM __tok
+    ),
+    __sc AS (
+      SELECT doc_id, sum((b * 2654435761 + 99991) % 1997 - 998) AS sc
+      FROM __w GROUP BY 1
+    ),
+    clf AS (
+      SELECT t.doc_id,
+             CAST(coalesce(s.sc, 0) AS BIGINT) AS clf_score,
+             CAST(len(t.toks) AS BIGINT) AS clf_score_n_tokens
+      FROM __toks t LEFT JOIN __sc s USING (doc_id)
+    )
+"""
+
+
+@register(
+    "x_quality_classifier",
+    f"""
+    {_CLF_SQL}
+    SELECT doc_id, clf_score, clf_score_n_tokens,
+           CAST(CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM clf
+    """,
+    "text", "llm",
+)
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (textops.classifier_score) — the
+    learned-classifier stage of a DCLM/FineWeb-style curation pipeline
+    in its serving shape: hashing-trick bag-of-words (md5_31 mod 64),
+    integer weight vector as a plan literal, score = one map-side
+    aggregate() expression per row. No shuffle, no UDF, no join — at
+    100 TB the classifier runs at scan speed inside whole-stage
+    codegen. The oracle replays hash, weight formula and bag sum in
+    portable SQL, so a single mis-hashed token breaks the hash."""
+    scored = T.classifier_score(_t(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id",
+        "clf_score",
+        "clf_score_n_tokens",
+        F.when(F.col("clf_score") >= 0, 1).otherwise(0).cast("long").alias("kept"),
+    )
+
+
+@register(
+    "x_preference_pairs",
+    f"""
+    {_CLF_SQL},
+    p AS (SELECT doc_id % 29 AS prompt_id, doc_id, clf_score AS sc FROM clf),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY sc DESC, doc_id DESC) AS rb,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY sc ASC, doc_id ASC) AS rw,
+             count(*) OVER (PARTITION BY prompt_id) AS n
+      FROM p
+    )
+    SELECT b.prompt_id,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.sc AS chosen_score, w.sc AS rejected_score,
+           b.sc - w.sc AS margin,
+           CAST(b.n AS BIGINT) AS n_candidates
+    FROM (SELECT * FROM r WHERE rb = 1) b
+    JOIN (SELECT * FROM r WHERE rw = 1) w USING (prompt_id)
+    WHERE b.n >= 2 AND b.sc - w.sc >= 1
+    """,
+    "relational", "llm",
+)
+def x_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (relational.preference_pairs) for
+    DPO/RLHF training sets: candidates grouped by prompt (doc_id % 29
+    stands in for a prompt id), chosen/rejected = the classifier-score
+    argmax/argmin with pinned (score, id) tie-breaks, zero-margin pairs
+    dropped. Composes with x_quality_classifier — the scoring pass
+    feeds the pairing pass in one lazy plan. Plan shape: map-side score
+    expression + ONE map-side-combinable groupBy (two struct min/max
+    aggregates) — one row per prompt shuffles, never a per-candidate
+    window sort."""
+    scored = T.classifier_score(_t(spark, sf_dir, "documents")).withColumn(
+        "prompt_id", F.col("doc_id") % 29
+    )
+    return R.preference_pairs(
+        scored, "prompt_id", "clf_score", "doc_id", min_margin=1
+    )
+
+
+@register(
+    "pipeline_quality_gate",
+    f"""
+    {_CLF_SQL},
+    st AS (
+      SELECT d.doc_id, d.source,
+             (d.lang = 'en') AS f1,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CASE WHEN length(d.text) > 0
+                  THEN length(regexp_replace(d.text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                       / length(d.text)
+                  ELSE 0.0 END AS punct_ratio,
+             c.clf_score
+      FROM documents d JOIN clf c USING (doc_id)
+    ),
+    fl AS (
+      SELECT source, f1,
+             f1 AND n_tokens BETWEEN 10 AND 100000 AS f2,
+             f1 AND n_tokens BETWEEN 10 AND 100000 AND punct_ratio <= 0.2 AS f3,
+             f1 AND n_tokens BETWEEN 10 AND 100000 AND punct_ratio <= 0.2
+                AND clf_score >= 0 AS f4
+      FROM st
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+           CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS after_len,
+           CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS after_punct,
+           CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM fl GROUP BY source
+    """,
+    "pipeline", "text", "llm",
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality gate with ATTRITION REPORT — the FineWeb-
+    style funnel every curation run publishes: language gate → token-
+    length gate → punctuation-density gate → learned-classifier gate,
+    with per-source survivor counts after each stage (the numbers that
+    tell you which gate is eating your corpus). All four signals are
+    computed in ONE map pass (token_stats + classifier_score column
+    expressions — no UDF, no join) and the funnel is conditional sums
+    in a single groupBy(source): one small shuffle total, scan-speed at
+    100 TB. The oracle replays tokenization, punct density, hash-
+    weighted classifier and the cumulative-conjunction funnel."""
+    s = T.classifier_score(T.token_stats(_t(spark, sf_dir, "documents")))
+    f1 = F.col("lang") == "en"
+    f2 = f1 & F.col("n_tokens").cast("long").between(10, 100000)
+    f3 = f2 & (F.col("punct_ratio") <= 0.2)
+    f4 = f3 & (F.col("clf_score") >= 0)
+    cnt = lambda c, n: F.sum(c.cast("long")).alias(n)  # noqa: E731
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt(f1, "after_lang"),
+        cnt(f2, "after_len"),
+        cnt(f3, "after_punct"),
+        cnt(f4, "kept"),
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

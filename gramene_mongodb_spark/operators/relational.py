@@ -1623,3 +1623,48 @@ def snapshot_diff(
         op.alias("op"),
         F.when(op == "update", changed).otherwise(empty).alias("changed_cols"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    min_margin: int = 1,
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training sets:
+    within each ``group_col`` (a prompt id — all candidate responses to
+    the same prompt), emit ONE (chosen, rejected) pair — the highest-
+    and lowest-scoring candidates — with the score margin between them.
+
+    Tie-breaks are pinned so the pair is deterministic across engines:
+    chosen = max (score, id) lexicographically (highest score, then
+    highest id), rejected = min (score, id) (lowest score, then lowest
+    id). Groups with fewer than two candidates, or where the margin is
+    below ``min_margin``, produce no pair (a pair whose chosen and
+    rejected are near-identical teaches nothing).
+
+    Plan: ONE map-side-combinable groupBy on the prompt key — two
+    struct min/max aggregates, no window, no self-join; at 100 TB this
+    is a single shuffle of one row per prompt. (The window-rank
+    formulation shuffles every candidate row into a sort; this one
+    combines partially map-side.)
+    """
+    best = F.max(F.struct(F.col(score_col), F.col(id_col))).alias("__b")
+    worst = F.min(F.struct(F.col(score_col), F.col(id_col))).alias("__w")
+    g = df.groupBy(group_col).agg(best, worst, F.count(F.lit(1)).alias("__n"))
+    return (
+        g.filter(
+            (F.col("__n") >= 2)
+            & (F.col("__b")[score_col] - F.col("__w")[score_col] >= min_margin)
+        )
+        .select(
+            group_col,
+            F.col("__b")[id_col].alias("chosen_id"),
+            F.col("__w")[id_col].alias("rejected_id"),
+            F.col("__b")[score_col].alias("chosen_score"),
+            F.col("__w")[score_col].alias("rejected_score"),
+            (F.col("__b")[score_col] - F.col("__w")[score_col]).alias("margin"),
+            F.col("__n").cast("long").alias("n_candidates"),
+        )
+    )

@@ -94,6 +94,65 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    text: str = "text",
+    dim: int = 64,
+    bias: int = 0,
+    weights: dict[int, int] | None = None,
+    out: str = "clf_score",
+) -> DataFrame:
+    """fastText/DCLM-style linear quality classifier SERVING — the
+    model-based filtering stage of a pretraining-data pipeline
+    (``quality_score`` above is the heuristic stage; this is the learned
+    stage's inference shape).
+
+    Features are the hashing trick: token → ``md5_31(token) mod dim``
+    (collisions are part of the model, exactly as in fastText's hashed
+    n-gram buckets). Weights are an integer vector indexed by bucket:
+    pass ``weights`` (bucket → int coefficient, scaled from a trained
+    model) or take the default deterministic fixture
+    ``w(b) = (b·2654435761 + 99991) mod 1997 − 998`` standing in for
+    trained coefficients. Either way the vector enters the plan as a
+    literal (a trained vector of any realistic ``dim`` is broadcast
+    size), so the per-row score is ONE map-side
+    ``aggregate(transform(tokens, w∘hash))`` expression — no shuffle, no
+    UDF, no join; at 100 TB this runs at scan speed inside whole-stage
+    codegen, which is why serving a linear classifier this way beats
+    shipping tokens to Python by orders of magnitude.
+
+    Integer weights keep the score exact across engines — the catalog
+    oracle replays hash, weight formula and sum in portable SQL.
+    Emits ``out`` (bias + Σ w[h(t)] over the token BAG — duplicates
+    count, bag-of-words semantics) and ``{out}_n_tokens``.
+    """
+    from gramene_mongodb_spark.operators.dedup import _md5_base31
+
+    toks = _tokens(F.col(text))
+    bucket = lambda t: _md5_base31(t) % dim  # noqa: E731
+
+    if weights is None:
+        wexpr = (
+            lambda t: (bucket(t) * F.lit(2654435761) + F.lit(99991)) % 1997 - 998
+        )
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for bw in sorted(weights.items()) for x in bw]
+        )
+        wexpr = lambda t: F.coalesce(  # noqa: E731
+            wmap[bucket(t)].cast("long"), F.lit(0).cast("long")
+        )
+
+    score = F.aggregate(
+        F.transform(toks, wexpr),
+        F.lit(bias).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn(out, score).withColumn(
+        f"{out}_n_tokens", F.size(toks).cast("long")
+    )
+
+
 def language_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
     """Stopword-overlap language heuristic: score = fraction of tokens in
     each language's stopword list; argmax with deterministic tie-break on

@@ -389,3 +389,32 @@ def test_table_profile_single_pass(spark, sf_dir):
     static = df._jdf.queryExecution().sparkPlan().toString()
     assert static.count("Scan parquet") == 1
     assert "Expand" in static  # the documented multi-distinct shape
+
+
+def test_quality_classifier_map_only(spark, sf_dir):
+    """The learned-classifier scorer is a pure projection: hashing-trick
+    buckets + literal weight vector inside one aggregate() expression.
+    Zero exchanges, zero Python — the plan that runs at scan speed."""
+    df = REGISTRY["x_quality_classifier"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_preference_pairs_single_agg_no_window(spark, sf_dir):
+    """Chosen/rejected come from struct min/max aggregates, which combine
+    map-side — one hash exchange on the prompt key, and no per-candidate
+    window sort anywhere in the plan."""
+    df = REGISTRY["x_preference_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_quality_gate_single_shuffle(spark, sf_dir):
+    """Four gate signals fold into map-side conditional sums: the whole
+    attrition funnel costs one exchange on the source key."""
+    df = REGISTRY["pipeline_quality_gate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1298,3 +1298,58 @@ def test_snapshot_diff_cdc_round_trip(spark):
     replayed = upsert_merge(old, upserts, ["k"]).join(deletes, "k", "left_anti")
     redo = snapshot_diff(replayed, new, ["k"], ["v"])
     assert redo.filter(F.col("op") != "unchanged").count() == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    ),
+    min_margin=st.integers(0, 10),
+)
+@settings(**SETTINGS)
+def test_preference_pairs_match_brute_force(spark, rows, min_margin):
+    from gramene_mongodb_spark.operators.relational import preference_pairs
+
+    data = [(i, g, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id: long, grp: long, score: long").repartition(3)
+    got = {
+        (r.grp, r.chosen_id, r.rejected_id, r.margin, r.n_candidates)
+        for r in preference_pairs(df, "grp", "score", "id", min_margin).collect()
+    }
+
+    want = set()
+    by_grp: dict[int, list[tuple[int, int]]] = {}
+    for i, g, s in data:
+        by_grp.setdefault(g, []).append((s, i))
+    for g, cands in by_grp.items():
+        if len(cands) < 2:
+            continue
+        chosen = max(cands)
+        rejected = min(cands)
+        margin = chosen[0] - rejected[0]
+        if margin >= min_margin:
+            want.add((g, chosen[1], rejected[1], margin, len(cands)))
+    assert got == want
+
+
+def test_classifier_score_weight_map_matches_formula(spark):
+    """The explicit-weights (trained model) path must score identically
+    to the closed-form fixture when handed the same vector, and unknown
+    buckets (sparse dict) must contribute 0."""
+    from gramene_mongodb_spark.operators.textops import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit amet"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    dim = 64
+    full = {b: (b * 2654435761 + 99991) % 1997 - 998 for b in range(dim)}
+    a = classifier_score(docs, dim=dim).select("doc_id", "clf_score")
+    b = classifier_score(docs, dim=dim, weights=full).select("doc_id", "clf_score")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    sparse = classifier_score(docs, dim=dim, weights={0: 5}).select("clf_score")
+    vals = [r.clf_score for r in sparse.collect()]
+    assert all(v % 5 == 0 for v in vals)  # only bucket-0 hits contribute
