@@ -591,3 +591,81 @@ def test_incremental_agg_maintenance_via_foreachbatch(spark, sf_dir, tmp_path):
     )
     want = {r.user_id: (r.s, r.c, r.mn, r.mx) for r in direct.collect()}
     assert got == want  # integer micros: exact, no float tolerance needed
+
+
+def test_quality_gate_stream_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
+    """The attrition funnel (pipeline_quality_gate) run INCREMENTALLY:
+    documents arrive in real micro-batches (maxFilesPerTrigger=2 over a
+    6-file staging), each epoch computes the four gate signals map-side
+    and emits per-source partial funnel counts, and a foreachBatch sink
+    merges partials by addition — counts are trivially mergeable, which
+    is exactly why a curation funnel can run as a stream. The merged
+    state must equal the one-shot batch entry EXACTLY (all-integer, so
+    no float-order tolerance needed)."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.catalog import REGISTRY
+    from gramene_mongodb_spark.operators import textops as T
+
+    staged = str(tmp_path / "docs_mb")
+    load_table(spark, sf_dir, "documents").repartition(6).write.parquet(staged)
+
+    stream = spark.readStream.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).option("maxFilesPerTrigger", "2").parquet(staged)
+
+    s = T.classifier_score(T.token_stats(stream))
+    f1 = F.col("lang") == "en"
+    f2 = f1 & F.col("n_tokens").cast("long").between(10, 100000)
+    f3 = f2 & (F.col("punct_ratio") <= 0.2)
+    f4 = f3 & (F.col("clf_score") >= 0)
+    flagged = s.select(
+        "source",
+        f1.cast("long").alias("after_lang"),
+        f2.cast("long").alias("after_len"),
+        f3.cast("long").alias("after_punct"),
+        f4.cast("long").alias("kept"),
+    )
+
+    state: dict = {}
+    epochs: list[int] = []
+
+    def sink(df, epoch_id):
+        # per-epoch partial funnel counts, merged into state by addition
+        rows = (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("after_lang").alias("after_lang"),
+                F.sum("after_len").alias("after_len"),
+                F.sum("after_punct").alias("after_punct"),
+                F.sum("kept").alias("kept"),
+            )
+            .collect()
+        )
+        if rows:
+            epochs.append(epoch_id)
+        for r in rows:
+            prev = state.get(r.source, (0, 0, 0, 0, 0))
+            state[r.source] = tuple(
+                p + v
+                for p, v in zip(
+                    prev, (r.n_docs, r.after_lang, r.after_len, r.after_punct, r.kept)
+                )
+            )
+
+    q = (
+        flagged.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(epochs) >= 2, f"expected multiple micro-batches, got {epochs}"
+
+    expect = {
+        r.source: (r.n_docs, r.after_lang, r.after_len, r.after_punct, r.kept)
+        for r in REGISTRY["pipeline_quality_gate"].fn(spark, sf_dir).collect()
+    }
+    assert state == expect
