@@ -62,6 +62,7 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "x_pq_adc_topk",
     "pipeline_media_curate",
+    "pipeline_quality_gate",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

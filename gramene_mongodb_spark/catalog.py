@@ -8116,6 +8116,82 @@ def pipeline_tree_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_dedup_oracle_sql() -> str:
+    """DuckDB replay of delta-vs-corpus MinHash dedup: same signature
+    family as _minhash_oracle_sql, but candidates are ASYMMETRIC —
+    (src, new) with new ∈ delta (doc_id % 10 = 0) and src either a
+    history doc (any id order) or an earlier delta doc (src < new) —
+    then exact-Jaccard verified and reduced to a per-delta-doc verdict."""
+    fam = D.hash_family(64, seed=7)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b}) % 2147483647) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_eq = "\n         OR ".join(
+        "(" + " AND ".join(f"x.h{bi * 4 + r} = y.h{bi * 4 + r}" for r in range(4)) + ")"
+        for bi in range(16)
+    )
+    return f"""
+    WITH {_JACCARD_CTES},
+    bh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT % 2147483647 AS b
+      FROM ex
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM bh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS src_id, y.doc_id AS new_id
+      FROM sigs x JOIN sigs y
+        ON y.doc_id % 10 = 0
+       AND x.doc_id <> y.doc_id
+       AND (x.doc_id % 10 <> 0 OR x.doc_id < y.doc_id)
+      WHERE {band_eq}
+    ),
+    ver AS (
+      SELECT c.new_id, c.src_id
+      FROM cand c
+      JOIN inter i ON i.id_a = least(c.src_id, c.new_id)
+                  AND i.id_b = greatest(c.src_id, c.new_id)
+      JOIN sizes sa ON sa.doc_id = c.src_id
+      JOIN sizes sb ON sb.doc_id = c.new_id
+      WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
+    ),
+    m AS (
+      SELECT new_id, min(src_id) AS dup_of, count(*) AS n_matches
+      FROM ver GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN m.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           m.dup_of,
+           CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN m ON m.new_id = d.doc_id
+    """
+
+
+@register("x_incremental_dedup", _incremental_dedup_oracle_sql(), "dedup", "llm")
+def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N dedup (dedup.incremental_dedup): the delta batch
+    (doc_id % 10 = 0 stands in for today's crawl) screened against the
+    already-deduped history AND itself via asymmetric banded MinHash —
+    history×history pairs never form, so daily cost is O(|delta|·
+    collisions), not O(|corpus|²). Exact shingle-Jaccard verification
+    touches candidate ids only; verdict = (kept, dup_of=min matching
+    counterpart, n_matches) per delta doc. The oracle replays
+    signatures, the asymmetric band predicate, verification and the
+    verdict reduction."""
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.incremental_dedup(
+        history, delta, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        verify_threshold=0.5,
+    )
+
+
 _CLF_SQL = f"""
     WITH __toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     __tok AS (SELECT doc_id, unnest(toks) AS tok FROM __toks),

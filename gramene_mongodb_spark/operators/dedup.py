@@ -471,6 +471,44 @@ def minhash_signatures(
     )
 
 
+def _banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    text: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, bucket) rows for banded LSH: each band's bucket is the
+    xxhash64 of its signature slice — an equi-joinable stand-in for
+    "all rows of this band agree" (distinct-tuple collisions are ~2^-64).
+    Shared by the self-join (minhash_lsh_pairs) and the delta-vs-corpus
+    (incremental_dedup) shapes; in production the OUTPUT of this
+    function is what a dedup service persists between runs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text, n, num_hashes, seed)
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -497,24 +535,7 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ verify_threshold.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text, n, num_hashes, seed)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = _banded_buckets(df, id_col, text, n, num_hashes, bands, seed)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -804,4 +825,111 @@ def embedding_lsh_near_pairs(
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup screening — the DAILY shape of production
+    dedup: the historical corpus is already deduplicated, so only the
+    incoming batch needs checking, against history AND within itself.
+    History×history pairs NEVER form — the candidate join is asymmetric
+    (delta band buckets probe the corpus index), which is what makes
+    day-N dedup cost O(|delta| · collision rate), not O(|corpus|²).
+
+    A delta doc is a duplicate iff it band-matches (MinHash ``bands``
+    over ``num_hashes`` md5-affine signatures, same family as
+    minhash_lsh_pairs) and exact-verifies (shingle Jaccard ≥
+    ``verify_threshold``) against a history doc, or against a delta doc
+    with a SMALLER id (leader-by-id within the batch, so one batch of
+    mutual dups keeps exactly one). ``dup_of`` is the minimum matching
+    counterpart id — deterministic across engines.
+
+    In production history's (id, band, bucket) rows and shingle sets are
+    PERSISTED artifacts of the previous run (`_banded_buckets` is the
+    index format); recomputing them here keeps the operator
+    self-contained and oracle-checkable without changing the plan shape:
+    either way the join is delta-bucket → corpus-bucket equi-join,
+    verification touches only candidate ids, and nothing is ever
+    all-pairs.
+
+    Output: one row per delta doc — (id, kept, dup_of, n_matches).
+    """
+    hb = _banded_buckets(history, id_col, text, n, num_hashes, bands, seed)
+    db = _banded_buckets(delta, id_col, text, n, num_hashes, bands, seed)
+
+    cand_h = (
+        db.alias("d")
+        .join(hb.alias("h"), ["band", "bucket"])
+        .select(
+            F.col(f"d.{id_col}").alias("new_id"),
+            F.col(f"h.{id_col}").alias("src_id"),
+        )
+    )
+    cand_d = (
+        db.alias("x")
+        .join(db.alias("y"), ["band", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"y.{id_col}").alias("new_id"),
+            F.col(f"x.{id_col}").alias("src_id"),
+        )
+    )
+    cand = cand_h.unionByName(cand_d).distinct()
+
+    # exact shingle-Jaccard verification, candidates only
+    sh = (
+        shingles(history.select(id_col, text), id_col, text, n)
+        .unionByName(shingles(delta.select(id_col, text), id_col, text, n))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col(id_col).alias("src_id"), "shingle"), "src_id"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("new_id"), "shingle"),
+            ["new_id", "shingle"],
+        )
+        .groupBy("new_id", "src_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("src_id"), F.col("n_sh").alias("na")),
+            "src_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("new_id"), F.col("n_sh").alias("nb")),
+            "new_id",
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= verify_threshold
+        )
+    )
+    matches = verified.groupBy("new_id").agg(
+        F.min("src_id").alias("dup_of"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+    return (
+        delta.select(id_col)
+        .join(matches.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("long").alias("kept"),
+            "dup_of",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+        )
     )

@@ -27,10 +27,14 @@ def main() -> int:
     from tests.oracle import compare
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # cross-TZ sweep: SPARK_GRAFT_TZ=Australia/Adelaide (half-hour offset
+    # catches more than whole-hour zones) re-runs the whole differential
+    # under a hostile session timezone — results must be identical
+    tz = os.environ.get("SPARK_GRAFT_TZ", "UTC")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.ui.enabled", "false")
         .appName("parity-sweep")
         .getOrCreate()

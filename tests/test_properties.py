@@ -1353,3 +1353,32 @@ def test_classifier_score_weight_map_matches_formula(spark):
     sparse = classifier_score(docs, dim=dim, weights={0: 5}).select("clf_score")
     vals = [r.clf_score for r in sparse.collect()]
     assert all(v % 5 == 0 for v in vals)  # only bucket-0 hits contribute
+
+
+def test_incremental_dedup_asymmetric_semantics(spark):
+    """Delta docs that replicate history are flagged with dup_of = the
+    history id; mutual dups WITHIN the delta keep exactly the smallest
+    id; history is never re-screened (it has no output row); unique
+    delta docs survive."""
+    from gramene_mongodb_spark.operators.dedup import incremental_dedup
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    other_text = "entirely different content about spark physical plans and shuffles"
+    unique_text = "completely novel document with no counterpart anywhere at all"
+    history = spark.createDataFrame(
+        [(101, corpus_text), (202, other_text)], "doc_id: long, text: string"
+    )
+    delta = spark.createDataFrame(
+        [(10, corpus_text), (20, unique_text), (30, other_text), (40, other_text)],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r.doc_id: (r.kept, r.dup_of, r.n_matches)
+        for r in incremental_dedup(history, delta, "doc_id").collect()
+    }
+    assert set(out) == {10, 20, 30, 40}  # one verdict per delta doc, no history rows
+    assert out[10] == (0, 101, 1)  # exact replica of history
+    assert out[20] == (1, None, 0)  # unique survives
+    assert out[30] == (0, 202, 1)  # history match only (40 > 30 is not a source)
+    # 40 matches history(202) and earlier-delta(30): min counterpart wins
+    assert out[40] == (0, 30, 2)
