@@ -418,3 +418,13 @@ def test_quality_gate_single_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """Asymmetric candidate generation must stay an equi-join on
+    (band, bucket) — any CartesianProduct/NestedLoop in this plan means
+    the delta is being compared all-pairs against the corpus."""
+    df = REGISTRY["x_incremental_dedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
