@@ -8192,6 +8192,53 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_semantic_contamination",
+    f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0),
+    p AS (
+      SELECT c.vec_id AS vec_id, b.vec_id AS bid,
+             round({_DOT.format(a='c.embedding', b='b.embedding')}
+                   / (sqrt({_DOT.format(a='c.embedding', b='c.embedding')})
+                      * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 4)
+               AS cos
+      FROM c CROSS JOIN b
+    ),
+    m AS (SELECT vec_id, max(cos) AS max_cos FROM p GROUP BY 1),
+    am AS (
+      SELECT p.vec_id, max(p.bid) AS matched_bench
+      FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos = m.max_cos
+      GROUP BY 1
+    )
+    SELECT m.vec_id, m.max_cos, am.matched_bench,
+           CAST(CASE WHEN m.max_cos >= 0.29 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM m JOIN am USING (vec_id)
+    """,
+    "similarity", "dedup", "llm",
+)
+def x_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based benchmark decontamination
+    (similarity.semantic_contamination) — the semantic companion to the
+    n-gram x_contamination screen: vec_id % 37 = 0 stands in for the
+    eval-benchmark embeddings, every other vector is training corpus
+    (gate 0.29 ≈ the corpus's p90 max-cosine — ~10% flagged, so the
+    entry carries signal at every SF; real pipelines set this from the
+    benchmark's own nearest-neighbor statistics).
+    Benchmark unit vectors broadcast as ONE collected row; per-corpus
+    max-cosine + pinned argmax computed in a single map-side
+    array_max(transform(...)) expression — the corpus side never
+    shuffles. Cosines rounded before max/threshold so the flag set is
+    engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    return SIM.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.29, round_to=4
+    ).withColumnRenamed("id", "vec_id")
+
+
 _CLF_SQL = f"""
     WITH __toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     __tok AS (SELECT doc_id, unnest(toks) AS tok FROM __toks),
@@ -8386,8 +8433,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "x_dedup_exact", "x_minhash_lsh", "x_dedup_clusters", "x_semantic_dedup",
     # similarity / retrieval
     "x_cosine_topk", "x_kmeans_clusters", "x_bm25_topk",
-    # text
-    "x_text_quality", "x_heavy_hitters",
+    # text / model-based curation (the attrition funnel subsumes
+    # x_text_quality's length+punct signals and adds the learned
+    # classifier gate — x_text_quality stays parity-swept)
+    "pipeline_quality_gate", "x_heavy_hitters",
     # graph
     "x_pagerank_hosts",
     # incremental / sampling / robust analytics / multimodal

@@ -838,3 +838,61 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k_top)
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination by EMBEDDING similarity — the semantic
+    companion to the n-gram `contamination_check`: a training doc whose
+    embedding sits too close to any eval-benchmark embedding is flagged
+    even when no 8-gram overlaps (paraphrased leakage, the case n-gram
+    screens miss).
+
+    Plan shape mirrors cosine_topk's broadcast-query design with the
+    roles flipped: the BENCHMARK side is the small one (eval suites are
+    thousands of rows, the corpus is the 100 TB side), so its unit
+    vectors are collected into ONE row and broadcast; every corpus row
+    then computes max-cosine over the benchmark array in a single
+    map-side `array_max(transform(...))` expression — no join shuffle,
+    no pair materialization, corpus never moves. Cosines are rounded to
+    ``round_to`` BEFORE the max/threshold so the flag set is identical
+    across engines; the argmax benchmark id is pinned (highest cosine,
+    then highest id — lexicographic struct max).
+
+    Output: (id, max_cos, matched_bench, contaminated).
+    """
+    from gramene_mongodb_spark.operators.dedup import _unit_vectors
+
+    cu = _unit_vectors(corpus, id_col, vec_col)
+    bu = _unit_vectors(bench, id_col, vec_col)
+    bench_row = bu.agg(
+        F.collect_list(F.struct(F.col("id"), F.col("u"))).alias("__bench")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__bench"),
+            lambda s: F.struct(
+                F.round(_dot(F.col("u"), s["u"]), round_to).alias("cos"),
+                s["id"].alias("bid"),
+            ),
+        )
+    )
+    return (
+        cu.join(F.broadcast(bench_row))
+        .select(F.col("id"), best.alias("__best"))
+        .select(
+            "id",
+            F.col("__best.cos").alias("max_cos"),
+            F.col("__best.bid").alias("matched_bench"),
+            F.when(F.col("__best.cos") >= threshold, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

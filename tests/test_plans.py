@@ -428,3 +428,15 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_contamination_corpus_never_shuffles(spark, sf_dir):
+    """Benchmark vectors collapse to one broadcast row; the corpus side
+    is scan → project → broadcast join. The only exchange allowed is the
+    SinglePartition collect of the (small) benchmark — a hash
+    repartition would mean the 100 TB side is moving."""
+    df = REGISTRY["x_semantic_contamination"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
