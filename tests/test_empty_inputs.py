@@ -253,3 +253,31 @@ def test_round7_operators_empty(spark):
     # zorder_key on an empty frame: expression builds and yields no rows
     keyed = kv.withColumn("z", zorder_key(["k", "v"], bits=4))
     assert keyed.count() == 0
+
+
+def test_round7b_operators_empty(spark):
+    """This session's additions: classifier scoring, preference pairs,
+    incremental dedup and semantic contamination on empty inputs."""
+    from gramene_mongodb_spark.operators.dedup import incremental_dedup
+    from gramene_mongodb_spark.operators.relational import preference_pairs
+    from gramene_mongodb_spark.operators.similarity import semantic_contamination
+    from gramene_mongodb_spark.operators.textops import classifier_score
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert classifier_score(docs).count() == 0
+
+    scored = spark.createDataFrame([], "id LONG, grp LONG, score LONG")
+    assert preference_pairs(scored, "grp", "score", "id").count() == 0
+
+    # empty delta against a populated history → no verdicts at all
+    history = spark.createDataFrame([(1, "some history text")], "doc_id LONG, text STRING")
+    assert incremental_dedup(history, docs, "doc_id").count() == 0
+    # populated delta against empty history → all kept (self-dedup only)
+    out = incremental_dedup(docs, history, "doc_id").collect()
+    assert [(r.doc_id, r.kept) for r in out] == [(1, 1)]
+
+    emb = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    assert semantic_contamination(emb, bench).count() == 0
