@@ -8193,6 +8193,96 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_quantile_sketch_merge",
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS val
+      FROM orders
+    ),
+    h1 AS (SELECT val // 100 AS bucket, count(*) AS cnt
+           FROM v WHERE o_orderkey % 2 = 0 GROUP BY 1),
+    h2 AS (SELECT val // 100 AS bucket, count(*) AS cnt
+           FROM v WHERE o_orderkey % 2 = 1 GROUP BY 1),
+    m AS (SELECT bucket, sum(cnt) AS cnt
+          FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY 1),
+    c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM m),
+    n AS (SELECT count(*) AS n FROM v),
+    qs(q) AS (VALUES (50), (90), (99)),
+    est AS (
+      SELECT qs.q, min(c.bucket) * 100 AS est
+      FROM qs, n, c WHERE c.cum >= ceil(qs.q * n.n / 100.0)
+      GROUP BY qs.q
+    ),
+    r AS (SELECT val,
+                 row_number() OVER (ORDER BY val, o_orderkey) AS rn
+          FROM v),
+    ex AS (
+      SELECT qs.q, min(r.val) AS exact
+      FROM qs, n, r WHERE r.rn = ceil(qs.q * n.n / 100.0)
+      GROUP BY qs.q
+    )
+    SELECT CAST(est.q AS BIGINT) AS q,
+           CAST(est.est AS BIGINT) AS est,
+           CAST(ex.exact AS BIGINT) AS exact,
+           CAST(CASE WHEN est.est <= ex.exact AND ex.exact < est.est + 100
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_quantum
+    FROM est JOIN ex USING (q)
+    """,
+    "relational", "incremental", "llm",
+)
+def x_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (relational.value_histogram_sketch) —
+    quantiles join the incremental-aggregate family (distinct counts →
+    HLL, sums → agg_merge, quantiles → this): the orders corpus is
+    split into two disjoint halves (o_orderkey parity stands in for two
+    days of intake), each half builds a fixed-quantum ($100) value
+    histogram independently, the halves merge by ADDITIVE UNION, and
+    p50/p90/p99 are read off the merged sketch. The entry also computes
+    the exact percentile_disc order statistics and asserts the sketch's
+    error contract (lower bucket edge ≤ exact < edge + quantum) —
+    `within_quantum` must be all-1. Everything is integer arithmetic,
+    so unlike KLL/t-digest the whole sketch lifecycle is
+    oracle-replayable bit-for-bit. Sketch size = value range / quantum,
+    independent of row count."""
+    from pyspark.sql import Window
+
+    v = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice")).cast("long").alias("val"),
+    )
+    h1 = R.value_histogram_sketch(v.filter(F.col("o_orderkey") % 2 == 0), "val", 100)
+    h2 = R.value_histogram_sketch(v.filter(F.col("o_orderkey") % 2 == 1), "val", 100)
+    ests = R.histogram_quantiles(R.merge_value_histograms(h1, h2), [50, 90, 99], 100)
+
+    w = Window.orderBy("val", "o_orderkey")
+    n = v.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked = v.withColumn("rn", F.row_number().over(w)).crossJoin(F.broadcast(n))
+    exact = ranked.select(
+        F.explode(F.array(*[F.lit(q) for q in (50, 90, 99)])).alias("q"),
+        "val", "rn", "__n",
+    ).filter(
+        F.col("rn") == F.ceil(F.col("__n") * F.col("q") / 100)
+    ).groupBy(F.col("q").cast("long").alias("q")).agg(F.min("val").alias("exact"))
+
+    return (
+        ests.join(exact, "q")
+        .select(
+            "q",
+            "est",
+            "exact",
+            F.when(
+                (F.col("est") <= F.col("exact"))
+                & (F.col("exact") < F.col("est") + 100),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("within_quantum"),
+        )
+    )
+
+
+@register(
     "x_semantic_contamination",
     f"""
     WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0),

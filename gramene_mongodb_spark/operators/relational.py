@@ -1668,3 +1668,86 @@ def preference_pairs(
             F.col("__n").cast("long").alias("n_candidates"),
         )
     )
+
+
+def value_histogram_sketch(
+    df: DataFrame, value_col: str, quantum: int
+) -> DataFrame:
+    """Fixed-quantum value-domain histogram — the MERGEABLE quantile
+    sketch completing the incremental-aggregate family (distinct counts
+    → HLL sketches, sums/counts → partial_aggregate_merge, quantiles →
+    this): counts per ``floor(value / quantum)`` bucket. Two sketches
+    built on disjoint partitions of a corpus merge by ADDITIVE UNION
+    (`merge_value_histograms`) — the same commutative-monoid algebra as
+    partial counts, which is what makes quantiles maintainable across
+    micro-batches, days, or shards without reprocessing history.
+
+    Error contract (the honest trade): any quantile read off the
+    histogram (`histogram_quantiles`) is the LOWER EDGE of the bucket
+    holding the order statistic, so it is ≤ the exact percentile_disc
+    value and within one ``quantum`` of it. Sketch size = value range /
+    quantum, independent of row count — the 100 TB knob is the quantum,
+    exactly as documented for the value-domain quantile ops above.
+    All arithmetic is integer: the sketch, the merge and the read are
+    engine-exact (oracle-replayable), unlike probabilistic KLL/t-digest.
+    """
+    if quantum <= 0:
+        raise ValueError("quantum must be positive")
+    return df.groupBy(
+        F.floor(F.col(value_col) / quantum).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def merge_value_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive union of two value-histogram sketches — one key-sized
+    shuffle on the bucket id, map-side combinable."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: Sequence[int], quantum: int
+) -> DataFrame:
+    """Read percentiles (integer q per cent, e.g. [50, 90, 99]) off a
+    value-histogram sketch: the estimate for q is ``bucket*quantum`` of
+    the first bucket whose cumulative count reaches ``ceil(q·n/100)``
+    (percentile_disc's order statistic). ONE pass: a running sum over
+    the bucket table (bounded by the value-domain cardinality contract,
+    NOT corpus size) and one conditional-min aggregate per q.
+
+    Output: (q, est) — one row per requested percentile.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = hist.agg(F.sum("cnt").cast("long").alias("__n"))
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(n))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("__n") * q / 100), F.col("bucket")
+            )
+        ).alias(f"__b{q}")
+        for q in qs
+    ]
+    row = cum.agg(*picks)
+    ests = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(q)).cast("long").alias("q"),
+                    (F.col(f"__b{q}") * quantum).cast("long").alias("est"),
+                )
+                for q in qs
+            ]
+        )
+    )
+    return row.select(ests.alias("__e")).select("__e.q", "__e.est")

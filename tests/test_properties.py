@@ -1382,3 +1382,39 @@ def test_incremental_dedup_asymmetric_semantics(spark):
     assert out[30] == (0, 202, 1)  # history match only (40 > 30 is not a source)
     # 40 matches history(202) and earlier-delta(30): min counterpart wins
     assert out[40] == (0, 30, 2)
+
+
+@given(
+    vals=st.lists(st.integers(0, 2000), min_size=1, max_size=60),
+    quantum=st.sampled_from([1, 7, 100]),
+)
+@settings(**SETTINGS)
+def test_value_histogram_sketch_merge_and_error_bound(spark, vals, quantum):
+    """Additivity: sketching two disjoint halves and merging must equal
+    sketching the whole corpus. Error contract: every quantile read off
+    the merged sketch is the lower bucket edge of the exact
+    percentile_disc order statistic — est ≤ exact < est + quantum."""
+    import math
+
+    from gramene_mongodb_spark.operators.relational import (
+        histogram_quantiles,
+        merge_value_histograms,
+        value_histogram_sketch,
+    )
+
+    data = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id: long, val: long").repartition(3)
+    whole = value_histogram_sketch(df, "val", quantum)
+    merged = merge_value_histograms(
+        value_histogram_sketch(df.filter("id % 2 = 0"), "val", quantum),
+        value_histogram_sketch(df.filter("id % 2 = 1"), "val", quantum),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    qs = [50, 90, 99]
+    got = {r.q: r.est for r in histogram_quantiles(merged, qs, quantum).collect()}
+    n = len(vals)
+    ordered = sorted(vals)
+    for q in qs:
+        exact = ordered[math.ceil(q * n / 100) - 1]
+        assert got[q] <= exact < got[q] + quantum, (q, got[q], exact, quantum)
