@@ -63,6 +63,8 @@ HEADLINE = [
     "x_pq_adc_topk",
     "pipeline_media_curate",
     "pipeline_quality_gate",
+    "x_semantic_contamination",
+    "x_quantile_sketch_merge",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -669,3 +669,67 @@ def test_quality_gate_stream_foreachbatch_matches_batch(spark, sf_dir, tmp_path)
         for r in REGISTRY["pipeline_quality_gate"].fn(spark, sf_dir).collect()
     }
     assert state == expect
+
+
+def test_quantile_sketch_stream_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
+    """The mergeable quantile sketch maintained INCREMENTALLY: order
+    files arrive in real micro-batches, each epoch emits its partial
+    value histogram, and the sink merges by addition (the sketch's
+    commutative-monoid contract). Quantiles read off the final merged
+    state must EQUAL the one-shot batch sketch's reads — integer-exact,
+    no tolerance."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.relational import (
+        histogram_quantiles,
+        value_histogram_sketch,
+    )
+
+    staged = str(tmp_path / "orders_mb")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor("o_totalprice").cast("long").alias("val")
+    ).repartition(6).write.parquet(staged)
+
+    stream = spark.readStream.schema("o_orderkey BIGINT, val BIGINT").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(staged)
+
+    state: dict[int, int] = {}
+    epochs: list[int] = []
+
+    def sink(df, epoch_id):
+        rows = value_histogram_sketch(df, "val", 100).collect()
+        if rows:
+            epochs.append(epoch_id)
+        for r in rows:
+            state[r.bucket] = state.get(r.bucket, 0) + r.cnt
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert len(epochs) >= 2, f"expected multiple micro-batches, got {epochs}"
+
+    batch = load_table(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("val")
+    )
+    expect_hist = {
+        r.bucket: r.cnt for r in value_histogram_sketch(batch, "val", 100).collect()
+    }
+    assert state == expect_hist
+
+    merged = spark.createDataFrame(
+        [(b, c) for b, c in state.items()], "bucket: long, cnt: long"
+    )
+    got = {r.q: r.est for r in histogram_quantiles(merged, [50, 90, 99], 100).collect()}
+    want = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            value_histogram_sketch(batch, "val", 100), [50, 90, 99], 100
+        ).collect()
+    }
+    assert got == want
