@@ -59,6 +59,19 @@ def ensure_staging():
         .withColumn("c_custkey", F.col("c_custkey") + F.col("__rep") * 1_000_000)
         .drop("__rep").repartition(32)
         .write.mode("overwrite").parquet(f"{DST}/customer.parquet"))
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    (emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
+        .withColumn("embedding",
+            F.transform("embedding",
+                        lambda x: x + F.col("__rep").cast("float") * F.lit(0.001)))
+        .drop("__rep").repartition(32)
+        .write.mode("overwrite").parquet(f"{DST}/embeddings.parquet"))
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    (orders.crossJoin(reps)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * 100_000_000)
+        .drop("__rep").repartition(32)
+        .write.mode("overwrite").parquet(f"{DST}/orders.parquet"))
 
 
 def run(df):
@@ -83,6 +96,8 @@ OPS = [
     "x_preference_pairs",
     "pipeline_media_curate",
     "x_incremental_dedup",
+    "x_semantic_contamination",
+    "x_quantile_sketch_merge",
 ]
 for name in OPS:
     fn = REGISTRY[name].fn
