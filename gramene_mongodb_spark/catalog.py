@@ -2438,10 +2438,11 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register(
-    "x_kmeans_clusters",
-    """
-    WITH quant AS (
+#: DuckDB replay of one exact-integer Lloyd round (k=8) over the
+#: embeddings table — shared by x_kmeans_clusters and the corpus-map
+#: composite. Ends with ``km_assign(vec_id, cid)``.
+_KMEANS_CTES = """
+    quant AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -2473,11 +2474,20 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 AS (
       SELECT d.vec_id, c.cid, sum((d.v - c.cv) * (d.v - c.cv)) AS dist
       FROM qdim d JOIN c1dim c USING (i) GROUP BY d.vec_id, c.cid
-    )
-    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
-      SELECT vec_id, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      FROM d2) WHERE rn = 1
+    ),
+    km_assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )"""
+
+
+@register(
+    "x_kmeans_clusters",
+    f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM km_assign
     """,
     "similarity",
 )
@@ -8189,6 +8199,86 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(
         history, delta, "doc_id", "text", n=3, num_hashes=64, bands=16,
         verify_threshold=0.5,
+    )
+
+
+@register(
+    "pipeline_corpus_map",
+    f"""
+    WITH {_KMEANS_CTES},
+    d AS (
+      SELECT a.cid, doc.doc_id, {_TOKS_SQL.replace("text", "doc.text")} AS toks
+      FROM documents doc JOIN km_assign a ON a.vec_id = doc.doc_id
+    ),
+    tok AS (SELECT cid, unnest(toks) AS term FROM d),
+    tc AS (SELECT cid, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT cid, term, rn FROM (
+        SELECT cid, term,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY cnt DESC, term ASC) AS rn
+        FROM tc) WHERE rn <= 3
+    ),
+    lbl AS (
+      SELECT cid, string_agg(term, ',' ORDER BY rn) AS top_terms FROM top GROUP BY 1
+    ),
+    st AS (
+      SELECT cid,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens_total
+      FROM d GROUP BY 1
+    )
+    SELECT CAST(st.cid AS BIGINT) AS cluster, st.n_docs, st.n_tokens_total,
+           lbl.top_terms
+    FROM st JOIN lbl USING (cid)
+    """,
+    "pipeline", "similarity", "text", "llm",
+)
+def pipeline_corpus_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus map — the cluster-then-label audit every curation run
+    publishes (what IS in this corpus?): embeddings → exact-integer
+    k-means (k=8, the oracle-replayable Lloyd round of
+    x_kmeans_clusters) → join cluster ids onto the documents →
+    per-cluster size, token mass, and the 3 most frequent terms
+    (count-desc, term-asc pinned ties) as the cluster label. One lazy
+    plan: the embedding side never touches text, the label pass is one
+    exploded-token groupBy + a cluster-keyed window over the (tiny)
+    per-cluster term counts, and the report is 8 rows. At 100 TB the
+    k-means assignment is the map-side broadcast pass audited above;
+    the term count is the corpus's single big shuffle."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = SIM.kmeans_assign_exact(emb, k=8, iterations=1).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[^\p{L}\p{N}']+"),
+        lambda t: t != "",
+    )
+    d = docs.join(assign, docs.doc_id == assign.vec_id).select(
+        "cluster", "doc_id", toks.alias("toks")
+    )
+    tok = d.select("cluster", F.explode("toks").alias("term"))
+    tc = tok.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("term"))
+    top = tc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    lbl = top.groupBy("cluster").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "term"))),
+                lambda x: x["term"],
+            ),
+            ",",
+        ).alias("top_terms")
+    )
+    st = d.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens_total"),
+    )
+    return st.join(lbl, "cluster").select(
+        "cluster", "n_docs", "n_tokens_total", "top_terms"
     )
 
 
