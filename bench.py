@@ -65,6 +65,7 @@ HEADLINE = [
     "pipeline_quality_gate",
     "x_semantic_contamination",
     "x_quantile_sketch_merge",
+    "pipeline_corpus_map",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run
