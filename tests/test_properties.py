@@ -204,11 +204,22 @@ def test_connected_components_match_union_find(spark, edges):
     from gramene_mongodb_spark.operators.closure import connected_components
 
     df = spark.createDataFrame(edges, "src: long, dst: long")
-    got = {
+    want = components_reference(edges)
+    # default threshold → single-task union-find kernel
+    fast = {
         r.vertex: r.component
         for r in connected_components(df, "src", "dst").collect()
     }
-    assert got == components_reference(edges)
+    # threshold 0 → distributed star contraction; both paths must agree
+    # exactly (the adaptive pick may never change the answer)
+    distributed = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, "src", "dst", small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == want
+    assert distributed == want
 
 
 # --------------------------------------------------------------------------
@@ -1010,7 +1021,9 @@ def test_connected_components_converge_on_cyclic_functional_graph(spark):
     df = spark.createDataFrame(edges, "src: long, dst: long")
     got = {
         r.vertex: r.component
-        for r in connected_components(df, "src", "dst").collect()
+        for r in connected_components(
+            df, "src", "dst", small_graph_threshold=0
+        ).collect()
     }
     want = components_reference(edges)
     assert got == want
