@@ -40,6 +40,7 @@ def transitive_closure(
     parent: str = "parent",
     max_iterations: int = 64,
     max_depth: int | None = None,
+    single_task_bound: int = 2_000_000,
 ) -> DataFrame:
     """All (node, ancestor) pairs reachable via parent edges.
 
@@ -98,6 +99,19 @@ def transitive_closure(
         import math
 
         rounds = math.ceil(math.log2(max(2, max_depth)))
+        # Adaptive single-task path (AQE-style, same rationale as
+        # connected_components): with a caller-declared depth bound the
+        # closure size is PROVABLY ≤ n_edges · max_depth before running
+        # anything, so when that bound fits one task (~32 MB of
+        # (long,long) pairs at 2M) the whole doubling loop collapses to
+        # one lazy Arrow kernel — pandas hash-merges per round instead
+        # of ⌈log2 d⌉ shuffle pyramids. Identical algebra (extend ∪ id,
+        # dedup), property-tested equal to the distributed path. Bigger
+        # bounds — the 100 TB case — fall through to the distributed
+        # doubling below; the reference's real hierarchies (ontology /
+        # taxonomy LUTs, ≤ ~100k edges × depth ≤ 20) all fit.
+        if n_pairs * max_depth <= single_task_bound:
+            return _closure_single_task(base, rounds)
         # SMALL bounded closures (LUT-sized term/taxon hierarchies used
         # as one stage of a larger plan — the decorate flagship's shape)
         # skip checkpointing entirely and return a pure LAZY composition:
@@ -143,6 +157,39 @@ def ancestor_arrays(closure: DataFrame) -> DataFrame:
     return closure.groupBy("node").agg(
         F.array_sort(F.collect_set("ancestor")).alias("ancestors")
     )
+
+
+def _closure_single_task(base: DataFrame, rounds: int) -> DataFrame:
+    """Single-task path doubling for closures whose size bound
+    (n_edges · max_depth) fits one task — see ``transitive_closure``.
+    Lazy like the plan it replaces (one ``mapInPandas`` over the
+    coalesced pair set, zero driver actions): each round is a pandas
+    hash-merge (node,ancestor)⋈(ancestor,grand) unioned with the
+    current set and deduped — exactly the distributed ``extend``
+    algebra — with an early break at fixpoint."""
+    schema = base.schema
+
+    def kernel(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        df = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"node": [], "ancestor": []})
+        ).drop_duplicates()
+        for _ in range(rounds):
+            ext = df.merge(
+                df.rename(columns={"node": "ancestor", "ancestor": "__g"}),
+                on="ancestor",
+            )[["node", "__g"]].rename(columns={"__g": "ancestor"})
+            n0 = len(df)
+            df = pd.concat([df, ext], ignore_index=True).drop_duplicates()
+            if len(df) == n0:
+                break
+        yield df
+
+    return base.coalesce(1).mapInPandas(kernel, schema=schema)
 
 
 def _components_single_task(e: DataFrame) -> DataFrame:

@@ -110,11 +110,21 @@ def test_transitive_closure_matches_dfs(spark, edges):
         return max((depth(n, frozenset([n])) for n in parents), default=1)
 
     d = longest_path()
+    # default bound → single-task pandas-merge kernel
     bounded = {
         (r.node, r.ancestor)
         for r in transitive_closure(df, max_depth=max(1, d)).collect()
     }
     assert bounded == want
+    # bound 0 → distributed bounded path (lazy composition at this
+    # size); the adaptive pick may never change the answer
+    distributed = {
+        (r.node, r.ancestor)
+        for r in transitive_closure(
+            df, max_depth=max(1, d), single_task_bound=0
+        ).collect()
+    }
+    assert distributed == want
 
 
 docs_strategy = st.lists(
