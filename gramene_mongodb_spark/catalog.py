@@ -8571,6 +8571,101 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_bpe_pairs",
+    f"""
+    WITH wc AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY 1
+    ),
+    idx AS (
+      SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences
+    FROM idx GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+    "llm", "textops",
+)
+def x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner loop (textops.bpe_pair_counts):
+    corpus-weighted adjacent character-pair counts over the documents
+    table, top 50 merges. Two keyed shuffles total — word counts, then
+    pair counts over the DISTINCT word list — so per-merge-round cost is
+    vocabulary-sized, not corpus-sized. The oracle replays the same
+    tokenize → word-count → pair-explode → weighted-count chain."""
+    return T.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_ranking_eval",
+    """
+    WITH scored AS (
+      SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 3
+                  WHEN o_orderpriority = '2-HIGH' THEN 2
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS rel
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY segment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM scored
+    ),
+    ideal AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY segment ORDER BY rel DESC, o_orderkey) AS irnk
+      FROM scored
+    ),
+    d AS (
+      SELECT segment, sum((pow(2, rel) - 1) / log2(rnk + 1)) AS dcg,
+             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+             min(CASE WHEN rel > 0 THEN rnk END) AS frr
+      FROM ranked WHERE rnk <= 10 GROUP BY 1
+    ),
+    i AS (
+      SELECT segment, sum((pow(2, rel) - 1) / log2(irnk + 1)) AS idcg
+      FROM ideal WHERE irnk <= 10 GROUP BY 1
+    )
+    SELECT d.segment,
+           round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg_at_10,
+           round(coalesce(1.0 / frr, 0), 6) AS mrr_at_10,
+           round(n_rel / 10.0, 4) AS precision_at_10
+    FROM d JOIN i ON d.segment = i.segment
+    """,
+    "llm", "retrieval",
+)
+def x_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval metrics (textops.ranking_metrics): nDCG@10, MRR@10
+    and precision@10 per query group. Queries = customer market
+    segments; candidate ranking = order totalprice (orderkey
+    tie-break); graded relevance = order priority (URGENT 3 … LOW 0) —
+    a deterministic stand-in for human labels that exercises the exact
+    metric algebra. Two segment-keyed windows + two aggregations; final
+    doubles rounded against engine summation order."""
+    scored = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 3)
+            .when(F.col("o_orderpriority") == "2-HIGH", 2)
+            .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    return T.ranking_metrics(
+        scored, "segment", "o_totalprice", "rel", "o_orderkey", k=10
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -910,3 +910,104 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") * k_den > F.lit(n_total))
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus-weighted adjacent symbol-pair counts — the inner loop of
+    BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"), round one where
+    symbols are single characters. The highest-count pair is the next
+    merge; re-running after applying merges trains the full vocabulary.
+
+    Scale shape (the reason this is two shuffles, not a corpus scan per
+    round): tokenize once and count WORD frequencies (distinct-word
+    table << corpus under Zipf), then explode character pairs from the
+    DISTINCT word list weighted by word count — per-round work is
+    O(|vocab| * avg_word_len), independent of corpus size. All JVM
+    expressions (split/transform/substring), no UDF; top-k via
+    orderBy+limit (TakeOrdered, no global sort). Ties at the cut are
+    broken by pair text, so the top-k set is deterministic.
+
+    Output: ``pair`` (2-char symbol pair), ``n_occurrences`` (BIGINT
+    total across the corpus, weighted by word frequency).
+    """
+    words = df.select(F.explode(_tokens(F.col(text))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    group: str,
+    score: str,
+    rel: str,
+    tie: str,
+    k: int = 10,
+) -> DataFrame:
+    """Offline retrieval-quality evaluation per query group: nDCG@k
+    (Järvelin & Kekäläinen 2002, exponential-gain form), MRR@k and
+    precision@k — the metrics a training-data pipeline reports when it
+    tunes its retrieval/dedup arms (BM25, ANN, hybrid fusion) against
+    graded relevance labels.
+
+    ``df`` holds one row per (query ``group``, candidate) with a
+    ranking ``score`` and a graded ``rel`` label; ``tie`` is a unique
+    key making both orderings total (SURVEY.md §7 determinism rule).
+    IDCG is computed from the ideal (rel-descending) ordering of ALL
+    candidates in the group truncated at k — the standard normalizer —
+    so nDCG is comparable across queries with different candidate
+    counts. Groups with no relevant candidate get ndcg/mrr 0, not NULL.
+
+    Scale: two row_number windows and two aggregations, all keyed on
+    the query group — per-query work linear in candidates, no global
+    sort, no UDF. Final doubles are rounded (engine summation order).
+    """
+    from pyspark.sql import Window
+
+    gain = F.pow(F.lit(2.0), F.col(rel).cast("double")) - F.lit(1.0)
+    w = Window.partitionBy(group).orderBy(F.desc(score), F.asc(tie))
+    ranked = df.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= k
+    )
+    dcg = ranked.groupBy(group).agg(
+        F.sum(gain / F.log2(F.col("__rank").cast("double") + 1)).alias("__dcg"),
+        F.sum(F.when(F.col(rel) > 0, 1).otherwise(0)).cast("long").alias("__n_rel"),
+        F.min(F.when(F.col(rel) > 0, F.col("__rank"))).alias("__frr"),
+    )
+    wi = Window.partitionBy(group).orderBy(F.desc(rel), F.asc(tie))
+    idcg = (
+        df.withColumn("__irank", F.row_number().over(wi))
+        .filter(F.col("__irank") <= k)
+        .groupBy(group)
+        .agg(
+            F.sum(gain / F.log2(F.col("__irank").cast("double") + 1)).alias("__idcg")
+        )
+    )
+    return dcg.join(idcg, group).select(
+        F.col(group),
+        F.round(
+            F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias(f"ndcg_at_{k}"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__frr"), F.lit(0.0)), 6
+        ).alias(f"mrr_at_{k}"),
+        F.round(F.col("__n_rel").cast("double") / F.lit(float(k)), 4).alias(
+            f"precision_at_{k}"
+        ),
+    )

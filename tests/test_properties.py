@@ -1441,3 +1441,101 @@ def test_value_histogram_sketch_merge_and_error_bound(spark, vals, quantum):
     for q in qs:
         exact = ordered[math.ceil(q * n / 100) - 1]
         assert got[q] <= exact < got[q] + quantum, (q, got[q], exact, quantum)
+
+
+# --------------------------------------------------------------------------
+# ranking metrics (nDCG/MRR/P@k) vs brute force
+# --------------------------------------------------------------------------
+
+
+def ranking_reference(rows, k):
+    """rows: (grp, score, rel); tie key = list index. Returns per-group
+    (ndcg, mrr, p_at_k) UNROUNDED."""
+    import math
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for i, (g, s, r) in enumerate(rows):
+        by[g].append((s, r, i))
+    out = {}
+    for g, items in by.items():
+        ranked = sorted(items, key=lambda x: (-x[0], x[2]))[:k]
+        ideal = sorted(items, key=lambda x: (-x[1], x[2]))[:k]
+        dcg = sum((2**r - 1) / math.log2(i + 2) for i, (_, r, _) in enumerate(ranked))
+        idcg = sum((2**r - 1) / math.log2(i + 2) for i, (_, r, _) in enumerate(ideal))
+        n_rel = sum(1 for _, r, _ in ranked if r > 0)
+        frr = next((i + 1 for i, (_, r, _) in enumerate(ranked) if r > 0), None)
+        out[g] = (
+            dcg / idcg if idcg > 0 else 0.0,
+            1.0 / frr if frr else 0.0,
+            n_rel / k,
+        )
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 5), st.integers(0, 3)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_ranking_metrics_match_brute_force(spark, rows, k):
+    from gramene_mongodb_spark.operators.textops import ranking_metrics
+
+    data = [(g, s, r, i) for i, (g, s, r) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp: long, score: long, rel: long, tie: long")
+    got = {
+        row.grp: (
+            row[f"ndcg_at_{k}"],
+            row[f"mrr_at_{k}"],
+            row[f"precision_at_{k}"],
+        )
+        for row in ranking_metrics(df, "grp", "score", "rel", "tie", k=k).collect()
+    }
+    want = ranking_reference(rows, k)
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            # Spark side rounds (6/4 dp) against engine sum order; the
+            # reference is unrounded — compare within rounding radius
+            assert abs(a - b) <= 5.1e-5, (g, got[g], want[g])
+
+
+# --------------------------------------------------------------------------
+# BPE pair counts vs brute force
+# --------------------------------------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c'", min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_pair_counts_match_brute_force(spark, texts):
+    import re
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.textops import bpe_pair_counts
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9']+", t.lower().strip()):
+            if w:
+                wc[w] += 1
+    want: Counter = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            want[w[i : i + 2]] += c
+
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = {
+        r.pair: r.n_occurrences
+        for r in bpe_pair_counts(df, top_k=1000).collect()
+    }
+    assert got == dict(want)
