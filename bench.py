@@ -66,6 +66,8 @@ HEADLINE = [
     "x_semantic_contamination",
     "x_quantile_sketch_merge",
     "pipeline_corpus_map",
+    "x_bpe_pairs",
+    "x_ranking_eval",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run
