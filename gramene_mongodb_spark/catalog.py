@@ -3939,7 +3939,11 @@ def pipeline_taxonomy_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = taxonomy.filter(F.col("parent_id").isNotNull()).select(
         F.col("taxon_id").alias("child"), F.col("parent_id").alias("parent")
     )
-    closure = transitive_closure(edges)
+    # depth bound is STRUCTURAL, not measured: the grafted tree is
+    # genome → nation → region → root, 3 edges by construction (+1
+    # slack) — so the closure skips fixpoint detection and may take
+    # the proven-size single-task path.
+    closure = transitive_closure(edges, max_depth=4)
 
     leaf_counts = (
         cust.groupBy(
@@ -5411,7 +5415,18 @@ def pipeline_obo_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineSep", "\n\n"
     ).text(obo_path)
 
-    terms = terms_with_ancestors(read_obo_terms(spark, obo_path))
+    # depth bound DERIVED from the data, k7-style: the deepest chain is
+    # pure is_a halving max_key → 1 (⌊log2 max⌋ edges; part_of k//3
+    # shortcuts only shorten paths), +1 for the same power-of-two edge
+    # case k7 documents. Lets the closure skip fixpoint-detect rounds
+    # and take the proven-size single-task path.
+    import math
+
+    max_key = cust.agg(F.max("c_custkey")).first()[0] or 2
+    terms = terms_with_ancestors(
+        read_obo_terms(spark, obo_path),
+        max_depth=int(math.log2(max_key)) + 1,
+    )
     flat = terms.select(
         "_id",
         "id",

@@ -93,16 +93,24 @@ def term_edges(terms: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def terms_with_ancestors(terms: DataFrame) -> DataFrame:
+def terms_with_ancestors(
+    terms: DataFrame, max_depth: int | None = None
+) -> DataFrame:
     """Attach the materialized ``ancestors`` array (sorted numeric ids,
     self excluded) — the doc shape the reference stores
-    (`ontologies/obo2json.pl:113`)."""
+    (`ontologies/obo2json.pl:113`).
+
+    ``max_depth``: optional caller-known bound on the ontology's longest
+    is_a/part_of chain (GO/PO/TO publish theirs, ≤ ~20) — forwarded to
+    ``transitive_closure``, which then skips the fixpoint-detect rounds
+    and may take the proven-size single-task path. Underestimating
+    truncates the closure; leave ``None`` when unknown."""
     from gramene_mongodb_spark.operators.closure import (
         ancestor_arrays,
         transitive_closure,
     )
 
-    closure = transitive_closure(term_edges(terms))
+    closure = transitive_closure(term_edges(terms), max_depth=max_depth)
     anc = ancestor_arrays(closure).withColumnRenamed("node", "_id")
     out = terms.join(anc, "_id", "left")
     return out.withColumn(
