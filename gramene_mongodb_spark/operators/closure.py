@@ -76,7 +76,6 @@ def transitive_closure(
         F.col(child).alias("node"), F.col(parent).alias("ancestor")
     ).distinct()
     n_pairs = base.count()
-    closure = sized(base, n_pairs)
 
     def extend(df: DataFrame) -> DataFrame:
         return (
@@ -100,18 +99,24 @@ def transitive_closure(
 
         rounds = math.ceil(math.log2(max(2, max_depth)))
         # Adaptive single-task path (AQE-style, same rationale as
-        # connected_components): with a caller-declared depth bound the
-        # closure size is PROVABLY ≤ n_edges · max_depth before running
-        # anything, so when that bound fits one task (~32 MB of
-        # (long,long) pairs at 2M) the whole doubling loop collapses to
-        # one lazy Arrow kernel — pandas hash-merges per round instead
-        # of ⌈log2 d⌉ shuffle pyramids. Identical algebra (extend ∪ id,
-        # dedup), property-tested equal to the distributed path. Bigger
-        # bounds — the 100 TB case — fall through to the distributed
-        # doubling below; the reference's real hierarchies (ontology /
-        # taxonomy LUTs, ≤ ~100k edges × depth ≤ 20) all fit.
+        # connected_components): n_edges · max_depth is a HEURISTIC
+        # size estimate, exact for trees (each node has ≤ max_depth
+        # ancestors and one parent edge) but NOT a bound for
+        # multi-parent DAGs — m leaves → 1 hub → m roots has 2m edges,
+        # depth 2, yet an m²-pair closure. When the estimate fits one
+        # task (~32 MB of (long,long) pairs at 2M) the whole doubling
+        # loop collapses to one lazy Arrow kernel — pandas hash-merges
+        # per round instead of ⌈log2 d⌉ shuffle pyramids. Identical
+        # algebra (extend ∪ id, dedup), property-tested equal to the
+        # distributed path. The kernel itself re-checks the estimate
+        # mid-doubling and aborts with an actionable error if a dense
+        # DAG blows past it (the alternative is a silent single-task
+        # OOM). Bigger estimates — the 100 TB case — fall through to
+        # the distributed doubling below; the reference's real
+        # hierarchies (ontology / taxonomy LUTs, ≤ ~100k edges ×
+        # depth ≤ 20, near-tree fan-in) all fit.
         if n_pairs * max_depth <= single_task_bound:
-            return _closure_single_task(base, rounds)
+            return _closure_single_task(base, rounds, pair_cap=single_task_bound * 4)
         # SMALL bounded closures (LUT-sized term/taxon hierarchies used
         # as one stage of a larger plan — the decorate flagship's shape)
         # skip checkpointing entirely and return a pure LAZY composition:
@@ -123,20 +128,26 @@ def transitive_closure(
         # self-reference across MANY rounds (lineage.py); with rounds
         # and pair counts both bounded, neither hazard applies.
         if rounds <= 4 and n_pairs <= 100_000:
+            closure = base  # pure lazy: no checkpoint, zero extra jobs
             for _ in range(rounds):
                 closure = extend(closure)
             return closure
-        # size every round from the closure's upper bound (n_edges · depth)
-        # instead of a per-round growth model: a doubling round over a
-        # multi-parent DAG can MORE than double the pair count, so
-        # anything tighter risks under-partitioning. sized() floors tiny
-        # closures to one partition regardless, so small inputs don't pay
-        # for the conservatism; huge ones cap at session parallelism.
+        # size every round from the n_edges · depth estimate instead of
+        # a per-round growth model: a doubling round over a multi-parent
+        # DAG can MORE than double the pair count (the estimate is not a
+        # true bound there — see the single-task note above), so this is
+        # deliberately conservative for trees and merely best-effort for
+        # dense DAGs; under-partitioned rounds spill rather than fail,
+        # and sized() caps at session parallelism anyway. sized() floors
+        # tiny closures to one partition, so small inputs don't pay for
+        # the conservatism.
         est = n_pairs * max_depth
+        closure = sized(base, n_pairs)
         for _ in range(rounds):
             closure = sized(extend(closure), est)
         return closure
 
+    closure = sized(base, n_pairs)
     for _ in range(max_iterations):
         extended = sized(
             extend(closure),
@@ -159,14 +170,21 @@ def ancestor_arrays(closure: DataFrame) -> DataFrame:
     )
 
 
-def _closure_single_task(base: DataFrame, rounds: int) -> DataFrame:
-    """Single-task path doubling for closures whose size bound
-    (n_edges · max_depth) fits one task — see ``transitive_closure``.
-    Lazy like the plan it replaces (one ``mapInPandas`` over the
-    coalesced pair set, zero driver actions): each round is a pandas
-    hash-merge (node,ancestor)⋈(ancestor,grand) unioned with the
-    current set and deduped — exactly the distributed ``extend``
-    algebra — with an early break at fixpoint."""
+def _closure_single_task(
+    base: DataFrame, rounds: int, pair_cap: int | None = None
+) -> DataFrame:
+    """Single-task path doubling for closures whose size ESTIMATE
+    (n_edges · max_depth — exact for trees, heuristic for multi-parent
+    DAGs) fits one task — see ``transitive_closure``. Lazy like the
+    plan it replaces (one ``mapInPandas`` over the coalesced pair set,
+    zero driver actions): each round is a pandas hash-merge
+    (node,ancestor)⋈(ancestor,grand) unioned with the current set and
+    deduped — exactly the distributed ``extend`` algebra — with an
+    early break at fixpoint. ``pair_cap`` guards the heuristic: a dense
+    DAG whose true closure blows past the estimate aborts with an
+    actionable error instead of silently OOMing the one task; callers
+    hit by it rerun with ``single_task_bound=0`` to force the
+    distributed path."""
     schema = base.schema
 
     def kernel(batches):
@@ -185,6 +203,14 @@ def _closure_single_task(base: DataFrame, rounds: int) -> DataFrame:
             )[["node", "__g"]].rename(columns={"__g": "ancestor"})
             n0 = len(df)
             df = pd.concat([df, ext], ignore_index=True).drop_duplicates()
+            if pair_cap is not None and len(df) > pair_cap:
+                raise RuntimeError(
+                    f"transitive_closure single-task kernel: closure grew to "
+                    f"{len(df)} pairs, past the {pair_cap}-pair guard — the "
+                    f"n_edges*max_depth estimate undercounts this multi-parent "
+                    f"DAG. Rerun with single_task_bound=0 to use the "
+                    f"distributed doubling path."
+                )
             if len(df) == n0:
                 break
         yield df

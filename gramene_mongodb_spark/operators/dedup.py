@@ -863,6 +863,13 @@ def incremental_dedup(
     all-pairs.
 
     Output: one row per delta doc — (id, kept, dup_of, n_matches).
+
+    Precondition: history and delta id spaces should be disjoint (the
+    daily shape guarantees it — history is the prior runs' keepers).
+    An id appearing on both sides is tolerated only when both texts are
+    identical (the self-pair is filtered; its shingle sets coincide);
+    same id with DIFFERENT texts merges shingle sets and corrupts the
+    Jaccard — don't do that.
     """
     hb = _banded_buckets(history, id_col, text, n, num_hashes, bands, seed)
     db = _banded_buckets(delta, id_col, text, n, num_hashes, bands, seed)
@@ -870,6 +877,15 @@ def incremental_dedup(
     cand_h = (
         db.alias("d")
         .join(hb.alias("h"), ["band", "bucket"])
+        # PRECONDITION: history and delta id spaces are disjoint (true
+        # for the daily shape — history = prior runs' keepers). An id on
+        # BOTH sides would otherwise self-candidate here (Jaccard 1 →
+        # the delta doc reported as dup_of itself) AND the unioned
+        # shingle table below would merge the two texts' shingle sets;
+        # the filter kills the self-pair, and re-dup of a resubmitted id
+        # against OTHER docs still verifies correctly when both texts
+        # are identical (distinct shingle union == either set).
+        .filter(F.col(f"d.{id_col}") != F.col(f"h.{id_col}"))
         .select(
             F.col(f"d.{id_col}").alias("new_id"),
             F.col(f"h.{id_col}").alias("src_id"),

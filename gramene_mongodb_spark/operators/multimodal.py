@@ -82,6 +82,15 @@ def parse_media_header(payload: bytes) -> dict | None:
     Returns None for unrecognized/truncated payloads (callers keep the
     row with null metadata — the quarantine decision is theirs).
     """
+    try:
+        return _parse_media_header_inner(payload)
+    except (ValueError, _struct.error, IndexError):
+        # Corrupt headers must quarantine (None), never raise — one bad
+        # payload would otherwise fail the whole Spark task.
+        return None
+
+
+def _parse_media_header_inner(payload: bytes) -> dict | None:
     meta = {
         "media_type": None, "format": None, "width": None,
         "height": None, "duration_ms": None, "sample_rate": None,
@@ -126,9 +135,13 @@ def parse_media_header(payload: bytes) -> dict | None:
             if c == 0x23:  # '#' comment → skip to newline
                 while pos < n and payload[pos] not in (0x0A, 0x0D):
                     pos += 1
-            elif chr(c).isdigit():
+            elif 0x30 <= c <= 0x39:
+                # explicit ASCII range: chr(c).isdigit() also accepts
+                # Latin-1 superscript digits (0xB2/0xB3/0xB9) whose bytes
+                # int() then rejects — a corrupt payload must yield None,
+                # not a ValueError that kills the whole Spark task
                 start = pos
-                while pos < n and chr(payload[pos]).isdigit():
+                while pos < n and 0x30 <= payload[pos] <= 0x39:
                     pos += 1
                 toks.append(int(payload[start:pos]))
             else:

@@ -127,6 +127,25 @@ def test_transitive_closure_matches_dfs(spark, edges):
     assert distributed == want
 
 
+def test_closure_single_task_guard_aborts_dense_dag(spark):
+    """n_edges*max_depth is NOT a closure bound for multi-parent DAGs
+    (m leaves → 1 hub → m roots: 2m edges, depth 2, m²+2m pairs). The
+    single-task kernel must abort with an actionable error when the
+    real closure blows past its cap — never silently OOM — and the
+    distributed path (single_task_bound=0) must still return the full
+    m²+2m closure."""
+    import pytest
+
+    m = 30
+    edges = [(i, 1000) for i in range(m)] + [(1000, 2000 + j) for j in range(m)]
+    df = spark.createDataFrame(edges, "child BIGINT, parent BIGINT")
+    # estimate = 60*2 = 120 <= 200 → single-task; true closure 960 > cap 800
+    with pytest.raises(Exception, match="single_task_bound=0"):
+        transitive_closure(df, max_depth=2, single_task_bound=200).collect()
+    got = transitive_closure(df, max_depth=2, single_task_bound=0).count()
+    assert got == m * m + 2 * m
+
+
 docs_strategy = st.lists(
     st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
     min_size=2,
@@ -1405,6 +1424,25 @@ def test_incremental_dedup_asymmetric_semantics(spark):
     assert out[30] == (0, 202, 1)  # history match only (40 > 30 is not a source)
     # 40 matches history(202) and earlier-delta(30): min counterpart wins
     assert out[40] == (0, 30, 2)
+
+
+def test_incremental_dedup_tolerates_id_overlap_same_text(spark):
+    """An id present on BOTH sides with identical text (a resubmitted
+    doc) must not self-candidate: it matches OTHER history docs only.
+    Here id 7 replays history verbatim — its only verified source is
+    the distinct history doc 101 with the same text, never itself."""
+    from gramene_mongodb_spark.operators.dedup import incremental_dedup
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    history = spark.createDataFrame(
+        [(7, t), (101, t)], "doc_id: long, text: string"
+    )
+    delta = spark.createDataFrame([(7, t)], "doc_id: long, text: string")
+    out = {
+        r.doc_id: (r.kept, r.dup_of, r.n_matches)
+        for r in incremental_dedup(history, delta, "doc_id").collect()
+    }
+    assert out == {7: (0, 101, 1)}  # dup_of a real counterpart, not itself
 
 
 @given(

@@ -195,6 +195,13 @@ def test_parse_media_header_real_formats():
     assert MM.parse_media_header(b"garbage") is None
     assert MM.parse_media_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None
 
+    # PPM corrupt header: 0xB2 is a Latin-1 superscript digit that
+    # chr().isdigit() accepts but int(bytes) rejects — must quarantine
+    # to None, not raise (one bad payload would fail the whole task)
+    assert MM.parse_media_header(b"P6\xb2\xb2 \xb2 255 ") is None
+    # truncated RIFF/WAVE fmt chunk → struct.error path → None
+    assert MM.parse_media_header(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01") is None
+
 
 def test_probe_metadata_through_spark(spark):
     rows = [
