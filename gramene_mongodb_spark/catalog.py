@@ -2850,7 +2850,7 @@ def _synth_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            ELSE l.score / 0.8 END)
                 THEN r.root_gene ELSE l.gene END AS rep_gene_id,
            a.ath_gene AS ath_rep_gene_id,
-           CAST([] AS BIGINT[]) AS duplication_taxa
+           '' AS duplication_taxa
     FROM leaves l
     JOIN rootrep r USING (tree_id)
     LEFT JOIN athrep a USING (tree_id)
@@ -2867,15 +2867,30 @@ def k3k4_tree_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits it iff the root's score clears the 0.8-inheritance margin
     (`trees/genetree.js:120-246`, `search/genetree_adder.js:113-252`);
     ath_rep is the tree-best arabidopsis leaf; no duplication nodes exist,
-    so duplication_taxa pins to the empty array. The grouped-map kernels
+    so duplication_taxa pins to the empty set. The grouped-map kernels
     themselves stay general — the oracle pins their behavior on this
-    topology, tests/test_trees.py pins deeper shapes."""
+    topology, tests/test_trees.py pins deeper shapes and
+    ``k3k4_deep_tree`` oracle-pins a chain topology.
+
+    ``duplication_taxa`` is emitted as a sorted comma-joined STRING (the
+    a1 house convention for driver-window entries — the driver's
+    canonicalizer pandas-sorts raw cells and cannot hash ARRAY columns);
+    library users get the typed ``ARRAY<BIGINT>`` from
+    ``trees.assign_leaf_summaries`` directly."""
     from gramene_mongodb_spark.operators import trees as TR
 
     nodes = _synth_tree_nodes(spark, sf_dir)
     scored = TR.score_leaves(nodes)
     reps = TR.select_representatives(scored)
-    return TR.assign_leaf_summaries(scored, reps)
+    return TR.assign_leaf_summaries(scored, reps).withColumn(
+        "duplication_taxa",
+        F.array_join(
+            F.transform(
+                F.array_sort("duplication_taxa"), lambda x: x.cast("string")
+            ),
+            ",",
+        ),
+    )
 
 
 @register(

@@ -126,3 +126,23 @@ def test_driver_window_spans_families():
     for fam, pred in families.items():
         hits = [n for n in window if pred(n, catalog.REGISTRY[n].tags)]
         assert hits, f"driver window has no {fam}-family entry"
+
+
+def test_driver_window_entries_are_scalar_only(spark, sf_dir):
+    """No driver-window entry may expose ARRAY/MAP/STRUCT columns: the
+    driver's canonicalizer pandas-sorts raw cells and raises
+    `unhashable type: 'list'` on complex values (proved by round 7's
+    k3k4 red row). House convention (a1): emit arrays as sorted
+    comma-joined strings; keep the typed form in the operator library."""
+    from pyspark.sql import types as T
+
+    from gramene_mongodb_spark import catalog
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in catalog._DRIVER_WINDOW:
+        schema = catalog.REGISTRY[name].fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, f"driver-window entries expose complex columns: {offenders}"
