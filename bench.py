@@ -1,11 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark harness — one JSON line on stdout.
+"""Benchmark harness — one COMPACT JSON line on stdout, detail to a file.
 
 Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints, LAST:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "n_queries": N, "runs_per_query": R, "sf": <sf>,
+     "detail_file": "BENCH_DETAIL.json"}
+
+Per-query min/mean timings land in ``BENCH_DETAIL.json`` (path override:
+``$SPARK_GRAFT_BENCH_DETAIL``), committed per round — the stdout line
+stays a few hundred bytes so the driver's tail capture can never clip
+the headline (which is exactly what broke BENCH_r07.json).
 
 Each query is timed end-to-end (plan build + full execution into a
 ``noop`` sink — every row is computed and serialized by the engine,
@@ -128,7 +134,7 @@ def main() -> None:
         spread = ", ".join(f"{s:.3f}" for s in samples)
         print(f"# {name}: min {min(samples):.3f}s of [{spread}]", file=sys.stderr)
 
-    out = {
+    detail = {
         "metric": "headline_queries_total_wall_seconds",
         # a partial total is NOT comparable round-over-round: a failing
         # query shrinking the sum must read as broken, not as a speedup
@@ -141,9 +147,37 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-        out["partial_total"] = round(sum(timings.values()), 3)
-    print(json.dumps(out))
+        detail["errors"] = errors
+        detail["partial_total"] = round(sum(timings.values()), 3)
+
+    # Per-query detail goes to a FILE; stdout gets one COMPACT line.
+    # Round 7 lesson: the 42-query detail dict grew the stdout JSON past
+    # the driver's tail-capture window, clipping the line's FRONT — the
+    # headline total — and leaving BENCH_r07.json unparseable
+    # ("parsed": null). A few-hundred-byte final line survives any tail
+    # window; the detail file is committed for round-over-round A/B.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "complete": detail["complete"],
+        "n_queries": len(timings),
+        "runs_per_query": n_runs,
+        "sf": sf,
+        "detail_file": os.path.basename(detail_path),
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+        compact["partial_total"] = detail["partial_total"]
+    print(json.dumps(compact))
     spark.stop()
 
 
