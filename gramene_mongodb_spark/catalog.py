@@ -8711,18 +8711,20 @@ def x_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # relational spine / TPC-H breadth
+    # relational spine (round-8 rotation: q11/q21 displaced to parity —
+    # attested green in r6+r7; the spine keeps its scan-agg, multi-join
+    # and semi-join-shaped anchors via q01/q03/q05 + the ER flagship)
     "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
-    "q11_important_parts", "q21_waiting_supplier",
     # composite pipelines (flagships)
     "pipeline_genes_decorate", "pipeline_web_curate", "pipeline_obo_ontology",
     "pipeline_tree_publish", "pipeline_entity_resolution",
-    # joins
+    "pipeline_taxonomy_build", "pipeline_media_curate",
+    # joins (j9/j10 displaced after green rounds; j-anchors keep
+    # broadcast, CI-fallback, containment and interval shapes)
     "j1_broadcast_enrich", "j2_ci_fallback_join", "j5_price_band_containment",
-    "j6_overlap_orders", "j9_supplier_pairs", "j10_semi_join",
-    # aggregations
+    "j6_overlap_orders",
+    # aggregations (a6/a7 rollup+pivot displaced after green rounds)
     "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
-    "a6_rollup_geo", "a7_pivot_status",
     # windows / ordering / sets / scalars (w2_genes_between displaced
     # to parity by the ER flagship — W2 keeps w2_lead_ship_gap)
     "w1_order_rank", "w2_lead_ship_gap",
@@ -8734,19 +8736,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "k3k4_tree_representatives", "k5_domain_architecture",
     # streaming batch twins
     "tumbling_hour_events", "x_asof_last_click",
-    # dedup family
-    "x_dedup_exact", "x_minhash_lsh", "x_dedup_clusters", "x_semantic_dedup",
-    # similarity / retrieval
-    "x_cosine_topk", "x_kmeans_clusters", "x_bm25_topk",
+    # dedup family (x_semantic_dedup → parity after two green rounds;
+    # never-attested edit-distance / simhash / incremental promoted)
+    "x_dedup_exact", "x_minhash_lsh", "x_dedup_clusters",
+    "x_edit_distance_pairs", "x_simhash_near", "x_incremental_dedup",
+    # similarity / retrieval (x_kmeans_clusters → parity; the IVF-PQ
+    # search half and the IVF baseline get their first attested rows)
+    "x_cosine_topk", "x_ivf_topk", "x_pq_adc_topk", "x_bm25_topk",
     # text / model-based curation (the attrition funnel subsumes
     # x_text_quality's length+punct signals and adds the learned
     # classifier gate — x_text_quality stays parity-swept)
-    "pipeline_quality_gate", "x_heavy_hitters",
+    "pipeline_quality_gate", "x_heavy_hitters", "x_funnel_stages",
     # graph
-    "x_pagerank_hosts",
-    # incremental / sampling / robust analytics / multimodal
-    "x_cdc_replay", "x_priority_sample", "x_group_percentiles",
-    "x_media_formats",
+    "x_pagerank_hosts", "x_bfs_distance",
+    # sketches / incremental / sampling (cdc+group_percentiles →
+    # parity after green rounds; HLL merge and SCD2 first-attested)
+    "x_hll_distinct_merge", "x_scd2_history", "x_priority_sample",
 )
 
 
