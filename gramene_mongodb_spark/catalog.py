@@ -2925,6 +2925,164 @@ def k8_nested_tree_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.assemble_nested_trees(_synth_tree_nodes(spark, sf_dir))
 
 
+def _synth_chain_tree_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CHAIN (caterpillar) trees from customers — the
+    non-star topology the star fixture can't exercise: one tree per
+    nation, internal node i parents leaf i AND internal node i+1, so
+    depth == the per-nation customer count (≥ 4 at every SF). Internal
+    nodes i ≡ 0 (mod 3) are duplication nodes with confidence 0.9
+    (counted), i ≡ 1 (mod 3) duplication with confidence 0.4 (below the
+    0.5 floor — pins the confidence filter), the rest speciation.
+
+    Nested-set walk: internal_i enters at 3i−2, leaf_i spans
+    [3i−1, 3i], internal exits stack up at the end — internal_i's
+    right_index is 4n−i+1 — so bottom-up (right_index) and pre-order
+    (left_index) both traverse the chain correctly."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    base = c.select(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("gene"),
+        F.row_number().over(w).alias("j"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("n"),
+    )
+    iid = F.col("nk") * 10_000_000 + F.col("j")
+    leaves = base.select(
+        F.concat(F.lit("tree_"), F.col("nk")).alias("tree_id"),
+        (F.col("ck") + 1_000_000).cast("long").alias("node_id"),
+        iid.alias("parent_id"),
+        (F.col("j") * 3 - 1).alias("left_index"),
+        (F.col("j") * 3).alias("right_index"),
+        F.lit(0.1).alias("distance_to_parent"),
+        F.when(F.col("ck") % 7 == 0, 3702).otherwise(9000).cast("long").alias("taxon_id"),
+        F.col("gene").alias("gene_stable_id"),
+        F.when(F.col("ck") % 3 == 0, F.col("gene")).alias("gene_display_label"),
+        F.when(F.col("ck") % 2 == 0, F.lit("hypothetical protein"))
+        .otherwise(F.lit("transporter activity"))
+        .alias("gene_description"),
+        F.lit(None).cast("string").alias("node_type"),
+        F.lit(None).cast("double").alias("duplication_confidence_score"),
+    )
+    internals = base.select(
+        F.concat(F.lit("tree_"), F.col("nk")).alias("tree_id"),
+        iid.alias("node_id"),
+        F.when(F.col("j") > 1, iid - 1).cast("long").alias("parent_id"),
+        (F.col("j") * 3 - 2).alias("left_index"),
+        (F.col("n") * 4 - F.col("j") + 1).alias("right_index"),
+        F.when(F.col("j") > 1, F.lit(0.1)).cast("double").alias("distance_to_parent"),
+        (F.col("j") + 5000).cast("long").alias("taxon_id"),
+        F.lit(None).cast("string").alias("gene_stable_id"),
+        F.lit(None).cast("string").alias("gene_display_label"),
+        F.lit(None).cast("string").alias("gene_description"),
+        F.when(F.col("j") % 3 < 2, F.lit("duplication"))
+        .otherwise(F.lit("speciation"))
+        .alias("node_type"),
+        F.when(F.col("j") % 3 == 0, 0.9)
+        .when(F.col("j") % 3 == 1, 0.4)
+        .cast("double")
+        .alias("duplication_confidence_score"),
+    )
+    return leaves.unionByName(internals)
+
+
+@register(
+    "k3k4_deep_tree",
+    """
+    WITH RECURSIVE leaves AS (
+      SELECT c_nationkey AS nk,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS j,
+             c_name AS gene,
+             CAST(CASE WHEN c_custkey % 2 = 0 THEN 100 ELSE 0 END
+                  + CASE WHEN c_custkey % 7 = 0 THEN -50 ELSE 0 END AS BIGINT) AS score,
+             (c_custkey % 7 = 0) AS is_ath
+      FROM customer
+    ),
+    -- K3 at internal i == argmin over leaves j >= i by (score, dist, gene);
+    -- hop distances are uniform so dist order == j order, and the pair
+    -- (score, j) packs into one monotone integer for a window min
+    enc AS (
+      SELECT nk, j, gene, score, score * 10000000 + j AS e FROM leaves
+    ),
+    sufmin AS (
+      SELECT nk, j AS i,
+             min(e) OVER (PARTITION BY nk ORDER BY j DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS me
+      FROM enc
+    ),
+    k3 AS (
+      SELECT s.nk, s.i, l.gene AS own_gene, l.score AS own_score
+      FROM sufmin s JOIN enc l ON l.nk = s.nk AND l.e = s.me
+    ),
+    -- K4 push-down: the 0.8-margin inheritance walks the chain root->leaf
+    rec AS (
+      SELECT nk, i, own_gene AS eff_gene, CAST(own_score AS DOUBLE) AS eff_score
+      FROM k3 WHERE i = 1
+      UNION ALL
+      SELECT k.nk, k.i,
+             CASE WHEN r.eff_score <= (CASE WHEN k.own_score > 0 THEN 0.8 * k.own_score
+                                            ELSE k.own_score / 0.8 END)
+                  THEN r.eff_gene ELSE k.own_gene END,
+             CASE WHEN r.eff_score <= (CASE WHEN k.own_score > 0 THEN 0.8 * k.own_score
+                                            ELSE k.own_score / 0.8 END)
+                  THEN r.eff_score ELSE CAST(k.own_score AS DOUBLE) END
+      FROM rec r JOIN k3 k ON k.nk = r.nk AND k.i = r.i + 1
+    ),
+    athrep AS (
+      SELECT nk, gene AS ath_gene
+      FROM (SELECT nk, gene, row_number() OVER (PARTITION BY nk ORDER BY score, gene) AS rn
+            FROM leaves WHERE is_ath) WHERE rn = 1
+    ),
+    dupnodes AS (
+      SELECT nk, j AS i, 5000 + j AS taxon FROM leaves WHERE j % 3 = 0
+    ),
+    dups AS (
+      SELECT l.nk, l.j, string_agg(CAST(d.taxon AS VARCHAR), ',' ORDER BY d.i) AS dup_str
+      FROM leaves l JOIN dupnodes d ON d.nk = l.nk AND d.i <= l.j
+      GROUP BY l.nk, l.j
+    )
+    SELECT 'tree_' || l.nk AS tree_id,
+           l.gene AS gene_stable_id,
+           CASE WHEN r.eff_score <= (CASE WHEN l.score > 0 THEN 0.8 * l.score
+                                          ELSE l.score / 0.8 END)
+                THEN r.eff_gene ELSE l.gene END AS rep_gene_id,
+           a.ath_gene AS ath_rep_gene_id,
+           coalesce(d.dup_str, '') AS duplication_taxa
+    FROM leaves l
+    JOIN rec r ON r.nk = l.nk AND r.i = l.j
+    LEFT JOIN athrep a ON a.nk = l.nk
+    LEFT JOIN dups d ON d.nk = l.nk AND d.j = l.j
+    """,
+    "K3", "K4",
+)
+def k3k4_deep_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+K4 over CHAIN trees — the depth-recursive differential the
+    star fixture can't give (`trees/genetree.js:120-246`,
+    `search/genetree_adder.js:113-252`): depth == per-nation customer
+    count, internal duplication nodes make ``duplication_taxa``
+    non-empty (with below-floor-confidence decoys pinning the 0.5
+    filter), and the 0.8-margin push-down
+    (`search/genetree_adder.js:139-156`) genuinely recurses — the
+    oracle replays it with a recursive CTE walking the chain, plus a
+    suffix-argmin window for K3's bottom-up pick. Same library path as
+    ``k3k4_tree_representatives``; ``duplication_taxa`` emitted as the
+    sorted joined string (house convention for oracle entries)."""
+    from gramene_mongodb_spark.operators import trees as TR
+
+    nodes = _synth_chain_tree_nodes(spark, sf_dir)
+    scored = TR.score_leaves(nodes)
+    reps = TR.select_representatives(scored)
+    return TR.assign_leaf_summaries(scored, reps).withColumn(
+        "duplication_taxa",
+        F.array_join(
+            F.transform(
+                F.array_sort("duplication_taxa"), lambda x: x.cast("string")
+            ),
+            ",",
+        ),
+    )
+
+
 @register(
     "k5_domain_architecture",
     """

@@ -194,3 +194,24 @@ def test_select_representatives_sharded_matches_unsharded(spark):
     # sanity: the winner is a model-taxon gene propagated to the root
     gene, score = guarded[("big", 1)]
     assert score == -50.0 and gene.startswith("G")
+
+
+def test_select_representatives_sharded_matches_unsharded_on_chains(spark):
+    """Chain (caterpillar) topology: sharding at the root's children
+    splits into ONE leaf shard and one deep-chain shard — the most
+    lopsided recombination the root argmin can face. Results must be
+    bit-identical to the per-tree kernel (the k3k4_deep_tree fixture is
+    the oracle-gated twin of this shape)."""
+    from gramene_mongodb_spark.catalog import _synth_chain_tree_nodes
+
+    nodes = _synth_chain_tree_nodes(spark, "/root/testdata/sf0.001")
+    scored = TR.score_leaves(nodes)
+    plain = {
+        (r.tree_id, r.node_id): (r.rep_gene_id, r.rep_score)
+        for r in TR.select_representatives(scored).collect()
+    }
+    guarded = {
+        (r.tree_id, r.node_id): (r.rep_gene_id, r.rep_score)
+        for r in TR.select_representatives(scored, max_group_nodes=4).collect()
+    }
+    assert guarded == plain and len(plain) > 100
