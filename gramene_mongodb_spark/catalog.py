@@ -7496,9 +7496,10 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two systems per customer; system B mutates the name by one edit
     and sometimes loses the segment):
 
-      blocking        → digit-fingerprint key (last 3 digits), the
-                        equi-join that bounds the pair space; recall
-                        holds because the mutations never touch digits
+      blocking        → dedup.blocking_keys (digit strategy, width 3),
+                        the equi-join key that bounds the pair space;
+                        recall holds because the mutations never touch
+                        digits
       field sim       → JVM levenshtein per candidate pair (J9 shape)
       match scoring   → integer Fellegi-Sunter-style weighted score
                         (100 − 25·ed + 20·segment-agree), threshold 85 —
@@ -7515,6 +7516,7 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the standard ER DAG. Scale: blocking key bounds candidates,
     match graph is pair-sized, CC is the O(log² n) contraction."""
     from gramene_mongodb_spark.operators.closure import connected_components
+    from gramene_mongodb_spark.operators.dedup import blocking_keys
 
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -7534,9 +7536,7 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seg"),
     )
     recs = rec_a.unionByName(rec_b)
-    keyed = recs.withColumn(
-        "blk", F.substring(F.regexp_replace("name", "[^0-9]", ""), -3, 3)
-    )
+    keyed = blocking_keys(recs, text="name", strategy="digits", width=3)
     a = keyed.select(
         F.col("rec_id").alias("ma"), F.col("name").alias("na"),
         F.col("seg").alias("sa"), "blk",

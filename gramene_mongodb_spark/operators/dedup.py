@@ -58,6 +58,77 @@ def dedup_exact(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# blocking (entity resolution / record linkage)
+# --------------------------------------------------------------------------
+
+def blocking_keys(
+    records: DataFrame,
+    text: str = "name",
+    strategy: str = "digits",
+    width: int = 3,
+    out_col: str = "blk",
+) -> DataFrame:
+    """Attach a blocking fingerprint — the equi-join key that bounds an
+    entity-resolution pair space (records only compare within a block,
+    so candidates are Σ|block|² instead of n²). Configurable strategy:
+
+    * ``digits`` — last ``width`` digits of the digit-only fingerprint.
+      Robust to letter typos/reformatting (the common corruption);
+      recall holds whenever mutations don't touch digits.
+    * ``prefix`` — first ``width`` chars of the lowercased alphanumeric
+      normalization. Robust to suffix edits and punctuation.
+    * ``sorted_tokens`` — first ``width`` tokens of the sorted
+      lowercased token set. Robust to word reordering.
+
+    Rows whose fingerprint is empty get an empty-string key — callers
+    who'd rather drop un-blockable rows filter ``out_col != ''``.
+    Pure column expressions (JVM-side, codegen'd); one narrow
+    projection, no shuffle — the shuffle belongs to the downstream
+    equi-join, on this key.
+    """
+    col = F.col(text)
+    if strategy == "digits":
+        key = F.substring(F.regexp_replace(col, "[^0-9]", ""), -width, width)
+    elif strategy == "prefix":
+        key = F.substring(
+            F.lower(F.regexp_replace(col, "[^A-Za-z0-9]", "")), 1, width
+        )
+    elif strategy == "sorted_tokens":
+        key = F.array_join(
+            F.slice(
+                F.array_sort(F.split(F.lower(F.trim(col)), r"\s+")), 1, width
+            ),
+            " ",
+        )
+    else:
+        raise ValueError(
+            f"unknown blocking strategy {strategy!r}; "
+            "expected digits | prefix | sorted_tokens"
+        )
+    return records.withColumn(out_col, F.coalesce(key, F.lit("")))
+
+
+def blocked_pairs(
+    keyed: DataFrame, id_col: str, key_col: str = "blk"
+) -> DataFrame:
+    """Candidate pairs from a blocked table: the a<b self-equi-join on
+    the blocking key (``blocking_keys`` output). Output (id_a, id_b),
+    distinct — a record pair sharing several keys (multi-key blocking
+    via unioned ``blocking_keys`` calls) emits once. Empty-string keys
+    (un-blockable rows) are excluded: they would otherwise form one
+    giant all-pairs block."""
+    ids = keyed.filter(F.col(key_col) != "").select(id_col, key_col)
+    a = ids.select(F.col(id_col).alias("id_a"), key_col)
+    b = ids.select(F.col(id_col).alias("id_b"), key_col)
+    return (
+        a.join(b, key_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
 # shingling
 # --------------------------------------------------------------------------
 

@@ -1426,6 +1426,53 @@ def test_incremental_dedup_asymmetric_semantics(spark):
     assert out[40] == (0, 30, 2)
 
 
+def test_blocking_keys_strategies_and_pairs(spark):
+    """The bounded-pair-space ER primitive: each fingerprint strategy
+    keys the intended corruptions together, and blocked_pairs emits
+    exactly the within-block a<b pairs, excluding un-blockable rows."""
+    import pytest
+
+    from gramene_mongodb_spark.operators.dedup import blocked_pairs, blocking_keys
+
+    rows = spark.createDataFrame(
+        [
+            (1, "Customer#000000042"),
+            (2, "Custmer-000000042"),   # letter typo + punct: digits survive
+            (3, "no digits here"),      # un-blockable under digits
+            (4, "acme corp west"),
+            (5, "west acme corp"),      # word reorder: sorted_tokens survives
+            (6, "ACME-corp east!"),     # punct/case: prefix survives
+        ],
+        "rec_id: long, name: string",
+    )
+    digits = {
+        r.rec_id: r.blk
+        for r in blocking_keys(rows, text="name", strategy="digits").collect()
+    }
+    assert digits[1] == digits[2] == "042" and digits[3] == ""
+    prefix = {
+        r.rec_id: r.blk
+        for r in blocking_keys(rows, text="name", strategy="prefix", width=4).collect()
+    }
+    assert prefix[4] == prefix[6] == "acme"
+    tokens = {
+        r.rec_id: r.blk
+        for r in blocking_keys(
+            rows, text="name", strategy="sorted_tokens", width=3
+        ).collect()
+    }
+    assert tokens[4] == tokens[5] == "acme corp west"
+
+    keyed = blocking_keys(rows, text="name", strategy="digits")
+    pairs = {
+        (r.id_a, r.id_b) for r in blocked_pairs(keyed, "rec_id").collect()
+    }
+    assert pairs == {(1, 2)}  # row 3's empty key never forms a block
+
+    with pytest.raises(ValueError, match="blocking strategy"):
+        blocking_keys(rows, text="name", strategy="soundex")
+
+
 def test_incremental_dedup_tolerates_id_overlap_same_text(spark):
     """An id present on BOTH sides with identical text (a resubmitted
     doc) must not self-candidate: it matches OTHER history docs only.
