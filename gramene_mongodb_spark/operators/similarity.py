@@ -97,6 +97,63 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query, the top-``k`` most-similar candidates whose ``label_col``
+    DIFFERS from the query's — the near-miss examples that actually
+    move a contrastive loss (easy negatives are a wasted batch slot).
+
+    Same physical shape as ``cosine_topk``: queries broadcast (with
+    their labels riding along), map-side scoring via JVM higher-order
+    functions, label inequality applied BEFORE the top-k window so
+    same-label candidates never reach the shuffle. Deterministic: score
+    rounded to ``round_to`` before ranking, ties by candidate id.
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec"))),
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
 def assign_ivf_buckets(
     vectors: DataFrame,
     centroids: DataFrame,

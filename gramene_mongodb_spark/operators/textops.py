@@ -245,6 +245,92 @@ def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
     return out.withColumn("n_pii_total", total.cast("long"))
 
 
+#: replacement placeholders for ``pii_redact`` — applied in sorted
+#: pattern-name order on both engine and oracle sides, so overlapping
+#: hits resolve identically everywhere
+PII_PLACEHOLDERS = {
+    "email": "[EMAIL]",
+    "phone": "[PHONE]",
+    "ssn_like": "[SSN]",
+}
+
+
+def pii_redact(
+    df: DataFrame, text: str = "text", out: str = "text_redacted"
+) -> DataFrame:
+    """Redaction companion to ``pii_scan``: replace every PII-looking
+    span with its typed placeholder (``[EMAIL]``/``[PHONE]``/``[SSN]``)
+    — the release-gate transform a training pipeline runs after the
+    audit pass. Patterns apply in sorted name order (email, phone,
+    ssn_like), each as one global JVM ``regexp_replace`` — fully
+    codegen'd, no Python, no shuffle. Adds ``out`` plus
+    ``n_redactions`` (total spans replaced, from the same patterns
+    ``pii_scan`` counts — the audit and the redaction can't drift)."""
+    col = F.col(text)
+    total = F.lit(0)
+    for name, pat in sorted(PII_PATTERNS.items()):
+        total = total + F.regexp_count(col, F.lit(pat))
+        col = F.regexp_replace(col, pat, PII_PLACEHOLDERS[name])
+    return df.withColumn(out, col).withColumn(
+        "n_redactions", total.cast("long")
+    )
+
+
+#: phrases whose presence disqualifies a line (C4's policy/boilerplate
+#: list, Raffel et al. 2020 §2.2 — lowercase containment test)
+LINE_BLACKLIST = (
+    "javascript",
+    "lorem ipsum",
+    "cookie policy",
+    "terms of use",
+    "privacy policy",
+    "click here",
+)
+
+#: terminal punctuation a keepable line must end with (C4 rule)
+_TERMINAL_RE = r'[.!?"”]$'
+
+
+def line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_words: int = 3,
+    blacklist: tuple[str, ...] = LINE_BLACKLIST,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): split on
+    newlines and keep only lines that (a) end in terminal punctuation,
+    (b) have ≥ ``min_words`` whitespace words, and (c) contain no
+    blacklisted phrase (lowercase containment); reassemble the doc from
+    surviving lines in order. The sub-document counterpart of the
+    span/doc dedup passes — boilerplate navigation, cookie banners and
+    truncated fragments vanish while prose survives.
+
+    Pure higher-order column expressions (split → filter → array_join):
+    map-side only, no shuffle, no UDF — at 100 TB this is a free pass
+    over the scan. Output: id, n_lines, n_kept, text_clean (docs with
+    zero surviving lines keep an empty string — drop downstream)."""
+    lines = F.split(F.col(text), r"\n")
+    trimmed = F.transform(lines, F.trim)
+
+    def keep(line):
+        lw = F.lower(line)
+        ok = line.rlike(_TERMINAL_RE) & (
+            F.size(F.filter(F.split(line, r"\s+"), lambda w: w != "")) >= min_words
+        )
+        for phrase in blacklist:
+            ok = ok & ~lw.contains(phrase.lower())
+        return ok
+
+    kept = F.filter(trimmed, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(trimmed).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
 def boilerplate_ratio(
     df: DataFrame,
     id_col: str = "doc_id",
