@@ -2401,6 +2401,48 @@ def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             round({_DOT.format(a='qv', b='e.embedding')}
+                   / (sqrt({_DOT.format(a='qv', b='qv')})
+                      * sqrt({_DOT.format(a='e.embedding', b='e.embedding')})), 4) AS cosine
+      FROM embeddings e, q
+      WHERE e.label <> q.query_label
+    )
+    SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+           neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+           cosine, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "similarity", "llm",
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives) for contrastive
+    training: per query, the top-5 most-cosine-similar vectors with a
+    DIFFERENT label — near-misses that actually move the loss. Same
+    broadcast map-side shape as x_cosine_topk with the label inequality
+    applied before the top-k window; scores rounded to 4dp before
+    ranking for cross-engine determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.hard_negatives(emb, q, "vec_id", "embedding", "label", k=5, round_to=4)
+    return (
+        out.withColumn("rank", F.col("rank").cast("long"))
+        .withColumn("query_label", F.col("query_label").cast("long"))
+        .withColumn("neighbor_label", F.col("neighbor_label").cast("long"))
+    )
+
+
+@register(
     "x_ivf_topk",
     f"""
     WITH b AS (
@@ -2682,6 +2724,156 @@ def x_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scan(injected, "text2").select(
         "doc_id", "n_email", "n_phone", "n_ssn_like", "n_pii_total"
     )
+
+
+# Oracle for x_pii_redact — replays the engine's SEQUENTIAL semantics
+# (each pattern counted on, then replaced in, the text as left by the
+# previous pattern), so an overlap between patterns can never make the
+# audit and the redaction drift apart cross-engine.
+_PII_REDACT_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END AS text2
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             regexp_replace(text2, '{email}', '[EMAIL]', 'g') AS s,
+             len(regexp_extract_all(text2, '{email}')) AS c
+      FROM t
+    ),
+    r2 AS (
+      SELECT doc_id,
+             regexp_replace(s, '{phone}', '[PHONE]', 'g') AS s,
+             c + len(regexp_extract_all(s, '{phone}')) AS c
+      FROM r1
+    ),
+    r3 AS (
+      SELECT doc_id,
+             regexp_replace(s, '{ssn}', '[SSN]', 'g') AS s,
+             c + len(regexp_extract_all(s, '{ssn}')) AS c
+      FROM r2
+    )
+    SELECT doc_id, s AS text_redacted, CAST(c AS BIGINT) AS n_redactions
+    FROM r3
+""".format(
+    email=T.PII_PATTERNS["email"],
+    phone=T.PII_PATTERNS["phone"],
+    ssn=T.PII_PATTERNS["ssn_like"],
+)
+
+
+@register("x_pii_redact", _PII_REDACT_ORACLE, "text", "llm")
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (textops.pii_redact) — the release-gate transform
+    after the x_pii_scan audit: every PII-looking span replaced by its
+    typed placeholder, spans counted from the same PII_PATTERNS the
+    audit uses. Same deterministic injection as x_pii_scan; the oracle
+    replays the sequential replace chain with RE2, pinning both regex
+    semantics and replacement order cross-engine. Pure JVM
+    regexp_replace — scan speed at 100 TB."""
+    doc = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pad4 = F.lpad((k % 10000).cast("string"), 4, "0")
+    injected = doc.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 7 == 0,
+                F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(k % 11 == 0, F.concat(F.lit(" call 555-867-"), pad4)).otherwise(
+                F.lit("")
+            ),
+            F.when(k % 13 == 0, F.concat(F.lit(" id 123-45-"), pad4)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return T.pii_redact(injected, "text2", out="text_redacted").select(
+        "doc_id", "text_redacted", "n_redactions"
+    )
+
+
+# Fixture lines for x_line_filter — every doc gets the same four
+# synthetic lines appended after its (newline-free) corpus text, so all
+# four C4 rules fire deterministically: a blacklist hit, a too-short
+# fragment, a keepable sentence, and a doc_id-dependent branch that
+# alternates blacklist/keep.
+_LINE_FILTER_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             text || chr(10) || 'Please enable javascript to continue.'
+                  || chr(10) || 'Short line'
+                  || chr(10) || 'This is a well formed sentence number '
+                             || doc_id::VARCHAR || '.'
+                  || chr(10) || CASE WHEN doc_id % 3 = 0
+                                     THEN 'Accept our cookie policy now.'
+                                     ELSE 'Another good line stays here.' END
+               AS text2
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id,
+             list_transform(string_split(text2, chr(10)), x -> trim(x)) AS lines
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               regexp_matches(x, '[.!?"”]$')
+               AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 3
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'cookie policy')
+               AND NOT contains(lower(x), 'terms of use')
+               AND NOT contains(lower(x), 'privacy policy')
+               AND NOT contains(lower(x), 'click here')) AS keep
+      FROM split
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_kept,
+           array_to_string(keep, chr(10)) AS text_clean
+    FROM kept
+"""
+
+
+@register("x_line_filter", _LINE_FILTER_ORACLE, "text", "llm")
+def x_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (textops.line_filter; Raffel et al. 2020
+    §2.2): keep lines ending in terminal punctuation with ≥3 words and
+    no blacklisted phrase, reassemble docs from survivors. The corpus
+    text is newline-free, so four synthetic lines are appended per doc
+    (each exercising one rule, one branching on doc_id); the oracle
+    replays split/trim/filter/reassemble with RE2 + list functions.
+    Map-side higher-order expressions only — no shuffle, no UDF."""
+    doc = _t(spark, sf_dir, "documents")
+    injected = doc.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit("\nPlease enable javascript to continue."),
+            F.lit("\nShort line"),
+            F.lit("\nThis is a well formed sentence number "),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, "Accept our cookie policy now.")
+            .otherwise("Another good line stays here."),
+        ),
+    )
+    return T.line_filter(injected, "doc_id", "text2", min_words=3)
 
 
 @register(

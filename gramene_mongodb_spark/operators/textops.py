@@ -311,7 +311,10 @@ def line_filter(
     over the scan. Output: id, n_lines, n_kept, text_clean (docs with
     zero surviving lines keep an empty string — drop downstream)."""
     lines = F.split(F.col(text), r"\n")
-    trimmed = F.transform(lines, F.trim)
+    # NB: an explicit lambda — transform() passes (element, index) to a
+    # two-parameter callable, and F.trim's optional second parameter
+    # would silently receive the index as its trim-character set
+    trimmed = F.transform(lines, lambda x: F.trim(x))
 
     def keep(line):
         lw = F.lower(line)

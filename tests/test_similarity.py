@@ -248,3 +248,35 @@ def test_semantic_dedup_kernels_agree(spark, sf_dir):
     a = sorted(r.vec_id for r in S.semantic_dedup(emb, kernel="numpy").collect())
     b = sorted(r.vec_id for r in S.semantic_dedup(emb, kernel="sql").collect())
     assert a == b and len(a) > 0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every returned neighbor has a different label than its query;
+    ranking equals brute-force over the different-label subset."""
+    import numpy as np
+
+    from gramene_mongodb_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>, label: long")
+    q = df.filter("vec_id < 4")
+    got = SIM.hard_negatives(df, q, k=3, round_to=6).collect()
+    assert len(got) == 4 * 3
+    assert all(r.neighbor_label != r.query_label for r in got)
+    # brute force reference
+    arr = {i: (np.array(v, dtype=np.float64), lab) for i, v, lab in vecs}
+    for qid in range(4):
+        qv, ql = arr[qid]
+        scored = sorted(
+            (
+                (-round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), i)
+                for i, (v, lab) in arr.items()
+                if lab != ql
+            )
+        )[:3]
+        want = [i for _, i in scored]
+        have = [r.neighbor_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=lambda r: r.rank
+        )]
+        assert have == want, qid

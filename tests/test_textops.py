@@ -555,3 +555,48 @@ def test_fixed_sample_exact_n_stable_and_subset_free(spark):
     assert c != a
     # n > corpus -> whole corpus
     assert R.fixed_sample(df, "doc_id", 1000).count() == 500
+
+
+def test_pii_redact_sequential_and_counts(spark):
+    from gramene_mongodb_spark.operators import textops as T
+
+    rows = [
+        (1, "mail me at bob@example.com or call 555-867-5309 ok."),
+        (2, "ssn 123-45-6789 twice: 987-65-4321"),
+        (3, "clean text with no sensitive spans at all"),
+        (4, "two mails a@b.co c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in T.pii_redact(df, "text").collect()}
+    assert out[1].text_redacted == "mail me at [EMAIL] or call [PHONE] ok."
+    assert out[1].n_redactions == 2
+    assert out[2].text_redacted == "ssn [SSN] twice: [SSN]"
+    assert out[2].n_redactions == 2
+    assert out[3].text_redacted == rows[2][1] and out[3].n_redactions == 0
+    assert out[4].text_redacted == "two mails [EMAIL] [EMAIL]"
+    assert out[4].n_redactions == 2
+
+
+def test_line_filter_rules(spark):
+    from gramene_mongodb_spark.operators import textops as T
+
+    text = "\n".join(
+        [
+            "A proper sentence with plenty of words.",   # kept
+            "Ends well?",                                 # <3 words
+            "No terminal punctuation here at all",        # no terminal punct
+            "Please accept our cookie policy today.",     # blacklist
+            "  Trimmed line also counts as kept.  ",      # kept after trim
+            "",                                           # empty
+            'He said "stop".',                            # kept (quote ok? ends with .)
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r = T.line_filter(df, "doc_id", "text").collect()[0]
+    assert r.n_lines == 7
+    assert r.n_kept == 3
+    assert r.text_clean == (
+        "A proper sentence with plenty of words.\n"
+        "Trimmed line also counts as kept.\n"
+        'He said "stop".'
+    )
