@@ -8951,6 +8951,150 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pipeline_corpus_release oracle — replays the full four-stage chain
+# (line filter → sequential PII redaction → fingerprint dedup → release
+# gate). The fixture makes every stage decisive: docs ≡0 (mod 5) are
+# rewritten to a PII-bearing template that becomes IDENTICAL after
+# redaction (so the dedup stage only bites because the redaction ran
+# first), and every doc carries one junk line the filter must drop.
+_CORPUS_RELEASE_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'Contact me at user' || doc_id::VARCHAR
+                       || '@example.com for details.'
+                  ELSE text || ' Closing sentence number '
+                       || doc_id::VARCHAR || '.' END
+             || chr(10) || 'Short line' AS text2
+      FROM documents
+    ),
+    lf AS (
+      SELECT doc_id,
+             list_transform(string_split(text2, chr(10)), x -> trim(x)) AS lines
+      FROM t
+    ),
+    keep AS (
+      SELECT doc_id, len(lines) AS n_lines,
+             list_filter(lines, x ->
+               regexp_matches(x, '[.!?"”]$')
+               AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 3
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'cookie policy')
+               AND NOT contains(lower(x), 'terms of use')
+               AND NOT contains(lower(x), 'privacy policy')
+               AND NOT contains(lower(x), 'click here')) AS kept
+      FROM lf
+    ),
+    asm AS (
+      SELECT doc_id, n_lines, len(kept) AS n_kept,
+             array_to_string(kept, chr(10)) AS text_clean
+      FROM keep
+    ),
+    r1 AS (
+      SELECT doc_id, n_lines, n_kept,
+             regexp_replace(text_clean, '{email}', '[EMAIL]', 'g') AS s,
+             len(regexp_extract_all(text_clean, '{email}')) AS c
+      FROM asm
+    ),
+    r2 AS (
+      SELECT doc_id, n_lines, n_kept,
+             regexp_replace(s, '{phone}', '[PHONE]', 'g') AS s,
+             c + len(regexp_extract_all(s, '{phone}')) AS c
+      FROM r1
+    ),
+    r3 AS (
+      SELECT doc_id, n_lines, n_kept,
+             regexp_replace(s, '{ssn}', '[SSN]', 'g') AS s,
+             c + len(regexp_extract_all(s, '{ssn}')) AS c
+      FROM r2
+    ),
+    fp AS (
+      SELECT doc_id, n_lines, n_kept, c AS n_redactions,
+             md5(regexp_replace(lower(trim(s)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM r3
+    ),
+    win AS (
+      SELECT *,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS dup_of,
+             count(*) OVER (PARTITION BY fingerprint) AS n_dupes
+      FROM fp
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_redactions AS BIGINT) AS n_redactions,
+           dup_of,
+           CAST(n_dupes AS BIGINT) AS n_dupes,
+           (doc_id = dup_of AND n_kept >= 1 AND n_redactions <= 2) AS released
+    FROM win
+""".format(
+    email=T.PII_PATTERNS["email"],
+    phone=T.PII_PATTERNS["phone"],
+    ssn=T.PII_PATTERNS["ssn_like"],
+)
+
+
+@register("pipeline_corpus_release", _CORPUS_RELEASE_ORACLE, "pipeline", "llm", "text")
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release composite — the pre-publication gauntlet as ONE
+    lazy plan, each stage an oracle-gated library operator:
+
+      line filter   → textops.line_filter (C4 rules; every doc carries
+                      one junk line the filter must drop)
+      PII redaction → textops.pii_redact on the SURVIVING lines
+      exact dedup   → normalized-md5 fingerprint over the REDACTED
+                      text; docs ≡0 (mod 5) are rewritten to a
+                      PII-bearing template whose redacted forms are
+                      identical, so this stage only collapses them
+                      BECAUSE the redaction ran first — the stage
+                      order is load-bearing and the oracle proves it
+      release gate  → canonical + ≥1 surviving line + ≤2 redactions
+
+    Per-doc verdict output (id, line/redaction counts, dup_of, n_dupes,
+    released). Scale: two map-side passes + one fingerprint-keyed
+    window — the whole chain is scan-dominated at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                k % 5 == 0,
+                F.concat(
+                    F.lit("Contact me at user"),
+                    k.cast("string"),
+                    F.lit("@example.com for details."),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" Closing sentence number "),
+                    k.cast("string"),
+                    F.lit("."),
+                )
+            ),
+            F.lit("\nShort line"),
+        ).alias("text2"),
+    )
+    lf = T.line_filter(staged, "doc_id", "text2", min_words=3)
+    red = T.pii_redact(lf, "text_clean", out="text_redacted")
+    fp = D.normalized_fingerprint(red, "text_redacted")
+    w = Window.partitionBy("fingerprint")
+    out = fp.withColumn("dup_of", F.min("doc_id").over(w)).withColumn(
+        "n_dupes", F.count(F.lit(1)).over(w).cast("long")
+    )
+    released = (
+        (F.col("doc_id") == F.col("dup_of"))
+        & (F.col("n_kept") >= 1)
+        & (F.col("n_redactions") <= 2)
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "n_redactions", "dup_of", "n_dupes",
+        released.alias("released"),
+    )
+
+
 @register(
     "x_bpe_pairs",
     f"""

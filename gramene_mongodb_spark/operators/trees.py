@@ -153,6 +153,37 @@ _REP_COLS = [
 ]
 
 
+def _grouped_by_tree(df: DataFrame, kernel, schema, batch_groups: int | None):
+    """Run a per-tree pandas kernel via ``applyInPandas``.
+
+    ``batch_groups=None`` → one Spark group per tree (the default; right
+    when trees are big or few). With ``batch_groups=N`` the shuffle key
+    becomes ``hash(tree_id) % N`` and ONE kernel call loops over every
+    tree in its batch — amortizing the per-group Arrow/pandas fixed cost
+    that dominates for corpora of TINY trees (SCALE.md round-8 probe:
+    the same 150k rows cost 1.9× more in 2500 60-row groups than in 250
+    600-row groups). Per-tree results are bit-identical: the kernels
+    are pure per-tree functions and the loop re-groups on the exact
+    ``tree_id``. Pick N ≈ 2-4× the cluster's cores."""
+    if batch_groups is None:
+        return df.groupBy("tree_id").applyInPandas(kernel, schema)
+
+    def batched(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns="__batch")
+        return pd.concat(
+            [kernel(g) for _, g in pdf.groupby("tree_id", sort=False)],
+            ignore_index=True,
+        )
+
+    return (
+        df.withColumn(
+            "__batch", F.pmod(F.xxhash64("tree_id"), F.lit(batch_groups))
+        )
+        .groupBy("__batch")
+        .applyInPandas(batched, schema)
+    )
+
+
 def _rep_kernel(emit_dist: bool):
     """Bottom-up min-propagation pass (post-order = ascending right_index;
     children always precede parents in nested-set order). ``emit_dist``
@@ -193,7 +224,9 @@ def _rep_kernel(emit_dist: bool):
 
 
 def select_representatives(
-    scored: DataFrame, max_group_nodes: int | None = None
+    scored: DataFrame,
+    max_group_nodes: int | None = None,
+    batch_groups: int | None = None,
 ) -> DataFrame:
     """K3 — propagate the best (min score, then min accumulated branch
     distance, then lexicographic gene id) leaf to every ancestor node.
@@ -212,11 +245,18 @@ def select_representatives(
     comparator the kernel applies. A 100×-skewed tree thus spreads over
     ~fanout tasks instead of one straggler.
 
+    ``batch_groups`` (tiny-tree corpora only, exclusive with
+    ``max_group_nodes``): run many trees per Spark group — see
+    ``_grouped_by_tree``.
+
     Output: (tree_id, node_id, rep_gene_id, rep_score) for every node.
     """
     if max_group_nodes is None:
-        return scored.select(*_REP_COLS).groupBy("tree_id").applyInPandas(
-            _rep_kernel(False), schema=_REP_UP_SCHEMA
+        return _grouped_by_tree(
+            scored.select(*_REP_COLS),
+            _rep_kernel(False),
+            _REP_UP_SCHEMA,
+            batch_groups,
         )
 
     from pyspark.sql import Window
@@ -330,6 +370,7 @@ def assign_leaf_summaries(
     reps: DataFrame,
     inherit_factor: float = 0.8,
     min_duplication_confidence: float = 0.5,
+    batch_groups: int | None = None,
 ) -> DataFrame:
     """K4 — per-leaf summary table (`search/genetree_adder.js:113-252`):
 
@@ -427,10 +468,8 @@ def assign_leaf_summaries(
         "taxon_id", "gene_stable_id", "node_type",
         "duplication_confidence_score", "rep_score", "rep_gene_id",
     ]
-    return (
-        joined.select(*cols)
-        .groupBy("tree_id")
-        .applyInPandas(kernel, schema=_LEAF_SUMMARY_SCHEMA)
+    return _grouped_by_tree(
+        joined.select(*cols), kernel, _LEAF_SUMMARY_SCHEMA, batch_groups
     )
 
 
@@ -463,7 +502,9 @@ def decorate_leaves(
 # ---------------------------------------------------------------------------
 
 def assemble_nested_trees(
-    nodes: DataFrame, extra_fields: tuple[str, ...] = ()
+    nodes: DataFrame,
+    extra_fields: tuple[str, ...] = (),
+    batch_groups: int | None = None,
 ) -> DataFrame:
     """K8 — adjacency rows → one nested-JSON document per tree
     (`trees/genetree.js:75-80` FlatToNested). Children ordered by
@@ -502,11 +543,12 @@ def assemble_nested_trees(
             {"tree_id": [pdf["tree_id"].iloc[0]], "n_nodes": [len(pdf)], "doc": [doc]}
         )
 
-    return (
+    return _grouped_by_tree(
         nodes.select("tree_id", "node_id", "parent_id", "left_index",
-                     "taxon_id", "gene_stable_id", *extra_fields)
-        .groupBy("tree_id")
-        .applyInPandas(kernel, "tree_id STRING, n_nodes BIGINT, doc STRING")
+                     "taxon_id", "gene_stable_id", *extra_fields),
+        kernel,
+        "tree_id STRING, n_nodes BIGINT, doc STRING",
+        batch_groups,
     )
 
 

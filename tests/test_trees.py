@@ -215,3 +215,30 @@ def test_select_representatives_sharded_matches_unsharded_on_chains(spark):
         for r in TR.select_representatives(scored, max_group_nodes=4).collect()
     }
     assert guarded == plain and len(plain) > 100
+
+
+def test_tree_kernels_batched_match_unbatched(spark):
+    """batch_groups packs many trees per Spark group (the tiny-tree
+    amortization, SCALE.md round-8 probe) — every grouped kernel must
+    return bit-identical rows."""
+    from gramene_mongodb_spark.catalog import _synth_chain_tree_nodes
+
+    nodes = _synth_chain_tree_nodes(spark, "/root/testdata/sf0.001")
+    scored = TR.score_leaves(nodes)
+
+    reps_plain = TR.select_representatives(scored)
+    reps_batch = TR.select_representatives(scored, batch_groups=3)
+    assert sorted(map(tuple, reps_plain.collect())) == sorted(
+        map(tuple, reps_batch.collect())
+    )
+
+    summ_plain = TR.assign_leaf_summaries(scored, reps_plain).collect()
+    summ_batch = TR.assign_leaf_summaries(
+        scored, reps_plain, batch_groups=3
+    ).collect()
+    key = lambda r: (r.tree_id, r.gene_stable_id)
+    assert sorted(summ_plain, key=key) == sorted(summ_batch, key=key)
+
+    nest_plain = TR.assemble_nested_trees(nodes).collect()
+    nest_batch = TR.assemble_nested_trees(nodes, batch_groups=3).collect()
+    assert sorted(map(tuple, nest_plain)) == sorted(map(tuple, nest_batch))
