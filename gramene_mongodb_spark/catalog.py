@@ -2198,6 +2198,143 @@ def x_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle_sql() -> str:
+    """The recall-eval oracle: the minhash sketch replay (same portable
+    hash family as ``_minhash_oracle_sql``, weakened to 16 hashes / 4
+    bands) joined against the EXACT jaccard truth set at the same
+    threshold, over a corpus AUGMENTED with dilution-padded variants.
+    The corpus's own near-dups are all j≈1.0 (always caught), so every
+    doc ≡0 (mod 10) gets a variant padded with (doc_id%4+1)·25% unique
+    filler words — true pairs land at j ≈ 0.5-0.8, where a 4-band
+    sketch genuinely misses. fp is structurally zero (the LSH path
+    exact-verifies), so fn isolates band-collision recall loss — the
+    quantity you tune bands/rows against."""
+    fam = D.hash_family(16, seed=7)
+    mins = ",\n             ".join(
+        f"min(({a} * b + {b}) % 2147483647) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_eq = "\n         OR ".join(
+        "(" + " AND ".join(f"x.h{bi * 4 + r} = y.h{bi * 4 + r}" for r in range(4)) + ")"
+        for bi in range(4)
+    )
+    jac = _JACCARD_CTES.replace("FROM documents", "FROM aug")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             text || ' ' || array_to_string(
+               list_transform(
+                 range(1, 1 + greatest(1, CAST(ceil((doc_id % 4 + 1) * 0.25 * wc) AS BIGINT))),
+                 i -> 'pad' || doc_id::VARCHAR || 'x' || i::VARCHAR),
+               ' ')
+      FROM (
+        SELECT doc_id, text,
+               len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                               x -> x <> '')) AS wc
+        FROM documents
+      )
+      WHERE doc_id % 10 = 0
+    ),
+    {jac},
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.inter::DOUBLE / (sa.n + sb.n - i.inter) >= 0.5
+    ),
+    bh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT % 2147483647 AS b
+      FROM ex
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM bh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+      WHERE {band_eq}
+    ),
+    lsh AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth)
+    SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS tp,
+           CAST((SELECT count(*) FROM truth) - (SELECT count(*) FROM lsh) AS BIGINT) AS fn,
+           CAST(0 AS BIGINT) AS fp,
+           round((SELECT count(*) FROM lsh)::DOUBLE
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+    """
+
+
+@register("x_lsh_recall_eval", _lsh_recall_oracle_sql(), "dedup", "llm")
+def x_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: MinHash-LSH pairs (16 hashes, 4
+    bands, exact-verified) scored against the EXACT word-3-gram Jaccard
+    truth set at the same 0.5 threshold, over a corpus augmented with
+    dilution-padded variants (docs ≡0 mod 10 get 25-100% unique filler,
+    putting true pairs at j ≈ 0.5-0.8 where 4 bands genuinely miss).
+    Output: one row (tp, fn, fp, recall). fp is structurally 0 — the
+    LSH path exact-verifies its candidates — so fn counts pure
+    band-collision misses: exactly the number you trade bands/rows
+    against at 100 TB, measured on the live corpus rather than assumed
+    from the (1−j^r)^b curve. The oracle replays BOTH sides (portable
+    md5/affine family) and the differential proves the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    wc = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+"), lambda t: t != ""
+        )
+    )
+    npad = F.greatest(
+        F.lit(1), F.ceil((k % 4 + 1) * 0.25 * wc).cast("long")
+    )
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), npad),
+            lambda i: F.concat(F.lit("pad"), k.cast("string"), F.lit("x"), i.cast("string")),
+        ),
+        " ",
+    )
+    # build the padded text BEFORE re-aliasing doc_id: an expression in
+    # the same select list resolves "doc_id" against the NEW alias, so
+    # pad would silently stamp the +1M id into the filler words and
+    # diverge from the oracle
+    variants = (
+        docs.filter(k % 10 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" "), pad).alias("text"))
+        .select((k + 1_000_000).alias("doc_id"), "text")
+    )
+    aug = docs.select("doc_id", "text").unionByName(variants)
+    lsh = D.minhash_lsh_pairs(
+        aug, "doc_id", "text", n=3, num_hashes=16, bands=4, verify_threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    truth = D.ngram_jaccard_pairs(aug, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
+    )
+    j = truth.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__l").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__l").isNull(), 1).otherwise(0)
+        ).cast("long").alias("fn"),
+        F.sum(
+            F.when(F.col("__t").isNull() & F.col("__l").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("fp"),
+        F.round(
+            F.sum(
+                F.when(F.col("__t").isNotNull() & F.col("__l").isNotNull(), 1).otherwise(0)
+            )
+            / F.greatest(F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0)), F.lit(1)),
+            4,
+        ).alias("recall"),
+    )
+
+
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB replay of SimHash-64 + pigeonhole banding.
 
