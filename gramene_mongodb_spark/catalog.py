@@ -2268,6 +2268,101 @@ def _lsh_recall_oracle_sql() -> str:
     """
 
 
+_BLEU_ORACLE = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS rt FROM documents),
+    fix AS (
+      SELECT doc_id, text AS ref, rt,
+             CASE doc_id % 3
+               WHEN 0 THEN text || repeat(' ' || rt[1] || ' ' || rt[2], 3)
+               WHEN 1 THEN text || ' ' || array_to_string(
+                 list_transform(
+                   range(1, 1 + greatest(1, CAST(ceil((doc_id % 4 + 1) * 0.25 * len(rt)) AS BIGINT))),
+                   i -> 'pad' || doc_id::VARCHAR || 'x' || i::VARCHAR), ' ')
+               ELSE array_to_string(rt[1:CAST(ceil(len(rt) / 2.0) AS BIGINT)], ' ')
+             END AS cand
+      FROM t
+    ),
+    ct AS (SELECT doc_id, rt, {_TOKS_SQL.replace("text", "cand")} AS ck FROM fix),
+    r1 AS (SELECT doc_id, unnest(rt) AS g FROM ct),
+    c1 AS (SELECT doc_id, unnest(ck) AS g FROM ct),
+    r2 AS (SELECT doc_id, unnest([rt[i] || ' ' || rt[i+1] FOR i IN range(1, len(rt))]) AS g FROM ct),
+    c2 AS (SELECT doc_id, unnest([ck[i] || ' ' || ck[i+1] FOR i IN range(1, len(ck))]) AS g FROM ct),
+    rc1 AS (SELECT doc_id, g, count(*) AS n FROM r1 GROUP BY 1, 2),
+    cc1 AS (SELECT doc_id, g, count(*) AS n FROM c1 GROUP BY 1, 2),
+    rc2 AS (SELECT doc_id, g, count(*) AS n FROM r2 GROUP BY 1, 2),
+    cc2 AS (SELECT doc_id, g, count(*) AS n FROM c2 GROUP BY 1, 2),
+    p1 AS (
+      SELECT c.doc_id,
+             CAST(sum(least(c.n, coalesce(r.n, 0))) AS BIGINT) AS m1,
+             CAST(sum(c.n) AS BIGINT) AS t1
+      FROM cc1 c LEFT JOIN rc1 r ON r.doc_id = c.doc_id AND r.g = c.g
+      GROUP BY 1
+    ),
+    p2 AS (
+      SELECT c.doc_id,
+             CAST(sum(least(c.n, coalesce(r.n, 0))) AS BIGINT) AS m2,
+             CAST(sum(c.n) AS BIGINT) AS t2
+      FROM cc2 c LEFT JOIN rc2 r ON r.doc_id = c.doc_id AND r.g = c.g
+      GROUP BY 1
+    )
+    SELECT ct.doc_id AS pair_id,
+           CAST(len(rt) AS BIGINT) AS ref_len,
+           CAST(len(ck) AS BIGINT) AS cand_len,
+           round(m1::DOUBLE / t1, 4) AS p1,
+           round(m2::DOUBLE / t2, 4) AS p2,
+           CASE WHEN len(ck) >= len(rt) THEN 0.0
+                ELSE round(1 - len(rt)::DOUBLE / len(ck), 4) END AS bp_log,
+           round(sqrt((m1::DOUBLE / t1) * (m2::DOUBLE / t2)), 4) AS bleu2_unpenalized
+    FROM ct JOIN p1 ON p1.doc_id = ct.doc_id JOIN p2 ON p2.doc_id = ct.doc_id
+"""
+
+
+@register("x_bleu_eval", _BLEU_ORACLE, "text", "llm")
+def x_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 generation eval (textops.bleu_scores; Papineni 2002) over
+    synthesized (reference, candidate) pairs covering all three scoring
+    regimes keyed on doc_id mod 3: gram-repetition (clipping bites —
+    the candidate repeats the reference's opening bigram 3×), filler
+    dilution (precision drops), and truncation (the brevity branch,
+    emitted as the exact log-argument so no libm exp is compared).
+    Every emitted number is an integer ratio, a sqrt, or a rounded
+    division — deterministic across engines; the oracle replays gram
+    counting, clipping and assembly with DuckDB list ops."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[^\p{L}\p{N}']+"),
+        lambda t: t != "",
+    )
+    wc = F.size(toks)
+    t1, t2 = F.element_at(toks, 1), F.element_at(toks, 2)
+    npad = F.greatest(F.lit(1), F.ceil((k % 4 + 1) * 0.25 * wc).cast("long"))
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), npad),
+            lambda i: F.concat(F.lit("pad"), k.cast("string"), F.lit("x"), i.cast("string")),
+        ),
+        " ",
+    )
+    cand = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.repeat(F.concat(F.lit(" "), t1, F.lit(" "), t2), 3),
+            ),
+        )
+        .when(k % 3 == 1, F.concat(F.col("text"), F.lit(" "), pad))
+        .otherwise(
+            F.array_join(F.slice(toks, 1, F.ceil(wc / 2.0).cast("int")), " ")
+        )
+    )
+    pairs = docs.select(
+        k.alias("pair_id"), F.col("text").alias("ref"), cand.alias("cand")
+    )
+    return T.bleu_scores(pairs, "pair_id", "ref", "cand")
+
+
 @register("x_lsh_recall_eval", _lsh_recall_oracle_sql(), "dedup", "llm")
 def x_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation: MinHash-LSH pairs (16 hashes, 4

@@ -1038,6 +1038,93 @@ def bpe_pair_counts(
     )
 
 
+def bleu_scores(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    ref: str = "ref",
+    cand: str = "cand",
+) -> DataFrame:
+    """BLEU-2 per (reference, candidate) pair — the classic modified
+    n-gram-precision eval for generated text (Papineni et al. 2002):
+    clipped unigram/bigram precision (per gram type, matches capped at
+    the reference's count), brevity penalty, geometric mean.
+
+    Engine-portable by construction: p1/p2 are ratios of integer
+    counts, the geometric mean uses ``sqrt`` (IEEE correctly-rounded,
+    unlike exp/ln which vary by libm), and the brevity penalty is
+    emitted as the exact ``exp`` ARGUMENT (1 − ref_len/cand_len,
+    0 when cand ≥ ref) rather than its value — callers exponentiate if
+    they need the penalized scalar; the comparable, deterministic
+    numbers are the precisions and ``bleu2_unpenalized``.
+
+    One gram explode per n + per-pair count joins — all relational,
+    grouped on the pair id, no UDF. Output: (id, ref_len, cand_len,
+    p1, p2, bp_log, bleu2_unpenalized).
+    """
+    toks_ref = _tokens(F.col(ref))
+    toks_cand = _tokens(F.col(cand))
+
+    def grams(toks, n):
+        if n == 1:
+            return toks
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = pairs.select(
+        F.col(id_col),
+        toks_ref.alias("__rt"),
+        toks_cand.alias("__ct"),
+    )
+    out = base.select(
+        id_col,
+        F.size("__rt").cast("long").alias("ref_len"),
+        F.size("__ct").cast("long").alias("cand_len"),
+    )
+    for n in (1, 2):
+        r = (
+            base.select(id_col, F.explode(grams(F.col("__rt"), n)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("__rc"))
+        )
+        c = (
+            base.select(id_col, F.explode(grams(F.col("__ct"), n)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("__cc"))
+        )
+        clipped = (
+            c.join(r, [id_col, "g"], "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.least(F.col("__cc"), F.coalesce(F.col("__rc"), F.lit(0))))
+                .cast("long")
+                .alias(f"__m{n}"),
+                F.sum("__cc").cast("long").alias(f"__t{n}"),
+            )
+        )
+        out = out.join(clipped, id_col, "left")
+    return out.select(
+        id_col,
+        "ref_len",
+        "cand_len",
+        F.round(F.col("__m1") / F.col("__t1"), 4).alias("p1"),
+        F.round(F.col("__m2") / F.col("__t2"), 4).alias("p2"),
+        F.when(
+            F.col("cand_len") >= F.col("ref_len"), F.lit(0.0)
+        ).otherwise(
+            F.round(1 - F.col("ref_len") / F.col("cand_len"), 4)
+        ).alias("bp_log"),
+        F.round(
+            F.sqrt((F.col("__m1") / F.col("__t1")) * (F.col("__m2") / F.col("__t2"))),
+            4,
+        ).alias("bleu2_unpenalized"),
+    )
+
+
 def ranking_metrics(
     df: DataFrame,
     group: str,

@@ -600,3 +600,27 @@ def test_line_filter_rules(spark):
         "Trimmed line also counts as kept.\n"
         'He said "stop".'
     )
+
+
+def test_bleu_scores_clipping_reference(spark):
+    """Hand-computed BLEU-2 check: clipping caps candidate gram counts
+    at the reference's; brevity log-argument emitted exactly."""
+    from gramene_mongodb_spark.operators import textops as T
+
+    pairs = spark.createDataFrame(
+        [
+            # ref: "the cat sat", cand: "the the the cat"
+            # p1: clipped matches = min(3,1)['the'] + 1['cat'] = 2, total 4
+            # bigrams cand: [the the, the the, the cat]; ref: [the cat, cat sat]
+            # p2: 'the cat' min(1,1)=1, 'the the' min(2,0)=0 -> 1/3
+            (1, "the cat sat", "the the the cat"),
+            # equal strings -> all 1.0
+            (2, "a b c d", "a b c d"),
+        ],
+        "pair_id: long, ref: string, cand: string",
+    )
+    out = {r.pair_id: r for r in T.bleu_scores(pairs).collect()}
+    assert (out[1].p1, out[1].p2) == (0.5, 0.3333)
+    assert out[1].bp_log == 0.0  # cand_len 4 >= ref_len 3
+    assert out[1].bleu2_unpenalized == round((0.5 * (1 / 3)) ** 0.5, 4)
+    assert (out[2].p1, out[2].p2, out[2].bleu2_unpenalized) == (1.0, 1.0, 1.0)
