@@ -2363,6 +2363,99 @@ def x_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bleu_scores(pairs, "pair_id", "ref", "cand")
 
 
+_ROUGE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS rt FROM documents),
+    fix AS (
+      SELECT doc_id, text AS ref, rt,
+             CASE doc_id % 3
+               WHEN 0 THEN text || repeat(' ' || rt[1] || ' ' || rt[2], 3)
+               WHEN 1 THEN text || ' ' || array_to_string(
+                 list_transform(
+                   range(1, 1 + greatest(1, CAST(ceil((doc_id % 4 + 1) * 0.25 * len(rt)) AS BIGINT))),
+                   i -> 'pad' || doc_id::VARCHAR || 'x' || i::VARCHAR), ' ')
+               ELSE array_to_string(rt[1:CAST(ceil(len(rt) / 2.0) AS BIGINT)], ' ')
+             END AS cand
+      FROM t
+    ),
+    ct AS (SELECT doc_id, rt, {_TOKS_SQL.replace("text", "cand")} AS ck FROM fix),
+    r1 AS (SELECT doc_id, unnest(rt) AS g FROM ct),
+    c1 AS (SELECT doc_id, unnest(ck) AS g FROM ct),
+    r2 AS (SELECT doc_id, unnest([rt[i] || ' ' || rt[i+1] FOR i IN range(1, len(rt))]) AS g FROM ct),
+    c2 AS (SELECT doc_id, unnest([ck[i] || ' ' || ck[i+1] FOR i IN range(1, len(ck))]) AS g FROM ct),
+    rc1 AS (SELECT doc_id, g, count(*) AS n FROM r1 GROUP BY 1, 2),
+    cc1 AS (SELECT doc_id, g, count(*) AS n FROM c1 GROUP BY 1, 2),
+    rc2 AS (SELECT doc_id, g, count(*) AS n FROM r2 GROUP BY 1, 2),
+    cc2 AS (SELECT doc_id, g, count(*) AS n FROM c2 GROUP BY 1, 2),
+    g1 AS (
+      SELECT coalesce(r.doc_id, c.doc_id) AS doc_id,
+             CAST(sum(least(coalesce(c.n, 0), coalesce(r.n, 0))) AS BIGINT) AS m,
+             CAST(sum(coalesce(r.n, 0)) AS BIGINT) AS tr,
+             CAST(sum(coalesce(c.n, 0)) AS BIGINT) AS tc
+      FROM rc1 r FULL OUTER JOIN cc1 c ON r.doc_id = c.doc_id AND r.g = c.g
+      GROUP BY 1
+    ),
+    g2 AS (
+      SELECT coalesce(r.doc_id, c.doc_id) AS doc_id,
+             CAST(sum(least(coalesce(c.n, 0), coalesce(r.n, 0))) AS BIGINT) AS m,
+             CAST(sum(coalesce(r.n, 0)) AS BIGINT) AS tr,
+             CAST(sum(coalesce(c.n, 0)) AS BIGINT) AS tc
+      FROM rc2 r FULL OUTER JOIN cc2 c ON r.doc_id = c.doc_id AND r.g = c.g
+      GROUP BY 1
+    )
+    SELECT g1.doc_id AS pair_id,
+           round(g1.m::DOUBLE / g1.tr, 4) AS r1,
+           round(g1.m::DOUBLE / g1.tc, 4) AS p1_rouge,
+           round(2 * g1.m::DOUBLE / (g1.tr + g1.tc), 4) AS f1_1,
+           round(g2.m::DOUBLE / g2.tr, 4) AS r2,
+           round(g2.m::DOUBLE / g2.tc, 4) AS p2_rouge,
+           round(2 * g2.m::DOUBLE / (g2.tr + g2.tc), 4) AS f1_2
+    FROM g1 JOIN g2 ON g2.doc_id = g1.doc_id
+"""
+
+
+@register("x_rouge_eval", _ROUGE_ORACLE, "text", "llm")
+def x_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 recall-oriented eval (textops.rouge_scores; Lin 2004)
+    over the same three-regime fixture as x_bleu_eval — repetition
+    shows clipping, dilution drops precision-but-not-recall, truncation
+    drops recall-but-not-precision (the mirror image of BLEU's brevity
+    case). All integer-ratio outputs; the oracle replays the clipped
+    overlap with a full-outer gram join."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[^\p{L}\p{N}']+"),
+        lambda t: t != "",
+    )
+    wc = F.size(toks)
+    t1, t2 = F.element_at(toks, 1), F.element_at(toks, 2)
+    npad = F.greatest(F.lit(1), F.ceil((k % 4 + 1) * 0.25 * wc).cast("long"))
+    pad = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), npad),
+            lambda i: F.concat(F.lit("pad"), k.cast("string"), F.lit("x"), i.cast("string")),
+        ),
+        " ",
+    )
+    cand = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.repeat(F.concat(F.lit(" "), t1, F.lit(" "), t2), 3),
+            ),
+        )
+        .when(k % 3 == 1, F.concat(F.col("text"), F.lit(" "), pad))
+        .otherwise(
+            F.array_join(F.slice(toks, 1, F.ceil(wc / 2.0).cast("int")), " ")
+        )
+    )
+    pairs = docs.select(
+        k.alias("pair_id"), F.col("text").alias("ref"), cand.alias("cand")
+    )
+    return T.rouge_scores(pairs, "pair_id", "ref", "cand")
+
+
 @register("x_lsh_recall_eval", _lsh_recall_oracle_sql(), "dedup", "llm")
 def x_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation: MinHash-LSH pairs (16 hashes, 4

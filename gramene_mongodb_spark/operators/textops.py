@@ -1038,6 +1038,19 @@ def bpe_pair_counts(
     )
 
 
+def _gram_array(toks, n: int):
+    """Word n-gram array from a token array column (n=1 → the tokens)."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bleu_scores(
     pairs: DataFrame,
     id_col: str = "pair_id",
@@ -1061,25 +1074,12 @@ def bleu_scores(
     grouped on the pair id, no UDF. Output: (id, ref_len, cand_len,
     p1, p2, bp_log, bleu2_unpenalized).
     """
-    toks_ref = _tokens(F.col(ref))
-    toks_cand = _tokens(F.col(cand))
-
-    def grams(toks, n):
-        if n == 1:
-            return toks
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
     base = pairs.select(
         F.col(id_col),
-        toks_ref.alias("__rt"),
-        toks_cand.alias("__ct"),
+        _tokens(F.col(ref)).alias("__rt"),
+        _tokens(F.col(cand)).alias("__ct"),
     )
+    grams = _gram_array
     out = base.select(
         id_col,
         F.size("__rt").cast("long").alias("ref_len"),
@@ -1122,6 +1122,63 @@ def bleu_scores(
             F.sqrt((F.col("__m1") / F.col("__t1")) * (F.col("__m2") / F.col("__t2"))),
             4,
         ).alias("bleu2_unpenalized"),
+    )
+
+
+def rouge_scores(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    ref: str = "ref",
+    cand: str = "cand",
+) -> DataFrame:
+    """ROUGE-1/ROUGE-2 per (reference, candidate) pair (Lin 2004) — the
+    recall-oriented counterpart to ``bleu_scores``: per gram type the
+    overlap is min(cand_count, ref_count); recall divides by the
+    REFERENCE total, precision by the candidate total, and F1 is
+    2·overlap / (ref_total + cand_total) — every emitted number an
+    integer ratio, deterministic across engines. Same relational shape
+    as bleu_scores (gram explode + per-pair count join, no UDF).
+    Output: (id, r1, p1_rouge, f1_1, r2, p2_rouge, f1_2)."""
+    base = pairs.select(
+        F.col(id_col),
+        _tokens(F.col(ref)).alias("__rt"),
+        _tokens(F.col(cand)).alias("__ct"),
+    )
+    out = base.select(id_col)
+    for n in (1, 2):
+        r = (
+            base.select(id_col, F.explode(_gram_array(F.col("__rt"), n)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("__rc"))
+        )
+        c = (
+            base.select(id_col, F.explode(_gram_array(F.col("__ct"), n)).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("__cc"))
+        )
+        m = (
+            r.join(c, [id_col, "g"], "full_outer")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.least(
+                        F.coalesce(F.col("__cc"), F.lit(0)),
+                        F.coalesce(F.col("__rc"), F.lit(0)),
+                    )
+                ).cast("long").alias(f"__m{n}"),
+                F.sum(F.coalesce(F.col("__rc"), F.lit(0))).cast("long").alias(f"__tr{n}"),
+                F.sum(F.coalesce(F.col("__cc"), F.lit(0))).cast("long").alias(f"__tc{n}"),
+            )
+        )
+        out = out.join(m, id_col, "left")
+    return out.select(
+        id_col,
+        F.round(F.col("__m1") / F.col("__tr1"), 4).alias("r1"),
+        F.round(F.col("__m1") / F.col("__tc1"), 4).alias("p1_rouge"),
+        F.round(2 * F.col("__m1") / (F.col("__tr1") + F.col("__tc1")), 4).alias("f1_1"),
+        F.round(F.col("__m2") / F.col("__tr2"), 4).alias("r2"),
+        F.round(F.col("__m2") / F.col("__tc2"), 4).alias("p2_rouge"),
+        F.round(2 * F.col("__m2") / (F.col("__tr2") + F.col("__tc2")), 4).alias("f1_2"),
     )
 
 
