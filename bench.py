@@ -74,6 +74,9 @@ HEADLINE = [
     "pipeline_corpus_map",
     "x_bpe_pairs",
     "x_ranking_eval",
+    # round 8: the release-gauntlet flagship + the deep-tree kernel path
+    "pipeline_corpus_release",
+    "k3k4_deep_tree",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run
