@@ -281,3 +281,39 @@ def test_round7b_operators_empty(spark):
         [(1, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
     )
     assert semantic_contamination(emb, bench).count() == 0
+
+
+def test_round8_ops_on_empty_and_degenerate_inputs(spark):
+    """Round-8 additions: line filter, PII redaction, BLEU/ROUGE and
+    hard negatives on empty frames and degenerate rows."""
+    from gramene_mongodb_spark.operators.dedup import blocked_pairs, blocking_keys
+    from gramene_mongodb_spark.operators.similarity import hard_negatives
+    from gramene_mongodb_spark.operators.textops import (
+        bleu_scores,
+        line_filter,
+        pii_redact,
+        rouge_scores,
+    )
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert line_filter(docs).count() == 0
+    assert pii_redact(docs).count() == 0
+    assert blocked_pairs(blocking_keys(docs, text="text"), "doc_id").count() == 0
+
+    # empty-string doc: one empty line, dropped; nothing to redact
+    one = spark.createDataFrame([(1, "")], "doc_id LONG, text STRING")
+    r = line_filter(one).collect()[0]
+    assert (r.n_lines, r.n_kept, r.text_clean) == (1, 0, "")
+    p = pii_redact(one).collect()[0]
+    assert (p.text_redacted, p.n_redactions) == ("", 0)
+
+    pairs = spark.createDataFrame([], "pair_id LONG, ref STRING, cand STRING")
+    assert bleu_scores(pairs).count() == 0
+    assert rouge_scores(pairs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id LONG, embedding ARRAY<FLOAT>, label LONG"
+    )
+    assert hard_negatives(emb, q).count() == 0  # no candidates
+    assert hard_negatives(q, emb).count() == 0  # no queries

@@ -1624,3 +1624,48 @@ def test_bpe_pair_counts_match_brute_force(spark, texts):
         for r in bpe_pair_counts(df, top_k=1000).collect()
     }
     assert got == dict(want)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcd"), min_size=2, max_size=8).map(" ".join),
+            st.lists(st.sampled_from("abcd"), min_size=2, max_size=8).map(" ".join),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_bleu_rouge_match_python_reference(spark, pairs):
+    """BLEU/ROUGE clipped-overlap counts equal a pure-Python Counter
+    reference on random short token strings (heavy gram repetition, so
+    clipping is exercised constantly)."""
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.textops import bleu_scores, rouge_scores
+
+    df = spark.createDataFrame(
+        [(i, r, c) for i, (r, c) in enumerate(pairs)],
+        "pair_id: long, ref: string, cand: string",
+    )
+    bleu = {r.pair_id: r for r in bleu_scores(df).collect()}
+    rouge = {r.pair_id: r for r in rouge_scores(df).collect()}
+
+    def grams(s, n):
+        t = s.split()
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    for i, (ref, cand) in enumerate(pairs):
+        for n, (pcol, rcol, fcol) in {
+            1: ("p1", "r1", "f1_1"),
+            2: ("p2", "r2", "f1_2"),
+        }.items():
+            rc, cc = Counter(grams(ref, n)), Counter(grams(cand, n))
+            m = sum(min(cc[g], rc[g]) for g in cc)
+            tc, tr = sum(cc.values()), sum(rc.values())
+            assert getattr(bleu[i], pcol) == round(m / tc, 4), (i, n)
+            assert getattr(rouge[i], rcol) == round(m / tr, 4), (i, n)
+            assert getattr(rouge[i], fcol) == round(2 * m / (tr + tc), 4), (i, n)
+        assert bleu[i].ref_len == len(ref.split())
+        assert bleu[i].cand_len == len(cand.split())
