@@ -2363,6 +2363,54 @@ def x_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bleu_scores(pairs, "pair_id", "ref", "cand")
 
 
+#: rank-ordered, well-formed BPE merge table for x_bpe_encode (each
+#: merge's parts are single chars or outputs of earlier merges)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("a", "n"), ("s", "t"),
+]
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Replay bpe_encode in DuckDB: char explode → double-space joined
+    symbol string → the SAME rank-ordered global regexp_replace chain
+    (RE2 and Java regex share leftmost non-overlapping semantics) →
+    token count per distinct word → join back and aggregate."""
+    s = ("' ' || array_to_string(list_transform(range(1, len(w) + 1), "
+         "i -> w[i]), '  ') || ' '")
+    for x, y in _BPE_MERGES:
+        s = f"regexp_replace({s}, ' {x}  {y} ', ' {x}{y} ', 'g')"
+    return f"""
+    WITH words AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    vocab AS (SELECT DISTINCT w FROM words),
+    enc AS (SELECT w, {s} AS s FROM vocab),
+    tok AS (
+      SELECT w,
+             CAST(len(string_split_regex(trim(s), '\\s{{2}}')) AS BIGINT) AS ntok
+      FROM enc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN tok USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register("x_bpe_encode", _bpe_encode_oracle_sql(), "text", "llm")
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE (textops.bpe_encode): apply a rank-ordered
+    6-merge table with exact GPT-2 semantics (sequential-by-rank ≡
+    priority-queue for well-formed tables; see the operator docstring's
+    invariant argument). The encoder is 6 JVM regex passes over the
+    DISTINCT word table — vocabulary-sized, the Zipf shape — then a
+    hash join back to the corpus; tables beyond a few hundred merges
+    would chunk the expression or move to an Arrow kernel. The oracle
+    replays the identical regex chain in RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_encode(docs, "doc_id", "text", merges=_BPE_MERGES)
+
+
 _ROUGE_ORACLE = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS rt FROM documents),
     fix AS (

@@ -1038,6 +1038,68 @@ def bpe_pair_counts(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    merges: "list[tuple[str, str]]" = (),
+) -> DataFrame:
+    """Apply a learned BPE merge table — the ENCODE half of the
+    tokenizer (bpe_pair_counts is the training half). Exact GPT-2-style
+    semantics for any well-formed table (each merge's parts are single
+    characters or outputs of strictly earlier merges — true of every
+    learned table): under that invariant a merge, once exhausted, can
+    never become applicable again, so applying merges sequentially in
+    rank order equals the priority-queue algorithm.
+
+    Engine-native trick: a word's symbol sequence is kept as a
+    DOUBLE-space-joined string padded with one space each side, and one
+    merge (x, y) → xy is ONE global ``regexp_replace`` of
+    `` x  y `` → `` xy `` — leftmost non-overlapping semantics are
+    exactly BPE's left-to-right pass, and the single-space boundaries
+    let consecutive matches chain (the shared boundary stays intact).
+    The whole encoder is therefore len(merges) JVM regex passes over
+    the DISTINCT word table — vocabulary-sized, not corpus-sized, the
+    same Zipf shape as bpe_pair_counts — then a hash join back to the
+    corpus word stream. No UDF anywhere.
+
+    ``merges`` must be rank-ordered and regex-safe (alphanumeric
+    symbols; the tokenizer alphabet). Output per doc: (id, n_words,
+    n_chars, n_bpe_tokens) — compression = n_bpe_tokens / n_chars.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text))).alias("w")
+    )
+    vocab = words.select("w").distinct()
+    # initial state: characters, double-space joined, space padded
+    enc = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, 1),
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    for x, y in merges:
+        enc = F.regexp_replace(enc, f" {x}  {y} ", f" {x}{y} ")
+    encoded = vocab.select(
+        "w",
+        F.size(F.split(F.trim(enc), r"\s{2}")).cast("long").alias("__ntok"),
+    )
+    return (
+        words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("__ntok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def _gram_array(toks, n: int):
     """Word n-gram array from a token array column (n=1 → the tokens)."""
     if n == 1:

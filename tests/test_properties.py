@@ -1669,3 +1669,44 @@ def test_bleu_rouge_match_python_reference(spark, pairs):
             assert getattr(rouge[i], fcol) == round(2 * m / (tr + tc), 4), (i, n)
         assert bleu[i].ref_len == len(ref.split())
         assert bleu[i].cand_len == len(cand.split())
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from("theorans"), min_size=1, max_size=10).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_encode_matches_priority_queue_reference(spark, words):
+    """bpe_encode's sequential-by-rank regex chain must equal the
+    GPT-2-style priority-queue BPE algorithm on random words over the
+    merge alphabet (the equivalence argument for well-formed tables,
+    executed rather than assumed)."""
+    from gramene_mongodb_spark.catalog import _BPE_MERGES
+    from gramene_mongodb_spark.operators.textops import bpe_encode
+
+    rank = {pair: i for i, pair in enumerate(_BPE_MERGES)}
+
+    def encode_ref(w: str) -> int:
+        toks = list(w)
+        while len(toks) > 1:
+            pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+            ranked = [(rank[p], i) for i, p in enumerate(pairs) if p in rank]
+            if not ranked:
+                break
+            best_rank = min(r for r, _ in ranked)
+            i = min(i for r, i in ranked if r == best_rank)  # leftmost
+            toks[i : i + 2] = [toks[i] + toks[i + 1]]
+        return len(toks)
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id: long, text: string"
+    )
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode(df, "doc_id", "text", merges=_BPE_MERGES).collect()
+    }
+    want = {i: encode_ref(w) for i, w in enumerate(words)}
+    assert got == want
