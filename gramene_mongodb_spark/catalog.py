@@ -2411,6 +2411,69 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_encode(docs, "doc_id", "text", merges=_BPE_MERGES)
 
 
+def _tokenize_pack_oracle_sql() -> str:
+    """bpe_encode's per-doc token counts chained into the packing
+    replay — the two stages' own oracles composed."""
+    s = ("' ' || array_to_string(list_transform(range(1, len(w) + 1), "
+         "i -> w[i]), '  ') || ' '")
+    for x, y in _BPE_MERGES:
+        s = f"regexp_replace({s}, ' {x}  {y} ', ' {x}{y} ', 'g')"
+    return f"""
+    WITH words AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    vocab AS (SELECT DISTINCT w FROM words),
+    enc AS (SELECT w, {s} AS s FROM vocab),
+    tok AS (
+      SELECT w,
+             CAST(len(string_split_regex(trim(s), '\\s{{2}}')) AS BIGINT) AS ntok
+      FROM enc
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM words JOIN tok USING (w) GROUP BY doc_id
+    ),
+    d AS (
+      SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+             md5(concat('pack', CAST(doc_id AS VARCHAR))) AS hx
+      FROM per_doc
+    ),
+    o AS (
+      SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS "offset"
+      FROM d
+    )
+    SELECT doc_id, shard, n_tokens, "offset",
+           "offset" // 256 AS first_pack,
+           greatest("offset" // 256, ("offset" + n_tokens - 1) // 256) AS last_pack,
+           greatest("offset" // 256, ("offset" + n_tokens - 1) // 256)
+             - "offset" // 256 + 1 AS n_packs
+    FROM o
+    """
+
+
+@register("pipeline_tokenize_pack", _tokenize_pack_oracle_sql(), "pipeline", "llm", "text")
+def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-then-pack composite — the two halves of the
+    pretraining data layout chained as one lazy plan: REAL BPE token
+    counts (textops.bpe_encode, the 6-merge table) feed
+    textops.pack_documents (256-token packs, doc_id%8 sharding so the
+    oracle replays it verbatim). Proves the tokenizer's output column
+    contract slots directly into the packing stage; the oracle composes
+    both stages' replays. Scale: vocabulary-sized regex passes + one
+    corpus word join + one per-shard window — no stage is corpus²."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.bpe_encode(docs, "doc_id", "text", merges=_BPE_MERGES)
+    return T.pack_documents(
+        toks,
+        "doc_id",
+        "n_bpe_tokens",
+        budget=256,
+        shards=8,
+        shard_col=(F.col("doc_id") % 8),
+    )
+
+
 _ROUGE_ORACLE = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS rt FROM documents),
     fix AS (
