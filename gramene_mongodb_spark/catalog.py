@@ -9655,11 +9655,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "j6_overlap_orders",
     # aggregations (a6/a7 rollup+pivot displaced after green rounds)
     "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
-    # windows / ordering / sets / scalars (w2_genes_between displaced
-    # to parity by the ER flagship — W2 keeps w2_lead_ship_gap)
-    "w1_order_rank", "w2_lead_ship_gap",
-    "o1_topk_lineitems", "u3_priority_except",
+    # windows / ordering / sets / scalars (w1/o1 displaced after two
+    # green rounds — W via w2_lead_ship_gap, TakeOrdered via x_pq_adc /
+    # x_cosine_topk — making room for two round-8 first-attestations)
+    "w2_lead_ship_gap", "u3_priority_except",
     "s_scalar_functions", "s_json_extract",
+    "k3k4_deep_tree", "pipeline_corpus_release",
     # genomics + tree + domain kernels
     "k6_merge_order_windows", "k7_closure_ancestors", "k10_bin_totalprice",
     "k11_graft_taxonomy", "k12_descriptor",
