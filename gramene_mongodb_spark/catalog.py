@@ -2411,6 +2411,69 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_encode(docs, "doc_id", "text", merges=_BPE_MERGES)
 
 
+@register(
+    "x_bloom_prefilter",
+    """
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS bk FROM orders WHERE o_totalprice > 450000
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5('bf' || i::VARCHAR || CAST(bk AS VARCHAR)), 1, 8))::BIGINT
+               % 4096 AS p
+      FROM build, unnest([0, 1, 2]) AS t(i)
+    ),
+    bits AS (SELECT list_sort(list(p)) AS bl FROM bpos),
+    probe AS (
+      SELECT l_orderkey,
+             [('0x' || substring(md5('bf' || i::VARCHAR || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                % 4096 FOR i IN [0, 1, 2]] AS ps
+      FROM lineitem
+    ),
+    passed AS (SELECT l_orderkey FROM probe, bits WHERE list_has_all(bl, ps)),
+    truth AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT bk FROM build)
+    )
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_probe,
+           CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_pass,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM passed)
+                - (SELECT count(*) FROM truth) AS BIGINT) AS n_false_pos
+    """,
+    "J10", "llm",
+)
+def x_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter differential (relational.bloom_prefilter): the
+    high-value-orders key set (build) becomes a 4096-bit md5 filter
+    broadcast as one sorted position array; lineitem (probe) drops
+    map-side unless all 3 positions are set. Output: one stats row —
+    n_pass ≥ n_true ALWAYS (zero false negatives, the property the
+    oracle proves), n_false_pos is the classic saturation-rate leak
+    that the downstream exact join absorbs. At 100 TB this trades a
+    ~16 KB broadcast for not shuffling the probe side."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    build = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
+    passed = R.bloom_prefilter(li, build, "l_orderkey", "o_orderkey", 4096, 3)
+    truth = li.join(
+        F.broadcast(build.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    a = li.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    b = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    c = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            "n_probe", "n_pass", "n_true",
+            (F.col("n_pass") - F.col("n_true")).cast("long").alias("n_false_pos"),
+        )
+    )
+
+
 def _tokenize_pack_oracle_sql() -> str:
     """bpe_encode's per-doc token counts chained into the packing
     replay — the two stages' own oracles composed."""

@@ -1751,3 +1751,60 @@ def histogram_quantiles(
         )
     )
     return row.select(ests.alias("__e")).select("__e.q", "__e.est")
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """Bloom-style membership PRE-FILTER for the big-probe/small-build
+    join shape: instead of shuffling the 100 TB probe side to discover
+    that most rows have no build-side partner, ship a compact bit-set
+    (here: the sorted array of k md5-derived bit positions set by the
+    build keys, broadcast as ONE row) and drop probe rows map-side
+    unless ALL k of their positions are present. Zero false negatives
+    by construction (a true key's positions are all set); false
+    positives at the classic (1 - e^{-kn/m})^k rate pass through to
+    whatever exact join follows — the filter trades a broadcast of
+    ~m_bits ints for shuffling the probe side.
+
+    Portable by design: positions come from md5(salt_i || key), so the
+    same filter is computable in any engine (the catalog oracle replays
+    it with list_has_all) — unlike engine-private bloom builds.
+    Output: the probe rows that pass, plus ``__bloom_pos`` dropped.
+    """
+    def positions(key_col):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{salt}{i}"), key_col.cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                )
+                for i in range(k)
+            ]
+        )
+
+    bits = (
+        build.select(F.explode(positions(F.col(build_key))).alias("p"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("p")).alias("__bits"))
+    )
+    return (
+        probe.withColumn("__pos", positions(F.col(probe_key)))
+        .crossJoin(F.broadcast(bits))
+        .filter(F.expr("size(array_except(__pos, __bits)) = 0"))
+        .drop("__pos", "__bits")
+    )
