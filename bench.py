@@ -75,8 +75,10 @@ HEADLINE = [
     "x_bpe_pairs",
     "x_ranking_eval",
     # round 8: the release-gauntlet flagship + the deep-tree kernel path
+    # + the tokenize-and-pack layout composite
     "pipeline_corpus_release",
     "k3k4_deep_tree",
+    "pipeline_tokenize_pack",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run
