@@ -1710,3 +1710,38 @@ def test_bpe_encode_matches_priority_queue_reference(spark, words):
     }
     want = {i: encode_ref(w) for i, w in enumerate(words)}
     assert got == want
+
+
+@given(
+    build=st.sets(st.integers(0, 500), min_size=1, max_size=40),
+    probe=st.sets(st.integers(0, 500), min_size=1, max_size=80),
+    m_bits=st.sampled_from([64, 256, 4096]),
+)
+@settings(**SETTINGS)
+def test_bloom_prefilter_no_false_negatives(spark, build, probe, m_bits):
+    """Every true member passes (zero false negatives) at ANY filter
+    size; the pass set equals the python reference of the same
+    md5-position construction (false positives included)."""
+    import hashlib
+
+    from gramene_mongodb_spark.operators.relational import bloom_prefilter
+
+    k = 3
+
+    def positions(key: int) -> set[int]:
+        return {
+            int(hashlib.md5(f"bf{i}{key}".encode()).hexdigest()[:8], 16) % m_bits
+            for i in range(k)
+        }
+
+    bits = set().union(*(positions(b) for b in build))
+    want = {p for p in probe if positions(p) <= bits}
+    assert set(build) & set(probe) <= want  # no false negatives, by math
+
+    bdf = spark.createDataFrame([(b,) for b in build], "bk LONG")
+    pdf = spark.createDataFrame([(p,) for p in probe], "pk LONG")
+    got = {
+        r.pk
+        for r in bloom_prefilter(pdf, bdf, "pk", "bk", m_bits=m_bits, k=k).collect()
+    }
+    assert got == want
