@@ -1775,9 +1775,17 @@ def bloom_prefilter(
 
     Portable by design: positions come from md5(salt_i || key), so the
     same filter is computable in any engine (the catalog oracle replays
-    it with list_has_all) — unlike engine-private bloom builds.
-    Output: the probe rows that pass, plus ``__bloom_pos`` dropped.
+    the identical positions relationally) — unlike engine-private bloom
+    builds. The bit-set is PACKED into ``m_bits/64`` longs (``bit_or``
+    per word), so the per-row membership test is k O(1) array lookups
+    plus shifts — NOT a scan of the set-position list, which costs
+    O(set bits) per row and dominates wall once the filter holds more
+    than a few hundred positions. ``m_bits`` must be a multiple of 64.
+    Output: the probe rows that pass, with the internal columns dropped.
     """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
     def positions(key_col):
         return F.array(
             *[
@@ -1797,14 +1805,32 @@ def bloom_prefilter(
             ]
         )
 
-    bits = (
+    words = (
         build.select(F.explode(positions(F.col(build_key))).alias("p"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("p")).alias("__bits"))
+        .select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    bm = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(element_at(__m, i), cast(0 as bigint)))"
+        ).alias("__bm")
     )
     return (
         probe.withColumn("__pos", positions(F.col(probe_key)))
-        .crossJoin(F.broadcast(bits))
-        .filter(F.expr("size(array_except(__pos, __bits)) = 0"))
-        .drop("__pos", "__bits")
+        .crossJoin(F.broadcast(bm))
+        .filter(
+            F.expr(
+                "forall(__pos, p -> (shiftright("
+                "element_at(__bm, cast(p div 64 as int) + 1),"
+                " cast(p % 64 as int)) & 1) = 1)"
+            )
+        )
+        .drop("__pos", "__bm")
     )
