@@ -9697,6 +9697,133 @@ def x_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_cms_frequency",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({{toks}}) AS tok FROM documents),
+    cells AS (
+      SELECT i,
+             ('0x' || substring(md5('cms' || i::VARCHAR || tok), 1, 8))::BIGINT
+               % 2048 AS j,
+             count(*)::BIGINT AS cnt
+      FROM toks, unnest([0, 1, 2, 3]) AS t(i)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, count(*)::BIGINT AS exact FROM toks
+      GROUP BY tok ORDER BY exact DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT e.tok, i,
+             ('0x' || substring(md5('cms' || i::VARCHAR || e.tok), 1, 8))::BIGINT
+               % 2048 AS j
+      FROM exact e, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    est AS (
+      SELECT tok, min(coalesce(c.cnt, 0))::BIGINT AS est
+      FROM probes p LEFT JOIN cells c USING (i, j)
+      GROUP BY tok
+    )
+    SELECT e.tok, e.exact, s.est, s.est - e.exact AS overcount
+    FROM exact e JOIN est s USING (tok)
+    """.replace("{toks}", _TOKS_SQL),
+    "A4", "llm",
+)
+def x_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency differential (relational.
+    count_min_sketch / merge_count_min / cms_point_estimates): the
+    document token stream is sketched into a 4x2048 counter grid
+    (~64 KB) built as the MERGE of two disjoint half-sketches (docs
+    split by id parity) — so the oracle, which builds the grid in one
+    pass, simultaneously proves the additive-union merge algebra — and
+    the top-20 exact-count tokens are read back off the sketch.
+    Output per token: (exact, est, overcount) with est >= exact ALWAYS
+    (collisions only add; Cormode & Muthukrishnan 2005). The synthetic
+    corpus has a 31-token vocabulary, so this grid is collision-free
+    and overcount is exactly 0 — the entry pins the build + merge +
+    point-read plumbing; the collision/over-estimate contract is
+    property-tested at forced-small widths (test_properties.py). The
+    100 TB story is the merge algebra: heavy hitters are estimable
+    from 64 KB regardless of corpus size, per-shard sketches merge
+    without reprocessing."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T._tokens(F.col("text"))).alias("tok")
+    )
+    half = lambda r: toks.filter(F.col("doc_id") % 2 == r)  # noqa: E731
+    sketch = R.merge_count_min(
+        R.count_min_sketch(half(0), "tok"), R.count_min_sketch(half(1), "tok")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .orderBy(F.desc("exact"), "tok")
+        .limit(20)
+    )
+    est = R.cms_point_estimates(sketch, exact.select("tok"), "tok")
+    return exact.join(est, "tok").select(
+        "tok",
+        "exact",
+        "est",
+        (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "x_cms_selfjoin_size",
+    f"""
+    WITH toks AS (SELECT unnest({{toks}}) AS tok FROM documents),
+    cells AS (
+      SELECT i,
+             ('0x' || substring(md5('cms2' || i::VARCHAR || tok), 1, 8))::BIGINT
+               % 2048 AS j,
+             count(*)::BIGINT AS cnt
+      FROM toks, unnest([0, 1, 2, 3]) AS t(i)
+      GROUP BY 1, 2
+    ),
+    ip AS (SELECT i, sum(cnt * cnt) AS p FROM cells GROUP BY i),
+    exact AS (
+      SELECT sum(c * c)::BIGINT AS exact_pairs
+      FROM (SELECT count(*)::BIGINT AS c FROM toks GROUP BY tok)
+    )
+    SELECT exact_pairs,
+           (SELECT min(p) FROM ip)::BIGINT AS est_pairs,
+           (SELECT min(p) FROM ip)::BIGINT - exact_pairs AS overcount
+    FROM exact
+    """.replace("{toks}", _TOKS_SQL),
+    "A4", "llm",
+)
+def x_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment F2) of the token stream
+    estimated from one Count-Min sketch (relational.cms_inner_product,
+    Cormode & Muthukrishnan 2005 section 4.2): the cell-wise inner
+    product of the grid with itself over-estimates sum_k f(k)^2 — the
+    number of token-sharing pairs a token-blocked join would emit —
+    and the min over hash rows is the estimate. This is the planning
+    primitive for dedup/ER blocking: a 64 KB sketch prices the
+    candidate-pair blowup of a 100 TB blocking key BEFORE the join
+    runs (the Zipf head dominates F2, so relative error stays small
+    exactly where the answer matters). est_pairs >= exact_pairs
+    always; with the fixture's 31-token vocabulary the grid is
+    collision-free and the estimate is EXACT (overcount 0) — the
+    over-estimate regime is property-tested at forced-small widths.
+    The oracle replays grid, inner product and exact moment."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T._tokens(F.col("text"))).alias("tok"))
+    sketch = R.count_min_sketch(toks, "tok", salt="cms2")
+    est = R.cms_inner_product(sketch, sketch)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_pairs",
+        F.col("est").alias("est_pairs"),
+        (F.col("est") - F.col("exact_pairs")).cast("long").alias("overcount"),
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -1834,3 +1834,131 @@ def bloom_prefilter(
         )
         .drop("__pos", "__bm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(key_col: Column, i: int, width: int, salt: str) -> Column:
+    """Hash row i's cell for a key: md5(salt_i || key) % width — the
+    same engine-portable construction as ``bloom_prefilter``, so any
+    oracle can replay the exact counter grid."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{i}"), key_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch of a key column's frequency distribution
+    (Cormode & Muthukrishnan 2005): a depth x width counter grid where
+    every input row increments one counter per hash row. Point reads
+    (`cms_point_estimates`) take the MIN over the depth counters and
+    are ALWAYS over-estimates (collisions only add), within eps*N
+    (eps = e/width) with probability 1 - e^-depth — the right tool for
+    heavy keys in Zipf data, useless for the flat tail, and the entry's
+    differential shows exactly that contract.
+
+    The sketch is a <= depth*width-row DataFrame (~64 KB at the 4x2048
+    default) built with ONE map-side-combinable groupBy; sketches over
+    disjoint shards merge by additive union (`merge_count_min`) — the
+    same commutative-monoid algebra as the HLL / value-histogram /
+    partial-agg family, which is what makes it the 100 TB shape:
+    per-day sketches merge without reprocessing history, and join-size
+    estimates (`cms_inner_product`) come from two sketches alone,
+    never the data. Output: (i, j, cnt).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("i"),
+                _cms_cell(F.col(key_col), i, width, salt).alias("j"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_count_min(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive union of two Count-Min sketches built with the same
+    (depth, width, salt) — one grid-sized shuffle, map-side combinable."""
+    return (
+        a.unionByName(b)
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Frequency estimates for a (small) key set off a Count-Min
+    sketch: each key probes its depth cells (broadcast-joined against
+    the grid — the sketch never exceeds depth*width rows) and takes the
+    min. Absent cells count 0, so a key never inserted estimates 0
+    unless every one of its cells collides. Output: (key_col, est)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("i"),
+                        _cms_cell(F.col(key_col), i, width, salt).alias("j"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "j"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches over the join
+    key (Cormode & Muthukrishnan 2005, section 4.2): for each hash row
+    the cell-wise inner product over-estimates sum_k fA(k)*fB(k) —
+    which IS |A join B| on the key — and the min over rows is the
+    estimate. Two ~64 KB sketches answer "how big is this 100 TB
+    join?" without touching either table again. A hash row with NO
+    overlapping cells means the true inner product is 0 — the left
+    join + coalesce keeps such rows in the min (an inner join would
+    silently drop them and over-estimate). Output: one row (est).
+    """
+    return (
+        a.join(b.withColumnRenamed("cnt", "__bc"), ["i", "j"], "left")
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce(F.col("__bc"), F.lit(0))).alias("__ip")
+        )
+        .agg(F.coalesce(F.min("__ip"), F.lit(0)).cast("long").alias("est"))
+    )

@@ -1745,3 +1745,108 @@ def test_bloom_prefilter_no_false_negatives(spark, build, probe, m_bits):
         for r in bloom_prefilter(pdf, bdf, "pk", "bk", m_bits=m_bits, k=k).collect()
     }
     assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 300), min_size=1, max_size=120),
+    qkeys=st.sets(st.integers(0, 300), min_size=1, max_size=15),
+    width=st.sampled_from([8, 64, 2048]),
+)
+@settings(**SETTINGS)
+def test_cms_point_estimates_match_reference_and_dominate_exact(
+    spark, keys, qkeys, width
+):
+    """The sketch built as a MERGE of two disjoint halves equals the
+    python reference grid of the whole stream (additive-union algebra),
+    point reads equal the reference min-over-rows, and every estimate
+    dominates the exact count (over-estimate only) — including at
+    width 8, where collisions are guaranteed."""
+    import hashlib
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.relational import (
+        cms_point_estimates,
+        count_min_sketch,
+        merge_count_min,
+    )
+
+    depth = 4
+
+    def cell(i: int, k: int) -> int:
+        return int(hashlib.md5(f"cms{i}{k}".encode()).hexdigest()[:8], 16) % width
+
+    grid: Counter = Counter()
+    for k_ in keys:
+        for i in range(depth):
+            grid[(i, cell(i, k_))] += 1
+    exact = Counter(keys)
+    want = {
+        q: min(grid.get((i, cell(i, q)), 0) for i in range(depth)) for q in qkeys
+    }
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    sk = merge_count_min(
+        count_min_sketch(df.filter("k % 2 = 0"), "k", depth, width),
+        count_min_sketch(df.filter("k % 2 = 1"), "k", depth, width),
+    )
+    got_grid = {(r.i, r.j): r.cnt for r in sk.collect()}
+    assert got_grid == dict(grid)
+
+    qdf = spark.createDataFrame([(q,) for q in qkeys], "k LONG")
+    got = {
+        r.k: r.est
+        for r in cms_point_estimates(sk, qdf, "k", depth, width).collect()
+    }
+    assert got == want
+    assert all(got[q] >= exact.get(q, 0) for q in qkeys)
+
+
+@given(
+    a=st.lists(st.integers(0, 60), min_size=1, max_size=80),
+    b=st.lists(st.integers(0, 60), min_size=1, max_size=80),
+    width=st.sampled_from([8, 256]),
+)
+@settings(**SETTINGS)
+def test_cms_inner_product_matches_reference_and_dominates_join_size(
+    spark, a, b, width
+):
+    """The sketch inner product equals the python reference
+    (min over hash rows of the cell-wise product) and dominates the
+    exact join size sum_k fA(k)*fB(k), at widths where collisions are
+    guaranteed as well as sparse ones."""
+    import hashlib
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.relational import (
+        cms_inner_product,
+        count_min_sketch,
+    )
+
+    depth = 4
+
+    def cell(i: int, k: int) -> int:
+        return int(hashlib.md5(f"cms{i}{k}".encode()).hexdigest()[:8], 16) % width
+
+    def grid(stream):
+        g: Counter = Counter()
+        for k_ in stream:
+            for i in range(depth):
+                g[(i, cell(i, k_))] += 1
+        return g
+
+    ga, gb = grid(a), grid(b)
+    want = min(
+        sum(ga[(i, j)] * gb.get((i, j), 0) for (ii, j) in ga if ii == i)
+        for i in range(depth)
+    )
+    ca, cb = Counter(a), Counter(b)
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+
+    da = spark.createDataFrame([(k,) for k in a], "k LONG")
+    db = spark.createDataFrame([(k,) for k in b], "k LONG")
+    got = cms_inner_product(
+        count_min_sketch(da, "k", depth, width),
+        count_min_sketch(db, "k", depth, width),
+    ).collect()[0].est
+    assert got == want
+    assert got >= exact
