@@ -9824,6 +9824,70 @@ def x_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_schema_evolution",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_totalprice AS REAL) -- gen-1 stored float32
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             AS o_orderpriority,
+           CAST(NULL AS VARCHAR) AS o_clerk
+    FROM orders
+    WHERE o_orderkey % 1000 < 10
+    """,
+    "S4", "io",
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip (io.read_evolving / conform_schema):
+    two parquet GENERATIONS of an orders extract are actually written
+    to disk and read back — gen 1 (even keys) with o_totalprice
+    downcast to FLOAT and no priority column, gen 2 (odd keys) with
+    DOUBLE + o_orderpriority. The float/double conflict makes Spark's
+    ``mergeSchema`` refuse the single-relation merge, so this entry
+    exercises the fallback: per-generation scans conformed to a pinned
+    target schema (float widened to double, absent columns as typed
+    NULLs — o_orderpriority for gen 1, o_clerk everywhere) and
+    unioned by name. The oracle never touches the staged files: it
+    derives the expected rows from `orders` alone, so the differential
+    proves the whole write -> conflicted read -> conform -> union
+    round-trip is lossless (float->double widening is IEEE-exact in
+    both engines). The 100 TB reality this models: corpora written
+    over years drift columns and types; readers pin the CURRENT schema
+    and old files conform at scan time."""
+    import os
+
+    from pyspark.sql import types as PT
+
+    from gramene_mongodb_spark.io import read_evolving
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 < 10)
+    base = f"/tmp/spark_graft_evolve_{os.path.basename(os.path.normpath(sf_dir))}"
+    g1, g2 = f"{base}/gen1", f"{base}/gen2"
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", F.col("o_totalprice").cast("float"))
+        .write.mode("overwrite")
+        .parquet(g1)
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(g2)
+    )
+    target = PT.StructType(
+        [
+            PT.StructField("o_orderkey", PT.LongType()),
+            PT.StructField("o_totalprice", PT.DoubleType()),
+            PT.StructField("o_orderpriority", PT.StringType()),
+            PT.StructField("o_clerk", PT.StringType()),
+        ]
+    )
+    return read_evolving(spark, [g1, g2], target)
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -465,3 +465,56 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def conform_schema(df: DataFrame, target) -> DataFrame:
+    """Project a DataFrame onto a target StructType: columns come out
+    in target order; absent ones materialize as typed NULLs; present
+    ones are cast (int->long, float->double and friends follow Spark
+    cast semantics). Extra source columns are dropped. This is the
+    column-level contract a multi-year parquet collection needs —
+    readers pin the CURRENT schema and old files conform, instead of
+    every consumer carrying per-generation special cases."""
+    from pyspark.sql import functions as F
+
+    have = {f.name for f in df.schema.fields}
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )
+
+
+def read_evolving(
+    spark: SparkSession, paths: list[str] | tuple[str, ...], target=None
+) -> DataFrame:
+    """Read a parquet collection whose files span SCHEMA GENERATIONS —
+    the normal state of a 100 TB corpus written over years.
+
+    Fast path: one ``mergeSchema`` read — a SINGLE scan relation that
+    unions columns by name (absent -> null), so partition pruning and
+    pushdown still apply across all generations. Spark REFUSES that
+    merge when two generations disagree on a column's TYPE (e.g. a
+    float column widened to double); in that case, given a ``target``
+    StructType, each path is read separately, conformed
+    (`conform_schema`), and unioned by name — per-generation scans,
+    each still pruned/pushed-down, with the cast happening map-side.
+    Without ``target`` the type conflict re-raises: silently guessing
+    a winner would corrupt whichever generation loses.
+    """
+    paths = list(paths)
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    except Exception:
+        if target is None:
+            raise
+        from functools import reduce
+
+        return reduce(
+            DataFrame.unionByName,
+            [conform_schema(spark.read.parquet(p), target) for p in paths],
+        )
+    return conform_schema(df, target) if target is not None else df

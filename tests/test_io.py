@@ -241,3 +241,48 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_pat
     a = {tuple(r) for r in spark.read.parquet(dst).collect()}
     b = {tuple(r) for r in ev.collect()}
     assert a == b
+
+
+def test_read_evolving_merges_compatible_generations_in_one_scan(spark, tmp_path):
+    """Same-typed generations take the mergeSchema fast path: one scan
+    relation, absent columns null, no target schema needed."""
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    spark.createDataFrame([(1, 10.0)], "k LONG, v DOUBLE").write.parquet(g1)
+    spark.createDataFrame(
+        [(2, 20.0, "x")], "k LONG, v DOUBLE, tag STRING"
+    ).write.parquet(g2)
+    df = io.read_evolving(spark, [g1, g2])
+    rows = {r.k: (r.v, r.tag) for r in df.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, "x")}
+    # single merged relation: exactly one parquet scan in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_read_evolving_conforms_on_type_conflict(spark, tmp_path):
+    """float->double conflict: mergeSchema refuses, the fallback reads
+    per generation, widens to the target, and unions by name."""
+    import pytest
+    from pyspark.sql import types as PT
+
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    spark.createDataFrame([(1, 1.5)], "k LONG, v FLOAT").write.parquet(g1)
+    spark.createDataFrame([(2, 2.25, "x")], "k LONG, v DOUBLE, tag STRING").write.parquet(g2)
+
+    with pytest.raises(Exception):  # no target: the conflict re-raises
+        io.read_evolving(spark, [g1, g2]).collect()
+
+    target = PT.StructType(
+        [
+            PT.StructField("k", PT.LongType()),
+            PT.StructField("v", PT.DoubleType()),
+            PT.StructField("tag", PT.StringType()),
+            PT.StructField("absent", PT.LongType()),
+        ]
+    )
+    df = io.read_evolving(spark, [g1, g2], target)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "k:bigint", "v:double", "tag:string", "absent:bigint",
+    ]
+    rows = {r.k: (r.v, r.tag, r.absent) for r in df.collect()}
+    assert rows == {1: (1.5, None, None), 2: (2.25, "x", None)}
