@@ -9824,6 +9824,73 @@ def x_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
+    """Unrolled replay of the BPE training loop: each round's CTE
+    trio recomputes pair counts from the current symbol strings,
+    picks the argmax with the same (count desc, x, y) tie-break, and
+    applies the merge via plain string replace (the pattern is a
+    literal — identical left-to-right non-overlapping semantics as
+    the Spark regexp). An exhausted round yields an empty best_r,
+    which empties every later state — matching the operator's early
+    stop, so the UNION holds exactly the performed merges."""
+    sql = [
+        f"""
+    WITH words AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    wc AS (SELECT w, count(*)::BIGINT AS cnt FROM words GROUP BY w),
+    state_0 AS (
+      SELECT ' ' || array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]), '  ')
+             || ' ' AS sym, cnt
+      FROM wc
+    )"""
+    ]
+    for r in range(n_merges):
+        sql.append(f"""
+    , pairs_{r} AS (
+      SELECT unnest(list_transform(range(1, len(ss)),
+               i -> struct_pack(x := ss[i], y := ss[i + 1]))) AS p, cnt
+      FROM (SELECT string_split_regex(trim(sym), '\\s{{2}}') AS ss, cnt
+            FROM state_{r})
+      WHERE len(ss) >= 2
+    )
+    , best_{r} AS (
+      SELECT p.x AS x, p.y AS y, sum(cnt)::BIGINT AS n_occurrences
+      FROM pairs_{r} GROUP BY 1, 2
+      ORDER BY n_occurrences DESC, x, y LIMIT 1
+    )
+    , state_{r + 1} AS (
+      SELECT replace(sym, ' ' || b.x || '  ' || b.y || ' ',
+                     ' ' || b.x || b.y || ' ') AS sym, cnt
+      FROM state_{r}, best_{r} b
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, x, y, n_occurrences FROM best_{r}"
+        for r in range(n_merges)
+    )
+    sql.append(f"\n    SELECT * FROM ({unions})")
+    return "".join(sql)
+
+
+@register("x_bpe_train", _bpe_train_oracle_sql(4), "text", "llm")
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (textops.bpe_train): four merge rounds
+    learned from the document corpus — word counts once (the only
+    corpus-sized pass), then per-round pair counting over the
+    vocabulary-sized symbol table with a deterministic (count desc,
+    then lexicographic) argmax, applied as one JVM regexp per round.
+    The trained table feeds bpe_encode directly. Output: one row per
+    learned merge (rank, x, y, n_occurrences). The oracle unrolls the
+    same four rounds as CTE layers, recomputing each argmax itself —
+    the differential pins the whole iterative procedure, not just one
+    round (x_bpe_pairs covers round one in isolation)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_train(docs, "text", n_merges=4)
+    return spark.createDataFrame(
+        [(r + 1, x, y, n) for r, (x, y, n) in enumerate(merges)],
+        "rank LONG, x STRING, y STRING, n_occurrences LONG",
+    )
+
+
 @register(
     "s_schema_evolution",
     """

@@ -1306,3 +1306,78 @@ def ranking_metrics(
             f"precision_at_{k}"
         ),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 8,
+) -> "list[tuple[str, str, int]]":
+    """Train a BPE merge table on a corpus (Sennrich et al. 2016) —
+    the full iterative loop closing `bpe_pair_counts` (one round's
+    counts) with `bpe_encode` (applying a learned table). Round r:
+    count adjacent symbol pairs over the DISTINCT word table weighted
+    by word frequency, pick the argmax (ties: higher count, then
+    lexicographic (x, y) — deterministic), merge it everywhere, repeat.
+
+    Scale shape: the corpus is scanned ONCE (word counts); every round
+    after that runs on the vocabulary-sized symbol-string table —
+    under Zipf that is orders of magnitude smaller than the corpus and
+    INDEPENDENT of corpus size, which is what makes tokenizer training
+    on 100 TB a vocabulary problem, not a corpus problem. Symbol
+    strings use bpe_encode's double-space representation, so one merge
+    is one JVM regexp_replace. The per-round driver action collects
+    exactly ONE row (the argmax pair) — a scalar pick, same convention
+    as k-means/closure convergence probes; corpus data never moves.
+
+    Stops early when no adjacent pair remains. Returns the learned
+    table [(x, y, n_occurrences)] in merge order, directly consumable
+    by ``bpe_encode(..., merges=[(x, y), ...])``.
+    """
+    words = df.select(F.explode(_tokens(F.col(text))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, 1),
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    state = wc.select(sym.alias("sym"), "cnt").localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.trim(F.col("sym")), r"\s{2}")
+        pairs = state.select(syms.alias("ss"), "cnt").filter(
+            F.size("ss") >= 2
+        ).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ss") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ss"), i).alias("x"),
+                        F.element_at(F.col("ss"), i + F.lit(1)).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y, n = best[0].x, best[0].y, best[0].n
+        merges.append((x, y, int(n)))
+        state = state.select(
+            F.regexp_replace("sym", f" {x}  {y} ", f" {x}{y} ").alias("sym"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return merges

@@ -1850,3 +1850,45 @@ def test_cms_inner_product_matches_reference_and_dominates_join_size(
     ).collect()[0].est
     assert got == want
     assert got >= exact
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=30
+    ),
+    n_merges=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_bpe_train_matches_reference_trainer(spark, words, n_merges):
+    """The distributed trainer equals a pure-python BPE training loop
+    (count pairs weighted by word frequency, argmax with count-desc
+    then lexicographic tie-break, left-to-right non-overlapping merge)
+    on adversarial tiny-alphabet corpora — including repeated-symbol
+    words like 'aaaa' where overlap handling matters, and early stop
+    when every word is one symbol."""
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.textops import bpe_train
+
+    def ref(ws, n):
+        wc = Counter(ws)
+        rows = [[" " + "  ".join(list(w)) + " ", c] for w, c in wc.items()]
+        out = []
+        for _ in range(n):
+            pc: Counter = Counter()
+            for sym, c in rows:
+                ss = sym.strip().split("  ")
+                for i in range(len(ss) - 1):
+                    pc[(ss[i], ss[i + 1])] += c
+            if not pc:
+                break
+            n_max = max(pc.values())
+            x, y = min(k for k, v in pc.items() if v == n_max)
+            out.append((x, y, n_max))
+            rows = [
+                [sym.replace(f" {x}  {y} ", f" {x}{y} "), c] for sym, c in rows
+            ]
+        return out
+
+    df = spark.createDataFrame([(w,) for w in words], "text STRING")
+    assert bpe_train(df, "text", n_merges=n_merges) == ref(words, n_merges)
