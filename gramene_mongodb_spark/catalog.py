@@ -9824,6 +9824,129 @@ def x_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_image_phash",
+    """
+    WITH img AS (
+      SELECT c_custkey AS k, (c_custkey % 32) + 1 AS w,
+             (c_custkey % 24) + 1 AS h, c_custkey % 40 AS g,
+             CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS pert
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    kept AS (SELECT * FROM img WHERE w >= 8 AND h >= 6),
+    grid AS (
+      SELECT k, gy.y * 8 + gx.x AS j,
+             (gx.x * w) // 8 AS sx, (gy.y * h) // 6 AS sy, g, pert
+      FROM kept, generate_series(0, 7) AS gx(x), generate_series(0, 5) AS gy(y)
+    ),
+    gray AS (
+      SELECT k, j,
+             ((sx * 7 + sy * 13 + g) % 256
+              + CASE WHEN pert = 1 AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END
+              + (sx * 3 + sy * 5 + 2 * g) % 256
+              + (sx * 11 + sy + 3 * g) % 256) // 3 AS v
+      FROM grid
+    ),
+    m AS (SELECT k, sum(v) // 48 AS mn FROM gray GROUP BY k),
+    hashes AS (
+      SELECT gray.k,
+             sum(CASE WHEN v > mn THEN (CAST(1 AS BIGINT) << j)
+                      ELSE 0 END)::BIGINT AS phash
+      FROM gray JOIN m USING (k) GROUP BY gray.k
+    ),
+    fullpx AS (
+      SELECT k,
+             (sum((gx.x * 7 + gy.y * 13 + g) % 256)
+              + any_value(pert))::BIGINT AS sr,
+             sum((gx.x * 3 + gy.y * 5 + 2 * g) % 256)::BIGINT AS sg,
+             sum((gx.x * 11 + gy.y + 3 * g) % 256)::BIGINT AS sb
+      FROM kept, generate_series(0, 31) AS gx(x), generate_series(0, 23) AS gy(y)
+      WHERE gx.x < w AND gy.y < h
+      GROUP BY k
+    ),
+    joined AS (
+      SELECT h.k, h.phash, f.sr, f.sg, f.sb FROM hashes h JOIN fullpx f USING (k)
+    )
+    SELECT phash, count(*)::BIGINT AS n_images, min(k)::BIGINT AS first_id,
+           count(DISTINCT sr || ':' || sg || ':' || sb)::BIGINT AS n_stat_keys
+    FROM joined GROUP BY phash
+    """,
+    "multimodal", "llm",
+)
+def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (multimodal.perceptual_hash): the
+    media_curate lattice corpus (PNG/BMP/PPM by k%3, content keyed by
+    k%40) with a ONE-PIXEL perturbation on every 7th image — +1 on the
+    red channel at (0,0) before encoding. Each kept image is decoded,
+    integer-resampled to 8x6, gray-thresholded against its floor-mean
+    and packed into a 48-bit aHash. Output per hash: cluster size,
+    first id, and n_stat_keys — the number of DISTINCT full-image
+    channel-sum keys the hash unified. Rows with n_stat_keys > 1 are
+    the point: exact stat/byte dedup sees the perturbed images as new
+    content, the perceptual hash almost always does not (the bumped
+    gray only shifts when (r+g+b) % 3 == 2 at the sampled pixel, and
+    then Hamming banding still pairs them). The oracle replays
+    lattice, sampling grid, bump, floor-mean threshold and bit packing
+    arithmetically. Scale: one Arrow map pass per image; dedup is one
+    hash-keyed shuffle — SimHash economics for images."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % 2 == 0)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            payloads = []
+            for kk in ks:
+                kk = int(kk)
+                w, h, g = (kk % 32) + 1, (kk % 24) + 1, kk % 40
+                y, x = np.ogrid[0:h, 0:w]
+                px = np.dstack(
+                    [
+                        (x * 7 + y * 13 + g) % 256,
+                        (x * 3 + y * 5 + 2 * g) % 256,
+                        (x * 11 + y + 3 * g) % 256,
+                    ]
+                ).astype(np.uint8)
+                if kk % 7 == 0:
+                    px[0, 0, 0] += 1  # g <= 39, no wraparound
+                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
+            yield pd.DataFrame({"media_id": ks, "payload": payloads})
+
+    corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    meta = MM.probe_metadata(corpus).select(
+        "media_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+    kept = (
+        meta.filter((F.col("w") >= 8) & (F.col("h") >= 6))
+        .select("media_id")
+        .join(corpus, "media_id")
+    )
+    ph = MM.perceptual_hash(kept, 8, 6)
+    stats = MM.pixel_stats(kept)
+    return (
+        ph.join(stats, "media_id")
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("media_id").cast("long").alias("first_id"),
+            F.countDistinct(
+                F.concat_ws(":", "sum_r", "sum_g", "sum_b")
+            ).cast("long").alias("n_stat_keys"),
+        )
+    )
+
+
 def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled replay of the BPE training loop: each round's CTE
     trio recomputes pair counts from the current symbol strings,

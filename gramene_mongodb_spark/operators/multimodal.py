@@ -701,3 +701,57 @@ def resize_images(
             )
 
     return media.select(id_col, payload_col).mapInPandas(run, _RESIZED_SCHEMA)
+
+
+_PHASH_SCHEMA = "media_id BIGINT, phash BIGINT"
+
+
+def perceptual_hash(
+    media: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 6,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of true image
+    content: decode -> integer nearest-neighbor resample to
+    (hash_w x hash_h) -> per-pixel gray = (r+g+b)//3 -> bit j set iff
+    gray_j > floor(mean) -> hash = sum(bit_j << j), j row-major. Every
+    step is integer arithmetic on the SAME sampling grid as
+    ``nearest_resize``, so an oracle can replay the exact hash value.
+
+    This is the image analogue of SimHash: near-identical images
+    (re-encoded containers, small pixel perturbations) collapse to the
+    same or Hamming-close hashes, where exact stat/byte dedup sees
+    distinct content. Group equal hashes for exact perceptual dedup,
+    or band the bits pigeonhole-style (dedup.simhash machinery) for
+    Hamming-tolerant candidate pairs at scale. Arrow-batched map pass;
+    needs hash_w*hash_h <= 63 so the hash fits a signed long.
+    Output: (media_id, phash).
+    """
+    if hash_w * hash_h > 63:
+        raise ValueError("hash_w*hash_h must fit a signed 64-bit hash")
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = decode_pixels(bytes(payload))
+                small = nearest_resize(px, w, h, c, hash_w, hash_h)
+                a = np.frombuffer(small, dtype=np.uint8).reshape(
+                    hash_h * hash_w, c
+                )
+                gray = (
+                    a[:, :3].sum(axis=1, dtype=np.int64) // 3
+                    if c >= 3
+                    else a[:, 0].astype(np.int64)
+                )
+                mean = int(gray.sum()) // gray.size
+                bits = gray > mean
+                phash = int((bits.astype(np.int64) << np.arange(gray.size)).sum())
+                rows.append({"media_id": mid, "phash": phash})
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(run, _PHASH_SCHEMA)

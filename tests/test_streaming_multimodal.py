@@ -740,3 +740,48 @@ def test_quantile_sketch_stream_foreachbatch_matches_batch(spark, sf_dir, tmp_pa
         ).collect()
     }
     assert got == want
+
+
+def test_perceptual_hash_matches_reference_and_survives_noise(spark):
+    """aHash equals a pure-python replay (floor grid, gray //3,
+    floor-mean strict threshold, row-major bit packing) through all
+    three real codecs, is container-invariant, and unifies a one-pixel
+    perturbation that changes the exact channel sums."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    bumped = base.copy()
+    bumped[0, 0, 0] = (int(bumped[0, 0, 0]) + 1) % 256
+
+    rows = [
+        (1, MM.encode_png(16, 12, base.tobytes(), 3)),
+        (2, MM.encode_bmp(16, 12, base.tobytes())),
+        (3, MM.encode_ppm(16, 12, base.tobytes())),
+        (4, MM.encode_png(16, 12, bumped.tobytes(), 3)),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    got = {r.media_id: r.phash for r in MM.perceptual_hash(df, 8, 6).collect()}
+
+    def ref(img):
+        h, w, _ = img.shape
+        gray = np.zeros(48, dtype=np.int64)
+        for j in range(48):
+            y, x = divmod(j, 8)
+            sx, sy = (x * w) // 8, (y * h) // 6
+            gray[j] = int(img[sy, sx].astype(np.int64).sum()) // 3
+        mean = int(gray.sum()) // 48
+        return sum(1 << j for j in range(48) if gray[j] > mean)
+
+    assert got[1] == ref(base)
+    assert got[1] == got[2] == got[3]  # container-invariant
+    assert got[4] == ref(bumped)
+    # the bump changed the exact sums but (for this fixture) not the hash
+    sums = {r.media_id: r.sum_r for r in MM.pixel_stats(df).collect()}
+    assert sums[4] == sums[1] + 1
+    assert bin(got[1] ^ got[4]).count("1") <= 1
+
+
+def test_perceptual_hash_rejects_oversized_grid(spark):
+    with pytest.raises(ValueError):
+        MM.perceptual_hash(spark.range(1), 8, 8)
