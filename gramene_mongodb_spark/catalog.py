@@ -5381,6 +5381,82 @@ def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_substring_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS win_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+        FROM t
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY win_text) AS cnt
+      FROM wins
+    ),
+    tot AS (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             coalesce(w.n_windows, 0) AS n_windows,
+             coalesce(w.n_dup, 0) AS n_dup_windows
+      FROM t LEFT JOIN (
+        SELECT doc_id, count(*) AS n_windows,
+               sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM marked GROUP BY doc_id
+      ) w USING (doc_id)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM marked WHERE cnt >= 2
+    ),
+    spans AS (
+      SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+        FROM isl
+      ) GROUP BY doc_id, isl_id
+    ),
+    sp AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens,
+             max(e - s + 1) AS max_span
+      FROM spans GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_windows AS BIGINT) AS n_windows,
+           CAST(tot.n_dup_windows AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(sp.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(sp.max_span, 0) AS BIGINT) AS max_span_tokens
+    FROM tot LEFT JOIN sp USING (doc_id)
+    """,
+    "dedup",
+)
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr repeated-span detection (dedup.exact_substring_spans;
+    Lee et al. 2022 re-expressed as sliding windows + gaps-and-islands):
+    every maximal token span occurring ≥2 times anywhere in the corpus
+    — across docs OR repeated within one — at stride 1, so copies that
+    straddle x_span_dedup's fixed 16-token grid are still caught. The
+    oracle replays the 8-token window grid, the global occurrence
+    count, and the island merge (new span iff position gap > W−1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_substring_spans(docs, "doc_id", "text", window_tokens=8)
+
+
+@register(
     "x_domain_quota",
     """
     WITH ranked AS (

@@ -241,6 +241,116 @@ def span_dedup(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    window_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal token span that occurs ``min_count``+ times anywhere
+    in the corpus (across documents OR repeated within one), via
+    SLIDING windows of ``window_tokens`` tokens at stride 1 — the
+    overlap-sensitive companion to :func:`span_dedup`, whose fixed
+    non-overlapping grid misses copies that straddle a span boundary.
+
+    Spark-first re-expression of the paper's suffix-array algorithm:
+
+    1. map-side: tokenize and emit every (doc, pos, window-text) —
+       n_tokens − W + 1 rows per doc, linear like the token stream;
+    2. ONE shuffle keyed by window text marks windows whose global
+       occurrence count ≥ ``min_count`` (count window, no join-back);
+    3. per-doc gaps-and-islands merges overlapping duplicated windows
+       into maximal spans: ascending positions ⇒ a window starts a new
+       island iff pos − lag(pos) > W − 1.
+
+    Output, one row per input doc (scalar columns only): ``n_tokens``,
+    ``n_windows``, ``n_dup_windows``, ``n_spans`` (maximal repeated
+    spans), ``dup_tokens`` (tokens covered by some repeated span) and
+    ``max_span_tokens``. Docs shorter than W tokens emit no windows
+    and report zeros.
+
+    Scale: the window-text shuffle is the only corpus-sized exchange;
+    identical windows collapse map-side is NOT possible (count must be
+    global) but the count-window needs no join-back, and at 100 TB the
+    window text would be replaced by a 64-bit rolling hash with an
+    exact verify pass on the (tiny) duplicated remainder — the
+    standard trick; text is kept here for exactness against the
+    oracle. Island merge shuffles doc-keyed rows once.
+    """
+    from pyspark.sql import Window
+
+    W = window_tokens
+    toks = F.filter(F.split(_norm(F.col(text)), r"[^a-z0-9]+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n_windows = F.greatest(F.size("__toks") - F.lit(W) + 1, F.lit(0))
+    # n_tokens / n_windows are MAP-SIDE facts of each doc — keep them off
+    # the window-text shuffle so that exchange runs exactly once (the
+    # first cut fed totals and islands from the same counted frame and
+    # Catalyst duplicated the widest shuffle into both consumers)
+    totals = base.select(
+        F.col(id_col),
+        # size(NULL) is -1 in Spark; null text means zero tokens
+        F.greatest(F.size("__toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        n_windows.cast("long").alias("n_windows"),
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            # sequence(1, 0) yields DESCENDING [1, 0] in Spark, so gate
+            # the zero-window case to an explicit empty array
+            F.when(
+                n_windows >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_join(F.slice("__toks", i, W), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "win_text"),
+    )
+    # global occurrence count per window text (within-doc repeats count)
+    cw = Window.partitionBy("win_text")
+    dup = (
+        wins.withColumn("__cnt", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__cnt") >= min_count)
+        .select(id_col, "pos")
+    )
+    ow = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn("__lag", F.lag("pos").over(ow))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__lag").isNull() | (F.col("pos") - F.col("__lag") > W - 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(ow))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.count(F.lit(1)).alias("__n_wins"),
+            F.min("pos").alias("__start"),
+            (F.max("pos") + F.lit(W) - 1).alias("__end"),
+        )
+    )
+    span_agg = islands.groupBy(id_col).agg(
+        F.sum("__n_wins").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("__end") - F.col("__start") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("__end") - F.col("__start") + 1).cast("long").alias("max_span_tokens"),
+    )
+    return totals.join(span_agg, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0)).cast("long").alias("max_span_tokens"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -317,3 +317,25 @@ def test_round8_ops_on_empty_and_degenerate_inputs(spark):
     )
     assert hard_negatives(emb, q).count() == 0  # no candidates
     assert hard_negatives(q, emb).count() == 0  # no queries
+
+
+def test_exact_substring_spans_empty_and_short(spark):
+    """Empty frame → empty result; docs shorter than the window emit
+    zero windows but still one zero-count output row each."""
+    from gramene_mongodb_spark.operators.dedup import exact_substring_spans
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert exact_substring_spans(empty, "doc_id").count() == 0
+
+    short = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, None)], "doc_id LONG, text STRING"
+    )
+    rows = {
+        r.doc_id: r
+        for r in exact_substring_spans(short, "doc_id", window_tokens=8).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert (r.n_windows, r.n_dup_windows, r.n_spans, r.dup_tokens) == (0, 0, 0, 0)
+    assert rows[2].n_tokens == 2
+    assert rows[3].n_tokens == 0

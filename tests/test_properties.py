@@ -1892,3 +1892,60 @@ def test_bpe_train_matches_reference_trainer(spark, words, n_merges):
 
     df = spark.createDataFrame([(w,) for w in words], "text STRING")
     assert bpe_train(df, "text", n_merges=n_merges) == ref(words, n_merges)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_exact_substring_spans_match_brute_force(spark, texts, w):
+    """exact_substring_spans vs a direct python reference (sliding
+    windows, global occurrence counts, greedy island merge) on a
+    2-symbol alphabet — tiny alphabets force heavy window collisions,
+    within-doc repeats, and spans that straddle any fixed grid."""
+    import re
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.dedup import exact_substring_spans
+
+    docs = list(enumerate(texts))
+    toks = {
+        i: [x for x in re.split(r"[^a-z0-9]+", t.strip().lower()) if x]
+        for i, t in docs
+    }
+    cnt: Counter = Counter()
+    wins = {}
+    for i, tk in toks.items():
+        ws = [" ".join(tk[p : p + w]) for p in range(max(0, len(tk) - w + 1))]
+        wins[i] = ws
+        cnt.update(ws)
+    want = {}
+    for i, tk in toks.items():
+        dup_pos = [p for p, wt in enumerate(wins[i]) if cnt[wt] >= 2]
+        spans: list[list[int]] = []
+        for p in dup_pos:
+            if spans and p - spans[-1][2] <= w - 1:
+                spans[-1][1] = max(spans[-1][1], p + w - 1)
+                spans[-1][2] = p
+            else:
+                spans.append([p, p + w - 1, p])
+        want[i] = dict(
+            n_tokens=len(tk),
+            n_windows=len(wins[i]),
+            n_dup_windows=len(dup_pos),
+            n_spans=len(spans),
+            dup_tokens=sum(e - s + 1 for s, e, _ in spans),
+            max_span_tokens=max([e - s + 1 for s, e, _ in spans], default=0),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: {k: r[k] for k in want[0]}
+        for r in exact_substring_spans(df, "doc_id", "text", window_tokens=w).collect()
+    }
+    assert got == want
