@@ -7532,6 +7532,61 @@ def x_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_frequent_itemsets",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM baskets),
+    item_supp AS (
+      SELECT item, count(*) AS supp FROM baskets GROUP BY item
+    ),
+    freq AS (
+      SELECT item, supp FROM item_supp, tot
+      WHERE supp >= ceil(0.022 * n_baskets)
+    ),
+    pruned AS (
+      SELECT b.basket, b.item FROM baskets b
+      WHERE b.item IN (SELECT item FROM freq)
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_support
+      FROM pruned a JOIN pruned b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.pair_support AS BIGINT) AS pair_support,
+           CAST(fa.supp AS BIGINT) AS support_a,
+           CAST(fb.supp AS BIGINT) AS support_b,
+           CAST(tot.n_baskets AS BIGINT) AS n_baskets
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    CROSS JOIN tot
+    WHERE p.pair_support >= ceil(0.022 * tot.n_baskets)
+    """,
+    "A4", "mining",
+)
+def x_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent brand pairs (relational.frequent_itemsets;
+    Agrawal & Srikant VLDB'94): brands co-ordered in ≥2.2% of orders,
+    with exact pair and single supports. The frequent-item set at
+    threshold f is provably ≤ ⌊1/f⌋ items, so the prune side always
+    broadcasts and the pair self-join runs only on pruned baskets,
+    co-partitioned on the order key. The oracle replays the distinct
+    basket grid, the ceil threshold, the prune, and the a<b pair
+    count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return R.frequent_itemsets(baskets, "basket", "item", min_support_frac=0.022)
+
+
+@register(
     "x_heavy_hitters",
     f"""
     WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),

@@ -1962,3 +1962,80 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         )
         .agg(F.coalesce(F.min("__ip"), F.lit(0)).cast("long").alias("est"))
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_frac: float = 0.02,
+    materialize: bool = True,
+) -> DataFrame:
+    """Apriori frequent-pair mining (Agrawal & Srikant, VLDB 1994) over
+    (basket, item) rows: emit every unordered item PAIR co-occurring in
+    >= ``min_support_frac`` of baskets, with its support and both
+    members' single-item supports — the market-basket co-occurrence
+    primitive (absent from the reference; its aggregation surface stops
+    at per-key counts, e.g. ``search/decorate.js`` count maps).
+
+    The Apriori step is what makes this scale: a pair can be frequent
+    only if BOTH members are, and at threshold f there are provably
+    <= floor(1/f) frequent items — so the frequent-item set is ALWAYS
+    broadcastable, the basket stream is semi-join-pruned against it
+    BEFORE the pair explosion, and the per-basket self-join runs
+    co-partitioned on the basket key (one shuffle each side). The
+    support threshold is declarative (single-row total cross-joined by
+    Catalyst as a broadcast), so the whole mine is ONE lazy plan with
+    no driver scalars.
+
+    Output: item_a < item_b, pair_support, support_a, support_b,
+    n_baskets — all exact counts (confidence/lift are ratios of these;
+    left to the caller to keep the comparison surface integer-exact).
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).distinct()
+    # the basket grid feeds FOUR consumers (total, item supports, both
+    # self-join sides); without materialization Catalyst re-runs the
+    # distinct shuffle for each (ReusedExchange does not collapse them
+    # across the aliased self-join) — checkpoint it once
+    if materialize:
+        baskets = baskets.localCheckpoint(eager=True)
+    tot = baskets.agg(F.count_distinct("__basket").alias("n_baskets"))
+    item_supp = baskets.groupBy("__item").agg(F.count(F.lit(1)).alias("__supp"))
+    freq = (
+        item_supp.crossJoin(F.broadcast(tot))
+        .filter(F.col("__supp") >= F.ceil(F.lit(min_support_frac) * F.col("n_baskets")))
+        .select("__item", "__supp")
+    )
+    pruned = baskets.join(
+        F.broadcast(freq.select("__item")), "__item", "left_semi"
+    )
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "__basket")
+        .filter(F.col("a.__item") < F.col("b.__item"))
+        .groupBy(
+            F.col("a.__item").alias("item_a"), F.col("b.__item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+    )
+    sa = F.broadcast(freq.select(F.col("__item").alias("item_a"), F.col("__supp").alias("support_a")))
+    sb = F.broadcast(freq.select(F.col("__item").alias("item_b"), F.col("__supp").alias("support_b")))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("pair_support")
+            >= F.ceil(F.lit(min_support_frac) * F.col("n_baskets"))
+        )
+        .join(sa, "item_a")
+        .join(sb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_support").cast("long").alias("pair_support"),
+            F.col("support_a").cast("long").alias("support_a"),
+            F.col("support_b").cast("long").alias("support_b"),
+            F.col("n_baskets").cast("long").alias("n_baskets"),
+        )
+    )

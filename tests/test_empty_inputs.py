@@ -339,3 +339,13 @@ def test_exact_substring_spans_empty_and_short(spark):
         assert (r.n_windows, r.n_dup_windows, r.n_spans, r.dup_tokens) == (0, 0, 0, 0)
     assert rows[2].n_tokens == 2
     assert rows[3].n_tokens == 0
+
+
+def test_frequent_itemsets_empty(spark):
+    from gramene_mongodb_spark.operators.relational import frequent_itemsets
+
+    empty = spark.createDataFrame([], "basket LONG, item STRING")
+    assert frequent_itemsets(empty, "basket", "item").count() == 0
+    # single-item baskets: no pairs, regardless of support
+    solo = spark.createDataFrame([(1, "a"), (2, "a")], "basket LONG, item STRING")
+    assert frequent_itemsets(solo, "basket", "item", 0.5).count() == 0

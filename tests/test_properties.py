@@ -1949,3 +1949,48 @@ def test_exact_substring_spans_match_brute_force(spark, texts, w):
         for r in exact_substring_spans(df, "doc_id", "text", window_tokens=w).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from("pqrs")),
+        min_size=1,
+        max_size=40,
+    ),
+    frac=st.sampled_from([0.1, 0.3, 0.6]),
+)
+@settings(**SETTINGS)
+def test_frequent_itemsets_match_brute_force(spark, rows, frac):
+    """Apriori pair mining vs itertools brute force: tiny basket/item
+    universes force duplicate (basket, item) rows, singleton baskets,
+    and thresholds right at the ceil boundary."""
+    import math
+    from itertools import combinations
+
+    from gramene_mongodb_spark.operators.relational import frequent_itemsets
+
+    baskets: dict[int, set[str]] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    nb = len(baskets)
+    thr = math.ceil(frac * nb)
+    supp: dict[str, int] = {}
+    for items in baskets.values():
+        for i in items:
+            supp[i] = supp.get(i, 0) + 1
+    psupp: dict[tuple[str, str], int] = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            psupp[(a, b)] = psupp.get((a, b), 0) + 1
+    want = {
+        (a, b): (c, supp[a], supp[b], nb)
+        for (a, b), c in psupp.items()
+        if c >= thr and supp[a] >= thr and supp[b] >= thr
+    }
+
+    df = spark.createDataFrame(rows, "basket LONG, item STRING")
+    got = {
+        (r.item_a, r.item_b): (r.pair_support, r.support_a, r.support_b, r.n_baskets)
+        for r in frequent_itemsets(df, "basket", "item", min_support_frac=frac).collect()
+    }
+    assert got == want
