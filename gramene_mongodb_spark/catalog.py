@@ -10078,6 +10078,120 @@ def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_video_shots",
+    """
+    WITH vid AS (
+      SELECT c_custkey AS k, c_custkey % 12 + 6 AS n_frames,
+             c_custkey % 5 + 2 AS shot_len, c_custkey % 40 AS g0
+      FROM customer WHERE c_custkey % 4 = 1
+    ),
+    frames AS (
+      SELECT k, t, g0 + 61 * (t // shot_len) AS g
+      FROM (SELECT k, unnest(generate_series(0, n_frames - 1)) AS t,
+                   shot_len, g0
+            FROM vid)
+    ),
+    gray AS (
+      SELECT k, t, gy.y * 8 + gx.x AS j,
+             (((gx.x * 2 * 7 + gy.y * 2 * 13 + g) % 256
+               + CASE WHEN gx.x * 2 = t % 16 AND gy.y * 2 = t % 12
+                      THEN 1 ELSE 0 END) % 256
+              + (gx.x * 2 * 3 + gy.y * 2 * 5 + 2 * g) % 256
+              + (gx.x * 2 * 11 + gy.y * 2 + 3 * g) % 256) // 3 AS v
+      FROM frames, generate_series(0, 7) AS gx(x), generate_series(0, 5) AS gy(y)
+    ),
+    m AS (SELECT k, t, sum(v) // 48 AS mn FROM gray GROUP BY k, t),
+    hashes AS (
+      SELECT gray.k, gray.t,
+             sum(CASE WHEN v > mn THEN (CAST(1 AS BIGINT) << j)
+                      ELSE 0 END)::BIGINT AS phash
+      FROM gray JOIN m USING (k, t) GROUP BY gray.k, gray.t
+    ),
+    cuts AS (
+      SELECT k, t, phash,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE bit_count(xor(phash, prev)) END AS dist,
+             CASE WHEN prev IS NULL
+                       OR bit_count(xor(phash, prev)) > 4
+                  THEN 1 ELSE 0 END AS cut
+      FROM (SELECT k, t, phash,
+                   lag(phash) OVER (PARTITION BY k ORDER BY t) AS prev
+            FROM hashes)
+    ),
+    shots AS (
+      SELECT k, t, dist, cut,
+             sum(cut) OVER (PARTITION BY k ORDER BY t) AS shot_id
+      FROM cuts
+    )
+    SELECT k AS media_id, CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(min(t) AS BIGINT) AS start_frame,
+           CAST(max(t) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(max(CASE WHEN cut = 1 THEN dist ELSE 0 END) AS BIGINT)
+             AS cut_bits
+    FROM shots GROUP BY k, shot_id
+    """,
+    "multimodal", "llm",
+)
+def x_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection through REAL frame bytes
+    (multimodal.shot_boundaries): each synthetic "video" (k%4==1) is
+    k%12+6 PNG frames of the 16×12 deterministic lattice whose
+    generator jumps by 61 every k%5+2 frames (the true shots) and whose
+    red channel gets a +1 bump at pixel (t%16, t%12) per frame (the
+    within-shot jitter — ≤2 Hamming bits, below threshold). Frames are
+    encoded worker-side, aHashed through the real decode→resample→
+    threshold kernel, and segmented by Hamming-distance cuts (>4 bits)
+    merged gaps-and-islands style. The oracle replays lattice, bump,
+    8×6 sampling grid, floor-mean threshold, bit packing, xor Hamming
+    and the running cut-count — a wrong pixel ANYWHERE flips some
+    shot. Scale: decode is one Arrow map pass; the only shuffle is the
+    per-video window (frame counts bounded by minutes×fps, no skew)."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    vids = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % 4 == 1)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ts, payloads = [], [], []
+            for kk in pdf["c_custkey"]:
+                kk = int(kk)
+                n_frames, shot_len, g0 = kk % 12 + 6, kk % 5 + 2, kk % 40
+                for t in range(n_frames):
+                    g = g0 + 61 * (t // shot_len)
+                    y, x = np.ogrid[0:12, 0:16]
+                    px = np.dstack(
+                        [
+                            (x * 7 + y * 13 + g) % 256,
+                            (x * 3 + y * 5 + 2 * g) % 256,
+                            (x * 11 + y + 3 * g) % 256,
+                        ]
+                    ).astype(np.uint8)
+                    # per-frame jitter: +1 red at (t%16, t%12) — modulo
+                    # 256, mirrored exactly by the oracle's (%256+1)%256
+                    # (the lattice value can be 255)
+                    px[t % 12, t % 16, 0] = (int(px[t % 12, t % 16, 0]) + 1) % 256
+                    ids.append(kk)
+                    ts.append(t)
+                    payloads.append(MM.encode_png(16, 12, px.tobytes(), 3))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": ts, "payload": payloads}
+            )
+
+    frames = vids.mapInPandas(
+        gen, "media_id BIGINT, frame_idx BIGINT, payload BINARY"
+    )
+    return MM.shot_boundaries(frames, threshold_bits=4)
+
+
 def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled replay of the BPE training loop: each round's CTE
     trio recomputes pair counts from the current symbol strings,

@@ -712,6 +712,7 @@ def perceptual_hash(
     hash_h: int = 6,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    extra_col: str | None = None,
 ) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint of true image
     content: decode -> integer nearest-neighbor resample to
@@ -727,17 +728,21 @@ def perceptual_hash(
     or band the bits pigeonhole-style (dedup.simhash machinery) for
     Hamming-tolerant candidate pairs at scale. Arrow-batched map pass;
     needs hash_w*hash_h <= 63 so the hash fits a signed long.
-    Output: (media_id, phash).
+    Output: (media_id, phash), plus ``extra_col`` passed through when
+    set (an integer sub-key, e.g. a frame index for video shots).
     """
     if hash_w * hash_h > 63:
         raise ValueError("hash_w*hash_h must fit a signed 64-bit hash")
 
     import numpy as np
 
+    keys = [id_col] + ([extra_col] if extra_col else [])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for tup in zip(*(pdf[k] for k in keys), pdf[payload_col]):
+                payload = tup[-1]
                 w, h, c, px = decode_pixels(bytes(payload))
                 small = nearest_resize(px, w, h, c, hash_w, hash_h)
                 a = np.frombuffer(small, dtype=np.uint8).reshape(
@@ -751,7 +756,88 @@ def perceptual_hash(
                 mean = int(gray.sum()) // gray.size
                 bits = gray > mean
                 phash = int((bits.astype(np.int64) << np.arange(gray.size)).sum())
-                rows.append({"media_id": mid, "phash": phash})
-            yield pd.DataFrame(rows)
+                row = dict(zip(keys, (int(v) for v in tup[:-1])))
+                row["phash"] = phash
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=keys + ["phash"])
 
-    return media.select(id_col, payload_col).mapInPandas(run, _PHASH_SCHEMA)
+    schema = ", ".join(f"{k} BIGINT" for k in keys) + ", phash BIGINT"
+    return media.select(*keys, payload_col).mapInPandas(run, schema)
+
+
+def shot_boundaries(
+    frames: DataFrame,
+    threshold_bits: int = 4,
+    hash_w: int = 8,
+    hash_h: int = 6,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shot-boundary detection over decoded video frames: per-frame
+    aHash (one Arrow map pass through :func:`perceptual_hash`), then a
+    cut wherever the Hamming distance to the PREVIOUS frame's hash
+    exceeds ``threshold_bits`` — consecutive non-cut frames merge into
+    shots via a running cut-count (the gaps-and-islands move, all
+    JVM-side: lag + bit_count(xor) + windowed sum). The standard
+    frame-difference scene detector re-expressed on hashes, so the
+    per-frame payload is touched exactly once and everything after the
+    map pass is integer column math.
+
+    Input: one row per (video, frame index, frame payload). Output one
+    row per detected shot: (id, shot_id ascending from 1, start_frame,
+    end_frame, n_frames, max_cut_bits — the Hamming jump that OPENED
+    the shot, 0 for the first).
+
+    Scale: decode cost is a map pass (embarrassingly parallel); the
+    only shuffle is the per-video window, keyed on the video id —
+    frame counts per video are bounded (minutes × fps), so no skew.
+    Shot-sample one frame per shot downstream instead of a fixed time
+    grid to cut near-duplicate frames from training corpora.
+    """
+    from pyspark.sql import Window
+
+    hashed = perceptual_hash(
+        frames,
+        hash_w,
+        hash_h,
+        id_col=id_col,
+        payload_col=payload_col,
+        extra_col=frame_col,
+    )
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    cuts = (
+        hashed.withColumn("__prev", F.lag("phash").over(w))
+        .withColumn(
+            "__dist",
+            F.when(F.col("__prev").isNull(), F.lit(0)).otherwise(
+                F.bit_count(F.col("phash").bitwiseXOR(F.col("__prev")))
+            ),
+        )
+        .withColumn(
+            "__cut",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__dist") > threshold_bits), 1
+            ).otherwise(0),
+        )
+        .withColumn("shot_id", F.sum("__cut").over(w))
+    )
+    return (
+        cuts.groupBy(id_col, "shot_id")
+        .agg(
+            F.min(frame_col).cast("long").alias("start_frame"),
+            F.max(frame_col).cast("long").alias("end_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max(F.when(F.col("__cut") == 1, F.col("__dist")).otherwise(0))
+            .cast("long")
+            .alias("cut_bits"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("shot_id").cast("long").alias("shot_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "cut_bits",
+        )
+    )

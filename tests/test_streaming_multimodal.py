@@ -785,3 +785,44 @@ def test_perceptual_hash_matches_reference_and_survives_noise(spark):
 def test_perceptual_hash_rejects_oversized_grid(spark):
     with pytest.raises(ValueError):
         MM.perceptual_hash(spark.range(1), 8, 8)
+
+
+def test_shot_boundaries_segments_by_hamming_cuts(spark):
+    """Three true shots (distinct random images), three frames each with
+    a one-pixel within-shot jitter, two videos interleaved — shots must
+    recover the true structure, and mixed containers must not matter."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    scenes = [rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8) for _ in range(3)]
+    encoders = [
+        lambda a: MM.encode_png(16, 12, a.tobytes(), 3),
+        lambda a: MM.encode_bmp(16, 12, a.tobytes()),
+        lambda a: MM.encode_ppm(16, 12, a.tobytes()),
+    ]
+    rows = []
+    for vid in (10, 20):
+        for t in range(9):
+            img = scenes[t // 3].copy()
+            img[t % 12, t % 16, 0] = (int(img[t % 12, t % 16, 0]) + 1) % 256
+            rows.append((vid, t, encoders[t % 3](img)))
+    df = spark.createDataFrame(rows, "media_id BIGINT, frame_idx BIGINT, payload BINARY")
+    out = MM.shot_boundaries(df, threshold_bits=4).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, []).append(
+            (r.shot_id, r.start_frame, r.end_frame, r.n_frames)
+        )
+    for vid in (10, 20):
+        got = sorted(by_vid[vid])
+        assert got == [(1, 0, 2, 3), (2, 3, 5, 3), (3, 6, 8, 3)], got
+    # first shot opens with cut_bits 0; later shots with a real jump
+    firsts = [r for r in out if r.shot_id == 1]
+    others = [r for r in out if r.shot_id > 1]
+    assert all(r.cut_bits == 0 for r in firsts)
+    assert all(r.cut_bits > 4 for r in others)
+
+
+def test_shot_boundaries_empty(spark):
+    df = spark.createDataFrame([], "media_id BIGINT, frame_idx BIGINT, payload BINARY")
+    assert MM.shot_boundaries(df).count() == 0
