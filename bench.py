@@ -79,6 +79,12 @@ HEADLINE = [
     "pipeline_corpus_release",
     "k3k4_deep_tree",
     "pipeline_tokenize_pack",
+    # round 8 close: the three newest physical strategies — ExactSubstr
+    # windowed islands, Apriori broadcast-bounded pairs, per-frame
+    # aHash + Hamming-cut segmentation
+    "x_substring_dedup",
+    "x_frequent_itemsets",
+    "x_video_shots",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -10150,10 +10150,15 @@ def x_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-video window (frame counts bounded by minutes×fps, no skew)."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
+    # the customer scan is 1-2 parquet splits at test SFs, which would
+    # serialize the whole synth→encode→decode→hash pipeline (all narrow,
+    # one stage) onto 1-2 cores; spread the tiny id list first so the
+    # Arrow pass actually uses the cluster (the shuffle is 8 bytes/video)
     vids = (
         _t(spark, sf_dir, "customer")
         .select("c_custkey")
         .filter(F.col("c_custkey") % 4 == 1)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(batches):
