@@ -10197,6 +10197,92 @@ def x_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.shot_boundaries(frames, threshold_bits=4)
 
 
+@register(
+    "x_audio_segments",
+    """
+    WITH aud AS (
+      SELECT c_custkey AS k, c_custkey % 20 + 10 AS n_frames,
+             c_custkey % 5 + 2 AS span_len
+      FROM customer WHERE c_custkey % 4 = 2
+    ),
+    frames AS (
+      SELECT k, unnest(generate_series(0, n_frames - 1)) AS f, span_len
+      FROM aud
+    ),
+    energy AS (
+      SELECT k, f,
+             sum(CASE WHEN (f // span_len + k) % 2 = 0
+                      THEN abs(((f * 160 + gj.j) * 13 + k) % 2001 - 1000)
+                      ELSE abs(((f * 160 + gj.j) * 13 + k) % 7 - 3)
+                 END) // 160 AS energy
+      FROM frames, generate_series(0, 159) AS gj(j)
+      GROUP BY k, f
+    ),
+    active AS (SELECT k, f, energy FROM energy WHERE energy >= 100),
+    seg AS (
+      SELECT k, f, energy,
+             sum(CASE WHEN prev IS NULL OR f != prev + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY f) AS segment_id
+      FROM (SELECT k, f, energy,
+                   lag(f) OVER (PARTITION BY k ORDER BY f) AS prev
+            FROM active)
+    )
+    SELECT k AS media_id, CAST(segment_id AS BIGINT) AS segment_id,
+           CAST(min(f) AS BIGINT) AS start_frame,
+           CAST(max(f) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(max(energy) AS BIGINT) AS peak_energy
+    FROM seg GROUP BY k, segment_id
+    """,
+    "multimodal", "llm",
+)
+def x_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio segmentation through REAL 16-bit PCM WAV bytes
+    (multimodal.audio_segments — the VAD silence split): each synthetic
+    recording (k%4==2) is k%20+10 frames of 160 samples alternating
+    loud/quiet spans of k%5+2 frames — loud samples are the lattice
+    (i·13+k) mod 2001 − 1000 (mean |amplitude| ≈ 500), quiet ones
+    (i·13+k) mod 7 − 3 (≤ 3, far under the threshold of 100). Samples
+    are encoded worker-side as spec-valid WAVs, decoded and framed by
+    the real RIFF walk, and active frames merge gaps-and-islands style.
+    The oracle replays the lattice, the 160-sample frame fold, the
+    floor-mean energy, the threshold and the island numbering — a wrong
+    sample ANYWHERE moves some segment boundary. Scale: decode is one
+    Arrow map pass over pre-spread ids (SCALE.md x_video_shots lesson);
+    the only shuffle is the per-media window over a frames table 160×
+    smaller than the audio."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    auds = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % 4 == 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for kk in pdf["c_custkey"]:
+                kk = int(kk)
+                n_frames, span_len = kk % 20 + 10, kk % 5 + 2
+                f = np.arange(n_frames, dtype=np.int64)
+                i = (f[:, None] * 160 + np.arange(160, dtype=np.int64)[None, :])
+                loud = ((f // span_len + kk) % 2 == 0)[:, None]
+                samples = np.where(
+                    loud, (i * 13 + kk) % 2001 - 1000, (i * 13 + kk) % 7 - 3
+                ).ravel()
+                ids.append(kk)
+                payloads.append(MM.encode_wav(16000, samples.astype("<i2")))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = auds.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    return MM.audio_segments(media, threshold=100, frame_len=160)
+
+
 def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
     """Unrolled replay of the BPE training loop: each round's CTE
     trio recomputes pair counts from the current symbol strings,

@@ -582,6 +582,116 @@ def audio_stats(
     return media.select(id_col, payload_col).mapInPandas(run, _AUDIO_STATS_SCHEMA)
 
 
+def encode_wav(sample_rate: int, samples: "object") -> bytes:
+    """Spec-valid 16-bit mono PCM WAV from an int16 numpy array —
+    the content-carrying counterpart of :func:`make_wav` (silence) and
+    :func:`make_wav_ramp` (fixed ramp); round-trips through
+    :func:`decode_wav_samples`."""
+    data = samples.astype("<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def frame_energy(
+    media: DataFrame,
+    frame_len: int = 160,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame integer energy through the REAL PCM decoder: one Arrow
+    map pass decodes each WAV, folds the sample stream into fixed
+    ``frame_len`` windows (10 ms at 16 kHz with the default) and emits
+    mean absolute amplitude per frame as exact integer floor division —
+    a trailing partial frame is dropped. Output: (media_id, frame_idx,
+    energy). The payload is touched exactly once; everything downstream
+    is column math on a frames table ~frame_len× smaller than the
+    audio."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fs: list[int] = []
+            es: list[int] = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, _, samples = decode_wav_samples(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                n = len(a) // frame_len
+                if not n:
+                    continue
+                per = a[: n * frame_len].reshape(n, frame_len).sum(axis=1) // frame_len
+                ids.extend([int(mid)] * n)
+                fs.extend(range(n))
+                es.extend(int(v) for v in per)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": fs, "energy": es},
+                columns=["media_id", "frame_idx", "energy"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, "media_id BIGINT, frame_idx BIGINT, energy BIGINT"
+    )
+
+
+def audio_segments(
+    media: DataFrame,
+    threshold: int = 100,
+    frame_len: int = 160,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-based audio segmentation (the classic VAD split, the audio
+    twin of :func:`shot_boundaries`): per-frame energies from ONE Arrow
+    decode pass (:func:`frame_energy`), frames at or above ``threshold``
+    are active, and consecutive active frames merge gaps-and-islands
+    style — a new segment opens wherever the active frame index is not
+    the predecessor's + 1 (lag + running sum, all JVM-side). Output one
+    row per segment: (media_id, segment_id ascending from 1,
+    start_frame, end_frame, n_frames, peak_energy).
+
+    Scale: decode is an embarrassingly parallel map pass (spread thin
+    inputs first — see SCALE.md's x_video_shots row); the only shuffle
+    is the per-media window over the already-reduced frames table, keyed
+    on the media id with bounded per-key rows (duration × frame rate).
+    Segment-sample or clip on segment boundaries downstream to cut
+    silence from speech corpora."""
+    from pyspark.sql import Window
+
+    active = frame_energy(media, frame_len, id_col, payload_col).filter(
+        F.col("energy") >= threshold
+    )
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    seg = active.withColumn("__prev", F.lag("frame_idx").over(w)).withColumn(
+        "segment_id",
+        F.sum(
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("frame_idx") != F.col("__prev") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        seg.groupBy(id_col, "segment_id")
+        .agg(
+            F.min("frame_idx").cast("long").alias("start_frame"),
+            F.max("frame_idx").cast("long").alias("end_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max("energy").cast("long").alias("peak_energy"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("segment_id").cast("long").alias("segment_id"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "peak_energy",
+        )
+    )
+
+
 def fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: FEATURE_DIM pseudo-
     features from the payload digest. Replace with a codec + model once

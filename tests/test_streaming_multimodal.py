@@ -826,3 +826,53 @@ def test_shot_boundaries_segments_by_hamming_cuts(spark):
 def test_shot_boundaries_empty(spark):
     df = spark.createDataFrame([], "media_id BIGINT, frame_idx BIGINT, payload BINARY")
     assert MM.shot_boundaries(df).count() == 0
+
+
+def test_audio_segments_splits_on_silence(spark):
+    """Two recordings with known loud/quiet frame structure through real
+    WAV bytes: islands of consecutive active frames become segments,
+    sub-threshold frames split them, and a trailing partial frame is
+    dropped by the frame fold."""
+    import numpy as np
+
+    def wav(frame_amps, tail_samples=0):
+        # one 4-sample frame per amplitude; constant |amplitude| == energy
+        samples = np.repeat(np.asarray(frame_amps, dtype=np.int64), 4)
+        if tail_samples:
+            samples = np.concatenate([samples, np.full(tail_samples, 9999)])
+        return MM.encode_wav(16000, samples.astype("<i2"))
+
+    rows = [
+        # frames: loud loud quiet loud -> segments [0,1] and [3,3]
+        (1, wav([500, 700, 3, 900], tail_samples=3)),
+        # all quiet -> no segments at all
+        (2, wav([3, 2, 1])),
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    out = MM.audio_segments(df, threshold=100, frame_len=4).collect()
+    got = sorted(
+        (r.media_id, r.segment_id, r.start_frame, r.end_frame, r.n_frames, r.peak_energy)
+        for r in out
+    )
+    assert got == [(1, 1, 0, 1, 2, 700), (1, 2, 3, 3, 1, 900)], got
+
+
+def test_frame_energy_matches_numpy_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    samples = rng.randint(-32768, 32768, size=23).astype(np.int64)
+    df = spark.createDataFrame(
+        [(7, MM.encode_wav(8000, samples.astype("<i2")))],
+        "media_id BIGINT, payload BINARY",
+    )
+    out = {r.frame_idx: r.energy for r in MM.frame_energy(df, frame_len=5).collect()}
+    expect = {
+        f: int(np.abs(samples[f * 5 : (f + 1) * 5]).sum()) // 5 for f in range(4)
+    }
+    assert out == expect
+
+
+def test_audio_segments_empty(spark):
+    df = spark.createDataFrame([], "media_id BIGINT, payload BINARY")
+    assert MM.audio_segments(df).count() == 0
