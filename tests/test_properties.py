@@ -1994,3 +1994,124 @@ def test_frequent_itemsets_match_brute_force(spark, rows, frac):
         for r in frequent_itemsets(df, "basket", "item", min_support_frac=frac).collect()
     }
     assert got == want
+
+
+@given(
+    recs=st.lists(
+        st.lists(st.integers(-2000, 2000), min_size=0, max_size=40),
+        min_size=1,
+        max_size=5,
+    ),
+    frame_len=st.integers(2, 5),
+    threshold=st.integers(1, 600),
+)
+@settings(**SETTINGS)
+def test_audio_segments_match_brute_force(spark, recs, frame_len, threshold):
+    """audio_segments vs a direct python reference (frame fold,
+    floor-mean energy, threshold, greedy island merge) over random PCM
+    sample streams through real WAV bytes — small frames and arbitrary
+    thresholds hit dropped-tail, all-silent, all-active and
+    single-frame-segment edges."""
+    import numpy as np
+
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    rows = [
+        (i, MM.encode_wav(8000, np.asarray(s, dtype="<i2")))
+        for i, s in enumerate(recs)
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    got = sorted(
+        (r.media_id, r.segment_id, r.start_frame, r.end_frame, r.n_frames, r.peak_energy)
+        for r in MM.audio_segments(df, threshold=threshold, frame_len=frame_len).collect()
+    )
+
+    expect = []
+    for i, s in enumerate(recs):
+        n = len(s) // frame_len
+        energies = [
+            sum(abs(v) for v in s[f * frame_len : (f + 1) * frame_len]) // frame_len
+            for f in range(n)
+        ]
+        active = [f for f in range(n) if energies[f] >= threshold]
+        seg_id = 0
+        prev = None
+        segs: list[list[int]] = []
+        for f in active:
+            if prev is None or f != prev + 1:
+                seg_id += 1
+                segs.append([])
+            segs[-1].append(f)
+            prev = f
+        for sid, fr in enumerate(segs, 1):
+            expect.append(
+                (i, sid, fr[0], fr[-1], len(fr), max(energies[f] for f in fr))
+            )
+    assert got == sorted(expect)
+
+
+@given(
+    vids=st.lists(
+        st.lists(
+            st.integers(0, 2 ** 30),  # per-frame pixel seed
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    threshold=st.integers(0, 12),
+)
+@settings(**SETTINGS)
+def test_shot_boundaries_match_brute_force(spark, vids, threshold):
+    """shot_boundaries vs a pure-python replay (aHash reference +
+    Hamming-cut segmentation) over random frame sequences through real
+    PNG bytes — random seeds produce both near-identical and wildly
+    different consecutive frames, so cuts land arbitrarily."""
+    import numpy as np
+
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    frames = {
+        v: [
+            np.random.RandomState(seed % (2 ** 31)).randint(
+                0, 256, size=(12, 16, 3)
+            ).astype(np.uint8)
+            for seed in seeds
+        ]
+        for v, seeds in enumerate(vids)
+    }
+    rows = [
+        (v, t, MM.encode_png(16, 12, img.tobytes(), 3))
+        for v, imgs in frames.items()
+        for t, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(rows, "media_id BIGINT, frame_idx BIGINT, payload BINARY")
+    got = sorted(
+        (r.media_id, r.shot_id, r.start_frame, r.end_frame, r.n_frames, r.cut_bits)
+        for r in MM.shot_boundaries(df, threshold_bits=threshold).collect()
+    )
+
+    def ref_hash(img):
+        gray = np.zeros(48, dtype=np.int64)
+        for j in range(48):
+            y, x = divmod(j, 8)
+            gray[j] = int(img[(y * 12) // 6, (x * 16) // 8].astype(np.int64).sum()) // 3
+        mean = int(gray.sum()) // 48
+        return sum(1 << j for j in range(48) if gray[j] > mean)
+
+    expect = []
+    for v, imgs in frames.items():
+        hs = [ref_hash(img) for img in imgs]
+        shots: list[dict] = []
+        for t, h in enumerate(hs):
+            dist = 0 if t == 0 else bin(h ^ hs[t - 1]).count("1")
+            if t == 0 or dist > threshold:
+                shots.append({"start": t, "end": t, "cut": dist if t else 0})
+            else:
+                shots[-1]["end"] = t
+        for sid, s in enumerate(shots, 1):
+            expect.append(
+                (v, sid, s["start"], s["end"], s["end"] - s["start"] + 1, s["cut"])
+            )
+    assert got == sorted(expect)
