@@ -440,3 +440,14 @@ def test_semantic_contamination_corpus_never_shuffles(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_media_synth_passes_are_spread_before_decode(spark, sf_dir):
+    """The frame/audio synth→decode→hash chains are narrow, so they
+    inherit the partitioning of the 1-2-split customer scan unless the
+    tiny id list is spread first — at sf0.1 the missing repartition
+    serialized x_video_shots onto 1-2 of 32 cores (8.0s → 1.0s fixed;
+    SCALE.md). Guard: a round-robin exchange precedes the Arrow pass."""
+    for name in ("x_video_shots", "x_audio_segments"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "RoundRobinPartitioning" in plan, name
