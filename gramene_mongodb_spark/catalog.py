@@ -10414,6 +10414,268 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_evolving(spark, [g1, g2], target)
 
 
+@register(
+    "pipeline_homologs",
+    """
+    WITH g0 AS (
+      -- (l_orderkey, l_linenumber) is not unique in the synthetic data;
+      -- collapse duplicates so gene ids are well-defined
+      SELECT l_orderkey * 100 + l_linenumber AS gene_id,
+             l_orderkey,
+             min(l_suppkey) % 8 AS dnafrag_id,
+             min(l_partkey) * 50 AS gstart
+      FROM lineitem GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT gene_id, l_orderkey,
+             CAST(gene_id % 2 AS BIGINT) AS genome_db_id,
+             dnafrag_id, 1 AS strand, gstart,
+             gstart + 400 + (gene_id % 7) * 200 AS gend
+      FROM g0
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY dnafrag_id, strand
+                                   ORDER BY gstart, gene_id) AS gene_idx
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.gene_id, b.gene_id AS other_id,
+             a.genome_db_id AS gg, b.genome_db_id AS og,
+             a.dnafrag_id AS gd, b.dnafrag_id AS od,
+             a.gstart AS ga, a.gend AS gb,
+             b.gstart AS oa, b.gend AS ob,
+             CASE WHEN (a.gene_id + b.gene_id) % 4 = 0 THEN 'gene_split'
+                  WHEN (a.gene_id + b.gene_id) % 4 = 1 THEN 'ortholog_one2one'
+                  WHEN (a.gene_id + b.gene_id) % 4 = 2 THEN 'ortholog_one2many'
+                  ELSE 'within_species_paralog' END AS kind,
+             CASE WHEN a.dnafrag_id = b.dnafrag_id AND a.strand = b.strand
+                  THEN abs(a.gene_idx - b.gene_idx) - 1 END AS genes_between
+      FROM idx a JOIN idx b
+        ON a.l_orderkey = b.l_orderkey AND a.gene_id < b.gene_id
+    ),
+    filtered AS (
+      SELECT * FROM pairs
+      WHERE kind <> 'gene_split' OR (
+        gd = od
+        AND CAST(greatest(0, least(gb, ob) - greatest(ga, oa) + 1) AS DOUBLE)
+            / least(gb - ga + 1, ob - oa + 1) <= 0.2
+        AND greatest(0, greatest(ga, oa) - least(gb, ob) - 1) <= 1000000
+        AND (genes_between IS NULL OR genes_between <= 100000)
+      )
+    ),
+    blocks AS (
+      SELECT n_nationkey % 2 AS bg, (n_nationkey + 1) % 2 AS bo,
+             n_nationkey % 8 AS bgd, (n_nationkey * 3) % 8 AS bod,
+             (n_nationkey % 4) * 25000 AS bstart,
+             (n_nationkey % 4) * 25000 + 60000 AS bend,
+             (n_nationkey % 3) * 30000 AS bstart2,
+             (n_nationkey % 3) * 30000 + 80000 AS bend2
+      FROM nation
+    )
+    SELECT f.gene_id, f.other_id,
+           CASE WHEN bool_or(b.bg IS NOT NULL)
+                THEN 'syntenic_' || f.kind ELSE f.kind END AS kind,
+           f.genes_between
+    FROM filtered f LEFT JOIN blocks b
+      ON f.gg = b.bg AND f.og = b.bo AND f.gd = b.bgd AND f.od = b.bod
+     AND b.bstart <= f.ga AND b.bend >= f.gb
+     AND b.bstart2 <= f.oa AND b.bend2 >= f.ob
+    GROUP BY f.gene_id, f.other_id, f.kind, f.genes_between
+    """,
+    "pipeline", "J9", "W2", "P7", "J6",
+)
+def pipeline_homologs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's third big lifecycle, composed end-to-end
+    (`search/dump_homologs.js:19-257`): homolog-pair self-join (J9) →
+    per-(dnafrag, strand) gene order index (W2 build,
+    genomics.gene_order_index) → genes-between probe (W2,
+    `dump_homologs.js:66-85`) → gene_split plausibility filter (P7,
+    genomics.filter_gene_splits, `:175-205`) → synteny-block
+    containment classification + kind relabel (J6,
+    genomics.classify_synteny, `:99-128,206-243`).
+
+    Fixture mapping: lineitems-as-genes (fragment = supplier mod 8,
+    coordinate = partkey-derived, genome = gene-id parity), pairs =
+    same-order lineitem pairs, synteny blocks derived from nation.
+    One lazy plan: the order index rides the pairing self-join (no
+    re-attach shuffle), the split filter is pure pushed predicates,
+    and the block join is broadcast-sized (blocks ≪ pairs) with equi
+    keys on (genome, genome, frag, frag) so it never cross-joins
+    across fragments — the 100 TB-safe shape."""
+    from gramene_mongodb_spark.operators import genomics as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    genes = (
+        li.groupBy(
+            (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("gene_id"),
+            "l_orderkey",
+        )
+        .agg(
+            (F.min("l_suppkey") % 8).alias("dnafrag_id"),
+            (F.min("l_partkey") * 50).alias("start"),
+        )
+        .withColumn("genome_db_id", F.col("gene_id") % 2)
+        .withColumn("strand", F.lit(1))
+        .withColumn("end", F.col("start") + 400 + (F.col("gene_id") % 7) * 200)
+    )
+    idx = G.gene_order_index(genes)
+    a = idx.select(
+        "l_orderkey",
+        "gene_id",
+        F.col("genome_db_id").alias("gene_genome_db_id"),
+        F.col("dnafrag_id").alias("gene_dnafrag_id"),
+        F.col("start").alias("gene_dnafrag_start"),
+        F.col("end").alias("gene_dnafrag_end"),
+        F.col("strand").alias("__sa"),
+        F.col("gene_idx").alias("__ia"),
+    )
+    b = idx.select(
+        "l_orderkey",
+        F.col("gene_id").alias("other_id"),
+        F.col("genome_db_id").alias("other_genome_db_id"),
+        F.col("dnafrag_id").alias("other_dnafrag_id"),
+        F.col("start").alias("other_dnafrag_start"),
+        F.col("end").alias("other_dnafrag_end"),
+        F.col("strand").alias("__sb"),
+        F.col("gene_idx").alias("__ib"),
+    )
+    kmod = (F.col("gene_id") + F.col("other_id")) % 4
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("gene_id") < F.col("other_id"))
+        .withColumn(
+            "kind",
+            F.when(kmod == 0, F.lit("gene_split"))
+            .when(kmod == 1, F.lit("ortholog_one2one"))
+            .when(kmod == 2, F.lit("ortholog_one2many"))
+            .otherwise(F.lit("within_species_paralog")),
+        )
+        .withColumn(
+            "genes_between",
+            F.when(
+                (F.col("gene_dnafrag_id") == F.col("other_dnafrag_id"))
+                & (F.col("__sa") == F.col("__sb")),
+                F.abs(F.col("__ia") - F.col("__ib")) - 1,
+            ),
+        )
+        .drop("__sa", "__sb", "__ia", "__ib", "l_orderkey")
+    )
+    # fixture-level relaxation of the genes-between cap: random
+    # same-order lineitems are never index-adjacent, so the reference's
+    # tight cap (pinned by p7_gene_split_filter) would kill every split
+    # here and leave the overlap/gap predicates unexercised — with the
+    # cap relaxed, split survival is decided by overlap ratio + gap,
+    # giving the differential mixed outcomes on every sub-predicate
+    filtered = G.filter_gene_splits(
+        pairs, max_overlap_ratio=0.2, max_distance=1_000_000,
+        max_genes_between=100_000,
+    )
+    k = F.col("n_nationkey").cast("long")
+    blocks = _t(spark, sf_dir, "nation").select(
+        (k % 2).alias("gene_genome_db_id"),
+        ((k + 1) % 2).alias("other_genome_db_id"),
+        (k % 8).alias("gene_dnafrag_id"),
+        ((k * 3) % 8).alias("other_dnafrag_id"),
+        ((k % 4) * 25000).alias("start"),
+        ((k % 4) * 25000 + 60000).alias("end"),
+        ((k % 3) * 30000).alias("start2"),
+        ((k % 3) * 30000 + 80000).alias("end2"),
+    )
+    out = G.classify_synteny(filtered, blocks)
+    return out.select("gene_id", "other_id", "kind", "genes_between")
+
+
+@register(
+    "x_stream_agg_merge",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micros,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS min_micros,
+           CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS max_micros
+    FROM events GROUP BY user_id
+    """,
+    "streaming", "incremental", "A4",
+)
+def x_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance driven by a REAL Structured
+    Streaming query (not the any-split batch twin — that's
+    x_agg_merge): events are staged as multi-file parquet, read back
+    with ``readStream`` + ``maxFilesPerTrigger`` so ``availableNow``
+    yields several micro-batches, and each batch's per-user partials
+    (sum/count/min/max in int64 micros) are folded into the state table
+    inside ``foreachBatch`` via relational.merge_partial_aggregates.
+    The oracle is the direct aggregate over ALL events — the
+    materialized-view maintenance contract through the actual streaming
+    path. Integer micros keep the fold order-exact, so any micro-batch
+    partitioning matches the oracle bit-for-bit. State is
+    hard-localCheckpointed per epoch: lineage stays O(1) across epochs
+    (the round-6 iterative-lineage rule)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gramene_mongodb_spark.operators.relational import (
+        merge_partial_aggregates,
+    )
+
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "stream_agg_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    ev.repartition(6).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.sum("vm").alias("total_micros"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("vm").alias("min_micros"),
+            F.max("vm").alias("max_micros"),
+        )
+
+    state: dict[str, DataFrame | None] = {"df": None}
+
+    def sink(df: DataFrame, _epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        part = partial(df).localCheckpoint(eager=True)
+        if state["df"] is None:
+            state["df"] = part
+        else:
+            state["df"] = merge_partial_aggregates(
+                state["df"],
+                part,
+                ["user_id"],
+                sums=["total_micros"],
+                counts=["n_events"],
+                mins=["min_micros"],
+                maxs=["max_micros"],
+            ).localCheckpoint(eager=True)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert state["df"] is not None, "stream produced no micro-batches"
+    return state["df"]
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -10429,48 +10691,46 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # relational spine (round-8 rotation: q11/q21 displaced to parity —
-    # attested green in r6+r7; the spine keeps its scan-agg, multi-join
-    # and semi-join-shaped anchors via q01/q03/q05 + the ER flagship)
-    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
-    # composite pipelines (flagships)
-    "pipeline_genes_decorate", "pipeline_web_curate", "pipeline_obo_ontology",
-    "pipeline_tree_publish", "pipeline_entity_resolution",
-    "pipeline_taxonomy_build", "pipeline_media_curate",
-    # joins (j9/j10 displaced after green rounds; j-anchors keep
-    # broadcast, CI-fallback, containment and interval shapes)
-    "j1_broadcast_enrich", "j2_ci_fallback_join", "j5_price_band_containment",
-    "j6_overlap_orders",
-    # aggregations (a6/a7 rollup+pivot displaced after green rounds)
-    "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
-    # windows / ordering / sets / scalars (w1/o1 displaced after two
-    # green rounds — W via w2_lead_ship_gap, TakeOrdered via x_pq_adc /
-    # x_cosine_topk — making room for two round-8 first-attestations)
-    "w2_lead_ship_gap", "u3_priority_except",
-    "s_scalar_functions", "s_json_extract",
-    "k3k4_deep_tree", "pipeline_corpus_release",
-    # genomics + tree + domain kernels
-    "k6_merge_order_windows", "k7_closure_ancestors", "k10_bin_totalprice",
-    "k11_graft_taxonomy", "k12_descriptor",
-    "k3k4_tree_representatives", "k5_domain_architecture",
-    # streaming batch twins
-    "tumbling_hour_events", "x_asof_last_click",
-    # dedup family (x_semantic_dedup → parity after two green rounds;
-    # never-attested edit-distance / simhash / incremental promoted)
-    "x_dedup_exact", "x_minhash_lsh", "x_dedup_clusters",
-    "x_edit_distance_pairs", "x_simhash_near", "x_incremental_dedup",
-    # similarity / retrieval (x_kmeans_clusters → parity; the IVF-PQ
-    # search half and the IVF baseline get their first attested rows)
-    "x_cosine_topk", "x_ivf_topk", "x_pq_adc_topk", "x_bm25_topk",
-    # text / model-based curation (the attrition funnel subsumes
-    # x_text_quality's length+punct signals and adds the learned
-    # classifier gate — x_text_quality stays parity-swept)
-    "pipeline_quality_gate", "x_heavy_hitters", "x_funnel_stages",
-    # graph
-    "x_pagerank_hosts", "x_bfs_distance",
-    # sketches / incremental / sampling (cdc+group_percentiles →
-    # parity after green rounds; HLL merge and SCD2 first-attested)
-    "x_hll_distinct_merge", "x_scd2_history", "x_priority_sample",
+    # ROUND-9 HARD ROTATION (VERDICT r8 §next-round #1): every family
+    # is stable and the full catalog is 186/186 parity-green at both
+    # SFs, so the window stops re-attesting greens entirely — all 50
+    # slots go to entries with NO green row in any CORRECTNESS_r0*.json
+    # (plus this round's two new entries). Displaced greens remain
+    # parity-swept at sf0.001+sf0.1 and pytest-parametrized.
+    #
+    # composite pipelines — the never-attested five + the two round-9
+    # flagships (homologs lifecycle; live-streaming agg maintenance)
+    "pipeline_homologs", "pipeline_corpus_curate", "pipeline_corpus_clean",
+    "pipeline_corpus_map", "pipeline_training_mix",
+    "pipeline_atlas_expression", "pipeline_tokenize_pack",
+    # TPC-H breadth tail (never driver-attested; q01/q03/q05/q11/q21
+    # and the rest of the spine are green in r6–r8)
+    "q02_min_price_supplier", "q06_forecast_revenue", "q07_nation_volume",
+    "q08_market_share", "q09_product_profit", "q10_returned_revenue",
+    "q12_late_priority_counts", "q14_promo_share", "q15_top_supplier",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q22_idle_rich_customers",
+    # family anchors (join / agg / window / kernel shapes stay covered
+    # by first-time entries, not by re-runs)
+    "j12_decorate_tree_leaves", "a_cube_flags", "w_ntile_quartiles",
+    "k9_prune_zero_gene",
+    # streaming: as-of twin + the REAL foreachBatch streaming fold
+    "x_asof_next_click", "x_stream_agg_merge",
+    # sources / schema / sinks
+    "s_schema_evolution", "s_sql_parity", "x_xml_interpro", "x_rest_lut",
+    "x_upsert_orders",
+    # multimodal
+    "x_media_probe", "x_image_phash", "x_video_shots", "x_audio_segments",
+    # eval metrics
+    "x_bleu_eval", "x_rouge_eval", "x_ranking_eval", "x_lsh_recall_eval",
+    # mergeable sketches
+    "x_cms_frequency", "x_cms_selfjoin_size", "x_quantile_sketch_merge",
+    "x_bloom_prefilter",
+    # tokenizer family
+    "x_bpe_train", "x_bpe_encode", "x_bpe_pairs",
+    # dedup / text / similarity / graph first-timers
+    "x_substring_dedup", "x_pii_redact", "x_hard_negatives",
+    "x_graph_components",
 )
 
 
