@@ -2305,15 +2305,21 @@ _BLEU_ORACLE = f"""
       FROM cc2 c LEFT JOIN rc2 r ON r.doc_id = c.doc_id AND r.g = c.g
       GROUP BY 1
     )
+    -- LEFT joins + coalesced lengths: pairs whose candidate/reference
+    -- has no unigrams or bigrams are KEPT with null metrics, matching
+    -- the engine's degenerate-pair contract (bleu_scores docstring);
+    -- nullif keeps a zero cand_len from becoming an IEEE infinity
     SELECT ct.doc_id AS pair_id,
-           CAST(len(rt) AS BIGINT) AS ref_len,
-           CAST(len(ck) AS BIGINT) AS cand_len,
+           CAST(coalesce(len(rt), 0) AS BIGINT) AS ref_len,
+           CAST(coalesce(len(ck), 0) AS BIGINT) AS cand_len,
            round(m1::DOUBLE / t1, 4) AS p1,
            round(m2::DOUBLE / t2, 4) AS p2,
-           CASE WHEN len(ck) >= len(rt) THEN 0.0
-                ELSE round(1 - len(rt)::DOUBLE / len(ck), 4) END AS bp_log,
+           CASE WHEN coalesce(len(ck), 0) >= coalesce(len(rt), 0) THEN 0.0
+                ELSE round(1 - coalesce(len(rt), 0)::DOUBLE
+                           / nullif(coalesce(len(ck), 0), 0), 4) END AS bp_log,
            round(sqrt((m1::DOUBLE / t1) * (m2::DOUBLE / t2)), 4) AS bleu2_unpenalized
-    FROM ct JOIN p1 ON p1.doc_id = ct.doc_id JOIN p2 ON p2.doc_id = ct.doc_id
+    FROM ct LEFT JOIN p1 ON p1.doc_id = ct.doc_id
+            LEFT JOIN p2 ON p2.doc_id = ct.doc_id
 """
 
 
@@ -2584,14 +2590,19 @@ _ROUGE_ORACLE = f"""
       FROM rc2 r FULL OUTER JOIN cc2 c ON r.doc_id = c.doc_id AND r.g = c.g
       GROUP BY 1
     )
-    SELECT g1.doc_id AS pair_id,
-           round(g1.m::DOUBLE / g1.tr, 4) AS r1,
-           round(g1.m::DOUBLE / g1.tc, 4) AS p1_rouge,
-           round(2 * g1.m::DOUBLE / (g1.tr + g1.tc), 4) AS f1_1,
-           round(g2.m::DOUBLE / g2.tr, 4) AS r2,
-           round(g2.m::DOUBLE / g2.tc, 4) AS p2_rouge,
-           round(2 * g2.m::DOUBLE / (g2.tr + g2.tc), 4) AS f1_2
-    FROM g1 JOIN g2 ON g2.doc_id = g1.doc_id
+    -- LEFT joins from the full pair list + nullif denominators: pairs
+    -- with an empty gram family stay in the output with null metrics
+    -- (the engine's degenerate-pair contract; Spark's x/0 is null,
+    -- DuckDB's DOUBLE 0/0 would be NaN without the nullif)
+    SELECT ct.doc_id AS pair_id,
+           round(g1.m::DOUBLE / nullif(g1.tr, 0), 4) AS r1,
+           round(g1.m::DOUBLE / nullif(g1.tc, 0), 4) AS p1_rouge,
+           round(2 * g1.m::DOUBLE / nullif(g1.tr + g1.tc, 0), 4) AS f1_1,
+           round(g2.m::DOUBLE / nullif(g2.tr, 0), 4) AS r2,
+           round(g2.m::DOUBLE / nullif(g2.tc, 0), 4) AS p2_rouge,
+           round(2 * g2.m::DOUBLE / nullif(g2.tr + g2.tc, 0), 4) AS f1_2
+    FROM ct LEFT JOIN g1 ON g1.doc_id = ct.doc_id
+            LEFT JOIN g2 ON g2.doc_id = ct.doc_id
 """
 
 

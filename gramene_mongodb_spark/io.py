@@ -508,7 +508,17 @@ def read_evolving(
     paths = list(paths)
     try:
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    except Exception:
+        # force schema resolution HERE so a type conflict surfaces
+        # inside this try, not at first action
+        df.schema
+    except Exception as e:
+        # ONLY the merge refusal (SparkException [CANNOT_MERGE_SCHEMAS]
+        # / [CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE]) falls back to
+        # per-generation reads; a transient FS/permission error or a
+        # missing path re-raises — masking those into the fallback
+        # could read partial data or fail confusingly later
+        if "CANNOT_MERGE" not in str(e) and "Failed merging schemas" not in str(e):
+            raise
         if target is None:
             raise
         from functools import reduce

@@ -247,6 +247,8 @@ def exact_substring_spans(
     text: str = "text",
     window_tokens: int = 8,
     min_count: int = 2,
+    hash_prefilter: bool = True,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
@@ -272,13 +274,29 @@ def exact_substring_spans(
     ``max_span_tokens``. Docs shorter than W tokens emit no windows
     and report zeros.
 
-    Scale: the window-text shuffle is the only corpus-sized exchange;
-    identical windows collapse map-side is NOT possible (count must be
-    global) but the count-window needs no join-back, and at 100 TB the
-    window text would be replaced by a 64-bit rolling hash with an
-    exact verify pass on the (tiny) duplicated remainder — the
-    standard trick; text is kept here for exactness against the
-    oracle. Island merge shuffles doc-keyed rows once.
+    Scale — the 100 TB path (``hash_prefilter=True``, the default):
+    shuffling window TEXT multiplies corpus bytes by the window factor
+    (~W×), so the hash path never shuffles text for the full corpus:
+
+    * pass A aggregates 64-bit ``xxhash64(win_text)`` keys (computed
+      map-side) — the exchange carries (8-byte hash, partial count)
+      per DISTINCT hash per partition, ≈ corpus + 8 B/window instead
+      of W tokens/window (SCALE.md probe);
+    * the duplicated-hash set is measured (one count on the persisted
+      hash-only aggregate — the house adaptive-size pick) and joined
+      back BROADCAST when ≤ ``broadcast_threshold`` rows, so the
+      corpus-sized side never re-shuffles; above threshold it falls
+      back to a hash-keyed equi-join;
+    * exact verify: only the candidate windows (the duplicated
+      remainder + hash-collision noise) shuffle their text for a true
+      per-text global count — xxhash64 collisions can only ADD
+      candidates, never drop a true duplicate (equal text ⇒ equal
+      hash), so the verified result is exactly the text-path result.
+
+    ``hash_prefilter=False`` keeps the direct window-text shuffle —
+    the simpler plan for small corpora and the differential twin for
+    the property test. Island merge shuffles doc-keyed rows once
+    either way.
     """
     from pyspark.sql import Window
 
@@ -310,13 +328,41 @@ def exact_substring_spans(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "win_text"),
     )
-    # global occurrence count per window text (within-doc repeats count)
     cw = Window.partitionBy("win_text")
-    dup = (
-        wins.withColumn("__cnt", F.count(F.lit(1)).over(cw))
-        .filter(F.col("__cnt") >= min_count)
-        .select(id_col, "pos")
-    )
+    if hash_prefilter:
+        hashed = wins.withColumn("win_hash", F.xxhash64("win_text"))
+        # pass A: hash-only aggregate — map-side partial combine means
+        # the exchange carries one (hash, count) pair per distinct hash
+        # per partition, never the window text
+        dup_hashes = (
+            hashed.groupBy("win_hash")
+            .agg(F.count(F.lit(1)).alias("__hcnt"))
+            .filter(F.col("__hcnt") >= min_count)
+            .select("win_hash")
+            .persist()
+        )
+        n_dup = dup_hashes.count()
+        if n_dup <= broadcast_threshold:
+            candidates = hashed.join(F.broadcast(dup_hashes), "win_hash")
+        else:
+            candidates = hashed.join(dup_hashes, "win_hash")
+        # exact verify on the duplicated remainder only: candidate text
+        # (≈ duplicated windows + collision noise) is re-counted by the
+        # true window text; equal text ⇒ equal hash, so every true
+        # duplicate is a candidate and the verified set is exact
+        dup = (
+            candidates.withColumn("__cnt", F.count(F.lit(1)).over(cw))
+            .filter(F.col("__cnt") >= min_count)
+            .select(id_col, "pos")
+        )
+    else:
+        # direct path: global occurrence count per window text
+        # (within-doc repeats count)
+        dup = (
+            wins.withColumn("__cnt", F.count(F.lit(1)).over(cw))
+            .filter(F.col("__cnt") >= min_count)
+            .select(id_col, "pos")
+        )
     ow = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn("__lag", F.lag("pos").over(ow))

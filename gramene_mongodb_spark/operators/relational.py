@@ -1979,14 +1979,24 @@ def frequent_itemsets(
     at per-key counts, e.g. ``search/decorate.js`` count maps).
 
     The Apriori step is what makes this scale: a pair can be frequent
-    only if BOTH members are, and at threshold f there are provably
-    <= floor(1/f) frequent items — so the frequent-item set is ALWAYS
-    broadcastable, the basket stream is semi-join-pruned against it
-    BEFORE the pair explosion, and the per-basket self-join runs
-    co-partitioned on the basket key (one shuffle each side). The
-    support threshold is declarative (single-row total cross-joined by
-    Catalyst as a broadcast), so the whole mine is ONE lazy plan with
-    no driver scalars.
+    only if BOTH members are, so the basket stream is semi-join-pruned
+    against the frequent-item set BEFORE the pair explosion, and the
+    per-basket self-join runs co-partitioned on the basket key (one
+    shuffle each side). The support threshold is declarative
+    (single-row total cross-joined by Catalyst as a broadcast), so the
+    whole mine is ONE lazy plan with no driver scalars.
+
+    Broadcast bound, stated honestly: item support counts BASKET
+    CONTAINMENT, so the frequent-item set is bounded by
+    sum(|basket|) / (f × n_baskets) = avg_basket_size / f — NOT the
+    single-probability bound ⌊1/f⌋ (each basket row contributes to
+    |basket| different items' supports). With the default f = 0.02
+    that is 50 × avg_basket_size rows of one item id + one count:
+    comfortably broadcast-sized for retail-shaped baskets (tens of
+    items), but a corpus of very wide baskets (thousands of items)
+    at a tiny f can exceed the broadcast ceiling — there, drop the
+    ``F.broadcast`` hints and let AQE pick the join (the semi-join
+    prune and pair explosion are unchanged), or raise f.
 
     Output: item_a < item_b, pair_support, support_a, support_b,
     n_baskets — all exact counts (confidence/lift are ratios of these;

@@ -264,8 +264,17 @@ def pii_redact(
     audit pass. Patterns apply in sorted name order (email, phone,
     ssn_like), each as one global JVM ``regexp_replace`` — fully
     codegen'd, no Python, no shuffle. Adds ``out`` plus
-    ``n_redactions`` (total spans replaced, from the same patterns
-    ``pii_scan`` counts — the audit and the redaction can't drift)."""
+    ``n_redactions``.
+
+    Counting semantics, stated precisely: ``n_redactions`` counts each
+    pattern against the PROGRESSIVELY-REDACTED text (pattern k sees
+    earlier placeholders), i.e. it is the number of replacements this
+    function actually performed. That is deliberately NOT the same
+    number as ``pii_scan``'s ``n_pii_total``, which counts every
+    pattern against the ORIGINAL text — when patterns overlap (digits
+    consumed by an earlier replacement), scan can report more hits
+    than redact performs. The oracle replays the same sequential
+    chain, so the differential pins these semantics."""
     col = F.col(text)
     total = F.lit(0)
     for name, pat in sorted(PII_PATTERNS.items()):
@@ -1135,6 +1144,13 @@ def bleu_scores(
     One gram explode per n + per-pair count joins — all relational,
     grouped on the pair id, no UDF. Output: (id, ref_len, cand_len,
     p1, p2, bp_log, bleu2_unpenalized).
+
+    Degenerate pairs are KEPT, never dropped: a pair whose candidate
+    (or reference) has <2 tokens simply has no bigrams, so p2 (and the
+    geometric mean) come out null — the caller decides how to score
+    unscorable pairs. Null/empty token arrays report length 0
+    (``greatest(size, 0)`` — Spark's size(NULL) is −1), and bp_log is
+    null when cand_len = 0 (the penalty is undefined, not zero).
     """
     base = pairs.select(
         F.col(id_col),
@@ -1144,8 +1160,8 @@ def bleu_scores(
     grams = _gram_array
     out = base.select(
         id_col,
-        F.size("__rt").cast("long").alias("ref_len"),
-        F.size("__ct").cast("long").alias("cand_len"),
+        F.greatest(F.size("__rt"), F.lit(0)).cast("long").alias("ref_len"),
+        F.greatest(F.size("__ct"), F.lit(0)).cast("long").alias("cand_len"),
     )
     for n in (1, 2):
         r = (
@@ -1178,7 +1194,8 @@ def bleu_scores(
         F.when(
             F.col("cand_len") >= F.col("ref_len"), F.lit(0.0)
         ).otherwise(
-            F.round(1 - F.col("ref_len") / F.col("cand_len"), 4)
+            # try_divide: cand_len = 0 → null penalty (ANSI x/0 throws)
+            F.round(1 - F.try_divide(F.col("ref_len"), F.col("cand_len")), 4)
         ).alias("bp_log"),
         F.round(
             F.sqrt((F.col("__m1") / F.col("__t1")) * (F.col("__m2") / F.col("__t2"))),
@@ -1200,7 +1217,12 @@ def rouge_scores(
     2·overlap / (ref_total + cand_total) — every emitted number an
     integer ratio, deterministic across engines. Same relational shape
     as bleu_scores (gram explode + per-pair count join, no UDF).
-    Output: (id, r1, p1_rouge, f1_1, r2, p2_rouge, f1_2)."""
+    Output: (id, r1, p1_rouge, f1_1, r2, p2_rouge, f1_2).
+
+    Same degenerate-pair contract as :func:`bleu_scores`: every input
+    pair emits a row; metrics whose gram universe is empty (e.g. both
+    sides <2 tokens for the bigram family, or a zero denominator) are
+    null, never silently dropped."""
     base = pairs.select(
         F.col(id_col),
         _tokens(F.col(ref)).alias("__rt"),
@@ -1233,14 +1255,17 @@ def rouge_scores(
             )
         )
         out = out.join(m, id_col, "left")
+    # try_divide throughout: a one-sided gram family leaves a zero
+    # denominator (e.g. empty ref, non-empty cand) and ANSI-mode
+    # division would throw where the contract wants null
     return out.select(
         id_col,
-        F.round(F.col("__m1") / F.col("__tr1"), 4).alias("r1"),
-        F.round(F.col("__m1") / F.col("__tc1"), 4).alias("p1_rouge"),
-        F.round(2 * F.col("__m1") / (F.col("__tr1") + F.col("__tc1")), 4).alias("f1_1"),
-        F.round(F.col("__m2") / F.col("__tr2"), 4).alias("r2"),
-        F.round(F.col("__m2") / F.col("__tc2"), 4).alias("p2_rouge"),
-        F.round(2 * F.col("__m2") / (F.col("__tr2") + F.col("__tc2")), 4).alias("f1_2"),
+        F.round(F.try_divide(F.col("__m1"), F.col("__tr1")), 4).alias("r1"),
+        F.round(F.try_divide(F.col("__m1"), F.col("__tc1")), 4).alias("p1_rouge"),
+        F.round(F.try_divide(2 * F.col("__m1"), F.col("__tr1") + F.col("__tc1")), 4).alias("f1_1"),
+        F.round(F.try_divide(F.col("__m2"), F.col("__tr2")), 4).alias("r2"),
+        F.round(F.try_divide(F.col("__m2"), F.col("__tc2")), 4).alias("p2_rouge"),
+        F.round(F.try_divide(2 * F.col("__m2"), F.col("__tr2") + F.col("__tc2")), 4).alias("f1_2"),
     )
 
 

@@ -286,3 +286,19 @@ def test_read_evolving_conforms_on_type_conflict(spark, tmp_path):
     ]
     rows = {r.k: (r.v, r.tag, r.absent) for r in df.collect()}
     assert rows == {1: (1.5, None, None), 2: (2.25, "x", None)}
+
+
+def test_read_evolving_reraises_non_merge_errors(spark, tmp_path):
+    """Round-9 ADVICE fix: only the CANNOT_MERGE schema refusal may
+    take the per-generation fallback. A missing path (stand-in for any
+    transient FS error) must re-raise even WITH a target — silently
+    falling back would mask the real failure or read partial data."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as PT
+
+    target = PT.StructType([PT.StructField("k", PT.LongType())])
+    with pytest.raises(AnalysisException):
+        io.read_evolving(
+            spark, [str(tmp_path / "nope_does_not_exist")], target
+        )

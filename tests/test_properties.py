@@ -1952,6 +1952,40 @@ def test_exact_substring_spans_match_brute_force(spark, texts, w):
 
 
 @given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    w=st.integers(2, 3),
+)
+@settings(**SETTINGS)
+def test_exact_substring_spans_hash_path_equals_text_path(spark, texts, w):
+    """The 100 TB hash-prefilter form (xxhash64 count + exact verify on
+    the duplicated remainder) must be INDISTINGUISHABLE from the direct
+    window-text shuffle, on both the broadcast join-back and the
+    shuffle-join fallback (broadcast_threshold=0 forces it). Tiny
+    alphabets maximize true duplicates, so the verify pass does real
+    work rather than rubber-stamping an empty candidate set."""
+    from gramene_mongodb_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+
+    def rows(**kw):
+        return sorted(
+            map(tuple, exact_substring_spans(
+                df, "doc_id", "text", window_tokens=w, **kw
+            ).collect())
+        )
+
+    direct = rows(hash_prefilter=False)
+    assert rows(hash_prefilter=True) == direct
+    assert rows(hash_prefilter=True, broadcast_threshold=0) == direct
+
+
+@given(
     rows=st.lists(
         st.tuples(st.integers(0, 9), st.sampled_from("pqrs")),
         min_size=1,

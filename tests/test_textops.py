@@ -624,3 +624,36 @@ def test_bleu_scores_clipping_reference(spark):
     assert out[1].bp_log == 0.0  # cand_len 4 >= ref_len 3
     assert out[1].bleu2_unpenalized == round((0.5 * (1 / 3)) ** 0.5, 4)
     assert (out[2].p1, out[2].p2, out[2].bleu2_unpenalized) == (1.0, 1.0, 1.0)
+
+
+def test_bleu_rouge_keep_degenerate_pairs(spark):
+    """The degenerate-pair contract (round-9 ADVICE fix): pairs with
+    <2 tokens on either side — no bigrams — or empty/null text are
+    KEPT with null metrics, never dropped; lengths report 0 (not
+    Spark's size(NULL) = −1) and bp_log is null when cand_len = 0."""
+    from gramene_mongodb_spark.operators import textops as T
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "hello", "hello"),   # 1 token each: p1=1, no bigrams
+            (2, "x y", ""),          # empty candidate
+            (3, "", "a"),            # empty reference
+            (4, None, None),         # null both
+        ],
+        "pair_id: long, ref: string, cand: string",
+    )
+    bleu = {r.pair_id: r for r in T.bleu_scores(pairs).collect()}
+    assert set(bleu) == {1, 2, 3, 4}  # every pair emits a row
+    assert (bleu[1].ref_len, bleu[1].cand_len) == (1, 1)
+    assert (bleu[1].p1, bleu[1].p2, bleu[1].bp_log) == (1.0, None, 0.0)
+    assert bleu[1].bleu2_unpenalized is None
+    assert (bleu[2].cand_len, bleu[2].p1, bleu[2].bp_log) == (0, None, None)
+    assert (bleu[3].ref_len, bleu[3].p1, bleu[3].bp_log) == (0, 0.0, 0.0)
+    assert (bleu[4].ref_len, bleu[4].cand_len) == (0, 0)
+
+    rouge = {r.pair_id: r for r in T.rouge_scores(pairs).collect()}
+    assert set(rouge) == {1, 2, 3, 4}
+    assert (rouge[1].r1, rouge[1].p1_rouge, rouge[1].f1_1) == (1.0, 1.0, 1.0)
+    assert rouge[1].r2 is None and rouge[1].f1_2 is None
+    assert (rouge[2].r1, rouge[2].p1_rouge) == (0.0, None)
+    assert rouge[4].f1_1 is None
