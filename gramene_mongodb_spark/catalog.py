@@ -5986,39 +5986,92 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
 
 
+def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-format probe corpus keyed on c_custkey — PNG (k%4=0), WAV
+    (k%4=1), JPEG (k%4=2), MP3 (k%4=3; every other one behind a 100-byte
+    ID3v2 tag so the syncsafe skip is exercised) — all spec-valid bytes
+    built worker-side. x_media_probe only; the decode-path entries keep
+    the two-format ``_synth_media`` corpus their oracles share."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def gen(batches):
+        import pandas as pd
+
+        def build(kk):
+            m = kk % 4
+            if m == 0:
+                return MM.make_png((kk % 640) + 1, (kk % 480) + 1)
+            if m == 1:
+                return MM.make_wav((8000, 16000, 44100)[kk % 3], (kk % 100 + 1) * 80)
+            if m == 2:
+                return MM.make_jpeg((kk % 320) + 1, (kk % 240) + 1)
+            return MM.make_mp3(
+                bitrate_kbps=(64, 128, 192)[kk % 3],
+                n_frames=kk % 20 + 1,
+                id3_size=100 if kk % 8 == 3 else 0,
+            )
+
+        for pdf in batches:
+            ks = pdf["c_custkey"]
+            yield pd.DataFrame({"media_id": ks, "payload": [build(kk) for kk in ks]})
+
+    return cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+
+
 @register(
     "x_media_probe",
     """
     SELECT c_custkey AS media_id,
            CASE WHEN c_custkey % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-           CASE WHEN c_custkey % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-           CASE WHEN c_custkey % 2 = 0 THEN CAST((c_custkey % 640) + 1 AS INT) END AS width,
-           CASE WHEN c_custkey % 2 = 0 THEN CAST((c_custkey % 480) + 1 AS INT) END AS height,
-           CASE WHEN c_custkey % 2 = 1
-                THEN CAST(((c_custkey % 100 + 1) * 80) * 1000
+           CASE c_custkey % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                              WHEN 2 THEN 'jpeg' ELSE 'mp3' END AS format,
+           CASE c_custkey % 4
+             WHEN 0 THEN CAST((c_custkey % 640) + 1 AS INT)
+             WHEN 2 THEN CAST((c_custkey % 320) + 1 AS INT) END AS width,
+           CASE c_custkey % 4
+             WHEN 0 THEN CAST((c_custkey % 480) + 1 AS INT)
+             WHEN 2 THEN CAST((c_custkey % 240) + 1 AS INT) END AS height,
+           CASE c_custkey % 4
+             WHEN 1 THEN CAST(((c_custkey % 100 + 1) * 80) * 1000
                           // (CASE c_custkey % 3 WHEN 0 THEN 8000
                                                 WHEN 1 THEN 16000
-                                                ELSE 44100 END) AS BIGINT) END AS duration_ms,
-           CASE WHEN c_custkey % 2 = 1
-                THEN CAST(CASE c_custkey % 3 WHEN 0 THEN 8000
-                                             WHEN 1 THEN 16000
-                                             ELSE 44100 END AS INT) END AS sample_rate
+                                                ELSE 44100 END) AS BIGINT)
+             WHEN 3 THEN CAST((c_custkey % 20 + 1)
+                          * (144000 * (CASE c_custkey % 3 WHEN 0 THEN 64
+                                                          WHEN 1 THEN 128
+                                                          ELSE 192 END) // 44100)
+                          * 8
+                          // (CASE c_custkey % 3 WHEN 0 THEN 64
+                                                 WHEN 1 THEN 128
+                                                 ELSE 192 END) AS BIGINT)
+           END AS duration_ms,
+           CASE c_custkey % 4
+             WHEN 1 THEN CAST(CASE c_custkey % 3 WHEN 0 THEN 8000
+                                                 WHEN 1 THEN 16000
+                                                 ELSE 44100 END AS INT)
+             WHEN 3 THEN CAST(44100 AS INT) END AS sample_rate
     FROM customer
     """,
     "multimodal",
 )
 def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata probe END-TO-END through REAL bytes: customer
-    keys deterministically synthesize spec-valid PNG and WAV payloads
-    (``make_png``/``make_wav``, struct-packed binary), which flow through
-    the Arrow-batched ``probe_metadata`` mapInPandas operator where the
-    stdlib container-header parser recovers width/height/sample_rate/
-    duration. The oracle predicts the parsed values arithmetically — any
-    corruption in the binary round trip (payload build, Arrow transfer,
-    header walk) breaks the hash."""
+    keys deterministically synthesize spec-valid PNG, WAV, JPEG
+    (SOI/APP0/SOF0 marker stream) and CBR MP3 payloads — half the MP3s
+    behind a real ID3v2 tag — which flow through the Arrow-batched
+    ``probe_metadata`` mapInPandas operator where the stdlib
+    container-header parser recovers width/height/sample_rate/duration
+    (MP3 duration = the CBR estimate audio_bytes·8 // kbps over the
+    post-ID3 bytes). The oracle predicts every parsed value
+    arithmetically, including the MPEG frame-length formula
+    (144000·kbps // rate) — any corruption in the binary round trip
+    (payload build, Arrow transfer, marker walk, syncsafe ID3 skip)
+    breaks the hash."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
-    probed = MM.probe_metadata(_synth_media(spark, sf_dir))
+    probed = MM.probe_metadata(_synth_media_probe(spark, sf_dir))
     return probed.select(
         "media_id",
         F.col("meta.media_type").alias("media_type"),
@@ -10294,15 +10347,20 @@ def x_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_segments(media, threshold=100, frame_len=160)
 
 
-def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
-    """Unrolled replay of the BPE training loop: each round's CTE
-    trio recomputes pair counts from the current symbol strings,
-    picks the argmax with the same (count desc, x, y) tie-break, and
-    applies the merge via plain string replace (the pattern is a
-    literal — identical left-to-right non-overlapping semantics as
-    the Spark regexp). An exhausted round yields an empty best_r,
-    which empties every later state — matching the operator's early
-    stop, so the UNION holds exactly the performed merges."""
+def _bpe_train_oracle_sql(n_rounds: int = 2) -> str:
+    """Unrolled replay of the BATCHED BPE training loop (batch = 2):
+    each round's CTEs recompute pair counts from the current symbol
+    strings, pick slot A as the global argmax with the same (count
+    desc, x, y) tie-break, slot B as the argmax over pairs SYMBOL-
+    DISJOINT from A (exactly the engine's greedy selection — the first
+    disjoint candidate in rank order is the disjoint argmax), and
+    apply both merges via plain string replace (the pattern is a
+    literal — identical left-to-right non-overlapping semantics as the
+    Spark regexp; a missing slot B replaces a never-occurring chr(1)
+    needle). An exhausted round yields an empty slot A, which empties
+    every later state — matching the operator's early stop. Ranks are
+    row_number over (round, slot), so a part-filled round keeps the
+    numbering sequential, exactly like the engine's merge list."""
     sql = [
         f"""
     WITH words AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
@@ -10314,7 +10372,7 @@ def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
       FROM wc
     )"""
     ]
-    for r in range(n_merges):
+    for r in range(n_rounds):
         sql.append(f"""
     , pairs_{r} AS (
       SELECT unnest(list_transform(range(1, len(ss)),
@@ -10323,38 +10381,57 @@ def _bpe_train_oracle_sql(n_merges: int = 4) -> str:
             FROM state_{r})
       WHERE len(ss) >= 2
     )
-    , best_{r} AS (
+    , cnt_{r} AS (
       SELECT p.x AS x, p.y AS y, sum(cnt)::BIGINT AS n_occurrences
       FROM pairs_{r} GROUP BY 1, 2
+    )
+    , b{r}a AS (
+      SELECT x, y, n_occurrences FROM cnt_{r}
       ORDER BY n_occurrences DESC, x, y LIMIT 1
     )
+    , b{r}b AS (
+      SELECT c.x, c.y, c.n_occurrences FROM cnt_{r} c, b{r}a a
+      WHERE c.x NOT IN (a.x, a.y) AND c.y NOT IN (a.x, a.y)
+      ORDER BY c.n_occurrences DESC, c.x, c.y LIMIT 1
+    )
     , state_{r + 1} AS (
-      SELECT replace(sym, ' ' || b.x || '  ' || b.y || ' ',
-                     ' ' || b.x || b.y || ' ') AS sym, cnt
-      FROM state_{r}, best_{r} b
+      SELECT replace(
+               replace(sym, ' ' || a.x || '  ' || a.y || ' ',
+                       ' ' || a.x || a.y || ' '),
+               coalesce(' ' || b.x || '  ' || b.y || ' ', chr(1)),
+               coalesce(' ' || b.x || b.y || ' ', '')) AS sym, cnt
+      FROM state_{r} CROSS JOIN b{r}a a LEFT JOIN b{r}b b ON true
     )""")
     unions = "\n      UNION ALL ".join(
-        f"SELECT CAST({r + 1} AS BIGINT) AS rank, x, y, n_occurrences FROM best_{r}"
-        for r in range(n_merges)
+        f"SELECT {r} AS rnd, {s} AS slot, x, y, n_occurrences FROM b{r}{t}"
+        for r in range(n_rounds)
+        for s, t in ((0, "a"), (1, "b"))
     )
-    sql.append(f"\n    SELECT * FROM ({unions})")
+    sql.append(f"""
+    SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS BIGINT) AS rank,
+           x, y, n_occurrences
+    FROM ({unions})""")
     return "".join(sql)
 
 
-@register("x_bpe_train", _bpe_train_oracle_sql(4), "text", "llm")
+@register("x_bpe_train", _bpe_train_oracle_sql(2), "text", "llm")
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING (textops.bpe_train): four merge rounds
-    learned from the document corpus — word counts once (the only
+    """BPE tokenizer TRAINING (textops.bpe_train): four merges learned
+    from the document corpus in TWO batched rounds (batch_size=2,
+    round 9's multi-merge trainer) — word counts once (the only
     corpus-sized pass), then per-round pair counting over the
-    vocabulary-sized symbol table with a deterministic (count desc,
-    then lexicographic) argmax, applied as one JVM regexp per round.
-    The trained table feeds bpe_encode directly. Output: one row per
-    learned merge (rank, x, y, n_occurrences). The oracle unrolls the
-    same four rounds as CTE layers, recomputing each argmax itself —
-    the differential pins the whole iterative procedure, not just one
-    round (x_bpe_pairs covers round one in isolation)."""
+    vocabulary-sized symbol table with a deterministic greedy
+    symbol-disjoint top-2 selection, applied as one chained JVM regexp
+    pass per round. The trained table feeds bpe_encode directly.
+    Output: one row per learned merge (rank, x, y, n_occurrences). The
+    oracle unrolls the same two batched rounds as CTE layers,
+    recomputing the global argmax AND the disjoint-argmax second slot
+    itself — the differential pins the whole batched procedure,
+    including the disjointness rule (x_bpe_pairs covers one round's
+    counts in isolation; the hypothesis suite pins batch ≡ python
+    reference up to n_merges=32)."""
     docs = _t(spark, sf_dir, "documents")
-    merges = T.bpe_train(docs, "text", n_merges=4)
+    merges = T.bpe_train(docs, "text", n_merges=4, batch_size=2)
     return spark.createDataFrame(
         [(r + 1, x, y, n) for r, (x, y, n) in enumerate(merges)],
         "rank LONG, x STRING, y STRING, n_occurrences LONG",

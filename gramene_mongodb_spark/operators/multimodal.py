@@ -75,6 +75,14 @@ def parse_media_header(payload: bytes) -> dict | None:
     * JPEG — marker scan to the first SOF0-SOF15 frame header
       (height/width big-endian at +5/+7), skipping entropy-free
       segments by their declared lengths.
+    * MP3 — optional ID3v2 tag skip (syncsafe 28-bit size), then the
+      first MPEG audio frame header (11 sync bits): version/layer/
+      bitrate/sample-rate fields per the public MPEG-1/2 spec (Layer
+      III tables); duration_ms is the CBR estimate
+      ``audio_bytes × 8 // bitrate_kbps`` over the post-ID3 payload —
+      a header-only probe, deliberately NOT an entropy decoder (VBR
+      files without a Xing header will misestimate, as every
+      header-probe does).
     * BMP — 'BM' magic; little-endian int32 width/height at offsets
       18/22 (negative height = top-down rows → abs).
     * PPM — 'P6' magic; ASCII width/height tokens (comments skipped).
@@ -164,7 +172,51 @@ def _parse_media_header_inner(payload: bytes) -> dict | None:
                 return meta
             pos += 2 + _struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         return None
+    # MP3: optional ID3v2 prefix, then a frame sync (11 set bits). The
+    # JPEG branch above consumes FFD8, whose second byte fails the
+    # 0xE0 sync mask, so the dispatch order is unambiguous.
+    data, id3 = payload, 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        id3 = 10 + sz
+        data = payload[id3:]
+    if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        version = (data[1] >> 3) & 3  # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        layer = (data[1] >> 1) & 3    # 1=Layer III
+        br_idx = (data[2] >> 4) & 15
+        sr_idx = (data[2] >> 2) & 3
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            return None  # reserved fields / free-format / non-L3: quarantine
+        kbps = _MP3_BITRATES_L3[version][br_idx]
+        meta.update(
+            media_type="audio",
+            format="mp3",
+            sample_rate=_MP3_RATES[version][sr_idx],
+            duration_ms=(len(payload) - id3) * 8 // kbps,
+        )
+        return meta
     return None
+
+
+#: MPEG Layer III bitrate tables (kbps), keyed by header version bits
+#: (3 = MPEG1; 2 = MPEG2; 0 = MPEG2.5 shares the MPEG2 table)
+_MP3_BITRATES_L3 = {
+    3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_BITRATES_L3[0] = _MP3_BITRATES_L3[2]
+
+#: sample-rate tables keyed by the same version bits
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
 
 
 def _meta_out_schema(id_type: "T.DataType") -> "T.StructType":
@@ -211,6 +263,55 @@ def make_png(width: int, height: int) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + _struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
     )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal REAL JPEG header bytes (SOI + JFIF APP0 + SOF0) — fixture
+    for the marker-scan probe; no entropy data, so not renderable."""
+    app0 = b"JFIF\x00\x01\x01\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = (
+        b"\x08"
+        + _struct.pack(">HH", height, width)
+        + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + _struct.pack(">H", 2 + len(sof0)) + sof0
+    )
+
+
+def make_mp3(
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    n_frames: int = 4,
+    id3_size: int = 0,
+) -> bytes:
+    """Spec-valid CBR MPEG-1 Layer III byte stream (silent frames, zero
+    main data) with an optional ID3v2 tag — fixture for the MP3 header
+    probe. Frame length follows the spec: 144000·kbps // sample_rate."""
+    br_idx = _MP3_BITRATES_L3[3].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    frame_len = 144000 * bitrate_kbps // sample_rate
+    # 0xFB = sync(3) | version MPEG1(11) | layer III(01) | no CRC(1)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = b""
+    if id3_size:
+        out = (
+            b"ID3\x04\x00\x00"
+            + bytes(
+                [
+                    (id3_size >> 21) & 0x7F,
+                    (id3_size >> 14) & 0x7F,
+                    (id3_size >> 7) & 0x7F,
+                    id3_size & 0x7F,
+                ]
+            )
+            + b"\x00" * id3_size
+        )
+    return out + frame * n_frames
 
 
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:

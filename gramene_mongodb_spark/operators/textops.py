@@ -1337,13 +1337,37 @@ def bpe_train(
     df: DataFrame,
     text: str = "text",
     n_merges: int = 8,
+    batch_size: int = 1,
 ) -> "list[tuple[str, str, int]]":
     """Train a BPE merge table on a corpus (Sennrich et al. 2016) —
     the full iterative loop closing `bpe_pair_counts` (one round's
-    counts) with `bpe_encode` (applying a learned table). Round r:
+    counts) with `bpe_encode` (applying a learned table). Each round:
     count adjacent symbol pairs over the DISTINCT word table weighted
-    by word frequency, pick the argmax (ties: higher count, then
-    lexicographic (x, y) — deterministic), merge it everywhere, repeat.
+    by word frequency, pick up to ``batch_size`` merges, apply them
+    everywhere, repeat for ``ceil(n_merges / batch_size)`` rounds.
+
+    Batched selection (round-9, the standard fast-trainer trick that
+    removes the one-Spark-job-per-merge ceiling): within a round the
+    candidates are ranked (count desc, then lexicographic (x, y) —
+    deterministic) and taken GREEDILY subject to symbol-disjointness —
+    a pair joins the batch only if neither symbol appears in an
+    earlier pick of the same round. Disjoint merges cannot create or
+    destroy each other's adjacencies, so every recorded
+    ``n_occurrences`` stays exact and applying the batch in any order
+    gives the same state; the first disjoint candidate in global rank
+    order IS the argmax over disjoint pairs, so the selection is
+    exact, not heuristic (an over-fetched top-K is collected; if K
+    exhausts without filling the batch, a targeted excluded-symbols
+    argmax query completes it — still O(batch) driver rows).
+    ``batch_size=1`` is classical sequential BPE. Larger batches can
+    diverge from the sequential merge ORDER when the true sequential
+    argmax at step k+1 would have been a pair created at step k — the
+    usual batched-BPE trade: up to ``batch_size``× fewer rounds for a
+    slightly different (rarely worse) table; measured on this corpus
+    in BENCH_NOTES.md round 9. A round that cannot fill its batch
+    (every remaining pair conflicts) yields fewer merges and does NOT
+    backfill with extra rounds, so the round count is fixed — the
+    property the unrolled SQL oracle replays.
 
     Scale shape: the corpus is scanned ONCE (word counts); every round
     after that runs on the vocabulary-sized symbol-string table —
@@ -1351,14 +1375,18 @@ def bpe_train(
     INDEPENDENT of corpus size, which is what makes tokenizer training
     on 100 TB a vocabulary problem, not a corpus problem. Symbol
     strings use bpe_encode's double-space representation, so one merge
-    is one JVM regexp_replace. The per-round driver action collects
-    exactly ONE row (the argmax pair) — a scalar pick, same convention
-    as k-means/closure convergence probes; corpus data never moves.
+    is one JVM regexp_replace and a batch is one chained select. The
+    per-round driver action collects O(batch) rows — scalar picks,
+    same convention as k-means/closure convergence probes; corpus
+    data never moves. A 32k-merge tokenizer at batch 64 is ~500
+    sequential jobs instead of 32k.
 
     Stops early when no adjacent pair remains. Returns the learned
     table [(x, y, n_occurrences)] in merge order, directly consumable
     by ``bpe_encode(..., merges=[(x, y), ...])``.
     """
+    import math
+
     words = df.select(F.explode(_tokens(F.col(text))).alias("w"))
     wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     sym = F.concat(
@@ -1374,7 +1402,11 @@ def bpe_train(
     )
     state = wc.select(sym.alias("sym"), "cnt").localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    n_rounds = math.ceil(n_merges / batch_size)
+    for _ in range(n_rounds):
+        want = min(batch_size, n_merges - len(merges))
+        if want <= 0:
+            break
         syms = F.split(F.trim(F.col("sym")), r"\s{2}")
         pairs = state.select(syms.alias("ss"), "cnt").filter(
             F.size("ss") >= 2
@@ -1390,19 +1422,47 @@ def bpe_train(
             ).alias("p"),
             "cnt",
         )
-        best = (
-            pairs.groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-            .agg(F.sum("cnt").cast("long").alias("n"))
-            .orderBy(F.desc("n"), "x", "y")
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        counts = pairs.groupBy(
+            F.col("p.x").alias("x"), F.col("p.y").alias("y")
+        ).agg(F.sum("cnt").cast("long").alias("n"))
+        over_fetch = want * 4 + 4
+        cand = counts.orderBy(F.desc("n"), "x", "y").limit(over_fetch).collect()
+        if not cand:
             break
-        x, y, n = best[0].x, best[0].y, best[0].n
-        merges.append((x, y, int(n)))
-        state = state.select(
-            F.regexp_replace("sym", f" {x}  {y} ", f" {x}{y} ").alias("sym"),
-            "cnt",
-        ).localCheckpoint(eager=True)
+        picked: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        i = 0
+        while len(picked) < want:
+            if i < len(cand):
+                r = cand[i]
+                i += 1
+                if r.x in used or r.y in used:
+                    continue
+                picked.append((r.x, r.y, int(r.n)))
+                used.update((r.x, r.y))
+            elif len(cand) == over_fetch:
+                # top-K exhausted but more candidates may exist: exact
+                # completion via a targeted excluded-symbols argmax
+                nxt = (
+                    counts.filter(
+                        ~F.col("x").isin(*used) & ~F.col("y").isin(*used)
+                    )
+                    .orderBy(F.desc("n"), "x", "y")
+                    .limit(1)
+                    .collect()
+                )
+                if not nxt:
+                    break
+                r = nxt[0]
+                picked.append((r.x, r.y, int(r.n)))
+                used.update((r.x, r.y))
+            else:
+                break
+        if not picked:
+            break
+        merges.extend(picked)
+        col = F.col("sym")
+        for x, y, _n in picked:
+            col = F.regexp_replace(col, f" {x}  {y} ", f" {x}{y} ")
+        state = state.select(col.alias("sym"), "cnt").localCheckpoint(eager=True)
     return merges

@@ -37,6 +37,30 @@ def test_read_interpro_xml(spark, tmp_path):
     assert rows["IPR000002"].abstract is None
 
 
+def test_read_interpro_xml_distributed_equals_driver_path(spark, tmp_path):
+    """The large-file record-split path (lineSep + mapInPandas ET) must
+    return exactly the driver-side parse — on a fixture with nested
+    markup in abstracts, an entry missing optional children, and a
+    multi-entry layout; and the size dispatch must pick it for files
+    over the ceiling."""
+    p = tmp_path / "interpro.xml"
+    p.write_text(INTERPRO_XML)
+    want = sorted(map(tuple, xml.read_interpro_xml(spark, str(p)).collect()))
+    got = sorted(
+        map(tuple, xml.read_interpro_xml_distributed(spark, str(p)).collect())
+    )
+    assert got == want and len(got) == 2
+
+    # dispatch: a 1-byte ceiling forces the distributed path
+    via_dispatch = sorted(
+        map(
+            tuple,
+            xml.read_interpro_xml(spark, str(p), driver_max_bytes=1).collect(),
+        )
+    )
+    assert via_dispatch == want
+
+
 def test_parent_child_tree_edges_and_closure(spark, tmp_path):
     p = tmp_path / "tree.txt"
     p.write_text(PARENT_CHILD)

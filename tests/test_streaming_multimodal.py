@@ -203,6 +203,47 @@ def test_parse_media_header_real_formats():
     assert MM.parse_media_header(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01") is None
 
 
+def test_parse_media_header_mp3():
+    """MP3 header probe (round-9): frame-header field decode, syncsafe
+    ID3v2 skip, CBR duration estimate — all against spec arithmetic."""
+    # 10 frames at 128 kbps / 44100 Hz: frame_len = 144000*128//44100 =
+    # 417 bytes; duration = 4170*8//128 = 260 ms
+    raw = MM.make_mp3(bitrate_kbps=128, sample_rate=44100, n_frames=10)
+    got = MM.parse_media_header(raw)
+    assert (got["media_type"], got["format"]) == ("audio", "mp3")
+    assert got["sample_rate"] == 44100
+    assert len(raw) == 4170 and got["duration_ms"] == 4170 * 8 // 128 == 260
+    assert got["width"] is None and got["height"] is None
+
+    # ID3v2 tag: syncsafe size (200 = 0x00 0x00 0x01 0x48) is skipped
+    # and excluded from the CBR byte count — same duration as untagged
+    tagged = MM.make_mp3(bitrate_kbps=128, sample_rate=44100, n_frames=10, id3_size=200)
+    got_t = MM.parse_media_header(tagged)
+    assert len(tagged) == 4170 + 210
+    assert got_t["duration_ms"] == 260 and got_t["sample_rate"] == 44100
+
+    # other bitrate/rate (MPEG1 table rows) — 192 kbps / 32000 Hz
+    raw2 = MM.make_mp3(bitrate_kbps=192, sample_rate=32000, n_frames=3)
+    got2 = MM.parse_media_header(raw2)
+    flen = 144000 * 192 // 32000
+    assert got2["sample_rate"] == 32000
+    assert got2["duration_ms"] == 3 * flen * 8 // 192
+
+    # reserved/invalid fields quarantine to None: bad version bits (01),
+    # free-format bitrate (0), reserved sample-rate index (3)
+    assert MM.parse_media_header(b"\xff\xeb\x94\x00" + b"\x00" * 40) is None
+    assert MM.parse_media_header(b"\xff\xfb\x04\x00" + b"\x00" * 40) is None
+    assert MM.parse_media_header(b"\xff\xfb\x9c\x00" + b"\x00" * 40) is None
+    # ID3 tag with nothing after it → None (no frame sync)
+    assert MM.parse_media_header(b"ID3\x04\x00\x00\x00\x00\x00\x05" + b"\x00" * 5) is None
+
+
+def test_make_jpeg_roundtrip():
+    got = MM.parse_media_header(MM.make_jpeg(321, 77))
+    assert (got["media_type"], got["format"]) == ("image", "jpeg")
+    assert (got["width"], got["height"]) == (321, 77)
+
+
 def test_probe_metadata_through_spark(spark):
     rows = [
         (1, MM.make_png(32, 16)),
