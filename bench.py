@@ -85,6 +85,11 @@ HEADLINE = [
     "x_substring_dedup",
     "x_frequent_itemsets",
     "x_video_shots",
+    # round 9: the homologs lifecycle flagship (order-index self-join →
+    # split filter → synteny containment) and the batched BPE trainer
+    # (per-round job count now vocabulary-churn-bounded, not per-merge)
+    "pipeline_homologs",
+    "x_bpe_train",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

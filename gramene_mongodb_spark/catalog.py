@@ -10606,7 +10606,11 @@ def pipeline_homologs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("strand", F.lit(1))
         .withColumn("end", F.col("start") + 400 + (F.col("gene_id") % 7) * 200)
     )
-    idx = G.gene_order_index(genes)
+    # the index feeds BOTH sides of the pairing self-join; without
+    # materialization Catalyst computes the scan→agg→window subtree
+    # twice (aliased self-joins defeat ReusedExchange — the
+    # frequent_itemsets lesson), so checkpoint it once
+    idx = G.gene_order_index(genes).localCheckpoint(eager=True)
     a = idx.select(
         "l_orderkey",
         "gene_id",

@@ -140,6 +140,38 @@ def probe_skew_join(spark):
     measured(spark, "broadcast join (control)", lambda: agg(fact.join(F.broadcast(dim), "k")))
 
 
+def probe_homologs_10x(spark):
+    """10×-replication row for the round-9 flagship: lineitem replicated
+    with shifted order keys (gene ids stay unique; partkeys NOT shifted,
+    so the coordinate space gets 10× denser — adversarial for the
+    order-index window and the same-fragment pair rate)."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.catalog import REGISTRY
+
+    dst = "/tmp/scale10_r9_homologs"
+    if not os.path.exists(dst + "/lineitem.parquet"):
+        reps = spark.range(10).withColumnRenamed("id", "__rep")
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        (
+            li.crossJoin(reps)
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * 10_000_000)
+            .drop("__rep")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/lineitem.parquet")
+        )
+        spark.read.parquet(f"{SRC}/nation.parquet").write.mode("overwrite").parquet(
+            f"{dst}/nation.parquet"
+        )
+    fn = REGISTRY["pipeline_homologs"].fn
+    for label, d in (("homologs sf0.1      ", SRC), ("homologs 10x        ", dst)):
+        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+        measured(
+            spark, label,
+            lambda d=d: fn(spark, d).write.format("noop").mode("overwrite").save(),
+        )
+
+
 if __name__ == "__main__":
     # the probe reads per-stage shuffle metrics via the REST status
     # API, so it needs the UI server that get_spark disables
@@ -160,5 +192,10 @@ if __name__ == "__main__":
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    probe_exactsubstr(spark)
-    probe_skew_join(spark)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "exactsubstr"):
+        probe_exactsubstr(spark)
+    if which in ("all", "skew"):
+        probe_skew_join(spark)
+    if which in ("all", "homologs"):
+        probe_homologs_10x(spark)
