@@ -10768,6 +10768,182 @@ def x_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["df"]
 
 
+@register(
+    "x_nb_classify",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    tr AS (SELECT * FROM t WHERE doc_id % 10 < 8),
+    te AS (SELECT * FROM t WHERE doc_id % 10 >= 8),
+    occ AS (SELECT lang AS label, unnest(toks) AS w FROM tr),
+    cnt AS (SELECT label, w, count(*) AS cwc FROM occ GROUP BY 1, 2),
+    tot AS (SELECT label, count(*) AS tc FROM occ GROUP BY 1),
+    voc AS (SELECT DISTINCT w FROM occ),
+    v AS (SELECT count(*) AS nv FROM voc),
+    cls AS (SELECT lang AS label, count(*) AS nc FROM tr GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM tr),
+    model AS (
+      SELECT cls.label, voc.w,
+             CAST(round(ln((tot.tc + v.nv) / (coalesce(cnt.cwc, 0) + 1)) * 1e6)
+                  AS BIGINT) AS nll6
+      FROM voc CROSS JOIN cls
+      JOIN tot ON tot.label = cls.label CROSS JOIN v
+      LEFT JOIN cnt ON cnt.label = cls.label AND cnt.w = voc.w
+    ),
+    prior AS (
+      SELECT cls.label,
+             CAST(round(ln(n.nn / cls.nc) * 1e6) AS BIGINT) AS prior_nll6
+      FROM cls CROSS JOIN n
+    ),
+    teocc AS (SELECT doc_id, unnest(toks) AS w FROM te),
+    sc AS (
+      SELECT o.doc_id, m.label,
+             CAST(count(*) AS BIGINT) AS n_known,
+             CAST(sum(m.nll6) AS BIGINT) AS sum_nll6
+      FROM teocc o JOIN model m USING (w)
+      GROUP BY 1, 2
+    ),
+    ttl AS (
+      SELECT sc.doc_id, sc.label, sc.n_known,
+             CAST(sc.sum_nll6 + p.prior_nll6 AS BIGINT) AS total_nll6
+      FROM sc JOIN prior p USING (label)
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY total_nll6 ASC, label ASC) AS rn
+      FROM ttl
+    )
+    SELECT r.doc_id, r.label AS pred_label, r.total_nll6, r.n_known,
+           te.lang AS actual_label,
+           CAST(CASE WHEN r.label = te.lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM rk r JOIN te ON te.doc_id = r.doc_id
+    WHERE r.rn = 1
+    """,
+    "llm", "textops", "A4",
+)
+def x_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive-Bayes TRAIN + CLASSIFY
+    (textops.nb_train / nb_classify) — the learn-the-weights
+    counterpart to x_quality_classifier's fixed-vector serving, closing
+    the model-based-curation loop: train on the hash-split 80%
+    (doc_id % 10 < 8), predict the held-out 20%. Integer micro-NLL
+    weights (round(ln((T_c+V)/(C(w,c)+1))·1e6), add-one smoothing, dense
+    vocab×classes model so serving is ONE token equi-join), class prior
+    round(ln(N/N_c)·1e6), argmin with (total, label) tie-break. The
+    oracle replays split, counts, smoothing, argmin in portable SQL —
+    one mis-counted token flips a prediction and breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    test = docs.filter(F.col("doc_id") % 10 >= 8)
+    model, prior = T.nb_train(train, "text", "lang")
+    pred = T.nb_classify(test, model, prior, "doc_id", "text")
+    return (
+        pred.join(
+            test.select("doc_id", F.col("lang").alias("actual_label")), "doc_id"
+        ).select(
+            "doc_id",
+            "pred_label",
+            "total_nll6",
+            "n_known",
+            "actual_label",
+            F.when(F.col("pred_label") == F.col("actual_label"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("correct"),
+        )
+    )
+
+
+@register(
+    "x_auc_eval",
+    f"""
+    {_CLF_SQL},
+    s AS (
+      SELECT d.source, c.clf_score AS sc,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS p
+      FROM clf c JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT source, p,
+             rank() OVER (PARTITION BY source ORDER BY sc ASC) AS rmin,
+             count(*) OVER (PARTITION BY source, sc) AS nt
+      FROM s
+    ),
+    a AS (
+      SELECT source,
+             CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(1 - p) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * rmin + nt - 1)) AS BIGINT) AS rsum2
+      FROM r GROUP BY 1
+    )
+    SELECT source, n_pos, n_neg,
+           CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(((rsum2 - n_pos * (n_pos + 1)) * 1000000)
+                          // (2 * n_pos * n_neg) AS BIGINT)
+           END AS auc6
+    FROM a
+    """,
+    "llm", "textops", "eval",
+)
+def x_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise ROC-AUC (textops.auc_eval) of the hashing-trick
+    classifier score against a binary label (lang='en'), per source —
+    the eval a pipeline reports when tuning its quality classifier,
+    pairing with x_ranking_eval the way AUC pairs with nDCG in an
+    offline eval suite. Exact tie-corrected Mann–Whitney rank form:
+    U2 = Σ_pos(rank_min+rank_max) − n_pos(n_pos+1), auc6 = U2·1e6 div
+    (2·n_pos·n_neg) — integer end-to-end, non-negative, so truncating
+    and floor division agree. Windows keyed on the group: no global
+    sort at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = T.classifier_score(docs)
+    return T.auc_eval(scored, "source", "clf_score", F.col("lang") == "en")
+
+
+@register(
+    "x_pmi_collocations",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    pr AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+             i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    pp AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pr),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM pp GROUP BY 1, 2),
+    l AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+    r AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY 1),
+    n AS (SELECT sum(c12) AS nn FROM bc),
+    s AS (
+      SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+             CAST(round(ln((bc.c12 * 1.0 * n.nn) / (l.c1 * 1.0 * r.c2)) * 1e6)
+                  AS BIGINT) AS pmi6
+      FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+      WHERE bc.c12 >= 5
+    ),
+    top AS (SELECT * FROM s ORDER BY pmi6 DESC, w1 ASC, w2 ASC LIMIT 50)
+    SELECT CAST(row_number() OVER (ORDER BY pmi6 DESC, w1 ASC, w2 ASC) AS BIGINT)
+             AS rank,
+           w1, w2, c12, pmi6
+    FROM top
+    """,
+    "llm", "textops", "A4",
+)
+def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information
+    (textops.pmi_collocations; Church & Hanks 1990) over the corpus
+    bigram space — the multi-word-expression miner a tokenization
+    pipeline runs before deciding merge protections. Position-marginal
+    counts are derived FROM the bigram counts (vocabulary-sized pass,
+    not a second corpus scan), min_count=5 suppresses the low-frequency
+    PMI explosion, integer micro-PMI with float products ordered
+    identically in both engines, top-k via TakeOrdered (no global
+    sort)."""
+    return T.pmi_collocations(
+        _t(spark, sf_dir, "documents"), "text", min_count=5, k=50
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

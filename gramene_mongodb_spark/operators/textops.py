@@ -1466,3 +1466,260 @@ def bpe_train(
             col = F.regexp_replace(col, f" {x}  {y} ", f" {x}{y} ")
         state = state.select(col.alias("sym"), "cnt").localCheckpoint(eager=True)
     return merges
+
+
+# --------------------------------------------------------------------------
+# trained classification: multinomial Naive Bayes + AUC evaluation
+# --------------------------------------------------------------------------
+
+def nb_train(
+    df: DataFrame,
+    text: str = "text",
+    label: str = "lang",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed multinomial Naive-Bayes TRAINING over a labelled
+    corpus — the learn-the-weights counterpart to ``classifier_score``
+    (which serves a fixed weight vector): the fastText-style quality /
+    language classifier a curation pipeline trains on its own labelled
+    split before filtering with it.
+
+    Returns ``(model, prior)``:
+
+    - ``model(label, w, nll6)`` — DENSE over vocabulary × classes:
+      ``nll6 = round(ln((T_c + V) / (C(w,c) + 1)) · 1e6)`` — add-one-
+      smoothed negative log likelihood of token ``w`` under class ``c``
+      (T_c = total token occurrences in class, V = vocabulary size).
+      Dense rows mean classification is ONE equi-join on the token —
+      no per-class missing-token patching at serve time.
+    - ``prior(label, prior_nll6)`` — ``round(ln(N / N_c) · 1e6)``.
+
+    NLL is kept non-negative (same reason as ``ngram_lm_score``: Spark
+    ``div`` truncates, DuckDB ``//`` floors — they only agree ≥ 0).
+    Integer micro-logs sum exactly, so argmin is deterministic.
+
+    Scale: one token×class count aggregation (Zipf-head keys combine
+    map-side), one vocabulary pass, a vocab × classes expansion (class
+    count is small — broadcast side), never collects the corpus. The
+    model is vocabulary×classes-sized: shuffle-joinable at any corpus
+    size, broadcastable when the vocabulary is small.
+    """
+    toks = _tokens(F.col(text))
+    occ = df.select(F.col(label).alias("label"), F.explode(toks).alias("w"))
+    cnt = occ.groupBy("label", "w").agg(F.count(F.lit(1)).alias("cwc"))
+    tot = occ.groupBy("label").agg(F.count(F.lit(1)).alias("tc"))
+    vocab = occ.select("w").distinct()
+    v = vocab.groupBy().agg(F.count(F.lit(1)).alias("nv"))
+    cls = df.groupBy(F.col(label).alias("label")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("nn"))
+    model = (
+        vocab.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .join(cnt, ["label", "w"], "left")
+        .select(
+            "label",
+            "w",
+            F.round(
+                F.log(
+                    (F.col("tc") + F.col("nv"))
+                    / (F.coalesce(F.col("cwc"), F.lit(0)) + 1)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll6"),
+        )
+    )
+    prior = (
+        cls.crossJoin(F.broadcast(n))
+        .select(
+            "label",
+            F.round(F.log(F.col("nn") / F.col("nc")) * 1e6)
+            .cast("long")
+            .alias("prior_nll6"),
+        )
+    )
+    return model, prior
+
+
+def nb_classify(
+    df: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Serve a trained Naive-Bayes model (``nb_train``) over documents:
+    per doc and class, total ``nll6 = prior_nll6 + Σ nll6(w, c)`` over
+    KNOWN-token occurrences (out-of-vocabulary tokens are skipped — the
+    standard NB serving choice, and it keeps the plan to one inner
+    equi-join); predicted class = argmin with ``(total, label)``
+    tie-break. Docs whose every token is OOV produce no row (documented:
+    they carry no evidence).
+
+    Output: ``(id, pred_label, total_nll6, n_known)``.
+
+    Scale: explode → equi-join on token (model side vocabulary×classes,
+    broadcast when small — AQE decides) → (doc, class)-keyed sum → one
+    per-doc window argmin. No UDF, no global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text))
+    occ = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    scored = (
+        occ.join(model, "w")
+        .groupBy(id_col, "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_known"),
+            F.sum("nll6").alias("sum_nll6"),
+        )
+        .join(prior, "label")
+        .withColumn("total_nll6", F.col("sum_nll6") + F.col("prior_nll6"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc("total_nll6"), F.asc("label")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("label").alias("pred_label"),
+            F.col("total_nll6").cast("long").alias("total_nll6"),
+            "n_known",
+        )
+    )
+
+
+def auc_eval(
+    df: DataFrame,
+    group: str,
+    score: str,
+    positive: Column,
+) -> DataFrame:
+    """Group-wise ROC-AUC of a scoring column against a binary label —
+    the eval a curation pipeline reports when it tunes its quality
+    classifier (pairs with ``nb_train``/``classifier_score`` the way
+    ``ranking_metrics`` pairs with BM25/ANN).
+
+    Exact tie-corrected rank formulation (Mann–Whitney U): with
+    ascending ranks over ``score``, ``rank_min + rank_max`` per row is
+    the integer ``2·rank_avg``; then ``U2 = Σ_pos(rank_min + rank_max)
+    − n_pos·(n_pos+1)`` and ``AUC = U2 / (2·n_pos·n_neg)`` — all
+    integer until the final division, emitted as ``auc6 = U2·1e6 div
+    (2·n_pos·n_neg)`` so the oracle compares exactly. Groups with no
+    positives or no negatives get NULL auc6 (undefined), kept so the
+    caller sees them.
+
+    Scale: windows and the aggregate are all partitioned by ``group`` —
+    per-group work is a local sort, no global ordering. For a single
+    global AUC, pass a constant group over a pre-aggregated
+    (score, label, count) histogram instead of raw rows.
+    """
+    from pyspark.sql import Window
+
+    pos = F.when(positive, 1).otherwise(0)
+    wr = Window.partitionBy(group).orderBy(F.asc("__s"))
+    base = df.select(F.col(group), F.col(score).alias("__s"), pos.alias("__p"))
+    ranked = base.withColumn("__rmin", F.rank().over(wr)).withColumn(
+        "__nt", F.count(F.lit(1)).over(Window.partitionBy(group, "__s"))
+    )
+    agg = ranked.groupBy(group).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__p") * (F.lit(2) * F.col("__rmin") + F.col("__nt") - 1)
+        )
+        .cast("long")
+        .alias("__rsum2"),
+    )
+    u2 = F.col("__rsum2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return (
+        agg.select(
+            F.col(group),
+            "n_pos",
+            "n_neg",
+            u2.cast("long").alias("u2"),
+        )
+        .withColumn(
+            "auc6",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)"),
+            ).cast("long"),
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    corpus bigram space — the classic corpus-analytics pass (Church &
+    Hanks 1990) a pipeline runs to find multi-word expressions worth
+    protecting from tokenization splits.
+
+    Over bigram OCCURRENCES (N total): ``pmi6 = round(ln((c12 · N) /
+    (c1_left · c2_right)) · 1e6)`` where c1_left / c2_right are the
+    occurrence counts of each word in first / second bigram position —
+    so probabilities share the same denominator and PMI is exact.
+    ``min_count`` suppresses the classic low-frequency PMI explosion.
+    Float products are ordered identically in the oracle (c12·N then
+    divide) so the doubles agree bit-for-bit.
+
+    Scale: one bigram count (map-side combine), two position-marginal
+    counts derived FROM the bigram counts (vocabulary-sized, not
+    corpus-sized), one scalar N, top-k via TakeOrdered — no global
+    sort, no UDF, corpus never collected.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text))
+    pairs = (
+        df.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2),"
+                    " i -> named_struct('w1', __toks[i], 'w2', __toks[i + 1]))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = bc.groupBy().agg(F.sum("c12").alias("nn"))
+    top = (
+        bc.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("nn"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi6"),
+        )
+        .orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "w1", "w2", "c12", "pmi6"
+    )

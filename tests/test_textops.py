@@ -657,3 +657,79 @@ def test_bleu_rouge_keep_degenerate_pairs(spark):
     assert rouge[1].r2 is None and rouge[1].f1_2 is None
     assert (rouge[2].r1, rouge[2].p1_rouge) == (0.0, None)
     assert rouge[4].f1_1 is None
+
+
+def test_nb_train_classify_hand_computed(spark):
+    """NB on a 2-class corpus small enough to verify by hand: class 'a'
+    trains on 'x x y', class 'b' on 'y z'; vocabulary {x,y,z} (V=3).
+    A test doc 'x x' must classify 'a' (x is twice as likely under a),
+    and 'z z z' must classify 'b'. OOV-only docs emit no row."""
+    import math
+
+    from gramene_mongodb_spark.operators import textops as T
+
+    train = spark.createDataFrame(
+        [(1, "x x y", "a"), (2, "y z", "b")],
+        "doc_id: long, text: string, lang: string",
+    )
+    model, prior = T.nb_train(train, "text", "lang")
+    m = {(r.label, r.w): r.nll6 for r in model.collect()}
+    # dense vocab x classes: 3 tokens x 2 classes = 6 rows
+    assert len(m) == 6
+    # class a: T_a=3, V=3; C(x,a)=2 -> round(ln(6/3)*1e6)
+    assert m[("a", "x")] == round(math.log((3 + 3) / (2 + 1)) * 1e6)
+    # class b has no x: C(x,b)=0 -> round(ln((2+3)/1)*1e6)
+    assert m[("b", "x")] == round(math.log((2 + 3) / 1) * 1e6)
+    p = {r.label: r.prior_nll6 for r in prior.collect()}
+    assert p == {"a": round(math.log(2 / 1) * 1e6), "b": round(math.log(2 / 1) * 1e6)}
+
+    test = spark.createDataFrame(
+        [(10, "x x"), (11, "z z z"), (12, "unseen oov")],
+        "doc_id: long, text: string",
+    )
+    pred = {r.doc_id: r for r in T.nb_classify(test, model, prior).collect()}
+    assert set(pred) == {10, 11}  # OOV-only doc 12 carries no evidence
+    assert pred[10].pred_label == "a" and pred[10].n_known == 2
+    assert pred[11].pred_label == "b" and pred[11].n_known == 3
+
+
+def test_auc_eval_hand_computed_with_ties(spark):
+    """AUC on hand-rankable groups: perfect separation -> auc6=1e6;
+    inverted -> 0; an all-tied group -> 500000 (rank average); a
+    single-class group -> NULL auc6 (undefined, kept)."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators import textops as T
+
+    rows = [
+        # g1: positives strictly above negatives -> AUC 1
+        ("g1", 10, 1), ("g1", 9, 1), ("g1", 2, 0), ("g1", 1, 0),
+        # g2: inverted -> AUC 0
+        ("g2", 1, 1), ("g2", 9, 0),
+        # g3: every score tied -> AUC 0.5 exactly
+        ("g3", 5, 1), ("g3", 5, 0), ("g3", 5, 1), ("g3", 5, 0),
+        # g4: no negatives -> undefined
+        ("g4", 3, 1), ("g4", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "g: string, s: long, y: int")
+    out = {r.g: r for r in T.auc_eval(df, "g", "s", F.col("y") == 1).collect()}
+    assert out["g1"].auc6 == 1_000_000
+    assert out["g2"].auc6 == 0
+    assert out["g3"].auc6 == 500_000
+    assert out["g4"].auc6 is None and out["g4"].n_neg == 0
+
+
+def test_pmi_collocations_prefers_exclusive_pairs(spark):
+    """'aa bb' always co-occur (exclusive bigram) while 'cc' pairs
+    promiscuously with many partners; with equal raw counts the
+    exclusive pair must out-rank the promiscuous ones on PMI."""
+    from gramene_mongodb_spark.operators import textops as T
+
+    docs = [(i, "aa bb") for i in range(5)]
+    docs += [(100 + i, f"cc dd{i % 5}") for i in range(25)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = T.pmi_collocations(df, "text", min_count=5, k=10).collect()
+    assert out[0].rank == 1 and (out[0].w1, out[0].w2) == ("aa", "bb")
+    # every cc-pair has the same count as aa-bb (5) but lower PMI
+    cc = [r for r in out if r.w1 == "cc"]
+    assert cc and all(r.pmi6 < out[0].pmi6 and r.c12 == 5 for r in cc)
