@@ -90,6 +90,13 @@ HEADLINE = [
     # (per-round job count now vocabulary-churn-bounded, not per-merge)
     "pipeline_homologs",
     "x_bpe_train",
+    # round 9 (cont.): the trained-classifier loop — NB train+serve in
+    # one plan (token-keyed model join + per-doc argmin), the
+    # vocabulary-marginal PMI miner, and DSIR importance selection
+    # (128-key count shuffle + broadcast weight join at scan speed)
+    "x_nb_classify",
+    "x_pmi_collocations",
+    "x_dsir_select",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -10944,6 +10944,53 @@ def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_dsir_select",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS it,
+             ((('0x' || substring(md5(tok), 1, 8))::BIGINT % 2147483647) % 128)
+               AS b
+      FROM tok
+    ),
+    c AS (SELECT b, sum(it) AS ct, sum(1 - it) AS cr FROM h GROUP BY 1),
+    tt AS (SELECT sum(ct) AS tct, sum(cr) AS tcr FROM c),
+    w AS (
+      SELECT b,
+             CAST(round(ln(((c.ct + 1) * 1.0 * (tt.tcr + 128)) /
+                           ((c.cr + 1) * 1.0 * (tt.tct + 128))) * 1e6)
+                  AS BIGINT) AS lr6
+      FROM c CROSS JOIN tt
+    ),
+    raw AS (SELECT doc_id, b FROM h WHERE it = 0),
+    s AS (
+      SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.lr6) AS BIGINT) AS dsir_lr6
+      FROM raw r JOIN w USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_feats, dsir_lr6,
+           CAST(CASE WHEN dsir_lr6 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM s
+    """,
+    "llm", "textops", "sampling",
+)
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance resampling (textops.dsir_weights;
+    Xie et al. 2023) — select raw-pool documents whose hashed token
+    features look like the target corpus (lang='en' stands in for the
+    high-quality target). Integer micro-log-ratio per bucket with
+    add-one smoothing, signed sums (no division, so negatives are
+    portable), deterministic ≥0 threshold. ONE 128-key count shuffle +
+    a broadcast weight join: the scoring pass runs at scan speed at any
+    corpus size. The oracle replays hash, bucket counts, smoothing and
+    the ratio's float ordering exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.dsir_weights(docs, F.col("lang") == "en", "doc_id", "text", 128)
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================

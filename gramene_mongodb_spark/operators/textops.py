@@ -1723,3 +1723,74 @@ def pmi_collocations(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "w1", "w2", "c12", "pmi6"
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text: str = "text",
+    buckets: int = 128,
+) -> DataFrame:
+    """DSIR-style data selection via hashed importance resampling
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", 2023): score every RAW document by how much more
+    likely its hashed token features are under the TARGET distribution
+    than under the raw distribution, then keep the favorable ones —
+    the principled version of "select web data that looks like the
+    high-quality corpus".
+
+    ``target`` is a boolean Column splitting the input into the target
+    corpus (True) and the raw pool to be scored (False). Features are
+    the hashing trick (md5_31 mod ``buckets``, the same portable hash
+    the classifier and every sketch use). Per bucket, with add-one
+    smoothing over ``B = buckets``: ``lr6 = round(ln(((c_t+1)·(T_r+B))
+    / ((c_r+1)·(T_t+B))) · 1e6)`` — an integer micro-log-ratio, signed
+    (sums need no division, so negatives are safe here). Per raw doc:
+    ``dsir_lr6 = Σ lr6(bucket)`` over token occurrences, ``kept =
+    dsir_lr6 ≥ 0``. Deterministic threshold selection — the
+    Gumbel-noise sampling of the paper drops in by adding a
+    hash-seeded jitter column before the threshold, same plan shape.
+    Docs with zero tokens carry no evidence and emit no row.
+
+    Scale: ONE (bucket)-keyed count aggregation over the full corpus
+    (``buckets`` keys — combines map-side to almost nothing), a
+    broadcast-sized weight table (``buckets`` rows), and a broadcast
+    join back onto exploded raw tokens + per-doc sum: the scoring pass
+    runs at scan speed, no shuffle wider than ``buckets`` keys, corpus
+    never collected.
+    """
+    from gramene_mongodb_spark.operators.dedup import _md5_base31
+
+    toks = _tokens(F.col(text))
+    it = F.when(target, 1).otherwise(0)
+    occ = df.select(
+        F.col(id_col), it.alias("__it"), F.explode(toks).alias("__tok")
+    ).withColumn("__b", _md5_base31(F.col("__tok")) % buckets)
+    c = occ.groupBy("__b").agg(
+        F.sum("__it").alias("ct"),
+        F.sum(F.lit(1) - F.col("__it")).alias("cr"),
+    )
+    tt = c.groupBy().agg(F.sum("ct").alias("tct"), F.sum("cr").alias("tcr"))
+    w = c.crossJoin(F.broadcast(tt)).select(
+        "__b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1).cast("double") * (F.col("tcr") + buckets))
+                / ((F.col("cr") + 1).cast("double") * (F.col("tct") + buckets))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr6"),
+    )
+    raw = occ.filter(F.col("__it") == 0).select(id_col, "__b")
+    return (
+        raw.join(F.broadcast(w), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr6").cast("long").alias("dsir_lr6"),
+        )
+        .withColumn("kept", (F.col("dsir_lr6") >= 0).cast("long"))
+    )

@@ -451,3 +451,37 @@ def test_media_synth_passes_are_spread_before_decode(spark, sf_dir):
     for name in ("x_video_shots", "x_audio_segments"):
         plan = plan_of(spark, sf_dir, name)
         assert "RoundRobinPartitioning" in plan, name
+
+
+def test_pmi_topk_is_take_ordered_all_jvm(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_classify_no_python_no_cartesian_on_corpus(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_nb_classify")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only nested-loop joins allowed are the broadcast scalar/class
+    # expansions (1-row or class-count sides); the token-keyed model
+    # join and the per-doc aggregation must be hash-based
+    assert "CartesianProduct" not in plan
+
+
+def test_auc_eval_windows_are_group_keyed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_auc_eval")
+    assert "BatchEvalPython" not in plan
+    # the rank/tie windows must be partitioned on the group — a global
+    # (unpartitioned) window would surface as an all-rows-to-one-task
+    # SinglePartition exchange, the classic scale killer
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_dsir_select")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bucket-weight table (128 rows) must reach the exploded raw
+    # tokens as a broadcast — a shuffled join here would shuffle the
+    # whole corpus' token stream on a 128-value key (skew disaster)
+    assert "BroadcastHashJoin" in plan

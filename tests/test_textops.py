@@ -733,3 +733,31 @@ def test_pmi_collocations_prefers_exclusive_pairs(spark):
     # every cc-pair has the same count as aa-bb (5) but lower PMI
     cc = [r for r in out if r.w1 == "cc"]
     assert cc and all(r.pmi6 < out[0].pmi6 and r.c12 == 5 for r in cc)
+
+
+def test_dsir_weights_hand_computed(spark):
+    """DSIR on a corpus where the math is checkable by hand: target
+    docs are all 'aa', the raw pool has one 'aa' doc (target-like ->
+    kept) and one 'zz zz' doc (raw-only bucket -> negative weight,
+    dropped). With B=128 buckets: lr(aa)=ln((4*131)/(2*131))=ln 2,
+    lr(zz)=ln((1*131)/(3*131))=ln(1/3)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators import textops as T
+
+    docs = spark.createDataFrame(
+        [(1, "aa", "t"), (2, "aa", "t"), (3, "aa", "t"),
+         (10, "aa", "r"), (11, "zz zz", "r")],
+        "doc_id: long, text: string, pool: string",
+    )
+    out = {
+        r.doc_id: r
+        for r in T.dsir_weights(docs, F.col("pool") == "t").collect()
+    }
+    assert set(out) == {10, 11}  # only the raw pool is scored
+    ln2_6 = round(math.log(2) * 1e6)
+    ln13_6 = round(math.log(1 / 3) * 1e6)
+    assert (out[10].dsir_lr6, out[10].kept, out[10].n_feats) == (ln2_6, 1, 1)
+    assert (out[11].dsir_lr6, out[11].kept, out[11].n_feats) == (2 * ln13_6, 0, 2)
