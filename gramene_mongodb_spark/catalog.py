@@ -10945,6 +10945,98 @@ def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_event_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+      FROM events
+    ),
+    p AS (SELECT event_type AS from_event, nxt AS to_event
+          FROM e WHERE nxt IS NOT NULL),
+    c AS (SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+    m AS (SELECT from_event, CAST(sum(n) AS BIGINT) AS n_from
+          FROM c GROUP BY 1)
+    SELECT c.from_event, c.to_event, c.n, m.n_from,
+           CAST((c.n * 1000000) // m.n_from AS BIGINT) AS p6
+    FROM c JOIN m USING (from_event)
+    """,
+    "relational", "A3", "W2",
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (relational.event_transitions) — 'what do users do after X',
+    complementing the FIXED-path funnel with ALL observed paths. One
+    user-keyed lead window + one count on the (from, to) key space
+    (event-type² — tiny, combines map-side); row marginals derived from
+    the pair counts, probability as exact integer micro-ratio
+    (n·1e6 div n_from, non-negative so truncating/floor agree)."""
+    return R.event_transitions(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@register(
+    "x_kappa_eval",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             {_LANG_HITS.format(words="['der','die','das','und','zu','in','ist','ein','eine','nicht']")} AS h_de,
+             {_LANG_HITS.format(words="['the','a','of','and','to','in','is','that','it','for']")} AS h_en,
+             {_LANG_HITS.format(words="['el','la','de','y','que','en','un','una','los','para']")} AS h_es,
+             {_LANG_HITS.format(words="['le','la','de','et','que','en','un','une','les','pour']")} AS h_fr
+      FROM t
+    ),
+    pr AS (
+      SELECT doc_id,
+             CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                  WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+                  WHEN h_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS a
+      FROM h
+    ),
+    j AS (SELECT pr.a AS a, d.lang AS b
+          FROM pr JOIN documents d USING (doc_id)),
+    c AS (SELECT a, b, count(*) AS c FROM j GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                     AS agree
+            FROM c),
+    rm AS (SELECT a AS cat, sum(c) AS rm FROM c GROUP BY 1),
+    cm AS (SELECT b AS cat, sum(c) AS cm FROM c GROUP BY 1),
+    pe AS (SELECT CAST(sum(coalesce(rm, 0) * coalesce(cm, 0)) AS BIGINT)
+                    AS pe_num
+           FROM rm FULL OUTER JOIN cm USING (cat))
+    SELECT tot.n, tot.agree,
+           CAST(tot.n * tot.agree - pe.pe_num AS BIGINT) AS num,
+           CAST(tot.n * tot.n - pe.pe_num AS BIGINT) AS den,
+           CASE WHEN tot.n * tot.n - pe.pe_num <> 0
+                THEN CAST(round((tot.n * tot.agree - pe.pe_num) * 1000000.0
+                                / (tot.n * tot.n - pe.pe_num)) AS BIGINT)
+           END AS kappa6
+    FROM tot CROSS JOIN pe
+    """,
+    "llm", "textops", "eval",
+)
+def x_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (textops.cohen_kappa; Cohen 1960) between the
+    stopword-heuristic language prediction and the gold lang label —
+    the categorical-rater agreement eval completing the eval suite
+    (ranking_metrics for retrieval, auc_eval for scorers, kappa for
+    classifiers/annotators). Exact integer marginal products; kappa6 =
+    round(num·1e6/den) over two exact integers so both engines compute
+    the identical double; the corpus collapses to a category² count
+    table in one map-side-combined pass."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = T.language_id(docs, "text")
+    return T.cohen_kappa(pred, "lang_pred", "lang")
+
+
+@register(
     "x_dsir_select",
     f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),

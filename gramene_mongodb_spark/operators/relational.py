@@ -2049,3 +2049,56 @@ def frequent_itemsets(
             F.col("n_baskets").cast("long").alias("n_baskets"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    event: str = "event_type",
+    tie: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-analytics aggregate behind "what do
+    users do after X" (journey analysis, anomaly baselining, simple
+    next-event prediction). Complements `funnel_stages` (which tests a
+    FIXED path) by measuring ALL observed paths.
+
+    Per user, events ordered by ``(ts, tie)`` (the SURVEY §7 total-order
+    rule); each consecutive pair contributes one (from_event, to_event)
+    occurrence. Output per ordered pair: ``n`` (count), ``n_from``
+    (row marginal) and ``p6 = n·1e6 div n_from`` — the transition
+    probability as an exact integer micro-ratio (non-negative, so
+    truncating/floor division agree).
+
+    Scale: ONE user-keyed window (lead) + ONE aggregation on the
+    (from, to) key space — event-type cardinality squared, tiny; both
+    combine map-side. The row marginal is derived FROM the pair counts
+    (no second corpus pass), joined back on the from-key. No UDF, no
+    global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(F.asc(ts), F.asc(tie))
+    pairs = (
+        df.select(F.col(user), F.col(ts), F.col(tie), F.col(event))
+        .withColumn("__next", F.lead(event).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            F.col(event).alias("from_event"), F.col("__next").alias("to_event")
+        )
+    )
+    cnt = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    marg = cnt.groupBy("from_event").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        cnt.join(F.broadcast(marg), "from_event")
+        .select(
+            "from_event",
+            "to_event",
+            "n",
+            "n_from",
+            F.expr("(n * 1000000) div n_from").alias("p6"),
+        )
+    )

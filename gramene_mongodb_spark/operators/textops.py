@@ -1794,3 +1794,72 @@ def dsir_weights(
         )
         .withColumn("kept", (F.col("dsir_lr6") >= 0).cast("long"))
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa agreement between two categorical labelings
+    (Cohen 1960) — the label-QA eval a pipeline reports when it
+    compares an automatic classifier against gold labels or two
+    annotators against each other (completes the eval suite:
+    ``ranking_metrics`` for retrieval, ``auc_eval`` for scorers,
+    kappa for categorical raters).
+
+    Exact integer formulation: with ``n`` rows, ``agree`` exact
+    matches, and per-category marginals ``rm_c`` (rater a) / ``cm_c``
+    (rater b): ``num = n·agree − Σ_c rm_c·cm_c``, ``den = n² −
+    Σ_c rm_c·cm_c``; kappa = num/den, emitted as ``kappa6 =
+    round(num·1e6 / den)`` (float division of two exact integers —
+    both engines compute the identical double). num may be negative
+    (worse-than-chance agreement), which is why this uses round over
+    a float rather than integer division. ``den = 0`` (both raters
+    constant and identical) yields NULL kappa.
+
+    Scale: one (a, b)-keyed count — category-squared key space, combines
+    map-side to nothing — and every downstream aggregate runs on that
+    tiny table; the corpus is scanned once, never collected.
+    """
+    cnt = (
+        df.select(F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy().agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rm = cnt.groupBy(F.col("__a").alias("cat")).agg(F.sum("c").alias("rm"))
+    cm = cnt.groupBy(F.col("__b").alias("cat")).agg(F.sum("c").alias("cm"))
+    pe = (
+        rm.join(cm, "cat", "full_outer")
+        .select(
+            (F.coalesce(F.col("rm"), F.lit(0)) * F.coalesce(F.col("cm"), F.lit(0))).alias(
+                "__p"
+            )
+        )
+        .groupBy()
+        .agg(F.sum("__p").alias("pe_num"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("agree").cast("long").alias("agree"),
+            (F.col("n") * F.col("agree") - F.col("pe_num"))
+            .cast("long")
+            .alias("num"),
+            (F.col("n") * F.col("n") - F.col("pe_num")).cast("long").alias("den"),
+        )
+        .withColumn(
+            "kappa6",
+            F.when(
+                F.col("den") != 0,
+                F.round(F.col("num") * 1000000.0 / F.col("den")),
+            ).cast("long"),
+        )
+    )

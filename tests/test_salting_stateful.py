@@ -161,3 +161,32 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = plain.agg({"l_quantity": "sum", "o_totalprice": "sum"}).collect()[0]
     b = salted.agg({"l_quantity": "sum", "o_totalprice": "sum"}).collect()[0]
     assert a == b
+
+
+def test_event_transitions_hand_computed(spark):
+    """Per-user sequences a->b->a and a->b give pairs: (a,b)x2, (b,a)x1;
+    marginal of 'a' is 2, 'b' is 1; p6 exact integer micro-ratios.
+    Cross-user boundaries must NOT create pairs."""
+    from gramene_mongodb_spark.operators.relational import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> c   pairs (a,b) (b,a) (a,c)
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+        # user 2: a -> b             pair (a,b); no cross-user (c,a)!
+        (5, 2, 10, "a"), (6, 2, 20, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: long, event_type: string"
+    )
+    out = {(r.from_event, r.to_event): r for r in event_transitions(df).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("a", "c")}
+    # from 'a': 3 transitions total, 2 to b (666666 micro) and 1 to c
+    assert (out[("a", "b")].n, out[("a", "b")].n_from, out[("a", "b")].p6) == (
+        2, 3, 666_666,
+    )
+    assert (out[("a", "c")].n, out[("a", "c")].n_from, out[("a", "c")].p6) == (
+        1, 3, 333_333,
+    )
+    assert (out[("b", "a")].n, out[("b", "a")].n_from, out[("b", "a")].p6) == (
+        1, 1, 1_000_000,
+    )

@@ -761,3 +761,25 @@ def test_dsir_weights_hand_computed(spark):
     ln13_6 = round(math.log(1 / 3) * 1e6)
     assert (out[10].dsir_lr6, out[10].kept, out[10].n_feats) == (ln2_6, 1, 1)
     assert (out[11].dsir_lr6, out[11].kept, out[11].n_feats) == (2 * ln13_6, 0, 2)
+
+
+def test_cohen_kappa_hand_computed(spark):
+    """Kappa on the textbook 2x2 table: a/b agree on 25 of 40 with
+    marginals rm=(20,20), cm=(25,15) -> pe_num=800, num=40*25-800=200,
+    den=1600-800=800, kappa=0.25. Also: perfect agreement -> 1e6, and
+    a constant identical pair -> den 0 -> NULL."""
+    from gramene_mongodb_spark.operators import textops as T
+
+    rows = (
+        [("x", "x")] * 15 + [("x", "y")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    r = T.cohen_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.agree, r.num, r.den, r.kappa6) == (40, 25, 200, 800, 250000)
+
+    perfect = spark.createDataFrame([("x", "x"), ("y", "y")], "a: string, b: string")
+    assert T.cohen_kappa(perfect, "a", "b").collect()[0].kappa6 == 1_000_000
+
+    const = spark.createDataFrame([("x", "x")] * 3, "a: string, b: string")
+    assert T.cohen_kappa(const, "a", "b").collect()[0].kappa6 is None
