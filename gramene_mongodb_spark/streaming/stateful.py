@@ -97,3 +97,92 @@ def running_user_profiles(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# the same operator on the Spark 4 successor API: transformWithState
+# ---------------------------------------------------------------------------
+#
+# transformWithStateInPandas is the forward path for custom stateful
+# operators (typed state handles — ValueState/ListState/MapState — with
+# per-state TTL, timers, and the RocksDB state store underneath).
+# Shipping the SAME running-profile semantics on both APIs pins the
+# migration: the equality test replays one stream through each and
+# diffs the final rows.
+
+try:  # pragma: no cover - import guard exercised by tests
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # older Spark: applyInPandasWithState only
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class ProfileProcessor(StatefulProcessor):
+    """Per-user running profile as a transformWithState processor.
+
+    State: one ValueState tuple (n_events, total_value,
+    last_event_type) — identical to the applyInPandasWithState twin's
+    state, snapshotted by the RocksDB store per trigger. ``ttl_ms``
+    maps the twin's processing-time idle expiry onto the new API's
+    per-state TTL (None = no expiry, for availableNow runs).
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState(
+            "profile", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        got = self._state.get() if self._state.exists() else None
+        n, total, last = got if got is not None else (0, 0.0, None)
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = pdf["event_type"].iloc[-1]
+        self._state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_event_type": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profiles_tws(
+    events: DataFrame, expire_idle_ms: int | None = None
+) -> DataFrame:
+    """`running_user_profiles` on the Spark-4 transformWithState API.
+
+    Same input/output contract as the applyInPandasWithState form
+    (update mode, one row per touched user per micro-batch). Requires
+    the RocksDB state store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` on the writeStream's session
+    (local builds bundle rocksdbjni; the equality test does this).
+    """
+    if not HAS_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(ttl_ms=expire_idle_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
