@@ -2072,11 +2072,17 @@ def test_frequent_itemsets_match_brute_force(spark, rows, frac):
     }
 
     df = spark.createDataFrame(rows, "basket LONG, item STRING")
-    got = {
-        (r.item_a, r.item_b): (r.pair_support, r.support_a, r.support_b, r.n_baskets)
-        for r in frequent_itemsets(df, "basket", "item", min_support_frac=frac).collect()
-    }
-    assert got == want
+    for strategy in ("grouped", "join"):  # both pair paths, same answer
+        got = {
+            (r.item_a, r.item_b): (
+                r.pair_support, r.support_a, r.support_b, r.n_baskets,
+            )
+            for r in frequent_itemsets(
+                df, "basket", "item", min_support_frac=frac,
+                pair_strategy=strategy,
+            ).collect()
+        }
+        assert got == want, strategy
 
 
 @given(
