@@ -10874,14 +10874,21 @@ def x_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(1 - p) AS BIGINT) AS n_neg,
              CAST(sum(p * (2 * rmin + nt - 1)) AS BIGINT) AS rsum2
       FROM r GROUP BY 1
+    ),
+    b AS (
+      SELECT source, n_pos, n_neg,
+             CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+             2 * n_pos * n_neg AS d
+      FROM a
     )
-    SELECT source, n_pos, n_neg,
-           CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+    SELECT source, n_pos, n_neg, u2,
            CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN CAST(((rsum2 - n_pos * (n_pos + 1)) * 1000000)
-                          // (2 * n_pos * n_neg) AS BIGINT)
+                THEN CAST((u2 // d) * 1000000
+                          + ((u2 % d) * 1000 // d) * 1000
+                          + (((u2 % d) * 1000 % d) * 1000) // d
+                     AS BIGINT)
            END AS auc6
-    FROM a
+    FROM b
     """,
     "llm", "textops", "eval",
 )

@@ -1608,15 +1608,21 @@ def auc_eval(
     ascending ranks over ``score``, ``rank_min + rank_max`` per row is
     the integer ``2·rank_avg``; then ``U2 = Σ_pos(rank_min + rank_max)
     − n_pos·(n_pos+1)`` and ``AUC = U2 / (2·n_pos·n_neg)`` — all
-    integer until the final division, emitted as ``auc6 = U2·1e6 div
-    (2·n_pos·n_neg)`` so the oracle compares exactly. Groups with no
-    positives or no negatives get NULL auc6 (undefined), kept so the
-    caller sees them.
+    integer until the final division, emitted as ``auc6`` so the
+    oracle compares exactly. Groups with no positives or no negatives
+    get NULL auc6 (undefined), kept so the caller sees them.
+
+    The micro-ratio is computed by EXACT split division (``q·1e6 +
+    a1·1e3 + floor(rem1·1e3 / d)`` with d = 2·n_pos·n_neg) rather than
+    ``(U2·1e6) div d``, whose product overflows int64 once a group
+    exceeds ~3M balanced rows; the split form is overflow-free up to
+    n_pos·n_neg ≈ 4.6e15 (~10⁸-row balanced groups). Beyond that —
+    or for a single global AUC — pre-aggregate into a (score, label,
+    count) histogram first and rank the histogram: the rank sums
+    themselves stay in range and the group is tiny.
 
     Scale: windows and the aggregate are all partitioned by ``group`` —
-    per-group work is a local sort, no global ordering. For a single
-    global AUC, pass a constant group over a pre-aggregated
-    (score, label, count) histogram instead of raw rows.
+    per-group work is a local sort, no global ordering.
     """
     from pyspark.sql import Window
 
@@ -1643,11 +1649,22 @@ def auc_eval(
             "n_neg",
             u2.cast("long").alias("u2"),
         )
+        # exact split division: with d = 2·n_pos·n_neg and u2 = q·d + r,
+        # r·1000 = a1·d + rem1  =>  floor(u2·1e6/d) = q·1e6 + a1·1e3 +
+        # floor(rem1·1e3/d) — every intermediate ≤ d·1e3, so no int64
+        # overflow until n_pos·n_neg ~ 4.6e15 (vs ~4.6e12 for u2·1e6)
         .withColumn(
             "auc6",
             F.when(
                 (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)"),
+                F.expr(
+                    "(u2 div (2 * n_pos * n_neg)) * 1000000"
+                    " + ((u2 % (2 * n_pos * n_neg)) * 1000"
+                    "    div (2 * n_pos * n_neg)) * 1000"
+                    " + (((u2 % (2 * n_pos * n_neg)) * 1000"
+                    "     % (2 * n_pos * n_neg)) * 1000)"
+                    "   div (2 * n_pos * n_neg)"
+                ),
             ).cast("long"),
         )
     )

@@ -51,13 +51,22 @@ def _make_update_profile(expire_ms: int | None):
             state.remove()
             return
         n, total, last = state.get() if state.exists else (0, 0.0, None)
+        # a key's batch input may span multiple Arrow chunks in no
+        # particular order — track the max-(ts, event_id) row ACROSS
+        # chunks; taking the final chunk's tail would corrupt
+        # last_event_type whenever the latest event isn't in it
+        best = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["ts", "event_id"])
             n += len(pdf)
             total += float(pdf["value"].sum())
-            last = pdf["event_type"].iloc[-1]
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (top["ts"], top["event_id"], top["event_type"])
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None:
+            last = best[2]
         state.update((n, total, last))
         if expire_ms is not None:
             state.setTimeoutDuration(expire_ms)
@@ -143,13 +152,21 @@ class ProfileProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         got = self._state.get() if self._state.exists() else None
         n, total, last = got if got is not None else (0, 0.0, None)
+        # same cross-chunk max tracking as the applyInPandasWithState
+        # twin — chunk boundaries differ between the APIs, so relying
+        # on chunk order would also let the equality test flake
+        best = None
         for pdf in rows:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["ts", "event_id"])
             n += len(pdf)
             total += float(pdf["value"].sum())
-            last = pdf["event_type"].iloc[-1]
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (top["ts"], top["event_id"], top["event_type"])
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None:
+            last = best[2]
         self._state.update((n, total, last))
         yield pd.DataFrame(
             {
@@ -180,9 +197,12 @@ def running_user_profiles_tws(
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
         )
+    # state TTL is only legal under ProcessingTime time mode — with
+    # timeMode="None" a TTL'd getValueState throws at query start
+    time_mode = "ProcessingTime" if expire_idle_ms is not None else "None"
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=ProfileProcessor(ttl_ms=expire_idle_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode=time_mode,
     )

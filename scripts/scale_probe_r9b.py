@@ -84,7 +84,6 @@ def main():
     n1 = docs.count()
 
     if not os.path.exists(REP):
-        rep = docs
         parts = [
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
             for i in range(10)

@@ -710,6 +710,10 @@ def test_auc_eval_hand_computed_with_ties(spark):
         ("g3", 5, 1), ("g3", 5, 0), ("g3", 5, 1), ("g3", 5, 0),
         # g4: no negatives -> undefined
         ("g4", 3, 1), ("g4", 4, 1),
+        # g5: fractional AUC through the split division — ranks asc
+        # [1:neg, {3,3} tie: pos+neg, 4:pos] -> U2 = (2+3)+(4+4)-6 = 7,
+        # AUC = 7/8 = 0.875
+        ("g5", 1, 0), ("g5", 3, 1), ("g5", 3, 0), ("g5", 4, 1),
     ]
     df = spark.createDataFrame(rows, "g: string, s: long, y: int")
     out = {r.g: r for r in T.auc_eval(df, "g", "s", F.col("y") == 1).collect()}
@@ -717,6 +721,7 @@ def test_auc_eval_hand_computed_with_ties(spark):
     assert out["g2"].auc6 == 0
     assert out["g3"].auc6 == 500_000
     assert out["g4"].auc6 is None and out["g4"].n_neg == 0
+    assert (out["g5"].u2, out["g5"].auc6) == (7, 875_000)
 
 
 def test_pmi_collocations_prefers_exclusive_pairs(spark):
