@@ -10967,7 +10967,10 @@ def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT from_event, CAST(sum(n) AS BIGINT) AS n_from
           FROM c GROUP BY 1)
     SELECT c.from_event, c.to_event, c.n, m.n_from,
-           CAST((c.n * 1000000) // m.n_from AS BIGINT) AS p6
+           CAST((c.n // m.n_from) * 1000000
+                + ((c.n % m.n_from) * 1000 // m.n_from) * 1000
+                + (((c.n % m.n_from) * 1000 % m.n_from) * 1000) // m.n_from
+             AS BIGINT) AS p6
     FROM c JOIN m USING (from_event)
     """,
     "relational", "A3", "W2",

@@ -2137,6 +2137,13 @@ def event_transitions(
             "to_event",
             "n",
             "n_from",
-            F.expr("(n * 1000000) div n_from").alias("p6"),
+            # exact split division (the auc_eval overflow lesson):
+            # n·1e6 would overflow int64 once a single transition pair
+            # passes ~9e12 occurrences; the split form is safe to ~9e15
+            F.expr(
+                "(n div n_from) * 1000000"
+                " + ((n % n_from) * 1000 div n_from) * 1000"
+                " + (((n % n_from) * 1000 % n_from) * 1000) div n_from"
+            ).alias("p6"),
         )
     )
