@@ -10952,6 +10952,47 @@ def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_find",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice > 100000.0 AND o_totalprice <= 200000.0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      AND NOT coalesce(regexp_matches(o_orderpriority, 'MEDIUM$'), FALSE)
+    """,
+    "sources", "P4", "S10",
+)
+def x_mongo_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB find()-document translation (documents.mongo_find) —
+    the migration shim for the reference's actual query surface
+    (`trees/add_domains_to_tree.js:11-20`, `trees/speciesTree.js:267`,
+    `reactome/get_species_prefixes.js:26` all call
+    collection.find(filter, projection)): the SAME filter/projection
+    documents run against parquet-backed tables. The document becomes
+    one Catalyst predicate — comparisons and $in push into the scan
+    (plan-asserted) — and the projection a select. The oracle states
+    the query in plain SQL, so any translation slip (operator
+    semantics, null handling, projection) breaks the hash."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    return DOC.mongo_find(
+        orders,
+        {
+            "o_orderstatus": "O",
+            "o_totalprice": {"$gt": 100000.0, "$lte": 200000.0},
+            "o_orderpriority": {
+                "$in": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+                "$not": {"$regex": "MEDIUM$"},
+            },
+        },
+        {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 1,
+         "o_orderpriority": 1},
+    )
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (

@@ -233,3 +233,126 @@ def nullify_empties(df: DataFrame) -> DataFrame:
         if conv is not None:
             out = out.withColumn(field.name, conv)
     return out
+
+
+# --------------------------------------------------------------------------
+# MongoDB find()-document translation — the reference's query surface
+# --------------------------------------------------------------------------
+
+_CMP_OPS = {
+    "$gt": lambda c, v: c > F.lit(v),
+    "$gte": lambda c, v: c >= F.lit(v),
+    "$lt": lambda c, v: c < F.lit(v),
+    "$lte": lambda c, v: c <= F.lit(v),
+}
+
+
+def _mongo_predicate(field: str, spec) -> Column:
+    col = F.col(field)
+    if not isinstance(spec, dict):
+        # bare equality; null-safe (<=>) so {field: None} matches
+        # missing/null like Mongo's {field: null}
+        return col.eqNullSafe(F.lit(spec))
+    preds: list[Column] = []
+    for op, val in spec.items():
+        if op in _CMP_OPS:
+            preds.append(_CMP_OPS[op](col, val))
+        elif op == "$eq":
+            preds.append(col.eqNullSafe(F.lit(val)))
+        elif op == "$ne":
+            # Mongo $ne matches missing fields too — null-safe negate
+            preds.append(~col.eqNullSafe(F.lit(val)))
+        elif op == "$in":
+            vals = [v for v in val if v is not None]
+            p = col.isin(vals) if vals else F.lit(False)
+            if any(v is None for v in val):
+                p = p | col.isNull()
+            preds.append(p)
+        elif op == "$nin":
+            vals = [v for v in val if v is not None]
+            p = ~col.isin(vals) if vals else F.lit(True)
+            # SQL NOT IN is null-poisoned; Mongo $nin keeps missing
+            # fields unless null is in the list — make that explicit
+            if any(v is None for v in val):
+                p = p & col.isNotNull()
+            else:
+                p = p | col.isNull()
+            preds.append(p)
+        elif op == "$exists":
+            preds.append(col.isNotNull() if val else col.isNull())
+        elif op == "$regex":
+            preds.append(col.rlike(val))
+        elif op == "$not":
+            # Mongo $not matches docs where the field is MISSING (the
+            # inner predicate never ran); a bare ~inner would be
+            # null-poisoned and drop them — coalesce first
+            preds.append(~F.coalesce(_mongo_predicate(field, val), F.lit(False)))
+        else:
+            raise ValueError(f"unsupported mongo operator: {op}")
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def mongo_find_filter(query: dict) -> Column:
+    """Translate a MongoDB ``find()`` filter document into one Spark
+    Column predicate. Supports the surface the reference actually uses
+    (`trees/add_domains_to_tree.js:11-20`, `trees/speciesTree.js:267`,
+    `reactome/get_species_prefixes.js:26`: equality, range, $in) plus
+    the adjacent standard operators: $eq $ne $gt $gte $lt $lte $in
+    $nin $exists $regex $not, and top-level $and/$or. Dotted paths
+    resolve into struct fields exactly as in Mongo.
+
+    Semantics notes (documented, test-pinned): a MISSING field is a
+    NULL column in the relational model, so equality is null-safe
+    (``{f: None}`` matches null/missing), $ne and $nin also match
+    missing fields (Mongo behavior, NOT SQL's null-poisoned NOT IN),
+    and $exists maps to IS [NOT] NULL.
+    """
+    if not query:
+        return F.lit(True)
+    preds: list[Column] = []
+    for key, spec in query.items():
+        if key == "$and":
+            sub = [mongo_find_filter(q) for q in spec]
+            out = sub[0]
+            for s in sub[1:]:
+                out = out & s
+            preds.append(out)
+        elif key == "$or":
+            sub = [mongo_find_filter(q) for q in spec]
+            out = sub[0]
+            for s in sub[1:]:
+                out = out | s
+            preds.append(out)
+        else:
+            preds.append(_mongo_predicate(key, spec))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def mongo_find(
+    df: DataFrame, query: dict, projection: dict | None = None
+) -> DataFrame:
+    """Run a MongoDB ``find(query, projection)`` document against a
+    DataFrame — the migration shim that lets a reference user keep
+    their existing query documents when the collections move to
+    parquet. The filter becomes ONE Column predicate (pure Catalyst
+    expressions, so comparisons and $in push down into the parquet
+    scan — plan-asserted) and the projection becomes a select/drop.
+
+    Projection follows Mongo's rules: ``{f: 1, ...}`` = include-only
+    (inclusion and exclusion cannot mix, ValueError like Mongo's
+    error), ``{f: 0, ...}`` = exclude-these.
+    """
+    out = df.filter(mongo_find_filter(query))
+    if projection:
+        inc = [k for k, v in projection.items() if v]
+        exc = [k for k, v in projection.items() if not v]
+        if inc and exc:
+            raise ValueError("cannot mix inclusion and exclusion projection")
+        out = out.select(*inc) if inc else out.drop(*exc)
+    return out

@@ -207,3 +207,47 @@ def test_decorate_leaves(spark):
     assert out[2].description == "kinase" and out[2].n_transcripts == 3
     assert out[3].description is None          # unmatched leaf passes through
     assert out[1].gene_stable_id is None       # branch node untouched
+
+
+def test_mongo_find_operator_semantics(spark):
+    """The find()-document translator against Mongo's documented
+    semantics on nulls: {f: None} matches missing, $ne/$nin/$not match
+    missing, $exists maps to IS [NOT] NULL, SQL's null-poisoned NOT IN
+    must NOT leak through."""
+    from gramene_mongodb_spark.operators.documents import mongo_find
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "abc", None)],
+        "id: long, s: string, v: int",
+    )
+
+    def ids(q, proj=None):
+        return sorted(r.id for r in mongo_find(df, q, proj).select("id").collect())
+
+    assert ids({"s": "a"}) == [1]
+    assert ids({"s": None}) == [3]                       # null-safe equality
+    assert ids({"s": {"$ne": "a"}}) == [2, 3, 4]         # missing matches $ne
+    assert ids({"v": {"$gt": 10, "$lte": 30}}) == [2, 3]
+    assert ids({"s": {"$in": ["a", "b"]}}) == [1, 2]
+    assert ids({"s": {"$in": ["a", None]}}) == [1, 3]    # null in $in list
+    assert ids({"s": {"$nin": ["a", "b"]}}) == [3, 4]    # keeps missing
+    assert ids({"s": {"$nin": ["a", None]}}) == [2, 4]   # null listed: drops it
+    assert ids({"s": {"$exists": True}}) == [1, 2, 4]
+    assert ids({"s": {"$exists": False}}) == [3]
+    assert ids({"s": {"$regex": "^a"}}) == [1, 4]
+    assert ids({"s": {"$not": {"$regex": "^a"}}}) == [2, 3]  # $not keeps missing
+    assert ids({"$or": [{"s": "a"}, {"v": {"$gte": 30}}]}) == [1, 3]
+    assert ids({"$and": [{"v": {"$gt": 5}}, {"s": {"$exists": True}}]}) == [1, 2]
+    assert ids({}) == [1, 2, 3, 4]
+
+    # projection: include-only, exclude, and the can't-mix error
+    cols = mongo_find(df, {}, {"id": 1, "v": 1}).columns
+    assert cols == ["id", "v"]
+    cols = mongo_find(df, {}, {"s": 0}).columns
+    assert cols == ["id", "v"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mongo_find(df, {}, {"id": 1, "s": 0})
+    with _pytest.raises(ValueError):
+        mongo_find(df, {"s": {"$type": "string"}})

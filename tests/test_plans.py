@@ -485,3 +485,17 @@ def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
     # tokens as a broadcast — a shuffled join here would shuffle the
     # whole corpus' token stream on a 128-value key (skew disaster)
     assert "BroadcastHashJoin" in plan
+
+
+def test_mongo_find_pushes_filters_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_mongo_find")
+    # the translated document's comparisons reach the parquet scan —
+    # equality is null-safe (Mongo {f: v} semantics), pushed as
+    # EqualNullSafe
+    assert "EqualNullSafe(o_orderstatus,O)" in plan
+    assert "GreaterThan(o_totalprice,100000.0)" in plan
+    # projection pruning: the unprojected, unfiltered date column is
+    # not in the scan's ReadSchema
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("o_orderdate" not in ln for ln in read_schema)
+    assert "BatchEvalPython" not in plan
