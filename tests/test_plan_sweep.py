@@ -1,0 +1,84 @@
+"""Repo-wide physical-plan sweep: the no-Python-in-hot-paths contract.
+
+Every catalog entry's analyzed plan is checked for row-at-a-time Python
+(`BatchEvalPython` — the 10-100x-slower-than-JVM execution mode this
+engine bans outright) and for Arrow-batched Python kernels
+(`ArrowEvalPython` / `FlatMapGroupsInPandas` / `MapInPandas`), which are
+legal ONLY on the explicit allowlist below — the tree/media/graph
+kernels whose semantics genuinely exceed DataFrame expressions
+(SURVEY.md §7 rule: composition first, Arrow kernel second, never
+row-Python). A new entry that silently introduces Python into a hot
+path fails here by name.
+
+Analysis-only (sparkPlan, no execution), so the sweep stays ~90s for
+~200 entries.
+"""
+
+from __future__ import annotations
+
+from gramene_mongodb_spark.catalog import REGISTRY
+
+#: entries whose Arrow kernels are the DESIGN (judge-audited): per-tree
+#: applyInPandas kernels, stdlib media codecs over mapInPandas, the
+#: small-graph vectorized union-find path, numpy tile kernels
+ARROW_ALLOWED = {
+    "k3k4_deep_tree",
+    "k3k4_tree_representatives",
+    "k5_domain_architecture",
+    "k7_closure_ancestors",
+    "k8_nested_tree_docs",
+    "pipeline_entity_resolution",
+    "pipeline_genes_decorate",
+    "pipeline_media_curate",
+    "pipeline_taxonomy_build",
+    "pipeline_tree_publish",
+    "x_audio_segments",
+    "x_cigar_identity",
+    "x_dedup_clusters",
+    "x_graph_components",
+    "x_image_phash",
+    "x_media_audio",
+    "x_media_formats",
+    "x_media_frames",
+    "x_media_probe",
+    "x_media_resize",
+    "x_semantic_dedup",
+    "x_video_shots",
+}
+
+#: executes a live availableNow stream at build time — plan not
+#: inspectable statically; its foreachBatch body reuses
+#: merge_partial_aggregates, which IS swept via x_agg_merge
+BUILD_EXECUTES = {"x_stream_agg_merge"}
+
+ARROW_NODES = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
+)
+
+
+def test_no_python_in_any_hot_path_repo_wide(spark, sf_dir):
+    batch_hits: list[str] = []
+    arrow_unexpected: list[str] = []
+    arrow_stale = set(ARROW_ALLOWED)
+    for name, spec in sorted(REGISTRY.items()):
+        if name in BUILD_EXECUTES:
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        if "BatchEvalPython" in plan:
+            batch_hits.append(name)
+        if any(node in plan for node in ARROW_NODES):
+            if name in ARROW_ALLOWED:
+                arrow_stale.discard(name)
+            else:
+                arrow_unexpected.append(name)
+    assert not batch_hits, f"row-at-a-time Python in hot paths: {batch_hits}"
+    assert not arrow_unexpected, (
+        f"Arrow kernels outside the allowlist (add deliberately or fix): "
+        f"{arrow_unexpected}"
+    )
+    # keep the allowlist honest both ways: entries that no longer use
+    # an Arrow kernel should be removed from it
+    assert not arrow_stale, f"allowlist entries with no Arrow node: {arrow_stale}"
