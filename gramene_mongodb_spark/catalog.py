@@ -10952,6 +10952,67 @@ def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_leakage_matrix",
+    """
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                            '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)])
+                  ELSE [array_to_string(ws, ' ')] END AS shs
+      FROM toks
+    ),
+    gx AS (SELECT DISTINCT source, unnest(shs) AS shingle FROM sh),
+    ng AS (SELECT shingle, count(*) AS ng FROM gx GROUP BY 1),
+    kept AS (SELECT gx.source, gx.shingle
+             FROM gx JOIN ng USING (shingle) WHERE ng.ng <= 15),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+              FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b USING (shingle)
+      WHERE a.source < b.source GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT i.src_a, i.src_b, i.n_shared,
+             sa.n_sh AS n_a, sb.n_sh AS n_b,
+             sa.n_sh + sb.n_sh - i.n_shared AS d
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.src_a
+      JOIN sizes sb ON sb.source = i.src_b
+    )
+    SELECT src_a, src_b, n_shared, n_a, n_b,
+           CAST((n_shared // d) * 1000000
+                + ((n_shared % d) * 1000 // d) * 1000
+                + (((n_shared % d) * 1000 % d) * 1000) // d
+             AS BIGINT) AS jac6
+    FROM m
+    """,
+    "dedup", "llm",
+)
+def x_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix (dedup.source_leakage_matrix): exact
+    word-3-gram Jaccard overlap between every pair of corpus sources —
+    the all-sources generalization of x_contamination's
+    corpus-vs-benchmark probe, for dedup auditing and mixture design.
+    Shingles in > 15 sources are dropped before the pair expansion
+    (the stop-shingle bound that caps self-join fan-out at bound² per
+    shingle at ANY corpus size; exercised here — the fixture has 20
+    sources). Micro-Jaccard via overflow-free split division; the
+    oracle replays shingling, bound, sizes and the division exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.source_leakage_matrix(
+        docs, "source", "text", n=3, max_groups_per_shingle=15
+    )
+
+
+@register(
     "x_mongo_find",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

@@ -1176,3 +1176,84 @@ def incremental_dedup(
             F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
         )
     )
+
+
+def source_leakage_matrix(
+    df: DataFrame,
+    group: str = "source",
+    text: str = "text",
+    n: int = 3,
+    max_groups_per_shingle: int = 50,
+) -> DataFrame:
+    """Pairwise cross-source leakage matrix — the release-engineering
+    artifact "which corpus sources share content with which": per
+    unordered source pair, the exact Jaccard overlap of their word
+    n-gram shingle vocabularies. `contamination_check` answers
+    corpus-vs-ONE-benchmark; this answers all-sources-vs-each-other in
+    one pass (dedup auditing, licensing triage, mixture design).
+
+    Shingles present in more than ``max_groups_per_shingle`` sources
+    are dropped BEFORE the pair expansion — they carry no
+    discriminative signal (the ngram_jaccard stop-shingle argument) and
+    they are exactly what makes a naive shingle self-join explode: the
+    fan-out per shingle is bounded by ``max_groups_per_shingle²``
+    regardless of corpus size. Sizes and Jaccard are defined over the
+    KEPT (discriminative) shingles, replayed identically by the oracle.
+
+    Output: (src_a < src_b, n_shared, n_a, n_b, jac6) with ``jac6`` the
+    integer micro-Jaccard ``n_shared·1e6 / (n_a + n_b − n_shared)``
+    computed by overflow-free split division.
+
+    Scale: one (group, shingle) distinct, one shingle-keyed count, one
+    bounded self-join, and group-keyed size aggregates joined back as
+    broadcasts (group count is small). The corpus shuffles once, keyed
+    on the shingle.
+    """
+    arrays = shingle_arrays(
+        df.select(F.col(group).alias("__grp"), F.col(text)), "__grp", text, n
+    )
+    gx = (
+        arrays.select("__grp", F.explode("shingles").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds bound + sizes + both join sides
+    )
+    ng = gx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__ng"))
+    kept = gx.join(
+        ng.filter(F.col("__ng") <= max_groups_per_shingle).select("shingle"),
+        "shingle",
+    )
+    sizes = kept.groupBy("__grp").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    inter = (
+        kept.alias("a")
+        .join(kept.alias("b"), "shingle")
+        .filter(F.col("a.__grp") < F.col("b.__grp"))
+        .groupBy(
+            F.col("a.__grp").alias("src_a"), F.col("b.__grp").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("__grp").alias("src_a"), F.col("n_sh").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__grp").alias("src_b"), F.col("n_sh").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_shared div (n_a + n_b - n_shared)) * 1000000"
+                " + ((n_shared % (n_a + n_b - n_shared)) * 1000"
+                "    div (n_a + n_b - n_shared)) * 1000"
+                " + (((n_shared % (n_a + n_b - n_shared)) * 1000"
+                "     % (n_a + n_b - n_shared)) * 1000)"
+                "   div (n_a + n_b - n_shared)"
+            ).alias("jac6"),
+        )
+    )

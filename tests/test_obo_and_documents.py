@@ -251,3 +251,30 @@ def test_mongo_find_operator_semantics(spark):
         mongo_find(df, {}, {"id": 1, "s": 0})
     with _pytest.raises(ValueError):
         mongo_find(df, {"s": {"$type": "string"}})
+
+
+def test_source_leakage_matrix_bound_and_jaccard(spark):
+    """Three sources: s1/s2 share the shingle 'a b c'; the shingle
+    'x y z' appears in ALL three and must be dropped by the bound
+    (max_groups_per_shingle=2), changing both sizes and overlap.
+    Remaining vocab per source: s1 {a b c, p q r}, s2 {a b c},
+    s3 {u v w} -> only (s1,s2) overlaps: 1/(2+1-1) = 0.5."""
+    from gramene_mongodb_spark.operators.dedup import source_leakage_matrix
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a b c"), ("s1", "p q r"), ("s1", "x y z"),
+            ("s2", "a b c"), ("s2", "x y z"),
+            ("s3", "u v w"), ("s3", "x y z"),
+        ],
+        "source: string, text: string",
+    )
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_leakage_matrix(
+            docs, "source", "text", n=3, max_groups_per_shingle=2
+        ).collect()
+    }
+    assert set(out) == {("s1", "s2")}  # s3 shares only the dropped shingle
+    r = out[("s1", "s2")]
+    assert (r.n_shared, r.n_a, r.n_b, r.jac6) == (1, 2, 1, 500_000)
