@@ -97,6 +97,10 @@ HEADLINE = [
     "x_nb_classify",
     "x_pmi_collocations",
     "x_dsir_select",
+    # round 9 (cont. 2): bounded shingle self-join (leakage matrix) and
+    # the per-user lead-window transition aggregate
+    "x_leakage_matrix",
+    "x_event_transitions",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

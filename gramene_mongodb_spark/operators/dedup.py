@@ -168,9 +168,23 @@ def shingle_arrays(
     return arrays.localCheckpoint(eager=True) if materialize else arrays
 
 
-def shingles(df: DataFrame, id_col: str, text: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingles, one row per (id, shingle), deduped."""
-    return shingle_arrays(df, id_col, text, n).select(
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    n: int = 3,
+    materialize: bool = False,
+) -> DataFrame:
+    """Word n-gram shingles, one row per (id, shingle), deduped.
+
+    Pass ``materialize=True`` whenever the downstream plan is more than
+    a single narrow pass: AQE coalesces shingle_arrays' repartition
+    exchange to ~1 partition (the shuffled text BYTES are small) and
+    the O(tokens²) shingle compute goes single-threaded — the
+    x_video_shots plan-collapse (f848000). The eager checkpoint pins
+    the spread; measured 10.7 → 2.0 s on minhash at sf0.1.
+    """
+    return shingle_arrays(df, id_col, text, n, materialize=materialize).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
@@ -472,6 +486,16 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    return _verify_jaccard(arrays, candidates, id_col, threshold)
+
+
+def _verify_jaccard(
+    arrays: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs
+    against per-doc shingle arrays — O(candidates), shared by the
+    prefix-filter join and the LSH candidate path (which must NOT pay
+    for the full exact join just to verify its own candidates)."""
     aa = arrays.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sa"))
     bb = arrays.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sb"))
     return (
@@ -685,7 +709,7 @@ def minhash_signatures(
     oracle checks this sketch end-to-end). One exploded shingle table →
     all min-aggregations in a single map-side-combinable groupBy.
     """
-    sh = shingles(df, id_col, text, n).withColumn(
+    sh = shingles(df, id_col, text, n, materialize=True).withColumn(
         "__bm", _md5_base31(F.col("shingle"))
     )
     mins = [
@@ -772,8 +796,15 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text, n, threshold=verify_threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # verify the LSH candidates DIRECTLY against the shingle arrays —
+    # O(candidates). (Pre-round-9 this intersected with the FULL exact
+    # prefix-filter join, paying the entire exact-join cost and making
+    # the sketch pointless for performance: 6.2 → 2.6 s at sf0.1, and
+    # at 100 TB the difference between O(candidates) and O(all pairs).)
+    arrays = shingle_arrays(df, id_col, text, n, materialize=True)
+    return _verify_jaccard(arrays, cand, id_col, verify_threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -946,13 +977,21 @@ def embedding_near_pairs(
     from gramene_mongodb_spark.operators.similarity import _dot
 
     side = _unit_vectors(df, id_col, vec_col)
-    a = side.select(F.col("id").alias("id_a"), F.col("u").alias("__ua"))
+    # spread the STREAMED side before the nested-loop join: a compacted
+    # embeddings table arrives as ~1 parquet split, and the O(n²) dot
+    # products would otherwise run in ONE task (measured 25 → 3 s at
+    # sf0.1 — the x_video_shots plan-collapse family). The other side
+    # broadcasts, so every core evaluates its slice of the pair grid.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = side.repartition(parallelism).select(
+        F.col("id").alias("id_a"), F.col("u").alias("__ua")
+    )
     b = side.select(F.col("id").alias("id_b"), F.col("u").alias("__ub"))
     cos = _dot(F.col("__ua"), F.col("__ub"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -1010,6 +1049,15 @@ def embedding_lsh_near_pairs(
             )
         ),
     )
+    # spread + materialize ONCE: a compacted embeddings table arrives
+    # as ~1 parquet split, so the n_planes dot products would run in a
+    # single task; and `unit` feeds THREE consumers (signatures + both
+    # verify sides), which would recompute the normalization per branch
+    # (plan-collapse family; 6.8 → 2.0 s at sf0.1). Checkpointing also
+    # fires the dim guard eagerly — bad input fails before any join.
+    unit = unit.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
 
     bit_cols = []
     for i in range(n_planes):
@@ -1131,8 +1179,10 @@ def incremental_dedup(
 
     # exact shingle-Jaccard verification, candidates only
     sh = (
-        shingles(history.select(id_col, text), id_col, text, n)
-        .unionByName(shingles(delta.select(id_col, text), id_col, text, n))
+        shingles(history.select(id_col, text), id_col, text, n, materialize=True)
+        .unionByName(
+            shingles(delta.select(id_col, text), id_col, text, n, materialize=True)
+        )
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1209,8 +1259,17 @@ def source_leakage_matrix(
     broadcasts (group count is small). The corpus shuffles once, keyed
     on the shingle.
     """
+    # materialize=True is load-bearing for PARALLELISM, not just reuse:
+    # the shuffled text bytes are small, so AQE coalesces the
+    # repartition exchange to ~1 partition and the O(tokens²) shingle
+    # compute goes single-threaded (the x_video_shots plan-collapse
+    # lesson, f848000); the eager checkpoint pins the 32-way spread
     arrays = shingle_arrays(
-        df.select(F.col(group).alias("__grp"), F.col(text)), "__grp", text, n
+        df.select(F.col(group).alias("__grp"), F.col(text)),
+        "__grp",
+        text,
+        n,
+        materialize=True,
     )
     gx = (
         arrays.select("__grp", F.explode("shingles").alias("shingle"))

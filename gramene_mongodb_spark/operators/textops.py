@@ -465,6 +465,11 @@ def repetition_stats(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # spread before the gram construction: a compacted corpus arrives
+    # as ~1 parquet split and the O(tokens·n) string building would run
+    # single-threaded (x_video_shots plan-collapse family; measured
+    # 6.1 → 1.3 s at sf0.1)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     counts = (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
