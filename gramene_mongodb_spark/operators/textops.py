@@ -366,6 +366,10 @@ def boilerplate_ratio(
     """
     from pyspark.sql import functions as F2
 
+    # spread before the gram construction — both passes are byte-cheap
+    # but compute-heavy, so a 1-split input serializes them (SCALE.md
+    # plan-collapse rule; 3.7 → 1.5 s at sf0.1)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col(text), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -1157,6 +1161,9 @@ def bleu_scores(
     (``greatest(size, 0)`` — Spark's size(NULL) is −1), and bp_log is
     null when cand_len = 0 (the penalty is undefined, not zero).
     """
+    # spread: gram explodes are byte-cheap/compute-heavy, so a 1-split
+    # pair table serializes them (SCALE.md plan-collapse rule)
+    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
     base = pairs.select(
         F.col(id_col),
         _tokens(F.col(ref)).alias("__rt"),
@@ -1228,6 +1235,8 @@ def rouge_scores(
     pair emits a row; metrics whose gram universe is empty (e.g. both
     sides <2 tokens for the bigram family, or a zero denominator) are
     null, never silently dropped."""
+    # spread: same plan-collapse rule as bleu_scores
+    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
     base = pairs.select(
         F.col(id_col),
         _tokens(F.col(ref)).alias("__rt"),
