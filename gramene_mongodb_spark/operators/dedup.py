@@ -709,14 +709,22 @@ def minhash_signatures(
     oracle checks this sketch end-to-end). One exploded shingle table →
     all min-aggregations in a single map-side-combinable groupBy.
     """
-    sh = shingles(df, id_col, text, n, materialize=True).withColumn(
-        "__bm", _md5_base31(F.col("shingle"))
-    )
+    sh = shingles(df, id_col, text, n, materialize=True)
+    return _signatures_from_shingles(sh, id_col, num_hashes, seed)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, seed: int
+) -> DataFrame:
+    """Signature aggregation over a precomputed (id, shingle) table —
+    split out so callers that ALSO need the shingles (LSH verify,
+    incremental dedup) compute them once, not once per consumer."""
+    hashed = sh.withColumn("__bm", _md5_base31(F.col("shingle")))
     mins = [
         F.min((F.lit(a) * F.col("__bm") + F.lit(b)) % MERSENNE31).alias(f"h{i}")
         for i, (a, b) in enumerate(hash_family(num_hashes, seed))
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = hashed.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
     )
@@ -739,6 +747,13 @@ def _banded_buckets(
     function is what a dedup service persists between runs."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text, n, num_hashes, seed)
+    return _bands_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def _bands_from_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
     return sig.select(
         id_col,
         F.explode(
@@ -786,7 +801,13 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ verify_threshold.
     """
-    banded = _banded_buckets(df, id_col, text, n, num_hashes, bands, seed)
+    # ONE materialized shingle-array pass feeds BOTH the signature
+    # aggregation and the verify join (pre-refactor each computed its
+    # own shingles — two O(tokens²) corpus passes for one operator)
+    arrays = shingle_arrays(df, id_col, text, n, materialize=True)
+    sh = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sig = _signatures_from_shingles(sh, id_col, num_hashes, seed)
+    banded = _bands_from_signatures(sig, id_col, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -801,7 +822,6 @@ def minhash_lsh_pairs(
     # prefix-filter join, paying the entire exact-join cost and making
     # the sketch pointless for performance: 6.2 → 2.6 s at sf0.1, and
     # at 100 TB the difference between O(candidates) and O(all pairs).)
-    arrays = shingle_arrays(df, id_col, text, n, materialize=True)
     return _verify_jaccard(arrays, cand, id_col, verify_threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -1146,8 +1166,19 @@ def incremental_dedup(
     same id with DIFFERENT texts merges shingle sets and corrupts the
     Jaccard — don't do that.
     """
-    hb = _banded_buckets(history, id_col, text, n, num_hashes, bands, seed)
-    db = _banded_buckets(delta, id_col, text, n, num_hashes, bands, seed)
+    # ONE materialized shingle pass per side feeds banding AND the
+    # exact-verify join below (pre-refactor each side's shingles were
+    # computed twice — four O(tokens²) passes for one operator)
+    sh_h = shingles(history.select(id_col, text), id_col, text, n, materialize=True)
+    sh_d = shingles(delta.select(id_col, text), id_col, text, n, materialize=True)
+    hb = _bands_from_signatures(
+        _signatures_from_shingles(sh_h, id_col, num_hashes, seed),
+        id_col, num_hashes, bands,
+    )
+    db = _bands_from_signatures(
+        _signatures_from_shingles(sh_d, id_col, num_hashes, seed),
+        id_col, num_hashes, bands,
+    )
 
     cand_h = (
         db.alias("d")
@@ -1178,13 +1209,7 @@ def incremental_dedup(
     cand = cand_h.unionByName(cand_d).distinct()
 
     # exact shingle-Jaccard verification, candidates only
-    sh = (
-        shingles(history.select(id_col, text), id_col, text, n, materialize=True)
-        .unionByName(
-            shingles(delta.select(id_col, text), id_col, text, n, materialize=True)
-        )
-        .distinct()
-    )
+    sh = sh_h.unionByName(sh_d).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(
