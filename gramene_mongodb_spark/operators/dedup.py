@@ -742,10 +742,10 @@ def _banded_buckets(
     """(id, band, bucket) rows for banded LSH: each band's bucket is the
     xxhash64 of its signature slice — an equi-joinable stand-in for
     "all rows of this band agree" (distinct-tuple collisions are ~2^-64).
-    Shared by the self-join (minhash_lsh_pairs) and the delta-vs-corpus
-    (incremental_dedup) shapes; in production the OUTPUT of this
-    function is what a dedup service persists between runs."""
-    rows_per_band = num_hashes // bands
+    Standalone convenience form; minhash_lsh_pairs and incremental_dedup
+    build bands via _bands_from_signatures over shingles they already
+    computed (one corpus pass). In production the OUTPUT here is what a
+    dedup service persists between runs."""
     sig = minhash_signatures(df, id_col, text, n, num_hashes, seed)
     return _bands_from_signatures(sig, id_col, num_hashes, bands)
 
@@ -1011,7 +1011,11 @@ def embedding_near_pairs(
     if round_to is not None:
         cos = F.round(cos, round_to)
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        # no broadcast HINT: under the auto-broadcast threshold Catalyst
+        # broadcasts b on its own (giving each of the 32 tasks its slice
+        # of the pair grid); above it, forcing the hint would turn a
+        # slow-but-finishing plan into an 8GB-limit hard failure
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

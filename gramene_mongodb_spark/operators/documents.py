@@ -263,12 +263,18 @@ def _mongo_predicate(field: str, spec) -> Column:
             # Mongo $ne matches missing fields too — null-safe negate
             preds.append(~col.eqNullSafe(F.lit(val)))
         elif op == "$in":
+            if not isinstance(val, (list, tuple)):
+                # Mongo errors with "$in needs an array"; a bare string
+                # would otherwise ITERATE into per-character equality
+                raise ValueError(f"$in requires a list, got {type(val).__name__}")
             vals = [v for v in val if v is not None]
             p = col.isin(vals) if vals else F.lit(False)
             if any(v is None for v in val):
                 p = p | col.isNull()
             preds.append(p)
         elif op == "$nin":
+            if not isinstance(val, (list, tuple)):
+                raise ValueError(f"$nin requires a list, got {type(val).__name__}")
             vals = [v for v in val if v is not None]
             p = ~col.isin(vals) if vals else F.lit(True)
             # SQL NOT IN is null-poisoned; Mongo $nin keeps missing
@@ -314,17 +320,14 @@ def mongo_find_filter(query: dict) -> Column:
         return F.lit(True)
     preds: list[Column] = []
     for key, spec in query.items():
-        if key == "$and":
+        if key in ("$and", "$or"):
+            if not isinstance(spec, (list, tuple)) or not spec:
+                # Mongo: "$and/$or must be a nonempty array"
+                raise ValueError(f"{key} requires a non-empty list")
             sub = [mongo_find_filter(q) for q in spec]
             out = sub[0]
             for s in sub[1:]:
-                out = out & s
-            preds.append(out)
-        elif key == "$or":
-            sub = [mongo_find_filter(q) for q in spec]
-            out = sub[0]
-            for s in sub[1:]:
-                out = out | s
+                out = (out & s) if key == "$and" else (out | s)
             preds.append(out)
         else:
             preds.append(_mongo_predicate(key, spec))

@@ -32,17 +32,18 @@ def green_names() -> dict[str, list[str]]:
             data = json.loads(p.read_text())
         except Exception:
             continue
-        rows = data.get("queries", data if isinstance(data, dict) else {})
+        rows = data.get("queries", data) if isinstance(data, dict) else {}
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            ok = (
-                row.get("ok") is True
-                or (
-                    row.get("err") in (None, "")
-                    and row.get("rows_match") is not False
-                    and row.get("hash_match") is not False
-                )
+            # green means EXPLICITLY green — every match field present
+            # and true (a degenerate row must not silently remove an
+            # entry from the rotation list this script exists to build)
+            ok = row.get("ok") is True or (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and not row.get("err")
             )
             if ok:
                 seen.setdefault(name, []).append(p.stem.replace("CORRECTNESS_", ""))

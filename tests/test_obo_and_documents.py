@@ -251,6 +251,16 @@ def test_mongo_find_operator_semantics(spark):
         mongo_find(df, {}, {"id": 1, "s": 0})
     with _pytest.raises(ValueError):
         mongo_find(df, {"s": {"$type": "string"}})
+    # operand-shape validation (Mongo's "$in needs an array" etc.) —
+    # a bare string must NOT silently iterate into per-char equality
+    with _pytest.raises(ValueError):
+        mongo_find(df, {"s": {"$in": "abc"}})
+    with _pytest.raises(ValueError):
+        mongo_find(df, {"s": {"$nin": "abc"}})
+    with _pytest.raises(ValueError):
+        mongo_find(df, {"$or": []})
+    with _pytest.raises(ValueError):
+        mongo_find(df, {"$and": "not-a-list"})
 
 
 def test_source_leakage_matrix_bound_and_jaccard(spark):

@@ -10,11 +10,20 @@ kernels whose semantics genuinely exceed DataFrame expressions
 row-Python). A new entry that silently introduces Python into a hot
 path fails here by name.
 
-Analysis-only (sparkPlan, no execution), so the sweep stays ~90s for
-~200 entries.
+Mostly analysis-only (sparkPlan; a handful of entries execute eager
+materializations or iterative rounds at build time), ~90s for ~200
+entries. Python-level ``localCheckpoint`` is patched to identity for
+the sweep: an eager checkpoint truncates lineage to a LogicalRDD leaf,
+which would hide everything UPSTREAM of it — exactly the O(tokens²)
+shingle/media subtrees this test exists to guard — and make a
+Python UDF smuggled into them invisible. (JVM-level
+``lineage.hard_checkpoint`` sites — the iterative closure loops —
+still truncate; their per-round bodies are separately plan-tested.)
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame
 
 from gramene_mongodb_spark.catalog import REGISTRY
 
@@ -59,7 +68,12 @@ ARROW_NODES = (
 )
 
 
-def test_no_python_in_any_hot_path_repo_wide(spark, sf_dir):
+def test_no_python_in_any_hot_path_repo_wide(spark, sf_dir, monkeypatch):
+    # identity-checkpoint so eager materializations don't truncate the
+    # swept plans (see module docstring)
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     batch_hits: list[str] = []
     arrow_unexpected: list[str] = []
     arrow_stale = set(ARROW_ALLOWED)
