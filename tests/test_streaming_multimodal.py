@@ -917,3 +917,52 @@ def test_frame_energy_matches_numpy_reference(spark):
 def test_audio_segments_empty(spark):
     df = spark.createDataFrame([], "media_id BIGINT, payload BINARY")
     assert MM.audio_segments(df).count() == 0
+
+
+def test_exactly_once_sink_replay_is_noop(spark, sf_dir, tmp_path):
+    """The idempotent batch writer must turn at-least-once replays into
+    exactly-once results: re-delivering a committed batch_id is a
+    skip; a torn batch (no marker) is overwritten whole; the committed
+    filter hides the torn one from readers."""
+    import os
+
+    from gramene_mongodb_spark.io import load_table
+    from gramene_mongodb_spark.streaming import sinks
+
+    out = str(tmp_path / "sink")
+    events = load_table(spark, sf_dir, "events").filter("user_id < 8").coalesce(1)
+
+    # batch 0 delivered, then REPLAYED (the post-crash at-least-once case)
+    assert sinks.write_batch_idempotent(events, 0, out) is True
+    n0 = spark.read.parquet(os.path.join(out, "batch_id=0")).count()
+    assert sinks.write_batch_idempotent(events, 0, out) is False  # no-op
+    assert spark.read.parquet(os.path.join(out, "batch_id=0")).count() == n0
+
+    # torn batch 1: data written but no marker -> replay overwrites whole
+    torn_dir = os.path.join(out, "batch_id=1")
+    events.limit(3).write.mode("overwrite").parquet(torn_dir)
+    assert sinks.committed_ids(out) == [0]  # reader never sees the torn one
+    assert sinks.write_batch_idempotent(events, 1, out) is True
+    assert sinks.committed_ids(out) == [0, 1]
+    assert spark.read.parquet(torn_dir).count() == n0  # whole, not 3
+
+    # end-to-end: stream the same rows through the sink; totals match
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = sinks.exactly_once_parquet_sink(
+        stream, str(tmp_path / "sink2"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "sink2"))
+    assert got.drop("batch_id").count() == events.count()
+
+    # restart from the SAME checkpoint with no new data: engine replays
+    # nothing, sink unchanged (exactly-once across restarts)
+    q2 = sinks.exactly_once_parquet_sink(
+        stream, str(tmp_path / "sink2"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    assert spark.read.parquet(str(tmp_path / "sink2")).drop("batch_id").count() == events.count()
