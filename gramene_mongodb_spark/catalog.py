@@ -10684,6 +10684,67 @@ def pipeline_homologs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_stream_exactly_once",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events GROUP BY user_id
+    """,
+    "streaming", "sinks", "A4",
+)
+def x_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery through the idempotent batch sink
+    (streaming.sinks.exactly_once_parquet_sink), gated end-to-end:
+    events stream through multiple micro-batches into
+    batch_id-partitioned parquet with commit markers, the FIRST
+    committed batch is then REPLAYED by hand (the at-least-once
+    post-crash case — it must no-op), and the aggregate over the
+    committed read-back must equal the direct SQL aggregate over all
+    events. A duplicate-delivering sink inflates n_events/total and
+    breaks the hash; a torn batch would be invisible to the committed
+    filter."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from gramene_mongodb_spark.streaming import sinks
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = os.path.join(tempfile.gettempdir(), f"e1s_src_{tag}")
+    out = os.path.join(tempfile.gettempdir(), f"e1s_out_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"e1s_ckpt_{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    ev.repartition(6).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    q = sinks.exactly_once_parquet_sink(stream, out, ckpt)
+    q.awaitTermination(300)
+    q.stop()
+    ids = sinks.committed_ids(out)
+    assert ids, "sink committed no batches"
+    # at-least-once replay of an already-committed batch: MUST no-op
+    replay = spark.read.parquet(os.path.join(out, f"batch_id={ids[0]}"))
+    assert sinks.write_batch_idempotent(replay, ids[0], out) is False
+    got = spark.read.parquet(out).filter(F.col("batch_id").isin(ids))
+    return got.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vm").cast("long").alias("total_micros"),
+    )
+
+
+@register(
     "x_stream_agg_merge",
     """
     SELECT user_id,

@@ -30,7 +30,7 @@ def main() -> None:
     from gramene_mongodb_spark.session import get_spark
 
     spark = get_spark("timing-audit")
-    skip = {"x_stream_agg_merge"}  # executes a live stream at build
+    skip = {"x_stream_agg_merge", "x_stream_exactly_once"}  # live streams
     rows: list[tuple[float, str]] = []
     for name in sorted(REGISTRY):
         if name in skip:

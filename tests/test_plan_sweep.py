@@ -55,10 +55,11 @@ ARROW_ALLOWED = {
     "x_video_shots",
 }
 
-#: executes a live availableNow stream at build time — plan not
-#: inspectable statically; its foreachBatch body reuses
-#: merge_partial_aggregates, which IS swept via x_agg_merge
-BUILD_EXECUTES = {"x_stream_agg_merge"}
+#: execute a live availableNow stream at build time — plan not
+#: inspectable statically; x_stream_agg_merge's foreachBatch body
+#: reuses merge_partial_aggregates (swept via x_agg_merge) and
+#: x_stream_exactly_once's read-back aggregate is plain groupBy
+BUILD_EXECUTES = {"x_stream_agg_merge", "x_stream_exactly_once"}
 
 ARROW_NODES = (
     "ArrowEvalPython",
