@@ -2204,3 +2204,251 @@ def test_shot_boundaries_match_brute_force(spark, vids, threshold):
                 (v, sid, s["start"], s["end"], s["end"] - s["start"] + 1, s["cut"])
             )
     assert got == sorted(expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-5, 5), st.booleans()),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_auc_eval_matches_brute_force_pair_counting(spark, rows):
+    """Tie-corrected rank AUC vs the definitional pair count:
+    AUC = (#concordant + 0.5·#tied) / (n_pos·n_neg), on random groups
+    with heavy score ties and degenerate one-class groups."""
+    from gramene_mongodb_spark.operators.textops import auc_eval
+
+    df = spark.createDataFrame(rows, "g: int, s: long, y: boolean")
+    got = {
+        r.g: r
+        for r in auc_eval(df, "g", "s", __import__("pyspark.sql.functions", fromlist=["col"]).col("y")).collect()
+    }
+    from collections import defaultdict
+
+    groups: dict[int, list[tuple[int, bool]]] = defaultdict(list)
+    for g, s, y in rows:
+        groups[g].append((s, y))
+    for g, items in groups.items():
+        pos = [s for s, y in items if y]
+        neg = [s for s, y in items if not y]
+        assert got[g].n_pos == len(pos) and got[g].n_neg == len(neg)
+        if not pos or not neg:
+            assert got[g].auc6 is None
+            continue
+        num2 = 0  # 2·(concordant + 0.5·tied), exact integers
+        for p in pos:
+            for q in neg:
+                num2 += 2 if p > q else (1 if p == q else 0)
+        d = 2 * len(pos) * len(neg)
+        assert got[g].u2 == num2
+        assert got[g].auc6 == (num2 * 1_000_000) // d
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abd")),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(**SETTINGS)
+def test_cohen_kappa_matches_direct_formula(spark, rows):
+    """kappa6 vs the textbook po/pe computation over random confusion
+    tables, including categories one rater never uses."""
+    from gramene_mongodb_spark.operators.textops import cohen_kappa
+
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    n = len(rows)
+    agree = sum(1 for a, b in rows if a == b)
+    cats = {c for pair in rows for c in pair}
+    pe_num = sum(
+        sum(1 for a, _ in rows if a == c) * sum(1 for _, b in rows if b == c)
+        for c in cats
+    )
+    num, den = n * agree - pe_num, n * n - pe_num
+    assert (r.n, r.agree, r.num, r.den) == (n, agree, num, den)
+    if den == 0:
+        assert r.kappa6 is None
+    else:
+        assert r.kappa6 == round(num * 1000000.0 / den)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(alphabet="xyz ", min_size=0, max_size=12),
+            st.sampled_from(["L1", "L2"]),
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_nb_train_classify_matches_python_reference(spark, docs):
+    """The distributed NB (train on all, classify all) vs a pure-python
+    reference with the same integer micro-NLL quantization — random
+    short corpora force OOV-free self-classification, ties, empty
+    docs and single-class corpora."""
+    import math
+    import re
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.textops import nb_classify, nb_train
+
+    rows = [(i, t, lbl) for i, (t, lbl) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    model, prior = nb_train(df, "text", "lang")
+    got = {r.doc_id: r for r in nb_classify(df, model, prior).collect()}
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9']+", t.lower().strip()) if w]
+
+    cnt: Counter = Counter()
+    tot: Counter = Counter()
+    ncls: Counter = Counter()
+    vocab = set()
+    for _, t, lbl in rows:
+        ncls[lbl] += 1
+        for w in toks(t):
+            cnt[(lbl, w)] += 1
+            tot[lbl] += 1
+            vocab.add(w)
+    V, N = len(vocab), len(rows)
+    labels = sorted(ncls)
+    for i, t, _ in rows:
+        ws = [w for w in toks(t) if w in vocab]
+        if not ws:
+            assert i not in got  # evidence-free doc emits no row
+            continue
+        scores = {}
+        for c in labels:
+            s = round(math.log(N / ncls[c]) * 1e6)
+            for w in ws:
+                s += round(
+                    math.log((tot[c] + V) / (cnt.get((c, w), 0) + 1)) * 1e6
+                )
+            scores[c] = s
+        pred = min(labels, key=lambda c: (scores[c], c))
+        assert got[i].pred_label == pred, (t, scores)
+        assert got[i].total_nll6 == scores[pred]
+        assert got[i].n_known == len(ws)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(alphabet="pq ", min_size=0, max_size=10),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_dsir_weights_match_python_reference(spark, docs):
+    """DSIR hashed importance weights vs a pure-python replay of the
+    md5 bucketing, add-one smoothing and signed micro-log-ratios —
+    random tiny corpora force empty docs, one-sided pools and
+    bucket collisions (B=8 to make collisions certain)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.textops import dsir_weights
+
+    B = 8
+    rows = [(i, t, tgt) for i, (t, tgt) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, is_t: boolean")
+    got = {
+        r.doc_id: r
+        for r in dsir_weights(df, F.col("is_t"), "doc_id", "text", B).collect()
+    }
+
+    def bucket(w):
+        return (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 2147483647) % B
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9']+", t.lower().strip()) if w]
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for _, t, tgt in rows:
+        for w in toks(t):
+            (ct if tgt else cr)[bucket(w)] += 1
+    tct, tcr = sum(ct.values()), sum(cr.values())
+    for i, t, tgt in rows:
+        if tgt:
+            assert i not in got  # only the raw pool is scored
+            continue
+        ws = toks(t)
+        if not ws:
+            assert i not in got
+            continue
+        lr = sum(
+            round(
+                math.log(
+                    ((ct.get(bucket(w), 0) + 1) * 1.0 * (tcr + B))
+                    / ((cr.get(bucket(w), 0) + 1) * 1.0 * (tct + B))
+                )
+                * 1e6
+            )
+            for w in ws
+        )
+        assert got[i].dsir_lr6 == lr and got[i].n_feats == len(ws)
+        assert got[i].kept == (1 if lr >= 0 else 0)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="uv ", min_size=0, max_size=14),
+        min_size=1,
+        max_size=25,
+    ),
+    min_count=st.sampled_from([1, 2]),
+)
+@settings(**SETTINGS)
+def test_pmi_collocations_match_python_reference(spark, docs, min_count):
+    """PMI top-k vs a pure-python replay of bigram counting, position
+    marginals and the float-ordered micro-PMI, including the
+    (pmi desc, w1, w2) total order of the rank column."""
+    import math
+    import re
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.textops import pmi_collocations
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = [
+        (r.rank, r.w1, r.w2, r.c12, r.pmi6)
+        for r in pmi_collocations(df, "text", min_count, 10).collect()
+    ]
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9']+", t.lower().strip()) if w]
+
+    bc: Counter = Counter()
+    for t in docs:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    left: Counter = Counter()
+    right: Counter = Counter()
+    for (a, b), c in bc.items():
+        left[a] += c
+        right[b] += c
+    nn = sum(bc.values())
+    cand = [
+        (a, b, c, round(math.log((c * 1.0 * nn) / (left[a] * 1.0 * right[b])) * 1e6))
+        for (a, b), c in bc.items()
+        if c >= min_count
+    ]
+    cand.sort(key=lambda x: (-x[3], x[0], x[1]))
+    want = [(i + 1, a, b, c, p) for i, (a, b, c, p) in enumerate(cand[:10])]
+    assert got == want
