@@ -2452,3 +2452,49 @@ def test_pmi_collocations_match_python_reference(spark, docs, min_count):
     cand.sort(key=lambda x: (-x[3], x[0], x[1]))
     want = [(i + 1, a, b, c, p) for i, (a, b, c, p) in enumerate(cand[:10])]
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: (r[0], r[1]),  # unique (user, ts) per row
+    ),
+)
+@settings(**SETTINGS)
+def test_event_transitions_match_python_reference(spark, rows):
+    """Transition counts/marginals/micro-probabilities vs a sorted
+    pure-python replay — random per-user streams force single-event
+    users (no pairs) and repeated event types."""
+    from collections import Counter, defaultdict
+
+    from gramene_mongodb_spark.operators.relational import event_transitions
+
+    data = [(i, u, t, e) for i, (u, t, e) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id: long, user_id: long, ts: long, event_type: string"
+    )
+    got = {
+        (r.from_event, r.to_event): (r.n, r.n_from, r.p6)
+        for r in event_transitions(df).collect()
+    }
+    seqs: dict[int, list[tuple[int, int, str]]] = defaultdict(list)
+    for i, u, t, e in data:
+        seqs[u].append((t, i, e))
+    pairs: Counter = Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    marg: Counter = Counter()
+    for (a, _), c in pairs.items():
+        marg[a] += c
+    want = {}
+    for (a, b), c in pairs.items():
+        d = marg[a]
+        p6 = (c // d) * 1_000_000 + ((c % d) * 1000 // d) * 1000 + (
+            ((c % d) * 1000 % d) * 1000
+        ) // d
+        want[(a, b)] = (c, d, p6)
+    assert got == want
