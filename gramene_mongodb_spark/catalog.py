@@ -10849,11 +10849,14 @@ def x_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls AS (SELECT lang AS label, count(*) AS nc FROM tr GROUP BY 1),
     n AS (SELECT count(*) AS nn FROM tr),
     model AS (
+      -- class axis from cls (ALL labels), LEFT JOIN tot: a label whose
+      -- training docs tokenize to empty keeps T_c = 0 model rows
       SELECT cls.label, voc.w,
-             CAST(round(ln((tot.tc + v.nv) / (coalesce(cnt.cwc, 0) + 1)) * 1e6)
+             CAST(round(ln((coalesce(tot.tc, 0) + v.nv)
+                           / (coalesce(cnt.cwc, 0) + 1)) * 1e6)
                   AS BIGINT) AS nll6
       FROM voc CROSS JOIN cls
-      JOIN tot ON tot.label = cls.label CROSS JOIN v
+      LEFT JOIN tot ON tot.label = cls.label CROSS JOIN v
       LEFT JOIN cnt ON cnt.label = cls.label AND cnt.w = voc.w
     ),
     prior AS (

@@ -1527,16 +1527,21 @@ def nb_train(
         F.count(F.lit(1)).alias("nc")
     )
     n = df.groupBy().agg(F.count(F.lit(1)).alias("nn"))
+    # Class axis MUST come from cls (every label seen in training), not
+    # tot (labels with >=1 token occurrence): a class whose training
+    # docs all tokenize to empty still has a prior and must stay
+    # predictable with T_c = 0 (round-9 property-falsified fix).
     model = (
-        vocab.crossJoin(F.broadcast(tot))
+        vocab.crossJoin(F.broadcast(cls.select("label")))
         .crossJoin(F.broadcast(v))
+        .join(F.broadcast(tot), ["label"], "left")
         .join(cnt, ["label", "w"], "left")
         .select(
             "label",
             "w",
             F.round(
                 F.log(
-                    (F.col("tc") + F.col("nv"))
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.col("nv"))
                     / (F.coalesce(F.col("cwc"), F.lit(0)) + 1)
                 )
                 * 1e6
