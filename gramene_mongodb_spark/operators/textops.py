@@ -28,6 +28,18 @@ def _tokens(text: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a compacted input before a compute-heavy pass: repartition
+    to defaultParallelism ONLY when the input has fewer partitions (the
+    SCALE.md single-split plan-collapse rule). A well-partitioned input
+    passes through untouched — unconditionally repartitioning would
+    force a full shuffle on every call and could REDUCE parallelism
+    when a cluster input already carries more splits than
+    defaultParallelism."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """Token counting + basic shape stats.
 
@@ -369,7 +381,7 @@ def boilerplate_ratio(
     # spread before the gram construction — both passes are byte-cheap
     # but compute-heavy, so a 1-split input serializes them (SCALE.md
     # plan-collapse rule; 3.7 → 1.5 s at sf0.1)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     toks = F.split(F.col(text), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -473,7 +485,7 @@ def repetition_stats(
     # as ~1 parquet split and the O(tokens·n) string building would run
     # single-threaded (x_video_shots plan-collapse family; measured
     # 6.1 → 1.3 s at sf0.1)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df)
     counts = (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
@@ -1163,7 +1175,7 @@ def bleu_scores(
     """
     # spread: gram explodes are byte-cheap/compute-heavy, so a 1-split
     # pair table serializes them (SCALE.md plan-collapse rule)
-    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    pairs = _spread(pairs)
     base = pairs.select(
         F.col(id_col),
         _tokens(F.col(ref)).alias("__rt"),
@@ -1236,7 +1248,7 @@ def rouge_scores(
     sides <2 tokens for the bigram family, or a zero denominator) are
     null, never silently dropped."""
     # spread: same plan-collapse rule as bleu_scores
-    pairs = pairs.repartition(pairs.sparkSession.sparkContext.defaultParallelism)
+    pairs = _spread(pairs)
     base = pairs.select(
         F.col(id_col),
         _tokens(F.col(ref)).alias("__rt"),
@@ -1854,6 +1866,14 @@ def cohen_kappa(
     a float rather than integer division. ``den = 0`` (both raters
     constant and identical) yields NULL kappa.
 
+    Overflow discipline (same reason as ``auc_eval``'s split division):
+    the products ``n·agree``, ``n²`` and ``Σ rm_c·cm_c`` exceed int64
+    once n passes ~3.03e9 rows, so they are computed in
+    ``DECIMAL(38,0)`` — exact to 1e38, i.e. any physical corpus — and
+    ``kappa6`` is derived from the decimals. The diagnostic ``num`` /
+    ``den`` columns stay BIGINT for schema stability via ``try_cast``
+    (NULL, never silently wrapped, past the int64 bound).
+
     Scale: one (a, b)-keyed count — category-squared key space, combines
     map-side to nothing — and every downstream aggregate runs on that
     tiny table; the corpus is scanned once, never collected.
@@ -1871,12 +1891,14 @@ def cohen_kappa(
     )
     rm = cnt.groupBy(F.col("__a").alias("cat")).agg(F.sum("c").alias("rm"))
     cm = cnt.groupBy(F.col("__b").alias("cat")).agg(F.sum("c").alias("cm"))
+    dec = "decimal(19,0)"
     pe = (
         rm.join(cm, "cat", "full_outer")
         .select(
-            (F.coalesce(F.col("rm"), F.lit(0)) * F.coalesce(F.col("cm"), F.lit(0))).alias(
-                "__p"
-            )
+            (
+                F.coalesce(F.col("rm"), F.lit(0)).cast(dec)
+                * F.coalesce(F.col("cm"), F.lit(0)).cast(dec)
+            ).alias("__p")
         )
         .groupBy()
         .agg(F.sum("__p").alias("pe_num"))
@@ -1886,16 +1908,28 @@ def cohen_kappa(
         .select(
             F.col("n").cast("long").alias("n"),
             F.col("agree").cast("long").alias("agree"),
-            (F.col("n") * F.col("agree") - F.col("pe_num"))
-            .cast("long")
-            .alias("num"),
-            (F.col("n") * F.col("n") - F.col("pe_num")).cast("long").alias("den"),
+            (
+                F.col("n").cast(dec) * F.col("agree").cast(dec)
+                - F.col("pe_num")
+            ).alias("__num"),
+            (
+                F.col("n").cast(dec) * F.col("n").cast(dec) - F.col("pe_num")
+            ).alias("__den"),
         )
-        .withColumn(
-            "kappa6",
+        .select(
+            "n",
+            "agree",
+            F.expr("try_cast(__num AS bigint)").alias("num"),
+            F.expr("try_cast(__den AS bigint)").alias("den"),
             F.when(
-                F.col("den") != 0,
-                F.round(F.col("num") * 1000000.0 / F.col("den")),
-            ).cast("long"),
+                F.col("__den") != 0,
+                F.round(
+                    F.col("__num").cast("double")
+                    * 1000000.0
+                    / F.col("__den").cast("double")
+                ),
+            )
+            .cast("long")
+            .alias("kappa6"),
         )
     )

@@ -14,9 +14,13 @@ standard file-sink recipe:
   the parquet write succeeds; a replay that finds the marker SKIPS the
   batch (already fully delivered), and a replay of a half-written batch
   (no marker) overwrites the directory — torn output never survives;
-* the marker protocol assumes what real deployments have: a rename/put
-  that is atomic per object (HDFS rename, S3 put). Readers who must not
-  see uncommitted batches filter on the marker set (``committed_ids``).
+* markers are read and written through the Hadoop ``FileSystem`` API
+  resolved from the sink path's scheme, so the protocol honors
+  ``hdfs://`` / ``s3a://`` paths exactly like the parquet writes do
+  (plain ``os.path`` would silently miss remote markers, turning every
+  replay into a rewrite and hiding committed batches from readers);
+  create-after-data ordering needs only per-object atomic visibility
+  (HDFS create, S3 put), which those stores provide.
 
 This is the parquet twin of the MERGE/upsert recipe a transactional
 sink would use (upsert_parquet_collection covers that shape); both turn
@@ -25,35 +29,62 @@ at-least-once replays into exactly-once results.
 
 from __future__ import annotations
 
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+_MARKER = "_COMMITTED"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Resolve (Hadoop FileSystem, Path) for ``path`` under the session's
+    Hadoop configuration — the same resolution the parquet writer uses,
+    so file:// in tests and hdfs://, s3a:// in deployments all work."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "committed_ids needs an active SparkSession to resolve the "
+            "path's filesystem scheme; pass spark= explicitly"
+        )
+    return spark
 
 
 def write_batch_idempotent(df: DataFrame, batch_id: int, path: str) -> bool:
     """Idempotently deliver one micro-batch. Returns True if written,
     False if skipped because this ``batch_id`` was already committed
     (the at-least-once replay case)."""
-    batch_dir = os.path.join(path, f"batch_id={batch_id}")
-    marker = os.path.join(batch_dir, "_COMMITTED")
-    if os.path.exists(marker):
+    spark = df.sparkSession
+    batch_dir = f"{path.rstrip('/')}/batch_id={batch_id}"
+    fs, marker = _fs_and_path(spark, f"{batch_dir}/{_MARKER}")
+    if fs.exists(marker):
         return False
     # overwrite: a torn previous attempt (no marker) is replaced whole
     df.write.mode("overwrite").parquet(batch_dir)
-    with open(marker, "w") as fh:
-        fh.write("ok\n")
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(b"ok\n"))
+    finally:
+        out.close()
     return True
 
 
-def committed_ids(path: str) -> list[int]:
+def committed_ids(path: str, spark: SparkSession | None = None) -> list[int]:
     """Batch ids with a commit marker — the read-side filter that hides
     half-written batches from consumers."""
+    spark = spark or _active_spark()
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
     out = []
-    if not os.path.isdir(path):
-        return out
-    for name in os.listdir(path):
-        if name.startswith("batch_id=") and os.path.exists(
-            os.path.join(path, name, "_COMMITTED")
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and fs.exists(
+            st.getPath().suffix(f"/{_MARKER}")
         ):
             out.append(int(name.split("=", 1)[1]))
     return sorted(out)
