@@ -101,6 +101,13 @@ HEADLINE = [
     # the per-user lead-window transition aggregate
     "x_leakage_matrix",
     "x_event_transitions",
+    # round 10: markup-extraction front end (scan-speed regex chain into
+    # the C4 line rules), the ExactSubstr REWRITE product (window pass +
+    # doc-keyed interval join-back + map-side array cut), and the
+    # one-pass declarative quality gate
+    "pipeline_markup_curate",
+    "x_substring_rewrite",
+    "x_expectations",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

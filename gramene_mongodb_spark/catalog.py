@@ -3400,6 +3400,219 @@ def x_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.line_filter(injected, "doc_id", "text2", min_words=3)
 
 
+# Deterministic markup fixture for the HTML-extraction entries: each
+# doc's (newline-free) text wrapped in a page with a style block, a
+# comment, an uppercase-attribute <P>, entities (incl. double-encoded
+# &amp;lt;), a script with a '<' in its body, and inline tags — every
+# rule of textops.html_extract fires. Engine and oracle build the SAME
+# string, so extraction must invert it identically.
+_MARKUP_PREFIX = (
+    '<html><head><title>D</title><style type="text/css">p {margin:0}'
+    "</style></head><body><!-- begin -->"
+)
+_MARKUP_MID = '</h1><P CLASS="main">'
+_MARKUP_SUFFIX = (
+    "</p><div>Cite &amp; enjoy &lt;markup&gt;&nbsp;rules &#39;here&#39;."
+    "</div><script>var n=1; if (n<2) { n=n+1; }</script>"
+    "<br><em>inline</em> tail</body></html>"
+)
+
+_HTML_EXTRACT_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             '<html><head><title>D</title><style type="text/css">p {margin:0}'
+             || '</style></head><body><!-- begin --><h1>' || source
+             || '</h1><P CLASS="main">' || text
+             || '</p><div>Cite &amp; enjoy &lt;markup&gt;&nbsp;rules &#39;here&#39;.'
+             || '</div><script>var n=1; if (n<2) { n=n+1; }</script>'
+             || '<br><em>inline</em> tail</body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?is)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|pre|section|article|header|footer|nav|aside|form)\\b[^>]*>',
+            chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g') AS t1
+      FROM m
+    ),
+    e AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t1, '&nbsp;', ' ', 'g'),
+                      '&lt;', '<', 'g'),
+                    '&gt;', '>', 'g'),
+                  '&quot;', '"', 'g'),
+                '&#39;', chr(39), 'g'),
+              '&apos;', chr(39), 'g'),
+            '&amp;', '&', 'g'),
+          '[^\\S\\n]+', ' ', 'g') AS t2
+      FROM s
+    ),
+    l AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(t2, chr(10)), x -> trim(x)),
+               x -> x <> '') AS lines
+      FROM e
+    )
+    SELECT doc_id,
+           array_to_string(lines, chr(10)) AS text,
+           CAST(len(lines) AS BIGINT) AS n_lines
+    FROM l
+"""
+
+
+def _markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(_MARKUP_PREFIX),
+            F.lit("<h1>"),
+            F.col("source"),
+            F.lit(_MARKUP_MID),
+            F.col("text"),
+            F.lit(_MARKUP_SUFFIX),
+        ).alias("html"),
+    )
+
+
+@register("x_html_extract", _HTML_EXTRACT_ORACLE, "text", "llm")
+def x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (textops.html_extract) over a synthesized
+    markup corpus: script/style/comment removal with contents, block
+    tags to line breaks, inline tags to spaces, one-level entity
+    decode (&amp; last), horizontal-whitespace collapse, blank-line
+    drop. The oracle rebuilds the identical page markup and replays
+    every regex pass with RE2 — a mis-ordered entity decode or a
+    greedy script match changes bytes and breaks the hash. Map-side
+    expressions only: the extraction rides the scan at any scale."""
+    return T.html_extract(_markup_docs(spark, sf_dir), "doc_id", "html")
+
+
+@register(
+    "pipeline_markup_curate",
+    """
+    WITH m AS (
+      SELECT doc_id, source,
+             '<html><head><title>D</title><style type="text/css">p {margin:0}'
+             || '</style></head><body><!-- begin --><h1>' || source
+             || '</h1><P CLASS="main">' || text
+             || '</p><div>Cite &amp; enjoy &lt;markup&gt;&nbsp;rules &#39;here&#39;.'
+             || '</div><script>var n=1; if (n<2) { n=n+1; }</script>'
+             || '<br><em>inline</em> tail</body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?is)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|pre|section|article|header|footer|nav|aside|form)\\b[^>]*>',
+            chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g') AS t1
+      FROM m
+    ),
+    e AS (
+      SELECT doc_id, source,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t1, '&nbsp;', ' ', 'g'),
+                      '&lt;', '<', 'g'),
+                    '&gt;', '>', 'g'),
+                  '&quot;', '"', 'g'),
+                '&#39;', chr(39), 'g'),
+              '&apos;', chr(39), 'g'),
+            '&amp;', '&', 'g'),
+          '[^\\S\\n]+', ' ', 'g') AS t2
+      FROM s
+    ),
+    l AS (
+      SELECT doc_id, source,
+             list_filter(
+               list_transform(string_split(t2, chr(10)), x -> trim(x)),
+               x -> x <> '') AS lines
+      FROM e
+    ),
+    kept AS (
+      SELECT doc_id, source, lines,
+             list_filter(lines, x ->
+               regexp_matches(x, '[.!?"”]$')
+               AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 3
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'cookie policy')
+               AND NOT contains(lower(x), 'terms of use')
+               AND NOT contains(lower(x), 'privacy policy')
+               AND NOT contains(lower(x), 'click here')) AS keep
+      FROM l
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(lines)) AS BIGINT) AS total_lines,
+           CAST(sum(len(keep)) AS BIGINT) AS total_kept,
+           CAST(sum(len(list_filter(
+                  string_split_regex(array_to_string(keep, chr(10)), '\\s+'),
+                  w -> w <> ''))) AS BIGINT) AS total_words_clean
+    FROM kept
+    GROUP BY source
+    """,
+    "llm", "pipeline", "text",
+)
+def pipeline_markup_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-markup curation front end — the stage C4 and every web-scale
+    pipeline starts with, composed end to end: synthesized page markup
+    → textops.html_extract (tag/script/entity handling) →
+    textops.line_filter (C4 line rules on the extracted visual lines)
+    → per-source curation accounting (docs, lines seen, lines kept,
+    clean words). One lazy plan: two map-side extraction passes and a
+    single source-keyed aggregate — no shuffle until the final
+    group-by. The oracle replays extraction, line rules and the
+    aggregate; one surviving-line difference moves total_kept and
+    breaks the hash."""
+    marked = _markup_docs(spark, sf_dir)
+    extracted = T.html_extract(marked, "doc_id", "html").join(
+        marked.select("doc_id", "source"), "doc_id"
+    )
+    cleaned = T.line_filter(extracted, "doc_id", "text", min_words=3).join(
+        extracted.select("doc_id", "source", F.col("n_lines").alias("__nl")),
+        "doc_id",
+    )
+    words = F.size(
+        F.filter(F.split(F.col("text_clean"), r"\s+"), lambda w: w != "")
+    )
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nl").cast("long").alias("total_lines"),
+        F.sum("n_kept").cast("long").alias("total_kept"),
+        F.sum(words).cast("long").alias("total_words_clean"),
+    )
+
+
 @register(
     "x_chunk_documents",
     """
@@ -5471,6 +5684,93 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the island merge (new span iff position gap > W−1)."""
     docs = _t(spark, sf_dir, "documents")
     return D.exact_substring_spans(docs, "doc_id", "text", window_tokens=8)
+
+
+@register(
+    "x_substring_rewrite",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                                  x -> x <> ''), []) AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS win_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+        FROM t
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY win_text) AS cnt,
+             row_number() OVER (PARTITION BY win_text
+                                ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    cut AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 7
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM cut
+    ),
+    spans AS (
+      SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+        FROM isl
+      ) GROUP BY doc_id, isl_id
+    ),
+    sp AS (SELECT doc_id, count(*) AS n_spans_cut FROM spans GROUP BY doc_id),
+    cutpos AS (
+      SELECT DISTINCT doc_id, i
+      FROM (SELECT doc_id, unnest(generate_series(s + 1, e + 1)) AS i
+            FROM spans)
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM t
+    ),
+    keptt AS (
+      SELECT tp.doc_id, tp.tok, tp.i
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM cutpos c
+                        WHERE c.doc_id = tp.doc_id AND c.i = tp.i)
+    ),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY i) AS text_kept
+      FROM keptt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+           CAST(coalesce(sp.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+           coalesce(ka.text_kept, '') AS text_kept
+    FROM t LEFT JOIN sp USING (doc_id) LEFT JOIN ka USING (doc_id)
+    """,
+    "dedup",
+)
+def x_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (dedup.exact_substring_rewrite; Lee et
+    al. 2022 'cut the duplicated spans out') — the rewrite product the
+    x_substring_dedup audit only reports: every maximal 8-token-window
+    duplicated span is cut from all but its globally FIRST occurrence
+    (total (doc_id, pos) order, the span_dedup winner rule), and the
+    doc reassembles from the surviving normalized tokens. The oracle
+    replays windowing, the first-occurrence rank, the island merge,
+    the cut-position expansion and the ordered string_agg rebuild —
+    one mis-ranked window occurrence changes a text_kept byte and
+    breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_substring_rewrite(docs, "doc_id", "text", window_tokens=8)
 
 
 @register(
@@ -8333,6 +8633,67 @@ def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return table_profile(docs, ["doc_id", "source", "lang", "n_chars"])
+
+
+@register(
+    "x_expectations",
+    """
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
+    checks AS (
+      SELECT 'accepted_status' AS expectation, 'row_check' AS kind,
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                  AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_not_null', 'row_check',
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'fk_custkey', 'foreign_key',
+             CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'pk_orderkey', 'unique',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'positive_price', 'row_check',
+             CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT)
+      FROM orders
+    )
+    SELECT expectation, kind, violations, t.total AS total,
+           violations = 0 AS passed
+    FROM checks CROSS JOIN t
+    ORDER BY expectation
+    """,
+    "llm", "A4", "P6",
+)
+def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (io.check_expectations — the
+    deequ/dbt-tests role): three row predicates, one exact-uniqueness
+    check and one referential-integrity check over orders, all named,
+    each emitting (violations, total, passed). Plan: every row check
+    and the PK uniqueness ride ONE aggregate scan; the FK orphan count
+    is a broadcast LEFT ANTI against the customer dimension — the gate
+    costs ~one pass regardless of how many expectations it carries.
+    The oracle restates each family in independent SQL (FILTER
+    aggregates, count-distinct, NOT IN with the null guard)."""
+    from gramene_mongodb_spark.io import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return check_expectations(
+        orders,
+        row_checks={
+            "accepted_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "positive_price": F.col("o_totalprice") > 0,
+        },
+        unique={"pk_orderkey": ("o_orderkey",)},
+        foreign_keys={"fk_custkey": ("o_custkey", customer, "c_custkey")},
+    )
 
 
 @register(
@@ -11280,46 +11641,41 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-9 HARD ROTATION (VERDICT r8 §next-round #1): every family
-    # is stable and the full catalog is 186/186 parity-green at both
-    # SFs, so the window stops re-attesting greens entirely — all 50
-    # slots go to entries with NO green row in any CORRECTNESS_r0*.json
-    # (plus this round's two new entries). Displaced greens remain
-    # parity-swept at sf0.001+sf0.1 and pytest-parametrized.
+    # ROUND-10 ROTATION (VERDICT r9 §next-round #3): continue the hard
+    # rotation — all 50 slots go to entries with NO green row in any
+    # CORRECTNESS_r0*.json (69 remain per scripts/attestation_ledger.py,
+    # including this round's three new entries); the 19 left over are
+    # round-11's queue. Displaced greens remain parity-swept at
+    # sf0.001+sf0.1 (scripts/parity.py) and pytest-parametrized.
     #
-    # composite pipelines — the never-attested five + the two round-9
-    # flagships (homologs lifecycle; live-streaming agg maintenance)
-    "pipeline_homologs", "pipeline_corpus_curate", "pipeline_corpus_clean",
-    "pipeline_corpus_map", "pipeline_training_mix",
-    "pipeline_atlas_expression", "pipeline_tokenize_pack",
-    # TPC-H breadth tail (never driver-attested; q01/q03/q05/q11/q21
-    # and the rest of the spine are green in r6–r8)
-    "q02_min_price_supplier", "q06_forecast_revenue", "q07_nation_volume",
-    "q08_market_share", "q09_product_profit", "q10_returned_revenue",
-    "q12_late_priority_counts", "q14_promo_share", "q15_top_supplier",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q22_idle_rich_customers",
-    # family anchors (join / agg / window / kernel shapes stay covered
-    # by first-time entries, not by re-runs)
-    "j12_decorate_tree_leaves", "a_cube_flags", "w_ntile_quartiles",
-    "k9_prune_zero_gene",
-    # streaming: as-of twin + the REAL foreachBatch streaming fold
-    "x_asof_next_click", "x_stream_agg_merge",
-    # sources / schema / sinks
-    "s_schema_evolution", "s_sql_parity", "x_xml_interpro", "x_rest_lut",
-    "x_upsert_orders",
-    # multimodal
-    "x_media_probe", "x_image_phash", "x_video_shots", "x_audio_segments",
-    # eval metrics
-    "x_bleu_eval", "x_rouge_eval", "x_ranking_eval", "x_lsh_recall_eval",
-    # mergeable sketches
-    "x_cms_frequency", "x_cms_selfjoin_size", "x_quantile_sketch_merge",
-    "x_bloom_prefilter",
-    # tokenizer family
-    "x_bpe_train", "x_bpe_encode", "x_bpe_pairs",
-    # dedup / text / similarity / graph first-timers
-    "x_substring_dedup", "x_pii_redact", "x_hard_negatives",
-    "x_graph_components",
+    # round-10 additions (html extraction, substring REWRITE, markup
+    # curation pipeline) — first exposure
+    "x_html_extract", "pipeline_markup_curate", "x_substring_rewrite",
+    # §2 anchors never driver-attested (judge-r9 green)
+    "k8_nested_tree_docs", "p7_gene_split_filter", "s17_reject_stream",
+    "u1_priority_union", "w3_species_ranked", "w5_canonical_transcript",
+    # sampling / mixture family (r9 ask by name)
+    "x_stratified_sample", "x_mixture_sample", "x_hash_sample",
+    "x_fixed_sample", "x_token_budget", "x_domain_quota",
+    # media decode family (r9 ask by name)
+    "x_media_frames", "x_media_resize", "x_media_audio",
+    # eval metrics (r9 ask by name)
+    "x_kappa_eval", "x_auc_eval",
+    # round-9 additions rotating in (r9 ask by name)
+    "x_dsir_select", "x_nb_classify", "x_pmi_collocations",
+    "x_event_transitions", "x_leakage_matrix",
+    # named stragglers from the r9 ask
+    "x_mongo_find", "x_stream_exactly_once", "x_contamination",
+    "x_span_dedup", "x_text_quality",
+    # embeddings / similarity / graph first-timers
+    "x_embed_near_exact", "x_embed_near_lsh", "x_embed_quantize",
+    "x_pq_codes", "x_semantic_contamination", "x_cigar_identity",
+    "x_triangle_count",
+    # text analysis / retrieval first-timers
+    "x_lang_id", "x_line_filter", "x_pii_scan", "x_lm_score",
+    "x_boilerplate_ratio", "x_boilerplate_shingles", "x_chunk_documents",
+    "x_repetition_stats", "x_text_stats", "x_top_ngrams", "x_tfidf_topk",
+    "x_inverted_index", "x_rrf_hybrid",
 )
 
 

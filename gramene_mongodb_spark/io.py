@@ -143,6 +143,88 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    target_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 2048,
+    total_rows: int | None = None,
+    **options,
+) -> dict:
+    """Target-size governed sink — output FILE SIZING is the part of a
+    100 TB ETL that ``df.write`` alone gets wrong: task count dictates
+    file count, so a 2000-task stage writing a 10 GB result leaves
+    2000×5 MB fragments (listing + footer + task overhead on every
+    read), while a coalesced stage writing 10 TB leaves multi-GB files
+    that break row-group parallelism. This helper prices rows in the
+    TARGET format and sizes the write to ``target_bytes`` files.
+
+    Mechanics (two bounded passes, no full pre-scan):
+
+    1. **Price**: write ``sample_rows`` rows (``limit`` — cheap, reads
+       only leading partitions) to a ``<path>__sizing__`` sibling in
+       the same format+options, measure encoded bytes via the Hadoop
+       FileSystem API (scheme-honest: file:/, hdfs://, s3a://), derive
+       bytes/row. Encoded size is the only honest signal — in-memory
+       row width over-prices dictionary/RLE-friendly data by 5-20×.
+    2. **Cap**: write with ``maxRecordsPerFile = target_bytes //
+       bytes_per_row`` so no task emits an oversized file, regardless
+       of upstream partitioning.
+    3. **Merge (opt-in)**: when the caller supplies ``total_rows``
+       (known from an upstream ``observe``/count — this helper never
+       forces a second full scan of the input), also
+       ``repartition(ceil(total_rows / records_per_file))``
+       round-robin so undersized fragments merge and files come out
+       uniform. Without it, AQE's coalescing plus the cap still bound
+       the size above, just not below.
+
+    Small samples over-estimate bytes/row (footer/dictionary overhead
+    amortizes with file size), which errs toward SMALLER files — the
+    safe direction. Returns the sizing decision for observability:
+    ``{bytes_per_row, records_per_file, n_partitions, sampled}``.
+    """
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = path.rstrip("/") + "__sizing__"
+    fmt_writer = lambda d, p: d.write.mode("overwrite").options(**options).format(
+        fmt
+    ).save(p)
+    sample = df.limit(int(sample_rows))
+    fmt_writer(sample, tmp)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jtmp.getFileSystem(conf)
+    sampled_bytes = fs.getContentSummary(jtmp).getLength()
+    n_sampled = spark.read.format(fmt).options(**options).load(tmp).count()
+    fs.delete(jtmp, True)
+    if n_sampled == 0:  # empty input: plain write, nothing to size
+        fmt_writer(df, path)
+        return {"bytes_per_row": 0.0, "records_per_file": 0,
+                "n_partitions": None, "sampled": 0}
+    bytes_per_row = max(1.0, sampled_bytes / n_sampled)
+    records_per_file = max(1, int(target_bytes // bytes_per_row))
+    n_parts = None
+    out = df
+    if total_rows is not None:
+        n_parts = max(1, -(-int(total_rows) // records_per_file))
+        out = df.repartition(n_parts)
+    (
+        out.write.mode(mode)
+        .options(**options)
+        .option("maxRecordsPerFile", records_per_file)
+        .format(fmt)
+        .save(path)
+    )
+    return {
+        "bytes_per_row": bytes_per_row,
+        "records_per_file": records_per_file,
+        "n_partitions": n_parts,
+        "sampled": n_sampled,
+    }
+
+
 def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC source — format breadth beyond the reference's JSONL/TSV
     (S4/S5): ORC is the other columnar interchange format a Spark shop
@@ -465,6 +547,102 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    row_checks: dict[str, "object"] | None = None,
+    unique: dict[str, tuple[str, ...]] | None = None,
+    foreign_keys: dict[str, tuple[str, DataFrame, str]] | None = None,
+    fk_broadcast: bool = True,
+) -> DataFrame:
+    """Declarative data-quality gate (the deequ/dbt-tests role): verify
+    a load against named expectations and emit one row per expectation
+    with its violation count — the artifact a 100 TB pipeline writes
+    next to every partition it publishes, so a bad load is caught at
+    the sink, not three jobs downstream.
+
+    Three expectation families, each with the cheapest faithful plan:
+
+    - ``row_checks``: name → boolean Column; ALL compile into ONE
+      aggregate pass (``count(when(~pred))`` per check — violations of
+      any number of row predicates cost a single scan). Covers
+      not-null, accepted-values, ranges, regex shape, cross-column
+      implications.
+    - ``unique``: name → column tuple; exact duplicate count via
+      ``count(*) − count(distinct struct(cols))`` in the SAME single
+      aggregate (multi-distinct costs Catalyst an Expand — the honest
+      price of exactness; at extreme widths run uniqueness separately).
+    - ``foreign_keys``: name → (col, ref_df, ref_col); orphan count by
+      LEFT ANTI join, broadcast when the reference side is a dimension
+      (``fk_broadcast``, the common case), shuffle-hash otherwise.
+      NULL FKs are not orphans (SQL semantics: membership unknown).
+
+    Output: ``(expectation, kind, violations, total, passed)``, ordered
+    by name. ``total`` is the scanned row count (denominator for
+    violation-rate alerting)."""
+    from pyspark.sql import functions as F
+
+    row_checks = row_checks or {}
+    unique = unique or {}
+    foreign_keys = foreign_keys or {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in row_checks.items():
+        aggs.append(F.count(F.when(~pred, 1)).alias(f"__rc_{name}"))
+    for name, cols in unique.items():
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+            ).alias(f"__uq_{name}")
+        )
+    wide = df.agg(*aggs)
+    parts = []
+    for name in row_checks:
+        parts.append((name, "row_check", f"__rc_{name}"))
+    for name in unique:
+        parts.append((name, "unique", f"__uq_{name}"))
+    spark = df.sparkSession
+    if parts:
+        stack = ", ".join(f"'{n}', '{k}', {c}" for n, k, c in parts)
+        out = wide.selectExpr(
+            "CAST(__n AS BIGINT) AS total",
+            f"stack({len(parts)}, {stack}) AS (expectation, kind, violations)",
+        )
+    else:  # FK-only gate: no single-pass aggregate to unpivot
+        out = spark.createDataFrame(
+            [],
+            "expectation STRING, kind STRING, violations BIGINT, total BIGINT",
+        )
+    for name, (col, ref_df, ref_col) in foreign_keys.items():
+        ref = ref_df.select(F.col(ref_col).alias(col)).distinct()
+        if fk_broadcast:
+            ref = F.broadcast(ref)
+        orphans = (
+            df.select(col)
+            .filter(F.col(col).isNotNull())
+            .join(ref, col, "left_anti")
+        )
+        fk_row = orphans.agg(
+            F.count(F.lit(1)).alias("violations")
+        ).crossJoin(
+            df.agg(F.count(F.lit(1)).cast("long").alias("total"))
+        ).select(
+            F.lit(name).alias("expectation"),
+            F.lit("foreign_key").alias("kind"),
+            F.col("violations").cast("long"),
+            "total",
+        )
+        out = out.select("expectation", "kind", "violations", "total").unionByName(
+            fk_row
+        )
+    return out.select(
+        "expectation",
+        "kind",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("total").cast("long").alias("total"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("expectation")
 
 
 def conform_schema(df: DataFrame, target) -> DataFrame:

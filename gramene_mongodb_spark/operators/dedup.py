@@ -411,6 +411,137 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text: str = "text",
+    window_tokens: int = 8,
+    min_count: int = 2,
+    hash_prefilter: bool = True,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022) — the rewrite product
+    :func:`exact_substring_spans` only audits: cut every maximal
+    duplicated token span out of each document, with keep-FIRST-
+    occurrence semantics (same winner rule as :func:`span_dedup`), and
+    return the cleaned corpus.
+
+    A window occurrence (doc, pos, W tokens at stride 1) is CUT when
+    its window text occurs ``min_count``+ times corpus-wide AND it is
+    not the globally first occurrence of that text (total order
+    (id, pos)). Cut windows merge into maximal spans by the same
+    gaps-and-islands rule as the audit (new span iff gap > W−1); every
+    token covered by a cut span is removed; the surviving normalized
+    tokens reassemble in order. A doc that is a full copy of an
+    earlier doc rewrites to '' while the first occurrence is untouched;
+    an immediately repeated phrase within one doc keeps its first copy.
+
+    Output: ``(id, n_tokens, n_cut_tokens, n_spans_cut, text_kept)``
+    over the NORMALIZED token stream (same contract as
+    ``span_dedup.text_kept``).
+
+    Scale: the window pass is the audit's (hash-prefilter default —
+    8 B/window through the count exchange, broadcast-bounded join-back,
+    exact text verify on the duplicated remainder only); the
+    first-occurrence rank rides the same win-text partition as the
+    verify count (one window spec, no extra shuffle). Cut spans
+    aggregate doc-keyed into per-doc interval arrays (span count per
+    doc is small — bounded by n_windows/W islands), join back on the
+    id, and the rewrite itself is a MAP-SIDE index-aware array filter:
+    the corpus never shuffles token-by-token.
+    """
+    from pyspark.sql import Window
+
+    W = window_tokens
+    toks = F.filter(F.split(_norm(F.col(text)), r"[^a-z0-9]+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("__toks"),
+    )
+    n_windows = F.greatest(F.size("__toks") - F.lit(W) + 1, F.lit(0))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                n_windows >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_join(F.slice("__toks", i, W), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "win_text"),
+    )
+    cw = Window.partitionBy("win_text")
+    rw = Window.partitionBy("win_text").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    if hash_prefilter:
+        hashed = wins.withColumn("win_hash", F.xxhash64("win_text"))
+        dup_hashes = (
+            hashed.groupBy("win_hash")
+            .agg(F.count(F.lit(1)).alias("__hcnt"))
+            .filter(F.col("__hcnt") >= min_count)
+            .select("win_hash")
+            .persist()
+        )
+        n_dup = dup_hashes.count()
+        if n_dup <= broadcast_threshold:
+            candidates = hashed.join(F.broadcast(dup_hashes), "win_hash")
+        else:
+            candidates = hashed.join(dup_hashes, "win_hash")
+    else:
+        candidates = wins
+    # exact verify + first-occurrence rank share one win_text partition:
+    # all occurrences of a candidate text are candidates (equal text ⇒
+    # equal hash), so the rank over candidates IS the global rank
+    cut = (
+        candidates.withColumn("__cnt", F.count(F.lit(1)).over(cw))
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter((F.col("__cnt") >= min_count) & (F.col("__rn") > 1))
+        .select(id_col, "pos")
+    )
+    ow = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        cut.withColumn("__lag", F.lag("pos").over(ow))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__lag").isNull() | (F.col("pos") - F.col("__lag") > W - 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(ow))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(W) - 1).alias("e"),
+        )
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__cuts"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_cut"),
+    )
+    kept = F.when(
+        F.col("__cuts").isNull(), F.col("__toks")
+    ).otherwise(
+        # 0-based index filter against the cut intervals (also 0-based
+        # token positions s..e inclusive); nested lambda capture of i
+        F.filter(
+            "__toks",
+            lambda t, i: ~F.exists(
+                "__cuts", lambda c: (i >= c["s"]) & (i <= c["e"])
+            ),
+        )
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).cast("long").alias("n_cut_tokens"),
+            F.coalesce("n_spans_cut", F.lit(0)).cast("long").alias("n_spans_cut"),
+            F.array_join(kept, " ").alias("text_kept"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1283,10 +1414,19 @@ def source_leakage_matrix(
     integer micro-Jaccard ``n_shared·1e6 / (n_a + n_b − n_shared)``
     computed by overflow-free split division.
 
-    Scale: one (group, shingle) distinct, one shingle-keyed count, one
-    bounded self-join, and group-keyed size aggregates joined back as
-    broadcasts (group count is small). The corpus shuffles once, keyed
-    on the shingle.
+    Scale: one (group, shingle-hash) distinct, one hash-keyed count,
+    one bounded self-join, and group-keyed size aggregates joined back
+    as broadcasts (group count is small). The corpus shuffles once —
+    and what shuffles is ``xxhash64(shingle)`` (8 bytes/row), not the
+    shingle text: the same prefilter trick as ``exact_substring_spans``
+    applied to the whole pipeline, since every downstream consumer
+    (distinct, df-count, self-join, sizes) only needs shingle IDENTITY,
+    never its bytes. Collisions merge two distinct shingles with
+    probability ≈ |S|²/2⁶⁵ (≈3e-5 at a trillion distinct shingles) and
+    shift a single count by ±1 out of group-vocabulary-sized
+    denominators — immaterial at micro-Jaccard precision, which is why
+    no text join-back verify pass is spent here (unlike substring
+    dedup, where a collision would flip a binary keep/cut decision).
     """
     # materialize=True is load-bearing for PARALLELISM, not just reuse:
     # the shuffled text bytes are small, so AQE coalesces the
@@ -1302,18 +1442,19 @@ def source_leakage_matrix(
     )
     gx = (
         arrays.select("__grp", F.explode("shingles").alias("shingle"))
+        .select("__grp", F.xxhash64("shingle").alias("sh"))
         .distinct()
         .localCheckpoint(eager=True)  # feeds bound + sizes + both join sides
     )
-    ng = gx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__ng"))
+    ng = gx.groupBy("sh").agg(F.count(F.lit(1)).alias("__ng"))
     kept = gx.join(
-        ng.filter(F.col("__ng") <= max_groups_per_shingle).select("shingle"),
-        "shingle",
+        ng.filter(F.col("__ng") <= max_groups_per_shingle).select("sh"),
+        "sh",
     )
     sizes = kept.groupBy("__grp").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     inter = (
         kept.alias("a")
-        .join(kept.alias("b"), "shingle")
+        .join(kept.alias("b"), "sh")
         .filter(F.col("a.__grp") < F.col("b.__grp"))
         .groupBy(
             F.col("a.__grp").alias("src_a"), F.col("b.__grp").alias("src_b")

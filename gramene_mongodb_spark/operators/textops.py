@@ -312,6 +312,76 @@ LINE_BLACKLIST = (
 _TERMINAL_RE = r'[.!?"”]$'
 
 
+#: Entity decode table for html_extract — applied in order, with &amp;
+#: LAST so "&amp;lt;" decodes to "&lt;" (one level), never to "<".
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+#: Tags whose boundaries break text flow — converted to newlines so the
+#: C4 line rules (line_filter) see the document's visual line structure.
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|pre"
+    "|section|article|header|footer|nav|aside|form"
+)
+
+
+def html_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html: str = "html",
+    out: str = "text",
+) -> DataFrame:
+    """HTML/markup → text extraction — the stage every web-scale corpus
+    pipeline starts with (C4/CCNet begin at WET/WARC markup, not clean
+    prose). JVM regexp expressions only, in a fixed order:
+
+    1. ``<script>``/``<style>`` elements vanish WITH their contents
+       (code and CSS are not prose); HTML comments vanish;
+    2. block-level tag boundaries become newlines, so downstream
+       line-level rules (:func:`line_filter`) operate on the page's
+       visual lines;
+    3. remaining tags strip to a space (inline markup must not glue
+       words together);
+    4. the common named/numeric entities decode, ``&amp;`` last so
+       double-encoded entities decode exactly one level;
+    5. horizontal whitespace collapses per line; blank lines drop;
+       the doc reassembles as newline-joined trimmed lines.
+
+    Every pattern is RE2-compatible (no backreferences, inline ``(?is)``
+    flags only) so a SQL oracle replays the transform verbatim.
+
+    Output: ``(id, out, n_lines)`` where ``n_lines`` counts surviving
+    (non-blank) lines. Map-side only — no shuffle, no UDF: at 100 TB
+    this rides the scan like line_filter does.
+    """
+    s = F.regexp_replace(
+        F.col(html), r"(?is)<script\b[^>]*>.*?</script\s*>", " "
+    )
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, rf"(?is)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*>", "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.regexp_replace(s, ent, ch)
+    s = F.regexp_replace(s, r"[^\S\n]+", " ")
+    lines = F.filter(
+        F.transform(F.split(s, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(lines, "\n").alias(out),
+        F.size(lines).cast("long").alias("n_lines"),
+    )
+
+
 def line_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -10,7 +10,11 @@ inside the round:
   either the driver parsed it (``parsed`` non-null) or the tail's last
   line is itself valid JSON with a non-null ``value``;
 * the latest ``CORRECTNESS_r{N}.json`` must have zero ``err`` rows and
-  every row green (rows/schema/hash match).
+  every row green (rows/schema/hash match);
+* ``TIMING_AUDIT.json`` (VERDICT r9 #8) must exist, parse, cover the
+  live registry (within the skip list + a small error allowance), and
+  carry no single-entry outlier over the plan-collapse threshold —
+  the machine-checkable form of the round-9 long-tail audit.
 
 Exit 0 = clean; exit 1 = findings printed to stdout. Known-bad rounds
 already adjudicated by a judge can be waived with ``--waive N``
@@ -73,6 +77,35 @@ def check_correctness(n: int, path: Path) -> list[str]:
     return bad
 
 
+TIMING_FLAG_S = 6.0  # round-9 collapse fixes landed at 2.2s; 6s at
+# sf0.1 local[32] is the "a narrow chain fell to one task" smell line
+
+
+def check_timing(path: Path) -> list[str]:
+    if not path.exists():
+        return [f"{path.name}: missing — run scripts/timing_audit.py"]
+    try:
+        doc = json.loads(path.read_text())
+    except ValueError as e:
+        return [f"{path.name}: unparseable ({e})"]
+    entries = doc.get("entries") or {}
+    reg = doc.get("registry_size") or 0
+    covered = len(entries) + len(doc.get("skipped") or [])
+    bad = []
+    if reg and covered < reg - 3:  # small allowance for transient errs
+        bad.append(
+            f"{path.name}: covers {covered}/{reg} registry entries — stale "
+            "or too many ERR rows; rerun scripts/timing_audit.py"
+        )
+    for name, t in sorted(entries.items(), key=lambda kv: -kv[1]):
+        if t > TIMING_FLAG_S:
+            bad.append(
+                f"{path.name}: {name} min-wall {t:.1f}s > {TIMING_FLAG_S}s "
+                "— possible plan collapse (see SCALE.md twelfth probe)"
+            )
+    return bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -98,6 +131,8 @@ def main() -> int:
             print(f"waived: {path.name} (round {n} adjudicated)")
             continue
         findings.extend(checker(n, path))
+
+    findings.extend(check_timing(ROOT / "TIMING_AUDIT.json"))
 
     if findings:
         print("ARTIFACT HYGIENE FINDINGS:")

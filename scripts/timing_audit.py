@@ -10,10 +10,17 @@ cluster bill does.
 
 Usage: python scripts/timing_audit.py [sf_dir] [min_seconds] [runs]
 Defaults: /root/testdata/sf0.1, flag > 2.5s, 3 runs (min taken).
+
+Emits ``TIMING_AUDIT.json`` at the repo root (VERDICT r9 #8): the full
+per-entry min-of-N table plus run metadata, so the long-tail
+plan-collapse class stays machine-checkable round over round instead of
+living in SCALE.md prose. ``scripts/check_artifacts.py`` verifies the
+artifact parses, covers the registry, and carries no extreme outlier.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -55,6 +62,24 @@ def main() -> None:
     for t, name in rows:
         if t > flag_s:
             print(f"  {t:6.2f}  {name}")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "TIMING_AUDIT.json")
+    with open(out, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "runs": runs,
+                "registry_size": len(REGISTRY),
+                "skipped": sorted(skip),
+                "total_min_wall_s": round(total, 2),
+                "entries": {n: round(t, 3) for t, n in rows},
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    print(f"wrote {out}")
     spark.stop()
 
 

@@ -7,6 +7,8 @@ import glob
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gramene_mongodb_spark import io
@@ -302,3 +304,133 @@ def test_read_evolving_reraises_non_merge_errors(spark, tmp_path):
         io.read_evolving(
             spark, [str(tmp_path / "nope_does_not_exist")], target
         )
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_write_sized_bounds_file_count_at_two_sfs(spark, tmp_path, sf):
+    """VERDICT r9 #7: the target-size writer must hold its file-size
+    contract at BOTH SFs — per-file bytes capped near target_bytes, and
+    with total_rows supplied the file COUNT lands within 2× of the
+    ideal total/target split (no small-file spray, no giant files)."""
+    from gramene_mongodb_spark.io import load_table, write_sized
+
+    target = 96 * 1024
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    n = li.count()
+    out = str(tmp_path / "sized")
+    # fragment the input first so the merge direction is actually tested
+    stats = write_sized(
+        li.repartition(32), out, target_bytes=target, total_rows=n
+    )
+    files = _parquet_files(out)
+    total = sum(os.path.getsize(f) for f in files)
+    ideal = max(1, -(-total // target))
+    assert stats["n_partitions"] == len(files)
+    assert ideal / 2 <= len(files) <= ideal * 2 + 1, (len(files), ideal)
+    # sampling over-estimates bytes/row (footer amortization) so files
+    # err small; nothing should exceed ~1.5x the target
+    assert max(os.path.getsize(f) for f in files) <= target * 1.5
+    assert spark.read.parquet(out).count() == n
+
+
+def test_write_sized_caps_without_total_rows(spark, tmp_path):
+    """Single-pass mode (no total_rows): partitioning is untouched but
+    maxRecordsPerFile still caps the upper side — an oversized task
+    output splits into multiple files at the target size."""
+    from gramene_mongodb_spark.io import load_table, write_sized
+
+    target = 64 * 1024
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").coalesce(
+        1
+    )  # one fat task: the worst case the cap exists for
+    out = str(tmp_path / "capped")
+    stats = write_sized(li, out, target_bytes=target)
+    files = _parquet_files(out)
+    assert stats["n_partitions"] is None and len(files) > 1
+    assert max(os.path.getsize(f) for f in files) <= target * 1.5
+    # the sizing sample directory must not survive
+    assert not os.path.exists(out.rstrip("/") + "__sizing__")
+
+
+def test_write_sized_empty_and_jsonl(spark, tmp_path):
+    """Empty input degrades to a plain write; JSONL format variant
+    prices rows in the TARGET encoding (json rows are much wider than
+    parquet's), honoring per-format options."""
+    from gramene_mongodb_spark.io import write_sized
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    p0 = str(tmp_path / "empty")
+    stats = write_sized(empty, p0)
+    assert stats == {
+        "bytes_per_row": 0.0, "records_per_file": 0,
+        "n_partitions": None, "sampled": 0,
+    }
+    assert spark.read.parquet(p0).count() == 0
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), F.repeat(F.lit("x"), 100).alias("pad")
+    )
+    pj = str(tmp_path / "jsonl")
+    stats = write_sized(df, pj, fmt="json", target_bytes=32 * 1024,
+                        total_rows=5000)
+    jfiles = [
+        os.path.join(pj, f) for f in os.listdir(pj) if f.endswith(".json")
+    ]
+    assert len(jfiles) == stats["n_partitions"] > 1
+    # json prices ~110 B/row here; parquet would price the same rows
+    # at a few bytes — the format-true sample is the point
+    assert stats["bytes_per_row"] > 50
+    assert spark.read.json(pj).count() == 5000
+
+
+def test_check_expectations_detects_each_family(spark):
+    """Each expectation family must COUNT its seeded violations (a gate
+    that only ever passes is untested): null id, off-list status,
+    non-positive price, duplicate key, two FK orphans. NULL price and
+    NULL fk are NOT violations (three-valued SQL semantics)."""
+    ref = spark.createDataFrame([(1,), (2,)], "k LONG")
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0, 1),
+            (1, "B", -1.0, 2),
+            (None, "A", 2.0, 3),
+            (4, "A", None, 9),
+            (5, "A", 1.0, None),
+        ],
+        "id LONG, status STRING, price DOUBLE, fk LONG",
+    )
+    got = {
+        r.expectation: (r.kind, r.violations, r.total, r.passed)
+        for r in io.check_expectations(
+            df,
+            row_checks={
+                "id_not_null": F.col("id").isNotNull(),
+                "status_ok": F.col("status").isin("A"),
+                "price_pos": F.col("price") > 0,
+            },
+            unique={"pk_id": ("id",)},
+            foreign_keys={"fk_ref": ("fk", ref, "k")},
+        ).collect()
+    }
+    assert got == {
+        "id_not_null": ("row_check", 1, 5, False),
+        "status_ok": ("row_check", 1, 5, False),
+        "price_pos": ("row_check", 1, 5, False),
+        "pk_id": ("unique", 1, 5, False),
+        "fk_ref": ("foreign_key", 2, 5, False),
+    }
+    # FK-only gate: the stack-less path
+    only_fk = io.check_expectations(
+        df, foreign_keys={"fk_ref": ("fk", ref, "k")}
+    ).collect()
+    assert [(r.expectation, r.violations) for r in only_fk] == [("fk_ref", 2)]

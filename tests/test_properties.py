@@ -2038,6 +2038,96 @@ def test_exact_substring_spans_hash_path_equals_text_path(spark, texts, w):
 
 
 @given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_exact_substring_rewrite_matches_brute_force(spark, texts, w):
+    """exact_substring_rewrite vs a direct python reference: cut every
+    window occurrence that duplicates an earlier (doc, pos) occurrence,
+    merge cut windows into maximal spans, delete covered tokens,
+    reassemble. The 2-symbol alphabet forces heavy collisions, and the
+    hash path must equal the text path on the same corpora."""
+    import re
+    from collections import defaultdict
+
+    from gramene_mongodb_spark.operators.dedup import exact_substring_rewrite
+
+    docs = list(enumerate(texts))
+    toks = {
+        i: [x for x in re.split(r"[^a-z0-9]+", t.strip().lower()) if x]
+        for i, t in docs
+    }
+    occ = defaultdict(list)  # win_text -> [(doc, pos)] in (doc, pos) order
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(max(0, len(tk) - w + 1)):
+            occ[" ".join(tk[p : p + w])].append((i, p))
+    cut_pos = defaultdict(list)
+    for _, places in occ.items():
+        if len(places) >= 2:
+            for i, p in places[1:]:  # keep the global first occurrence
+                cut_pos[i].append(p)
+    want = {}
+    for i, tk in toks.items():
+        spans: list[list[int]] = []
+        for p in sorted(cut_pos.get(i, [])):
+            if spans and p - spans[-1][2] <= w - 1:
+                spans[-1][1] = max(spans[-1][1], p + w - 1)
+                spans[-1][2] = p
+            else:
+                spans.append([p, p + w - 1, p])
+        dead = {q for s, e, _ in spans for q in range(s, e + 1)}
+        kept = [x for q, x in enumerate(tk) if q not in dead]
+        want[i] = (len(tk), len(tk) - len(kept), len(spans), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    def run(**kw):
+        return {
+            r.doc_id: (r.n_tokens, r.n_cut_tokens, r.n_spans_cut, r.text_kept)
+            for r in exact_substring_rewrite(
+                df, "doc_id", "text", window_tokens=w, **kw
+            ).collect()
+        }
+
+    assert run(hash_prefilter=False) == want
+    assert run(hash_prefilter=True) == want
+
+
+def test_exact_substring_rewrite_keep_first(spark):
+    """Deterministic keep-first contract: a full copy of an earlier doc
+    rewrites to '', the first occurrence is untouched, and a doc
+    repeating a phrase twice keeps only its first copy."""
+    from gramene_mongodb_spark.operators.dedup import exact_substring_rewrite
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "one two three one two three"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in exact_substring_rewrite(
+            df, "doc_id", "text", window_tokens=3
+        ).collect()
+    }
+    assert got[0].text_kept == "alpha beta gamma delta"
+    assert got[0].n_cut_tokens == 0
+    assert got[1].text_kept == ""
+    assert got[1].n_cut_tokens == 4
+    assert got[2].text_kept == "one two three"
+    assert got[2].n_cut_tokens == 3 and got[2].n_spans_cut == 1
+
+
+@given(
     rows=st.lists(
         st.tuples(st.integers(0, 9), st.sampled_from("pqrs")),
         min_size=1,

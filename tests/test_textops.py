@@ -602,6 +602,34 @@ def test_line_filter_rules(spark):
     )
 
 
+def test_html_extract_rules(spark):
+    """Every html_extract rule on hand-built markup: script/style die
+    WITH contents (even with '<' inside the script body), comments die,
+    block tags break lines, inline tags become spaces (no word gluing),
+    entities decode one level (&amp;lt; -> &lt;, never <), whitespace
+    collapses, blank lines drop."""
+    from gramene_mongodb_spark.operators import textops as T
+
+    html = (
+        '<html><head><STYLE media="all">body {color:#000}</STYLE></head>'
+        "<body><!-- secret\nnote --><h2>Head</h2>"
+        "<p>alpha<b>beta</b> gamma &amp; delta&nbsp;&lt;tag&gt;</p>"
+        "<script type='text/js'>if (1<2) { alert('x'); }</script>"
+        "<ul><li>item one</li><li>item   two</li></ul>"
+        "<p>literal &amp;lt; stays encoded</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id: long, html: string")
+    r = T.html_extract(df, "doc_id", "html").collect()[0]
+    assert r.text == (
+        "Head\n"
+        "alpha beta gamma & delta <tag>\n"
+        "item one\n"
+        "item two\n"
+        "literal &lt; stays encoded"
+    )
+    assert r.n_lines == 5
+
+
 def test_bleu_scores_clipping_reference(spark):
     """Hand-computed BLEU-2 check: clipping caps candidate gram counts
     at the reference's; brevity log-argument emitted exactly."""
