@@ -7364,6 +7364,49 @@ def x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_random_projection",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, unnest(qv) AS v, unnest(range(0, len(qv))) AS i FROM q
+    ),
+    signs AS (
+      SELECT d.dim, ii.i,
+             CASE WHEN substr(md5('jl:' || ii.i || ':' || d.dim), 1, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, 16)) AS dim) d
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+    )
+    SELECT e.vec_id, CAST(s.dim AS BIGINT) AS dim,
+           CAST(sum(e.v * s.s) AS BIGINT) AS proj_micro
+    FROM ex e JOIN signs s USING (i)
+    GROUP BY e.vec_id, s.dim
+    """,
+    "llm", "similarity",
+)
+def x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection of the embedding
+    corpus, 64 → 16 dims (similarity.random_projection) — the
+    dimensionality-reduction pass that shrinks downstream ANN cost
+    while preserving pairwise distances to the JL bound. The sign
+    matrix is md5-parity per (input dim, output dim): the engine
+    builds it driver-side with hashlib and embeds literals (map-side
+    integer dot products at scan speed, no join/shuffle/per-row
+    hashing); the oracle RE-DERIVES the matrix with SQL md5() and
+    replays the exact int64-micro dot products — two independent
+    derivations of both matrix and arithmetic that must hash-match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.random_projection(emb, "vec_id", "embedding", 64, 16)
+
+
+@register(
     "x_embed_quantize",
     """
     WITH q AS (

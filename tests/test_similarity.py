@@ -280,3 +280,75 @@ def test_hard_negatives_excludes_same_label(spark):
             (r for r in got if r.query_id == qid), key=lambda r: r.rank
         )]
         assert have == want, qid
+
+
+def test_random_projection_matches_python_reference(spark):
+    """Engine vs pure-python reference: same md5-parity sign matrix,
+    same int64-micro quantization, exact integer dot products — every
+    (vec, dim) component must match bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    vecs = [
+        (0, [0.5, -0.25, 0.125, 1.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-1.5, 2.5, -3.5, 0.5000005]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        (r.vec_id, r.dim): r.proj_micro
+        for r in SIM.random_projection(
+            df, "vec_id", "embedding", in_dim=4, out_dim=3, seed="jl"
+        ).collect()
+    }
+
+    def sign(i, j):
+        h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 1 else -1
+
+    import decimal
+
+    def micro(x):
+        # Spark round() = HALF_UP on the double value
+        return int(
+            decimal.Decimal(float(np.float32(x)) * 1e6).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    want = {
+        (vid, j): sum(micro(v) * sign(i, j) for i, v in enumerate(vec))
+        for vid, vec in vecs
+        for j in range(3)
+    }
+    assert got == want
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity on the real corpus slice: the 64→16 projection keeps
+    relative pairwise (squared) distances within a loose distortion
+    band — the property the operator exists for."""
+    import itertools
+
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = emb.filter("vec_id < 12")
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in sample.collect()}
+    proj = SIM.random_projection(sample, "vec_id", "embedding", 64, 16).collect()
+    pv = {}
+    for r in proj:
+        pv.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.proj_micro / 1e6
+    ratios = []
+    for a, b in itertools.combinations(sorted(orig), 2):
+        d_orig = float(np.sum((orig[a] - orig[b]) ** 2))
+        d_proj = float(
+            np.sum((np.array(pv[a]) - np.array(pv[b])) ** 2)
+        ) / 16.0  # the omitted 1/k scale
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    # k=16 is loose; assert the distribution is centered, not tight
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.4 < med < 2.5, med
+    assert all(r > 0.05 for r in ratios), min(ratios)
