@@ -38,6 +38,7 @@ from gramene_mongodb_spark.operators import relational as R
 from gramene_mongodb_spark.operators import similarity as SIM
 from gramene_mongodb_spark.operators import textops as T
 from gramene_mongodb_spark.operators.closure import (
+    label_propagation,
     pagerank,
     transitive_closure,
     triangle_count,
@@ -7814,6 +7815,47 @@ _PAGERANK_ROUND = """
   LEFT JOIN {prev} p ON p.v = e.src
   GROUP BY verts.v
 """
+
+
+_LPA_ROUND = """
+  SELECT vx, lbl FROM (
+    SELECT e.u AS vx, l.lbl,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM und e JOIN {prev} l ON l.vx = e.v
+    GROUP BY e.u, l.lbl
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "x_communities_lpa",
+    f"""
+    WITH e0 AS ({_LINKGRAPH_E0_SQL}),
+    dir AS (SELECT DISTINCT src AS u, dst AS v FROM e0 WHERE src <> dst),
+    und AS (SELECT u, v FROM dir UNION SELECT v, u FROM dir),
+    lp0 AS (SELECT DISTINCT u AS vx, u AS lbl FROM und),
+    lp1 AS ({_LPA_ROUND.format(prev="lp0")}),
+    lp2 AS ({_LPA_ROUND.format(prev="lp1")}),
+    lp3 AS ({_LPA_ROUND.format(prev="lp2")})
+    SELECT vx AS vertex, lbl AS community FROM lp3
+    """,
+    "llm", "graph",
+)
+def x_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (closure.label_propagation) over the shared derived link graph —
+    the community pass a web-curation pipeline runs beside PageRank
+    (rank scores importance; communities expose hosts that move
+    together — mirror farms, boilerplate rings). Classic LPA is
+    visit-order-dependent; this variant is engine-exact: simultaneous
+    update, most-frequent-neighbor label with smallest-label
+    tie-break, three fixed rounds. The oracle unrolls the same three
+    rounds as chained CTEs over the symmetrized edge list — one
+    mis-tied argmax anywhere flips a community id and breaks the
+    hash."""
+    edges = _linkgraph_edges(spark, sf_dir)
+    return label_propagation(edges, iterations=3)
 
 
 @register(

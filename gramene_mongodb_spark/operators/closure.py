@@ -511,6 +511,72 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous deterministic label-propagation community detection
+    (Raghavan et al. 2007, made engine-exact) over an undirected graph
+    — the cheap community pass a link-graph curation pipeline runs
+    beside PageRank (rank says how IMPORTANT a host is; communities
+    say which hosts move together — mirror farms, boilerplate rings).
+
+    Determinism (classic LPA is run-order-dependent; this variant is
+    bit-identical on any engine/partitioning):
+
+    * the graph is symmetrized (both directions, self-loops dropped);
+    * ``label_0(v) = v``;
+    * each round, EVERY vertex simultaneously adopts the most frequent
+      label among its neighbors, ties broken by SMALLEST label — an
+      integer argmin over exact counts, no randomness, no visit order;
+    * fixed ``iterations`` rounds (fixpoint detection costs a count
+      action per round; fixed-round is the bounded-latency form, same
+      contract as :func:`pagerank`).
+
+    Scale shape: the symmetrized edge list partitions on the message
+    target once and checkpoints; each round is one join of the
+    vertex-sized label table into that layout plus one
+    ``groupBy(vertex, label)`` count with map-side partials and a
+    vertex-keyed argmax window — two shuffles of vertex-sized tables
+    per round, the edge set never re-shuffles. Linear per-round plan
+    growth (each round references the previous once), so no iterated
+    checkpoint is needed at small fixed round counts.
+
+    Output: ``(vertex, community)`` — one row per vertex appearing
+    anywhere in ``edges``; ``community`` is a member vertex id (the
+    propagated min-tie label), stable across engines.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round; pin the spread
+    )
+    labels = und.select(F.col("u").alias("vx")).distinct().select(
+        "vx", F.col("vx").alias("lbl")
+    )
+    w = Window.partitionBy("vx").orderBy(F.desc("__c"), F.asc("lbl"))
+    for _ in range(int(iterations)):
+        msgs = und.join(
+            labels.withColumnRenamed("vx", "v"), "v"
+        ).select(F.col("u").alias("vx"), "lbl")
+        counts = msgs.groupBy("vx", "lbl").agg(F.count(F.lit(1)).alias("__c"))
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vx", "lbl")
+        )
+    return labels.select(
+        F.col("vx").alias("vertex"), F.col("lbl").alias("community")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

@@ -1343,8 +1343,23 @@ def incremental_dedup(
     )
     cand = cand_h.unionByName(cand_d).distinct()
 
-    # exact shingle-Jaccard verification, candidates only
-    sh = sh_h.unionByName(sh_d).distinct()
+    # shingle-Jaccard verification, candidates only — keyed on
+    # xxhash64(shingle), the leakage-matrix trick: 8 B/row through the
+    # distinct, both verify joins and the size agg instead of shingle
+    # TEXT (local wall is flat — the minhash signature pass dominates
+    # CPU — but on a network-bound cluster the exchange shrinks by the
+    # text/8B ratio, the same win measured for source_leakage_matrix).
+    # Identity is all the
+    # intersection count needs; a collision merges two shingles with
+    # probability ≈ |S|²/2⁶⁵ and moves inter/n_sh by ±1 inside
+    # shingle-vocabulary-sized Jaccard terms — it could only flip a
+    # pair sitting EXACTLY on the verify threshold, the same
+    # immateriality argument documented at source_leakage_matrix.
+    sh = (
+        sh_h.unionByName(sh_d)
+        .select(id_col, F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(

@@ -349,3 +349,61 @@ def test_frequent_itemsets_empty(spark):
     # single-item baskets: no pairs, regardless of support
     solo = spark.createDataFrame([(1, "a"), (2, "a")], "basket LONG, item STRING")
     assert frequent_itemsets(solo, "basket", "item", 0.5).count() == 0
+
+
+def test_html_extract_empty(spark):
+    from gramene_mongodb_spark.operators.textops import html_extract
+
+    docs = spark.createDataFrame([], "doc_id LONG, html STRING")
+    assert html_extract(docs, "doc_id", "html").count() == 0
+
+
+def test_exact_substring_rewrite_empty_and_null(spark):
+    from gramene_mongodb_spark.operators.dedup import exact_substring_rewrite
+
+    docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert exact_substring_rewrite(docs, "doc_id").count() == 0
+    # null/empty text rows survive with zero tokens, not a throw
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in exact_substring_rewrite(docs, "doc_id").collect()}
+    assert rows[1].n_tokens == 0 and rows[1].text_kept == ""
+    assert rows[2].n_tokens == 0 and rows[2].n_spans_cut == 0
+
+
+def test_check_expectations_empty_table(spark):
+    """An empty load: zero violations everywhere (vacuous pass), total
+    0 — counts, never nulls."""
+    from gramene_mongodb_spark import io
+
+    df = spark.createDataFrame([], "id LONG, status STRING")
+    ref = spark.createDataFrame([], "k LONG")
+    got = {
+        r.expectation: (r.violations, r.total, r.passed)
+        for r in io.check_expectations(
+            df,
+            row_checks={"id_not_null": F.col("id").isNotNull()},
+            unique={"pk": ("id",)},
+            foreign_keys={"fk": ("id", ref, "k")},
+        ).collect()
+    }
+    assert got == {
+        "id_not_null": (0, 0, True),
+        "pk": (0, 0, True),
+        "fk": (0, 0, True),
+    }
+
+
+def test_random_projection_empty(spark):
+    from gramene_mongodb_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert random_projection(df, in_dim=4, out_dim=2).count() == 0
+
+
+def test_label_propagation_empty(spark):
+    from gramene_mongodb_spark.operators.closure import label_propagation
+
+    edges = spark.createDataFrame([], "src LONG, dst LONG")
+    assert label_propagation(edges).count() == 0

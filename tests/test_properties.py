@@ -2614,3 +2614,63 @@ def test_event_transitions_match_python_reference(spark, rows):
         ) // d
         want[(a, b)] = (c, d, p6)
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_label_propagation_matches_python_reference(spark, edges, rounds):
+    """Deterministic synchronous LPA vs a direct python simulation:
+    symmetrize, drop self-loops, every vertex simultaneously adopts the
+    most frequent neighbor label (smallest label on ties), R rounds.
+    Random multigraphs exercise duplicate edges, isolated self-loops
+    and asymmetric inputs."""
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.closure import label_propagation
+
+    und: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    if not und:
+        return  # all self-loops: operator yields empty, nothing to check
+    lbl = {v: v for v in und}
+    for _ in range(rounds):
+        nxt = {}
+        for v, nbrs in und.items():
+            c = Counter(lbl[u] for u in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lbl = nxt
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=rounds).collect()
+    }
+    assert got == lbl
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles each converge to one community labeled by
+    the clique's min member id within 3 rounds."""
+    from gramene_mongodb_spark.operators.closure import label_propagation
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(tri1 + tri2, "src LONG, dst LONG")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
