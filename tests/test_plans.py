@@ -499,3 +499,55 @@ def test_mongo_find_pushes_filters_to_scan(spark, sf_dir):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("o_orderdate" not in ln for ln in read_schema)
     assert "BatchEvalPython" not in plan
+
+
+def test_html_extract_rides_the_scan(spark, sf_dir):
+    """The markup-extraction chain is pure map-side regexp codegen: no
+    exchange, no Python, no join — at 100 TB it runs at scan speed."""
+    plan = plan_of(spark, sf_dir, "x_html_extract")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_random_projection_no_join_no_shuffle_no_python(spark, sf_dir):
+    """The JL sign matrix rides as literals: the projection is map-side
+    integer arithmetic + a posexplode — no exchange at all."""
+    plan = plan_of(spark, sf_dir, "x_random_projection")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_expectations_fk_probe_is_broadcast_anti(spark, sf_dir):
+    """The quality gate's FK orphan check must broadcast the dimension
+    side of the LEFT ANTI — a shuffled anti join would co-shuffle the
+    fact table per expectation."""
+    plan = plan_of(spark, sf_dir, "x_expectations")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_substring_rewrite_array_cut_is_map_side(spark, sf_dir):
+    """The rewrite product: windows shuffle as xxhash64 counts and the
+    final token cut is an array filter against the joined-back interval
+    list — no Python anywhere, no cartesian, and the only corpus-wide
+    join is the per-doc interval LEFT join on the id."""
+    plan = plan_of(spark, sf_dir, "x_substring_rewrite")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_communities_lpa_edges_shuffle_once(spark, sf_dir):
+    """LPA rounds re-shuffle only vertex-sized label/count tables; the
+    symmetrized edge list is checkpointed and the whole path stays
+    JVM-side."""
+    plan = plan_of(spark, sf_dir, "x_communities_lpa")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
