@@ -85,3 +85,34 @@ def test_bench_stdout_contract_is_compact():
     assert "detail_file" in compact_block
     # and the full detail must be written to a file before printing
     assert "SPARK_GRAFT_BENCH_DETAIL" in src
+
+
+def test_check_flags_timing_shapes(tmp_path):
+    """check_timing must catch the three TIMING_AUDIT defect shapes —
+    missing artifact, stale registry coverage, over-ceiling entry —
+    and accept the healthy form (including a measured-heavy entry
+    under its own documented ceiling)."""
+    p = tmp_path / "TIMING_AUDIT.json"
+    assert check_artifacts.check_timing(p)  # missing
+
+    def write(doc):
+        p.write_text(json.dumps(doc))
+
+    healthy = {
+        "registry_size": 4,
+        "skipped": ["s1"],
+        "entries": {"a": 1.0, "b": 2.0, "x_lsh_recall_eval": 8.0},
+    }
+    write(healthy)
+    assert check_artifacts.check_timing(p) == []
+
+    write({**healthy, "registry_size": 10})  # covers 4/10 -> stale
+    assert any("stale" in f or "covers" in f for f in check_artifacts.check_timing(p))
+
+    write({**healthy, "entries": {**healthy["entries"], "a": 7.5}})
+    assert any("a min-wall 7.5" in f for f in check_artifacts.check_timing(p))
+
+    # the per-entry ceiling: 8.0 is fine (above the default flag line),
+    # 11.0 breaches the documented regression ceiling
+    write({**healthy, "entries": {**healthy["entries"], "x_lsh_recall_eval": 11.0}})
+    assert any("x_lsh_recall_eval" in f for f in check_artifacts.check_timing(p))
