@@ -2674,3 +2674,60 @@ def test_label_propagation_two_cliques(spark):
     }
     assert {got[0], got[1], got[2]} == {0}
     assert {got[10], got[11], got[12]} == {10}
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            [
+                "plain words here",
+                "<b>bold</b>",
+                "<p>para</p>",
+                "<P CLASS='x'>attr</P>",
+                "<br>",
+                "<div>block</div>",
+                "<script>if (1<2) { x(); }</script>",
+                "<style>p {color:red}</style>",
+                "<!-- comment -->",
+                "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;", "&amp;lt;",
+                "  multiple   spaces  ",
+                "\n", "mixed <em>inline</em> tail",
+                "<ul><li>one</li><li>two</li></ul>",
+            ]
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_html_extract_matches_python_regex_reference(spark, parts):
+    """html_extract replayed with Python's re module on random markup
+    compositions: the engine runs the same patterns under Java regex —
+    any JVM/Python semantic divergence (flag handling, \\s vs [^\\S\\n],
+    lazy quantifiers) would split the outputs. This is the same
+    cross-engine contract the DuckDB oracle checks, from a third
+    independent regex implementation."""
+    import re
+
+    from gramene_mongodb_spark.operators.textops import (
+        _HTML_BLOCK_TAGS,
+        _HTML_ENTITIES,
+        html_extract,
+    )
+
+    html = "".join(parts)
+    s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", html)
+    s = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = re.sub(rf"(?is)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*>", "\n", s)
+    s = re.sub(r"(?s)<[^>]*>", " ", s)
+    for ent, ch in _HTML_ENTITIES:
+        s = s.replace(ent, ch)
+    s = re.sub(r"[^\S\n]+", " ", s)
+    lines = [x.strip() for x in s.split("\n")]
+    lines = [x for x in lines if x != ""]
+    want_text, want_n = "\n".join(lines), len(lines)
+
+    df = spark.createDataFrame([(1, html)], "doc_id LONG, html STRING")
+    r = html_extract(df, "doc_id", "html").collect()[0]
+    assert (r.text, r.n_lines) == (want_text, want_n)
