@@ -108,6 +108,10 @@ HEADLINE = [
     "pipeline_markup_curate",
     "x_substring_rewrite",
     "x_expectations",
+    # round 10 (cont.): scan-speed JL projection (literal sign matrix)
+    # and the fixed-round synchronous LPA community pass
+    "x_random_projection",
+    "x_communities_lpa",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

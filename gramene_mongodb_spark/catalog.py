@@ -7398,11 +7398,12 @@ def x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensionality-reduction pass that shrinks downstream ANN cost
     while preserving pairwise distances to the JL bound. The sign
     matrix is md5-parity per (input dim, output dim): the engine
-    builds it driver-side with hashlib and embeds literals (map-side
-    integer dot products at scan speed, no join/shuffle/per-row
-    hashing); the oracle RE-DERIVES the matrix with SQL md5() and
-    replays the exact int64-micro dot products — two independent
-    derivations of both matrix and arithmetic that must hash-match."""
+    builds it driver-side with hashlib and runs ONE map-side Arrow
+    int64-GEMM per batch (SQL higher-order folds evaluate interpreted
+    — measured ~7x slower; no join, no shuffle, no per-row hashing);
+    the oracle RE-DERIVES the matrix with SQL md5() and replays the
+    exact int64-micro dot products — two independent derivations of
+    both matrix and arithmetic that must hash-match."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.random_projection(emb, "vec_id", "embedding", 64, 16)
 

@@ -2731,3 +2731,61 @@ def test_html_extract_matches_python_regex_reference(spark, parts):
     df = spark.createDataFrame([(1, html)], "doc_id LONG, html STRING")
     r = html_extract(df, "doc_id", "html").collect()[0]
     assert (r.text, r.n_lines) == (want_text, want_n)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),      # id
+            st.sampled_from(["A", "B", "C"]),              # status
+            st.one_of(st.none(), st.integers(-3, 9)),      # price
+            st.one_of(st.none(), st.integers(0, 6)),       # fk
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    refs=st.lists(st.integers(0, 6), min_size=0, max_size=5),
+)
+@settings(**SETTINGS)
+def test_check_expectations_matches_python_reference(spark, rows, refs):
+    """The quality gate vs a direct python count on random frames with
+    nulls everywhere: row-predicate violations under three-valued
+    logic (NULL price is not a violation of price>0; NULL status not in
+    the accepted list IS null -> not counted), duplicate count over
+    ids including null-id rows, FK orphans ignoring null FKs."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark import io
+
+    df = spark.createDataFrame(
+        rows, "id LONG, status STRING, price LONG, fk LONG"
+    )
+    ref = spark.createDataFrame([(r,) for r in sorted(set(refs))], "k LONG")
+    got = {
+        r.expectation: (r.violations, r.total, r.passed)
+        for r in io.check_expectations(
+            df,
+            row_checks={
+                "id_not_null": F.col("id").isNotNull(),
+                "status_ok": F.col("status").isin("A", "B"),
+                "price_pos": F.col("price") > 0,
+            },
+            unique={"pk_id": ("id",)},
+            foreign_keys={"fk_ref": ("fk", ref, "k")},
+        ).collect()
+    }
+    n = len(rows)
+    v_id = sum(1 for i, _, _, _ in rows if i is None)
+    v_st = sum(1 for _, s, _, _ in rows if s not in ("A", "B"))
+    v_pr = sum(1 for _, _, p, _ in rows if p is not None and not p > 0)
+    ids = [i for i, _, _, _ in rows]
+    v_uq = len(ids) - len(set(ids))  # null ids form one distinct group
+    rs = set(refs)
+    v_fk = sum(1 for _, _, _, f in rows if f is not None and f not in rs)
+    assert got == {
+        "id_not_null": (v_id, n, v_id == 0),
+        "status_ok": (v_st, n, v_st == 0),
+        "price_pos": (v_pr, n, v_pr == 0),
+        "pk_id": (v_uq, n, v_uq == 0),
+        "fk_ref": (v_fk, n, v_fk == 0),
+    }
