@@ -51,6 +51,7 @@ ARROW_ALLOWED = {
     "x_media_frames",
     "x_media_probe",
     "x_media_resize",
+    "x_random_projection",  # Arrow int64 GEMM — HOF folds measured ~7x slower (BENCH_NOTES r10)
     "x_semantic_dedup",
     "x_video_shots",
 }
