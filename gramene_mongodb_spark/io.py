@@ -200,7 +200,11 @@ def write_sized(
     n_sampled = spark.read.format(fmt).options(**options).load(tmp).count()
     fs.delete(jtmp, True)
     if n_sampled == 0:  # empty input: plain write, nothing to size
-        fmt_writer(df, path)
+        # MUST honor the caller's mode here: fmt_writer hardcodes
+        # overwrite (correct for the sizing scratch dir only) — an empty
+        # incremental batch written in append mode would otherwise wipe
+        # the destination.
+        df.write.mode(mode).options(**options).format(fmt).save(path)
         return {"bytes_per_row": 0.0, "records_per_file": 0,
                 "n_partitions": None, "sampled": 0}
     bytes_per_row = max(1.0, sampled_bytes / n_sampled)
@@ -533,7 +537,9 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     wide = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"""'{c.replace("'", "''")}', """
+        f"`__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`"
+        for c in cols
     )
     return wide.selectExpr(
         "CAST(__n AS BIGINT) AS n_rows",
@@ -573,6 +579,12 @@ def check_expectations(
       ``count(*) − count(distinct struct(cols))`` in the SAME single
       aggregate (multi-distinct costs Catalyst an Expand — the honest
       price of exactness; at extreme widths run uniqueness separately).
+      NULL-key rule (pinned by test): NULL keys PARTICIPATE — the key
+      tuple is wrapped in a struct, so rows whose keys are partly or
+      fully NULL compare field-wise and duplicate NULL tuples COUNT as
+      violations. This is stricter than ANSI UNIQUE (which ignores
+      NULLs) and matches the practical primary-key intent: two
+      NULL-keyed rows in a PK column are a data bug, not "unknown".
     - ``foreign_keys``: name → (col, ref_df, ref_col); orphan count by
       LEFT ANTI join, broadcast when the reference side is a dimension
       (``fk_broadcast``, the common case), shuffle-hash otherwise.
@@ -604,7 +616,14 @@ def check_expectations(
         parts.append((name, "unique", f"__uq_{name}"))
     spark = df.sparkSession
     if parts:
-        stack = ", ".join(f"'{n}', '{k}', {c}" for n, k, c in parts)
+        # expectation names are caller-supplied strings interpolated
+        # into SQL — double any single quote in the literal and
+        # backtick-quote the derived column identifier so a name like
+        # "don't pass" can't break (or inject into) the stack() expr
+        stack = ", ".join(
+            f"""'{n.replace("'", "''")}', '{k}', `{c.replace("`", "``")}`"""
+            for n, k, c in parts
+        )
         out = wide.selectExpr(
             "CAST(__n AS BIGINT) AS total",
             f"stack({len(parts)}, {stack}) AS (expectation, kind, violations)",

@@ -538,11 +538,16 @@ def label_propagation(
     Scale shape: the symmetrized edge list partitions on the message
     target once and checkpoints; each round is one join of the
     vertex-sized label table into that layout plus one
-    ``groupBy(vertex, label)`` count with map-side partials and a
-    vertex-keyed argmax window — two shuffles of vertex-sized tables
-    per round, the edge set never re-shuffles. Linear per-round plan
-    growth (each round references the previous once), so no iterated
-    checkpoint is needed at small fixed round counts.
+    ``groupBy(vertex, label)`` count and a vertex-keyed argmax window.
+    Honest cost: the message stream between the join and the count is
+    EDGE-sized pre-combine — map-side partials shrink it only where a
+    vertex's neighbors repeat labels within a partition (late rounds,
+    once communities form; round 1 moves ~|E| rows) — so the per-round
+    exchange is bounded by the edge count, not the vertex count; the
+    edge SET itself still never re-shuffles. Plan growth per round is
+    linear (each round references the previous once); rounds ≤ 8 run on
+    one lazy plan, and past that the label table hard-checkpoints every
+    8 rounds so analysis cost can't go quadratic in ``iterations``.
 
     Output: ``(vertex, community)`` — one row per vertex appearing
     anywhere in ``edges``; ``community`` is a member vertex id (the
@@ -562,7 +567,7 @@ def label_propagation(
         "vx", F.col("vx").alias("lbl")
     )
     w = Window.partitionBy("vx").orderBy(F.desc("__c"), F.asc("lbl"))
-    for _ in range(int(iterations)):
+    for r in range(int(iterations)):
         msgs = und.join(
             labels.withColumnRenamed("vx", "v"), "v"
         ).select(F.col("u").alias("vx"), "lbl")
@@ -572,6 +577,13 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("vx", "lbl")
         )
+        # linear plan growth is fine at small fixed round counts, but a
+        # caller raising `iterations` must not buy quadratic analysis
+        # cost: sever the label lineage every 8 rounds (not each round —
+        # checkpoints cost an action; see lineage.py for the failure
+        # mode this guards)
+        if (r + 1) % 8 == 0 and (r + 1) < int(iterations):
+            labels = hard_checkpoint(labels)
     return labels.select(
         F.col("vx").alias("vertex"), F.col("lbl").alias("community")
     )

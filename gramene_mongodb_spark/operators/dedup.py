@@ -1278,8 +1278,12 @@ def incremental_dedup(
 
     A delta doc is a duplicate iff it band-matches (MinHash ``bands``
     over ``num_hashes`` md5-affine signatures, same family as
-    minhash_lsh_pairs) and exact-verifies (shingle Jaccard ≥
-    ``verify_threshold``) against a history doc, or against a delta doc
+    minhash_lsh_pairs) and hash-verifies (Jaccard ≥ ``verify_threshold``
+    over ``xxhash64(shingle)`` keys — near-exact: a cross-doc 64-bit
+    collision inflates the intersection with probability ≈ |A|·|B|/2⁶⁴
+    per pair, negligible at any real shingle-set size, and 64-bit keys
+    keep the verify shuffle fixed-width instead of text-width) against
+    a history doc, or against a delta doc
     with a SMALLER id (leader-by-id within the batch, so one batch of
     mutual dups keeps exactly one). ``dup_of`` is the minimum matching
     counterpart id — deterministic across engines.

@@ -434,3 +434,47 @@ def test_check_expectations_detects_each_family(spark):
         df, foreign_keys={"fk_ref": ("fk", ref, "k")}
     ).collect()
     assert [(r.expectation, r.violations) for r in only_fk] == [("fk_ref", 2)]
+
+
+def test_check_expectations_null_keys_fk_nulls_and_quoted_names(spark):
+    """ADVICE r10 NULL-semantics pins. (1) unique: NULL keys PARTICIPATE
+    — two NULL-keyed rows are one duplicate (the documented
+    stricter-than-ANSI rule; the x_expectations oracle replays it with
+    struct_pack). (2) foreign_key: a NULL on the REFERENCE side must not
+    poison the orphan count (the engine anti-join is NOT-IN-proof).
+    (3) expectation names containing a single quote must not break the
+    stack() SQL (injection guard)."""
+    ref = spark.createDataFrame([(1,), (None,)], "k LONG")
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (7, 3), (7, 9)],
+        "id LONG, fk LONG",
+    )
+    got = {
+        r.expectation: (r.kind, r.violations)
+        for r in io.check_expectations(
+            df,
+            row_checks={"id isn't null": F.col("id").isNotNull()},
+            unique={"pk'id": ("id",)},
+            foreign_keys={"fk_ref": ("fk", ref, "k")},
+        ).collect()
+    }
+    # 4 rows, distinct key structs {NULL},{7} → 2 duplicates
+    assert got["pk'id"] == ("unique", 2)
+    # fks {1,2,3,9}: 1 matches; 2,3,9 are orphans even though ref has a NULL
+    assert got["fk_ref"] == ("foreign_key", 3)
+    assert got["id isn't null"] == ("row_check", 2)
+
+
+def test_write_sized_empty_append_preserves_existing(spark, tmp_path):
+    """ADVICE r10 high: the empty-input fallback must honor the caller's
+    mode — an empty incremental batch appended to an existing dataset
+    must leave it untouched (the old fallback hardcoded overwrite and
+    wiped it)."""
+    from gramene_mongodb_spark.io import write_sized
+
+    p = str(tmp_path / "incr")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(p)
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    stats = write_sized(empty, p, mode="append")
+    assert stats["sampled"] == 0
+    assert spark.read.parquet(p).count() == 10

@@ -352,3 +352,24 @@ def test_random_projection_preserves_distances(spark):
     med = sorted(ratios)[len(ratios) // 2]
     assert 0.4 < med < 2.5, med
     assert all(r > 0.05 for r in ratios), min(ratios)
+
+
+def test_random_projection_degenerate_vectors_emit_null_components(spark):
+    """ADVICE r10: NULL / wrong-arity embeddings must keep their vec_id
+    visible — out_dim rows with NULL proj_micro, never silently dropped
+    (the x_random_projection oracle replays the same rule with a
+    NULL-qv UNION branch)."""
+    rows = [
+        (1, [float(i) for i in range(64)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong arity
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = SIM.random_projection(df, "vec_id", "embedding", 64, 16).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.vec_id, []).append(r.proj_micro)
+    assert set(by_id) == {1, 2, 3}
+    assert all(len(v) == 16 for v in by_id.values())
+    assert all(p is not None for p in by_id[1])
+    assert all(p is None for p in by_id[2] + by_id[3])
