@@ -6294,11 +6294,13 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four-format probe corpus keyed on c_custkey — PNG (k%4=0), WAV
-    (k%4=1), JPEG (k%4=2), MP3 (k%4=3; every other one behind a 100-byte
-    ID3v2 tag so the syncsafe skip is exercised) — all spec-valid bytes
-    built worker-side. x_media_probe only; the decode-path entries keep
-    the two-format ``_synth_media`` corpus their oracles share."""
+    """Five-format probe corpus keyed on c_custkey — PNG (k%5=0), WAV
+    (k%5=1), JPEG (k%5=2), MP3 (k%5=3; every other one behind a 100-byte
+    ID3v2 tag so the syncsafe skip is exercised), MP4 (k%5=4; rotating
+    through version-1 mvhd and an audio-first trak layout so the box
+    walk's variants are all load-bearing) — all spec-valid bytes built
+    worker-side. x_media_probe only; the decode-path entries keep the
+    two-format ``_synth_media`` corpus their oracles share."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -6307,17 +6309,25 @@ def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         def build(kk):
-            m = kk % 4
+            m = kk % 5
             if m == 0:
                 return MM.make_png((kk % 640) + 1, (kk % 480) + 1)
             if m == 1:
                 return MM.make_wav((8000, 16000, 44100)[kk % 3], (kk % 100 + 1) * 80)
             if m == 2:
                 return MM.make_jpeg((kk % 320) + 1, (kk % 240) + 1)
-            return MM.make_mp3(
-                bitrate_kbps=(64, 128, 192)[kk % 3],
-                n_frames=kk % 20 + 1,
-                id3_size=100 if kk % 8 == 3 else 0,
+            if m == 3:
+                return MM.make_mp3(
+                    bitrate_kbps=(64, 128, 192)[kk % 3],
+                    n_frames=kk % 20 + 1,
+                    id3_size=100 if kk % 10 == 4 else 0,
+                )
+            return MM.make_mp4(
+                (kk % 1280) + 16, (kk % 720) + 9,
+                duration=(kk % 3600 + 1) * 100,
+                timescale=(600, 1000, 90000)[kk % 3],
+                audio_trak_first=kk % 2 == 0,
+                wide_mvhd=kk % 4 == 1,
             )
 
         for pdf in batches:
@@ -6331,16 +6341,21 @@ def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_media_probe",
     """
     SELECT c_custkey AS media_id,
-           CASE WHEN c_custkey % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
-           CASE c_custkey % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-                              WHEN 2 THEN 'jpeg' ELSE 'mp3' END AS format,
-           CASE c_custkey % 4
+           CASE c_custkey % 5 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                              WHEN 2 THEN 'image' WHEN 3 THEN 'audio'
+                              ELSE 'video' END AS media_type,
+           CASE c_custkey % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                              WHEN 2 THEN 'jpeg' WHEN 3 THEN 'mp3'
+                              ELSE 'mp4' END AS format,
+           CASE c_custkey % 5
              WHEN 0 THEN CAST((c_custkey % 640) + 1 AS INT)
-             WHEN 2 THEN CAST((c_custkey % 320) + 1 AS INT) END AS width,
-           CASE c_custkey % 4
+             WHEN 2 THEN CAST((c_custkey % 320) + 1 AS INT)
+             WHEN 4 THEN CAST((c_custkey % 1280) + 16 AS INT) END AS width,
+           CASE c_custkey % 5
              WHEN 0 THEN CAST((c_custkey % 480) + 1 AS INT)
-             WHEN 2 THEN CAST((c_custkey % 240) + 1 AS INT) END AS height,
-           CASE c_custkey % 4
+             WHEN 2 THEN CAST((c_custkey % 240) + 1 AS INT)
+             WHEN 4 THEN CAST((c_custkey % 720) + 9 AS INT) END AS height,
+           CASE c_custkey % 5
              WHEN 1 THEN CAST(((c_custkey % 100 + 1) * 80) * 1000
                           // (CASE c_custkey % 3 WHEN 0 THEN 8000
                                                 WHEN 1 THEN 16000
@@ -6353,8 +6368,12 @@ def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                           // (CASE c_custkey % 3 WHEN 0 THEN 64
                                                  WHEN 1 THEN 128
                                                  ELSE 192 END) AS BIGINT)
+             WHEN 4 THEN CAST(((c_custkey % 3600 + 1) * 100) * 1000
+                          // (CASE c_custkey % 3 WHEN 0 THEN 600
+                                                 WHEN 1 THEN 1000
+                                                 ELSE 90000 END) AS BIGINT)
            END AS duration_ms,
-           CASE c_custkey % 4
+           CASE c_custkey % 5
              WHEN 1 THEN CAST(CASE c_custkey % 3 WHEN 0 THEN 8000
                                                  WHEN 1 THEN 16000
                                                  ELSE 44100 END AS INT)
@@ -6366,15 +6385,16 @@ def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata probe END-TO-END through REAL bytes: customer
     keys deterministically synthesize spec-valid PNG, WAV, JPEG
-    (SOI/APP0/SOF0 marker stream) and CBR MP3 payloads — half the MP3s
-    behind a real ID3v2 tag — which flow through the Arrow-batched
-    ``probe_metadata`` mapInPandas operator where the stdlib
-    container-header parser recovers width/height/sample_rate/duration
-    (MP3 duration = the CBR estimate audio_bytes·8 // kbps over the
-    post-ID3 bytes). The oracle predicts every parsed value
-    arithmetically, including the MPEG frame-length formula
-    (144000·kbps // rate) — any corruption in the binary round trip
-    (payload build, Arrow transfer, marker walk, syncsafe ID3 skip)
+    (SOI/APP0/SOF0 marker stream), CBR MP3 (every tenth behind a real
+    ID3v2 tag) and ISO-BMFF MP4 payloads — the three dominant real-web
+    containers (JPEG/MP3/MP4) all probe. MP4s rotate through three
+    timescales, version-0/1 mvhd layouts and an audio-first trak order,
+    so the box walk (size/largesize arithmetic, mvhd duration·1000 //
+    timescale, 16.16 tkhd dims, 0×0-trak skip) is load-bearing, not
+    decorative. The oracle predicts every parsed value arithmetically,
+    including the MPEG frame-length formula (144000·kbps // rate) and
+    the mvhd division — any corruption in the binary round trip
+    (payload build, Arrow transfer, marker/box walk, syncsafe ID3 skip)
     breaks the hash."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
@@ -11776,8 +11796,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q16_supplier_variety", "q17_small_qty_revenue", "sliding_6h_events",
     "u4_union_tagged", "u5_intersect_customers", "w2_genes_between",
     "w_rolling_spend", "x_fingerprint", "x_ngram_jaccard",
+    # round-11 re-definition: the probe corpus grew MP4 (5 formats) —
+    # its r8 attestation covered the old fixture, so it re-attests
+    "x_media_probe",
     # stalest greens — last attested r7
-    "a6_rollup_geo", "a7_pivot_status", "j10_semi_join",
+    "a6_rollup_geo", "a7_pivot_status",
     "j9_supplier_pairs", "o1_topk_lineitems", "x_cdc_replay",
     "x_group_percentiles", "x_kmeans_clusters", "x_media_formats",
     "x_semantic_dedup",

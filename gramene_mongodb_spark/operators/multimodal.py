@@ -86,6 +86,12 @@ def parse_media_header(payload: bytes) -> dict | None:
     * BMP — 'BM' magic; little-endian int32 width/height at offsets
       18/22 (negative height = top-down rows → abs).
     * PPM — 'P6' magic; ASCII width/height tokens (comments skipped).
+    * MP4/ISO-BMFF — 'ftyp' at offset 4; top-level box walk (uint32
+      sizes, 64-bit largesize and to-EOF size-0 handled) to ``moov``,
+      where ``mvhd`` yields duration_ms = duration·1000 // timescale
+      (version 0 and 1 layouts) and the first video ``trak``'s
+      ``tkhd`` yields presentation width/height (16.16 fixed point;
+      audio traks carry 0×0 and are skipped).
 
     Returns None for unrecognized/truncated payloads (callers keep the
     row with null metadata — the quarantine decision is theirs).
@@ -124,6 +130,73 @@ def _parse_media_header_inner(payload: bytes) -> dict | None:
         meta.update(media_type="audio", format="wav", sample_rate=rate)
         if byte_rate and data_size is not None:
             meta["duration_ms"] = data_size * 1000 // byte_rate
+        return meta
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV): top-level box walk to moov, then mvhd for
+        # duration/timescale and the first video trak's tkhd for
+        # presentation dims (16.16 fixed point). Box sizes are big-endian
+        # uint32; size==1 → 64-bit largesize follows the type; size==0 →
+        # box extends to EOF (legal only for the last top-level box).
+        def _walk(lo: int, hi: int):
+            pos = lo
+            while pos + 8 <= hi:
+                size = _struct.unpack(">I", payload[pos : pos + 4])[0]
+                btype = payload[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:
+                    if pos + 16 > hi:
+                        return
+                    size = _struct.unpack(">Q", payload[pos + 8 : pos + 16])[0]
+                    body = pos + 16
+                elif size == 0:
+                    size = hi - pos
+                if size < 8 or pos + size > hi:
+                    return
+                yield btype, body, pos + size
+                pos += size
+
+        dur_ms = width = height = None
+        for btype, body, end in _walk(0, len(payload)):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, cend in _walk(body, end):
+                if ctype == b"mvhd" and dur_ms is None:
+                    ver = payload[cbody]
+                    if ver == 1 and cend >= cbody + 28:
+                        ts = _struct.unpack(">I", payload[cbody + 20 : cbody + 24])[0]
+                        dur = _struct.unpack(">Q", payload[cbody + 24 : cbody + 32])[0]
+                    elif cend >= cbody + 20:
+                        ts = _struct.unpack(">I", payload[cbody + 12 : cbody + 16])[0]
+                        dur = _struct.unpack(">I", payload[cbody + 16 : cbody + 20])[0]
+                    else:
+                        continue
+                    if ts:
+                        dur_ms = dur * 1000 // ts
+                elif ctype == b"trak" and width is None:
+                    for ttype, tbody, tend in _walk(cbody, cend):
+                        if ttype != b"tkhd":
+                            continue
+                        ver = payload[tbody]
+                        # tkhd fixed layout: version/flags(4) +
+                        # times(8 or 16) + track_id(4) + reserved(4) +
+                        # duration(4 or 8) = 24 (v0) / 36 (v1) bytes,
+                        # then reserved(8), layer(2), alt_group(2),
+                        # volume(2), reserved(2), matrix(36) = 52 more,
+                        # then width/height as 16.16
+                        off = tbody + (24 if ver == 0 else 36) + 52
+                        if tend >= off + 8:
+                            w_fp, h_fp = _struct.unpack(
+                                ">II", payload[off : off + 8]
+                            )
+                            if w_fp and h_fp:  # audio traks carry 0×0
+                                width, height = w_fp >> 16, h_fp >> 16
+            break
+        if dur_ms is None and width is None:
+            return None
+        meta.update(
+            media_type="video", format="mp4",
+            width=width, height=height, duration_ms=dur_ms,
+        )
         return meta
     if payload[:3] == b"GIF" and len(payload) >= 10:
         w, h = _struct.unpack("<HH", payload[6:10])
@@ -312,6 +385,68 @@ def make_mp3(
             + b"\x00" * id3_size
         )
     return out + frame * n_frames
+
+
+def _bmff_box(btype: bytes, body: bytes) -> bytes:
+    return _struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def make_mp4(
+    width: int,
+    height: int,
+    duration: int,
+    timescale: int = 600,
+    audio_trak_first: bool = False,
+    wide_mvhd: bool = False,
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF (MP4) byte stream for the header
+    probe: ``ftyp`` + ``moov`` carrying a version-0 (or, with
+    ``wide_mvhd``, version-1 64-bit) ``mvhd`` and one video ``trak``
+    whose ``tkhd`` holds 16.16 fixed-point presentation dims. With
+    ``audio_trak_first`` a 0×0 (audio-shaped) trak precedes the video
+    one, exercising the probe's skip rule. No mdat — header-only, like
+    ``make_png``/``make_jpeg``."""
+    ftyp = _bmff_box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isommp41")
+    if wide_mvhd:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"                      # version 1
+            + _struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + _struct.pack(">I", 0x00010000) + _struct.pack(">H", 0x0100)
+            + b"\x00" * 10 + _MP4_IDENTITY_MATRIX + b"\x00" * 24
+            + _struct.pack(">I", 2)
+        )
+    else:
+        mvhd_body = (
+            b"\x00\x00\x00\x00"                      # version 0
+            + _struct.pack(">IIII", 0, 0, timescale, duration)
+            + _struct.pack(">I", 0x00010000) + _struct.pack(">H", 0x0100)
+            + b"\x00" * 10 + _MP4_IDENTITY_MATRIX + b"\x00" * 24
+            + _struct.pack(">I", 2)
+        )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        body = (
+            b"\x00\x00\x00\x07"                      # version 0, enabled
+            + _struct.pack(">IIII", 0, 0, track_id, 0)
+            + _struct.pack(">I", duration)
+            + b"\x00" * 8 + _struct.pack(">HHHH", 0, 0, 0, 0)
+            + _MP4_IDENTITY_MATRIX
+            + _struct.pack(">II", w << 16, h << 16)
+        )
+        return _bmff_box(b"trak", _bmff_box(b"tkhd", body))
+
+    traks = b""
+    if audio_trak_first:
+        traks += tkhd(1, 0, 0)
+    traks += tkhd(2 if audio_trak_first else 1, width, height)
+    return ftyp + _bmff_box(b"moov", _bmff_box(b"mvhd", mvhd_body) + traks)
+
+
+#: unity transform matrix shared by mvhd/tkhd (a=d=1.0 in 16.16, w=1.0
+#: in 2.30 — the spec's default)
+_MP4_IDENTITY_MATRIX = _struct.pack(
+    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
 
 
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:

@@ -238,6 +238,46 @@ def test_parse_media_header_mp3():
     assert MM.parse_media_header(b"ID3\x04\x00\x00\x00\x00\x00\x05" + b"\x00" * 5) is None
 
 
+def test_parse_media_header_mp4():
+    """ISO-BMFF box walk (round-11): mvhd duration arithmetic across
+    version-0/1 layouts, 16.16 tkhd dims, audio-trak (0x0) skip, and
+    quarantine on truncated/degenerate boxes."""
+    import struct
+
+    got = MM.parse_media_header(MM.make_mp4(1920, 1080, 9000, timescale=600))
+    assert (got["media_type"], got["format"]) == ("video", "mp4")
+    assert (got["width"], got["height"]) == (1920, 1080)
+    assert got["duration_ms"] == 9000 * 1000 // 600 == 15000
+    assert got["sample_rate"] is None
+
+    # version-1 mvhd (64-bit times) and an audio trak ahead of the video
+    # one — dims must come from the first NON-zero trak
+    got = MM.parse_media_header(
+        MM.make_mp4(640, 360, 123456, timescale=90000,
+                    audio_trak_first=True, wide_mvhd=True)
+    )
+    assert (got["width"], got["height"]) == (640, 360)
+    assert got["duration_ms"] == 123456 * 1000 // 90000
+
+    # largesize (size==1) top-level box before moov is stepped over
+    raw = MM.make_mp4(64, 48, 600)
+    free_body = b"\x00" * 4
+    large = (
+        struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16 + len(free_body))
+        + free_body
+    )
+    ftyp_end = struct.unpack(">I", raw[:4])[0]
+    spliced = raw[:ftyp_end] + large + raw[ftyp_end:]
+    got = MM.parse_media_header(spliced)
+    assert (got["width"], got["height"], got["duration_ms"]) == (64, 48, 1000)
+
+    # truncated mid-box, ftyp-only (no moov), and a nonsense size → None
+    assert MM.parse_media_header(raw[:20]) is None
+    assert MM.parse_media_header(b"\x00\x00\x00\x08ftyp") is None
+    bad = raw[:ftyp_end] + struct.pack(">I", 3) + b"moov"
+    assert MM.parse_media_header(bad) is None
+
+
 def test_make_jpeg_roundtrip():
     got = MM.parse_media_header(MM.make_jpeg(321, 77))
     assert (got["media_type"], got["format"]) == ("image", "jpeg")
