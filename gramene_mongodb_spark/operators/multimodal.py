@@ -22,11 +22,15 @@ image/audio/video:
   exact integer channel sums (oracle-checkable arithmetic, no float).
 * AUDIO sample decode is REAL for PCM WAV (``decode_wav_samples``:
   RIFF chunk walk + 8/16-bit sample recovery; ``audio_stats`` reduces
-  to exact integer sums). Only COMPRESSED codecs (MP3/AAC, and
-  image codecs beyond PNG/BMP/PPM) remain stubbed — requesting one by
-  NAME raises ``NotImplementedError``/``ValueError``; the Spark-side
-  plumbing — schema, batching, partitioning — is real and tested
-  either way.
+  to exact integer sums).
+* JPEG pixel decode is REAL as of round 11 (operators/jpeg.py:
+  baseline Huffman entropy decode + dequant + IDCT + YCbCr→RGB,
+  4:4:4/4:2:2/4:2:0, restart markers) — ``decode_pixels`` dispatches
+  it, so phash / resize / stats run on actual JPEG corpora. Only
+  compressed AUDIO codecs (MP3/AAC sample decode) and progressive
+  JPEG remain stubbed — requesting one raises
+  ``NotImplementedError``/``ValueError``; the Spark-side plumbing —
+  schema, batching, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -584,10 +588,18 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     * BMP — uncompressed 24-bit BI_RGB: bottom-up rows, 4-byte row
       padding stripped, BGR→RGB swapped.
     * PPM — binary ``P6`` with maxval 255.
+    * JPEG — REAL baseline entropy decode (operators/jpeg.py: Huffman +
+      dequant + IDCT + YCbCr→RGB, 4:4:4/4:2:2/4:2:0, restart markers);
+      grayscale decodes to replicated RGB. Progressive (SOF2) and
+      arithmetic-coded streams raise ``ValueError``.
 
     Raises ``ValueError`` on unsupported/corrupt payloads (palette or
     interlaced PNG, compressed BMP, …) — callers decide quarantine.
     """
+    if payload[:2] == b"\xff\xd8":
+        from gramene_mongodb_spark.operators.jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         pos, width = 8, None
         height = channels = 0
