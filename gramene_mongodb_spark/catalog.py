@@ -11723,6 +11723,90 @@ def x_mongo_find(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_aggregate",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             CASE WHEN o_custkey % 7 = 0 THEN NULL
+                  ELSE o_orderstatus END AS seg,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(NULL AS BIGINT) AS nil,
+             [o_orderstatus, substr(o_orderpriority, 1, 1)] AS tags
+      FROM orders
+    ),
+    m AS (
+      SELECT * FROM base
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND (seg IS NULL OR seg <> 'F')
+    ),
+    u AS (SELECT * EXCLUDE (tags), unnest(tags) AS tags FROM m),
+    g AS (
+      SELECT tags AS tag, seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(price_c), 0) AS BIGINT) AS total_c,
+             max(o_totalprice) AS top,
+             CAST(coalesce(sum(nil), 0) AS BIGINT) AS zero_sum
+      FROM u GROUP BY tags, seg
+    ),
+    s AS (
+      SELECT * FROM g
+      ORDER BY n DESC, tag ASC, seg ASC NULLS FIRST
+      OFFSET 2 LIMIT 10
+    )
+    SELECT tag, seg, n, total_c, top, zero_sum,
+           total_c / n AS avg_c
+    FROM s
+    """,
+    "sources", "S10", "A4",
+)
+def x_mongo_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB aggregation-pipeline translation
+    (documents.mongo_aggregate) — completes the migration surface the
+    find() shim started (VERDICT r10 ask #6; reference consumers issue
+    aggregate() reads downstream of `trees/add_domains_to_tree.js:11-20`
+    and `search/genetree_adder.js:94-99`): ONE pipeline document runs
+    $match → $unwind → $group → $sort → $skip → $limit → $project
+    against a parquet-backed view, all pure Catalyst. Mongo null
+    semantics pinned through real nulls (every 7th order's ``seg``):
+    the $match ``$ne`` KEEPS missing fields, the null key forms its own
+    $group bucket, $sum over an all-null field returns 0 (not NULL),
+    and $sort puts nulls first ascending (BSON order) — the oracle
+    restates each rule in SQL (explicit IS NULL OR, coalesce(sum,0),
+    NULLS FIRST), so any translation slip breaks the hash. $sort keys
+    include the full group key, so the $skip/$limit window is a total
+    order — deterministic across engines."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    view = orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus")).alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.lit(None).cast("long").alias("nil"),
+        F.array(
+            F.col("o_orderstatus"), F.substring("o_orderpriority", 1, 1)
+        ).alias("tags"),
+    )
+    return DOC.mongo_aggregate(view, [
+        {"$match": {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]},
+                    "seg": {"$ne": "F"}}},
+        {"$unwind": "$tags"},
+        {"$group": {"_id": {"tag": "$tags", "seg": "$seg"},
+                    "n": {"$sum": 1},
+                    "total_c": {"$sum": "$price_c"},
+                    "top": {"$max": "$o_totalprice"},
+                    "zero_sum": {"$sum": "$nil"}}},
+        {"$sort": {"n": -1, "tag": 1, "seg": 1}},
+        {"$skip": 2},
+        {"$limit": 10},
+        {"$project": {"tag": 1, "seg": 1, "n": 1, "total_c": 1, "top": 1,
+                      "zero_sum": 1,
+                      "avg_c": {"$divide": ["$total_c", "$n"]}}},
+    ])
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -11908,9 +11992,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # round-11 first exposures: new JPEG entropy-decode entry, and the
     # probe whose corpus grew MP4 (its r8 attestation covered the old
     # 4-format fixture, so it re-attests)
-    "x_jpeg_decode", "x_media_probe",
+    "x_jpeg_decode", "x_media_probe", "x_mongo_aggregate",
     # stalest greens — last attested r7
-    "a6_rollup_geo", "a7_pivot_status",
+    "a6_rollup_geo",
     "j9_supplier_pairs", "x_cdc_replay",
     "x_group_percentiles", "x_kmeans_clusters", "x_media_formats",
     "x_semantic_dedup",

@@ -359,3 +359,185 @@ def mongo_find(
             raise ValueError("cannot mix inclusion and exclusion projection")
         out = out.select(*inc) if inc else out.drop(*exc)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mongo aggregation-pipeline shim (round-11; completes the migration
+# surface mongo_find started — reference read sites issue aggregation
+# pipelines downstream of `trees/add_domains_to_tree.js:11-20` and
+# `search/genetree_adder.js:94-99`)
+# ---------------------------------------------------------------------------
+
+
+def _mongo_expr(spec) -> Column:
+    """MongoDB aggregation value expression → Spark Column.
+
+    Covers the expression surface the shim's stage set needs: ``"$f"``
+    field paths (dotted paths resolve into struct fields), bare
+    literals, ``{"$literal": v}``, arithmetic ``$add/$subtract/
+    $multiply/$divide``, ``$concat``, ``$toUpper/$toLower``, and
+    ``$ifNull``. Anything else raises — silent approximation is worse
+    than an explicit gap."""
+    if isinstance(spec, str) and spec.startswith("$"):
+        return F.col(spec[1:])
+    if isinstance(spec, dict):
+        if len(spec) != 1:
+            raise ValueError(f"expression must have one operator: {spec}")
+        op, args = next(iter(spec.items()))
+        if op == "$literal":
+            return F.lit(args)
+        if op in ("$toUpper", "$toLower"):
+            inner = _mongo_expr(args)
+            return F.upper(inner) if op == "$toUpper" else F.lower(inner)
+        if not isinstance(args, (list, tuple)):
+            raise ValueError(f"{op} requires an argument list")
+        cols = [_mongo_expr(a) for a in args]
+        if op == "$ifNull":
+            return F.coalesce(*cols)
+        if op == "$concat":
+            return F.concat(*cols)
+        binops = {
+            "$add": lambda a, b: a + b,
+            "$subtract": lambda a, b: a - b,
+            "$multiply": lambda a, b: a * b,
+            "$divide": lambda a, b: a / b,
+        }
+        if op not in binops:
+            raise ValueError(f"unsupported aggregation expression: {op}")
+        out = cols[0]
+        for c in cols[1:]:
+            out = binops[op](out, c)
+        return out
+    return F.lit(spec)
+
+
+def _mongo_accumulator(spec) -> Column:
+    """$group accumulator document → Spark aggregate Column.
+
+    Pinned Mongo-vs-SQL semantics (tested):
+
+    * ``$sum`` skips missing/null values and returns **0** (not NULL)
+      when nothing summed — ``coalesce(sum(e), 0)``.
+    * ``$avg/$min/$max`` skip nulls and return NULL on empty — Spark's
+      native behavior already matches.
+    * ``$push``/``$addToSet`` map to collect_list/collect_set. Spark
+      DROPS nulls here where Mongo would keep them in $push — a
+      documented divergence; pre-coalesce if null slots matter.
+    * ``$first``/``$last`` follow encounter order, which (as in Mongo)
+      is only meaningful downstream of a ``$sort``.
+    """
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise ValueError(f"accumulator must have one operator: {spec}")
+    op, arg = next(iter(spec.items()))
+    if op == "$sum":
+        e = _mongo_expr(arg)
+        return F.coalesce(F.sum(e), F.lit(0))
+    if op == "$avg":
+        return F.avg(_mongo_expr(arg))
+    if op == "$min":
+        return F.min(_mongo_expr(arg))
+    if op == "$max":
+        return F.max(_mongo_expr(arg))
+    if op == "$push":
+        return F.collect_list(_mongo_expr(arg))
+    if op == "$addToSet":
+        return F.collect_set(_mongo_expr(arg))
+    if op == "$first":
+        return F.first(_mongo_expr(arg))
+    if op == "$last":
+        return F.last(_mongo_expr(arg))
+    raise ValueError(f"unsupported accumulator: {op}")
+
+
+def mongo_aggregate(df: DataFrame, pipeline: list[dict]) -> DataFrame:
+    """Run a MongoDB aggregation pipeline against a DataFrame — the
+    second half of the Mongo migration shim (``mongo_find`` covers
+    ``find()``; this covers the ``aggregate()`` read sites). Pure
+    Catalyst: every stage compiles to DataFrame operations, so $match
+    predicates push into the parquet scan, $group gets map-side partial
+    aggregation, and $sort+$limit collapse to TakeOrdered.
+
+    Stages: ``$match`` (reuses the find() predicate compiler, so the
+    documented null/missing semantics carry over), ``$project``
+    (1/0 include-exclude — mixing errors, as in Mongo — plus computed
+    fields through the expression compiler), ``$addFields``/``$set``,
+    ``$unwind`` (string or ``{path, preserveNullAndEmptyArrays}`` form:
+    explode vs explode_outer), ``$group`` (_id: None | "$f" | {k:
+    "$f", ...}; accumulator semantics in :func:`_mongo_accumulator`),
+    ``$sort`` (1/-1; Mongo's BSON order sorts null/missing lowest —
+    exactly Spark's asc-nulls-first / desc-nulls-last defaults),
+    ``$skip``, ``$limit``, ``$count``.
+
+    Relational deltas (documented): there is no implicit ``_id``
+    carry-through in $project — only requested fields survive; $group's
+    key column(s) come out as ``_id`` (scalar key) or one column per
+    key (document key), not a nested document.
+    """
+    out = df
+    for stage in pipeline:
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise ValueError(f"each stage must have exactly one operator: {stage}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            out = out.filter(mongo_find_filter(spec))
+        elif op == "$project":
+            inc_flags = {k: v for k, v in spec.items() if v in (0, 1, True, False)}
+            computed = {k: v for k, v in spec.items() if k not in inc_flags}
+            inc = [k for k, v in inc_flags.items() if v]
+            exc = [k for k, v in inc_flags.items() if not v]
+            if inc and exc:
+                raise ValueError("cannot mix inclusion and exclusion projection")
+            if exc and computed:
+                raise ValueError("exclusion projection cannot carry computed fields")
+            if exc:
+                out = out.drop(*exc)
+            else:
+                cols = [F.col(k).alias(k) for k in inc]
+                cols += [_mongo_expr(v).alias(k) for k, v in computed.items()]
+                out = out.select(*cols)
+        elif op in ("$addFields", "$set"):
+            for k, v in spec.items():
+                out = out.withColumn(k, _mongo_expr(v))
+        elif op == "$unwind":
+            if isinstance(spec, str):
+                path, preserve = spec, False
+            else:
+                path = spec["path"]
+                preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+            if not path.startswith("$"):
+                raise ValueError("$unwind path must start with '$'")
+            field = path[1:]
+            exploder = F.explode_outer if preserve else F.explode
+            out = out.withColumn(field, exploder(F.col(field)))
+        elif op == "$group":
+            if "_id" not in spec:
+                raise ValueError("$group requires _id")
+            key = spec["_id"]
+            accs = [
+                _mongo_accumulator(v).alias(k)
+                for k, v in spec.items()
+                if k != "_id"
+            ]
+            if key is None:
+                out = out.groupBy(F.lit(None).cast("string").alias("_id")).agg(*accs)
+            elif isinstance(key, dict):
+                keys = [_mongo_expr(v).alias(k) for k, v in key.items()]
+                out = out.groupBy(*keys).agg(*accs)
+            else:
+                out = out.groupBy(_mongo_expr(key).alias("_id")).agg(*accs)
+        elif op == "$sort":
+            order = []
+            for k, direction in spec.items():
+                if direction not in (1, -1):
+                    raise ValueError("$sort directions must be 1 or -1")
+                order.append(F.col(k).asc() if direction == 1 else F.col(k).desc())
+            out = out.orderBy(*order)
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        else:
+            raise ValueError(f"unsupported pipeline stage: {op}")
+    return out

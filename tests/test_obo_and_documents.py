@@ -288,3 +288,87 @@ def test_source_leakage_matrix_bound_and_jaccard(spark):
     assert set(out) == {("s1", "s2")}  # s3 shares only the dropped shingle
     r = out[("s1", "s2")]
     assert (r.n_shared, r.n_a, r.n_b, r.jac6) == (1, 2, 1, 500_000)
+
+
+def test_mongo_aggregate_stage_semantics(spark):
+    """The aggregation-pipeline translator (round-11) against Mongo's
+    documented semantics: $unwind drops vs preserves empties, $group
+    null key forms its own bucket, $sum returns 0 over nothing, $sort
+    puts nulls first ascending, $skip/$limit window, $project computed
+    fields, and stage/expression validation errors."""
+    import pytest as _pytest
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", 10, ["a", "b"]),
+            (2, "x", 20, ["a"]),
+            (3, None, 30, []),
+            (4, "y", None, None),
+        ],
+        "id: long, k: string, v: int, arr: array<string>",
+    )
+
+    # $unwind default drops empty/null arrays; preserve keeps the doc
+    got = mongo_aggregate(df, [{"$unwind": "$arr"}]).select("id", "arr").collect()
+    assert sorted((r.id, r.arr) for r in got) == [(1, "a"), (1, "b"), (2, "a")]
+    got = mongo_aggregate(
+        df, [{"$unwind": {"path": "$arr", "preserveNullAndEmptyArrays": True}}]
+    ).select("id", "arr").collect()
+    assert sorted([(r.id, r.arr) for r in got], key=str) == sorted(
+        [(1, "a"), (1, "b"), (2, "a"), (3, None), (4, None)], key=str
+    )
+
+    # $group: null key bucket, $sum->0 over all-null input, $avg->null
+    rows = mongo_aggregate(df, [
+        {"$addFields": {"nil": {"$literal": None}}},
+        {"$group": {"_id": "$k", "n": {"$sum": 1}, "sv": {"$sum": "$v"},
+                    "znil": {"$sum": "$nil"}, "av": {"$avg": "$nil"},
+                    "mx": {"$max": "$v"}}},
+    ]).collect()
+    by_key = {r._id: r for r in rows}
+    assert set(by_key) == {"x", "y", None}
+    assert by_key[None].n == 1 and by_key[None].sv == 30
+    assert by_key["y"].sv == 0          # $sum over only-null field -> 0
+    assert all(r.znil == 0 for r in rows)
+    assert all(r.av is None for r in rows)   # $avg over nothing -> null
+    assert by_key["x"].mx == 20
+
+    # $sort nulls-first ascending (BSON order), then $skip/$limit window
+    got = mongo_aggregate(df, [
+        {"$sort": {"k": 1, "id": 1}}, {"$skip": 1}, {"$limit": 2},
+    ]).select("id").collect()
+    assert [r.id for r in got] == [1, 2]     # null k sorted first, skipped
+
+    # $sort descending puts nulls last
+    got = mongo_aggregate(df, [{"$sort": {"k": -1, "id": 1}}]).select("id").collect()
+    assert [r.id for r in got] == [4, 1, 2, 3]
+
+    # $project computed fields + include; $match reuses find() semantics
+    got = mongo_aggregate(df, [
+        {"$match": {"k": {"$ne": "y"}}},      # keeps the missing-k doc
+        {"$project": {"id": 1, "vc": {"$multiply": ["$v", 100]},
+                      "lab": {"$concat": [{"$ifNull": ["$k", {"$literal": "?"}]},
+                                          {"$literal": "!"}]}}},
+    ]).collect()
+    assert sorted([(r.id, r.vc, r.lab) for r in got], key=str) == sorted(
+        [(1, 1000, "x!"), (2, 2000, "x!"), (3, 3000, "?!")], key=str
+    )
+
+    # $count stage
+    assert mongo_aggregate(df, [{"$count": "total"}]).collect()[0].total == 4
+
+    # validation: unknown stage, two-op stage, bad sort direction,
+    # mixed projection, unknown accumulator / expression
+    for bad in (
+        [{"$lookup": {}}],
+        [{"$match": {}, "$limit": 1}],
+        [{"$sort": {"k": 2}}],
+        [{"$project": {"id": 1, "k": 0}}],
+        [{"$group": {"_id": None, "z": {"$stdDev": "$v"}}}],
+        [{"$group": {"n": {"$sum": 1}}}],
+        [{"$unwind": "arr"}],
+    ):
+        with _pytest.raises((ValueError, KeyError)):
+            mongo_aggregate(df, bad).collect()
