@@ -112,6 +112,12 @@ HEADLINE = [
     # and the fixed-round synchronous LPA community pass
     "x_random_projection",
     "x_communities_lpa",
+    # round 11: baseline-JPEG entropy codec (encode fixtures + Huffman/
+    # IDCT decode, embarrassingly parallel map pass) and the Mongo
+    # aggregation-pipeline shim (match→unwind→group→sort→limit, pure
+    # Catalyst)
+    "x_jpeg_decode",
+    "x_mongo_aggregate",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

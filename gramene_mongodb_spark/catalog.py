@@ -6531,9 +6531,10 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
       SELECT c_custkey AS k,
              (c_custkey % 16) + 1 AS w, (c_custkey % 12) + 1 AS h,
-             CASE c_custkey % 3 WHEN 0 THEN 'png'
+             CASE c_custkey % 4 WHEN 0 THEN 'png'
                                 WHEN 1 THEN 'bmp'
-                                ELSE 'ppm' END AS format
+                                WHEN 2 THEN 'ppm'
+                                ELSE 'gif' END AS format
       FROM customer
     ),
     px AS (
@@ -6555,16 +6556,16 @@ def x_media_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every stdlib pixel codec exercised on REAL bytes in one corpus:
     each customer key renders the same deterministic RGB lattice
     (r=(x·7+y·13+k)%256, g=(x·3+y·5+2k)%256, b=(x·11+y+3k)%256) but
-    serializes it in a format chosen by k%3 — spec-valid PNG
+    serializes it in a format chosen by k%4 — spec-valid PNG
     (zlib/filter pipeline), 24-bit BMP (bottom-up BGR rows + stride
-    padding), or binary PPM — via the matching ``encode_*`` helper.
-    ``pixel_stats`` then decodes all three through the one
-    ``decode_pixels`` dispatcher and reduces to exact integer channel
-    sums; the oracle replays the lattice arithmetically, so a wrong
-    pixel in ANY of the three decode paths (or any encoder) breaks the
-    hash. Closes the 'second stdlib pixel format' breadth gap: BMP and
-    PPM are now load-bearing for a driver-gated entry, not just
-    unit-tested. Reference analog: K1's packed-binary handling
+    padding), binary PPM, or (round 11) GIF89a with REAL variable-width
+    LZW compression and a per-image palette — via the matching
+    ``encode_*`` helper. ``pixel_stats`` then decodes all four through
+    the one ``decode_pixels`` dispatcher and reduces to exact integer
+    channel sums; the oracle replays the lattice arithmetically, so a
+    wrong pixel in ANY decode path (or any encoder, including the LZW
+    code-width ladder) breaks the hash. All four formats are lossless,
+    so the oracle needs no tolerance. Reference analog: K1's packed-binary handling
     (`search/genetree_adder.js:25-46`)."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
@@ -6574,7 +6575,8 @@ def x_media_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm,
+                    MM.encode_gif)
         for pdf in batches:
             ks = pdf["c_custkey"]
             payloads = []
@@ -6589,15 +6591,15 @@ def x_media_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (x * 11 + y + 3 * kk) % 256,
                     ]
                 ).astype(np.uint8)
-                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
+                payloads.append(encoders[kk % 4](w, h, px.tobytes()))
             yield pd.DataFrame({"media_id": ks, "payload": payloads})
 
     corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
     return MM.pixel_stats(corpus).withColumn(
         "format",
         F.element_at(
-            F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm")),
-            (F.col("media_id") % 3 + 1).cast("int"),
+            F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm"), F.lit("gif")),
+            (F.col("media_id") % 4 + 1).cast("int"),
         ),
     )
 
@@ -8482,7 +8484,8 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm,
+                    MM.encode_gif)
         for pdf in batches:
             ks = pdf["c_custkey"]
             payloads = []
@@ -8497,7 +8500,7 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (x * 11 + y + 3 * g) % 256,
                     ]
                 ).astype(np.uint8)
-                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
+                payloads.append(encoders[kk % 4](w, h, px.tobytes()))
             yield pd.DataFrame({"media_id": ks, "payload": payloads})
 
     corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
@@ -10701,7 +10704,8 @@ def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm,
+                    MM.encode_gif)
         for pdf in batches:
             ks = pdf["c_custkey"]
             payloads = []
@@ -10718,7 +10722,7 @@ def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).astype(np.uint8)
                 if kk % 7 == 0:
                     px[0, 0, 0] += 1  # g <= 39, no wraparound
-                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
+                payloads.append(encoders[kk % 4](w, h, px.tobytes()))
             yield pd.DataFrame({"media_id": ks, "payload": payloads})
 
     corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")

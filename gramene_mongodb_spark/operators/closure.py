@@ -548,6 +548,8 @@ def label_propagation(
     linear (each round references the previous once); rounds ≤ 8 run on
     one lazy plan, and past that the label table hard-checkpoints every
     8 rounds so analysis cost can't go quadratic in ``iterations``.
+    Measured (SCALE.md fifteenth probe): 10× edges → wall ×2.32
+    (α≈0.37); 17 rounds vs 3 → ×5.85, at the linear-in-rounds ceiling.
 
     Output: ``(vertex, community)`` — one row per vertex appearing
     anywhere in ``edges``; ``community`` is a member vertex id (the

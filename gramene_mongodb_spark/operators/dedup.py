@@ -1428,6 +1428,9 @@ def source_leakage_matrix(
     fan-out per shingle is bounded by ``max_groups_per_shingle²``
     regardless of corpus size. Sizes and Jaccard are defined over the
     KEPT (discriminative) shingles, replayed identically by the oracle.
+    Measured ceiling (SCALE.md sixteenth probe): 10× corpus with 10×
+    sources — ~100× the uncapped pair space — costs wall ×3.0, because
+    the cap drops over-shared shingles before any pair forms.
 
     Output: (src_a < src_b, n_shared, n_a, n_b, jac6) with ``jac6`` the
     integer micro-Jaccard ``n_shared·1e6 / (n_a + n_b − n_shared)``

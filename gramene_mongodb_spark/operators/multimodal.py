@@ -535,6 +535,195 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Spec-valid GIF89a with a REAL LZW-compressed image stream —
+    single frame, global color table built from the image's distinct
+    colors (≤256, else ValueError: GIF is palette-based by design).
+    ``pixels`` is row-major RGB; round-trips exactly through
+    ``decode_pixels`` (palette formats are lossless)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(pixels)}")
+    colors: dict[bytes, int] = {}
+    idx = bytearray()
+    for i in range(0, len(pixels), 3):
+        c = pixels[i : i + 3]
+        j = colors.get(c)
+        if j is None:
+            j = colors[c] = len(colors)
+        idx.append(j)
+    n = len(colors)
+    if n > 256:
+        raise ValueError(f"GIF needs ≤256 distinct colors, got {n}")
+    depth = max(1, (max(n - 1, 1)).bit_length())  # palette size exponent
+    table = bytearray()
+    for c in colors:  # insertion order == index order
+        table += c
+    table += b"\x00" * ((1 << depth) * 3 - len(table))
+
+    # --- LZW encode (variable width, clear/eoi codes per the spec) ---
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes: list[tuple[int, int]] = []  # (code, width)
+    width_bits = min_code + 1
+    dict_next = eoi + 1
+    strings: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    out_codes.append((clear, width_bits))
+    w = b""
+    for b in idx:
+        wk = w + bytes([b])
+        if wk in strings:
+            w = wk
+            continue
+        out_codes.append((strings[w], width_bits))
+        strings[wk] = dict_next
+        dict_next += 1
+        if dict_next > (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+        elif dict_next >= 4096:  # table full: reset per spec
+            out_codes.append((clear, width_bits))
+            strings = {bytes([i]): i for i in range(1 << min_code)}
+            dict_next = eoi + 1
+            width_bits = min_code + 1
+        w = bytes([b])
+    if w:
+        out_codes.append((strings[w], width_bits))
+    out_codes.append((eoi, width_bits))
+    # pack LSB-first
+    acc = nbits = 0
+    stream = bytearray()
+    for code, wd in out_codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", width, height)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])  # GCT flag+sizes
+    out += table
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF decode: logical-screen/global-color-table parse, first
+    image descriptor (local table and interlace honored), full
+    variable-width LZW decompression → row-major RGB. Animated GIFs
+    yield their FIRST frame (the training-data convention). Raises
+    ValueError on corrupt streams."""
+    if payload[:3] != b"GIF" or len(payload) < 13:
+        raise ValueError("not a GIF stream")
+    sw, sh = _struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gsz = 2 << (flags & 7)
+        gct = payload[pos : pos + gsz * 3]
+        pos += gsz * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h = _struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        iflags = payload[pos + 9]
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            lsz = 2 << (iflags & 7)
+            table = payload[pos : pos + lsz * 3]
+            pos += lsz * 3
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        interlaced = bool(iflags & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # --- LZW decode ---
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width_bits = min_code + 1
+        dict_entries: list[bytes] = [bytes([i]) for i in range(1 << min_code)]
+        dict_entries += [b"", b""]  # clear/eoi placeholders
+        acc = nbits = di = 0
+        prev: bytes | None = None
+        out = bytearray()
+        n_codes = len(dict_entries)
+        while True:
+            while nbits < width_bits:
+                if di >= len(data):
+                    raise ValueError("GIF LZW stream truncated")
+                acc |= data[di] << nbits
+                di += 1
+                nbits += 8
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                dict_entries = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                n_codes = len(dict_entries)
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = dict_entries[code]
+            elif code < n_codes:
+                entry = dict_entries[code]
+                dict_entries.append(prev + entry[:1])
+                n_codes += 1
+            elif code == n_codes:  # the KwKwK case
+                entry = prev + prev[:1]
+                dict_entries.append(entry)
+                n_codes += 1
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out += entry
+            prev = entry
+            if n_codes == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        if len(out) < w * h:
+            raise ValueError("GIF pixel data short")
+
+        if interlaced:
+            rows = bytearray(w * h)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    rows[y * w : (y + 1) * w] = out[src : src + w]
+                    src += w
+            out = rows
+        rgb = bytearray(w * h * 3)
+        for i in range(w * h):
+            ci = out[i] * 3
+            rgb[3 * i : 3 * i + 3] = table[ci : ci + 3]
+        return w, h, 3, bytes(rgb)
+    raise ValueError("GIF has no image descriptor")
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -592,6 +781,9 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       dequant + IDCT + YCbCr→RGB, 4:4:4/4:2:2/4:2:0, restart markers);
       grayscale decodes to replicated RGB. Progressive (SOF2) and
       arithmetic-coded streams raise ``ValueError``.
+    * GIF — REAL variable-width LZW decompression (global/local color
+      tables, interlace undone, extension blocks skipped; animated
+      GIFs yield their first frame), palette-expanded to RGB.
 
     Raises ``ValueError`` on unsupported/corrupt payloads (palette or
     interlaced PNG, compressed BMP, …) — callers decide quarantine.
@@ -671,7 +863,9 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         if len(payload) < pos + n:
             raise ValueError("PPM pixel data truncated")
         return width, height, 3, payload[pos : pos + n]
-    raise ValueError("unrecognized pixel format (PNG/BMP/PPM supported)")
+    if payload[:3] == b"GIF":
+        return _decode_gif(payload)
+    raise ValueError("unrecognized pixel format (PNG/BMP/PPM/JPEG/GIF supported)")
 
 
 def nearest_resize(

@@ -49,6 +49,7 @@ ARROW_ALLOWED = {
     "x_media_audio",
     "x_media_formats",
     "x_media_frames",
+    "x_jpeg_decode",  # baseline JPEG entropy codec: Huffman decode is inherently sequential per MCU — Arrow-batched by design (operators/jpeg.py)
     "x_media_probe",
     "x_media_resize",
     "x_random_projection",  # Arrow int64 GEMM — HOF folds measured ~7x slower (BENCH_NOTES r10)

@@ -1006,3 +1006,56 @@ def test_exactly_once_sink_replay_is_noop(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     q2.stop()
     assert spark.read.parquet(str(tmp_path / "sink2")).drop("batch_id").count() == events.count()
+
+
+def test_gif_codec_roundtrip_and_dispatch():
+    """GIF LZW codec (round-11): palette build, variable-width code
+    growth through 12 bits with mid-stream table reset, KwKwK case,
+    interlace undo, extension-block skip — all through the one
+    decode_pixels dispatcher. Palette formats are lossless, so the
+    round trip is exact equality."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # random-palette image: exercises code-width growth
+    w, h = 37, 23
+    pal = rng.integers(0, 256, size=(100, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 100, size=(h, w))].tobytes()
+    gif = MM.encode_gif(w, h, px)
+    got = MM.decode_pixels(gif)
+    assert got == (w, h, 3, px)
+    # header probe agrees on dims
+    meta = MM.parse_media_header(gif)
+    assert (meta["format"], meta["width"], meta["height"]) == ("gif", w, h)
+
+    # big enough to hit the 4096-entry table reset
+    w2, h2 = 180, 140
+    pal2 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    px2 = pal2[rng.integers(0, 256, size=(h2, w2))].tobytes()
+    assert MM.decode_pixels(MM.encode_gif(w2, h2, px2))[3] == px2
+
+    # interlaced: encode rows pre-permuted into pass order, flip the
+    # interlace flag, and the decoder must reassemble the original
+    rows = np.frombuffer(px, np.uint8).reshape(h, w * 3)
+    order = [y for s, t in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s, h, t)]
+    inter = MM.encode_gif(w, h, rows[order].tobytes())
+    gct = 2 << (inter[10] & 7)
+    flag_at = 13 + gct * 3 + 9
+    inter = inter[:flag_at] + bytes([inter[flag_at] | 0x40]) + inter[flag_at + 1:]
+    assert MM.decode_pixels(inter)[3] == px
+
+    # extension blocks (graphic control) before the descriptor are
+    # skipped; trailing second frame is ignored (first-frame rule)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = gif[:13 + gct * 3] + gce + gif[13 + gct * 3:]
+    assert MM.decode_pixels(with_ext)[3] == px
+
+    # corrupt: truncated LZW stream and >256 colors on encode
+    with pytest.raises(ValueError):
+        MM.decode_pixels(gif[: len(gif) // 2])
+    big = np.arange(300, dtype=np.int64)
+    rgb300 = np.stack([big % 256, big // 256, big * 0], axis=1).astype(np.uint8)
+    with pytest.raises(ValueError):
+        MM.encode_gif(300, 1, rgb300.tobytes())
