@@ -469,7 +469,7 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
 # REAL pixel codec — stdlib only (zlib inflate + PNG scanline unfilter)
 # --------------------------------------------------------------------------
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel (3 = palette index)
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -501,6 +501,103 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_palette(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL indexed-color PNG (color type 3): palette built from the
+    image's distinct colors (≤256, else ValueError), PLTE chunk + 8-bit
+    index scanlines. Round-trips exactly through ``decode_pixels``."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(pixels)}")
+    colors: dict[bytes, int] = {}
+    idx = bytearray()
+    for i in range(0, len(pixels), 3):
+        c = pixels[i : i + 3]
+        j = colors.get(c)
+        if j is None:
+            j = colors[c] = len(colors)
+        idx.append(j)
+    if len(colors) > 256:
+        raise ValueError(f"palette PNG needs ≤256 distinct colors, got {len(colors)}")
+    plte = b"".join(colors)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += idx[y * width : (y + 1) * width]
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """REAL Adam7-interlaced PNG: the seven pass sub-images are
+    extracted on the spec's grid, each scanline filtered type-0, all
+    passes deflated into one IDAT. Round-trips through
+    ``decode_pixels`` (which deinterlaces)."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    raw = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(width - x0) // xs) if width > x0 else 0
+        ph = -(-(height - y0) // ys) if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            raw.append(0)
+            y = y0 + py * ys
+            for px_i in range(pw):
+                x = x0 + px_i * xs
+                o = y * stride + x * channels
+                raw += pixels[o : o + channels]
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_deinterlace(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Adam7 reassembly: unfilter each pass sub-image independently
+    (filters reference neighbors WITHIN the pass, per the spec), then
+    scatter its pixels onto the full-resolution grid."""
+    out = bytearray(width * height * channels)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(width - x0) // xs) if width > x0 else 0
+        ph = -(-(height - y0) // ys) if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        n = ph * (1 + pw * channels)
+        sub = _png_unfilter(raw[pos : pos + n], pw, ph, channels)
+        pos += n
+        for py in range(ph):
+            y = y0 + py * ys
+            for px_i in range(pw):
+                x = x0 + px_i * xs
+                so = (py * pw + px_i) * channels
+                oo = (y * width + x) * channels
+                out[oo : oo + channels] = sub[so : so + channels]
+    if pos != len(raw):
+        raise ValueError("interlaced PNG pixel data size mismatch")
+    return bytes(out)
 
 
 def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
@@ -771,9 +868,11 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL pixel decode → (width, height, channels, row-major pixel
     bytes). Stdlib only. Formats:
 
-    * PNG — 8-bit depth, color types 0/2/4/6, non-interlaced: IDAT
-      chunks concatenated, zlib-inflated, scanlines unfiltered (all
-      five filter types per the spec).
+    * PNG — 8-bit depth, color types 0/2/3/4/6 (palette expanded via
+      PLTE), Adam7-interlaced or not: IDAT chunks concatenated,
+      zlib-inflated, scanlines unfiltered (all five filter types per
+      the spec; interlaced images unfilter each of the seven
+      sub-images independently, then deinterlace).
     * BMP — uncompressed 24-bit BI_RGB: bottom-up rows, 4-byte row
       padding stripped, BGR→RGB swapped.
     * PPM — binary ``P6`` with maxval 255.
@@ -795,6 +894,8 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         pos, width = 8, None
         height = channels = 0
+        ctype = ilace = 0
+        plte = None
         idat = bytearray()
         while pos + 8 <= len(payload):
             size = _struct.unpack(">I", payload[pos : pos + 4])[0]
@@ -804,11 +905,13 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 width, height, depth, ctype, comp, filt, ilace = _struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or ctype not in _PNG_CHANNELS or ilace:
+                if depth != 8 or ctype not in _PNG_CHANNELS or ilace > 1:
                     raise ValueError(
                         f"unsupported PNG (depth={depth} ctype={ctype} interlace={ilace})"
                     )
                 channels = _PNG_CHANNELS[ctype]
+            elif tag == b"PLTE":
+                plte = body
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -816,10 +919,24 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             pos += 12 + size  # len + tag + body + crc
         if width is None or not idat:
             raise ValueError("PNG missing IHDR or IDAT")
+        if ctype == 3 and plte is None:
+            raise ValueError("palette PNG missing PLTE")
         raw = zlib.decompress(bytes(idat))
-        if len(raw) != height * (1 + width * channels):
-            raise ValueError("PNG pixel data size mismatch")
-        return width, height, channels, _png_unfilter(raw, width, height, channels)
+        if ilace:
+            px = _png_deinterlace(raw, width, height, channels)
+        else:
+            if len(raw) != height * (1 + width * channels):
+                raise ValueError("PNG pixel data size mismatch")
+            px = _png_unfilter(raw, width, height, channels)
+        if ctype == 3:  # palette indices → RGB
+            out = bytearray(width * height * 3)
+            for i, v in enumerate(px):
+                ci = v * 3
+                if ci + 3 > len(plte):
+                    raise ValueError("PNG palette index out of range")
+                out[3 * i : 3 * i + 3] = plte[ci : ci + 3]
+            return width, height, 3, bytes(out)
+        return width, height, channels, px
     if payload[:2] == b"BM":
         off, hdr_size = _struct.unpack("<I", payload[10:14])[0], _struct.unpack(
             "<I", payload[14:18]

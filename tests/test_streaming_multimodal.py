@@ -1059,3 +1059,29 @@ def test_gif_codec_roundtrip_and_dispatch():
     rgb300 = np.stack([big % 256, big // 256, big * 0], axis=1).astype(np.uint8)
     with pytest.raises(ValueError):
         MM.encode_gif(300, 1, rgb300.tobytes())
+
+
+def test_png_palette_and_adam7_roundtrip():
+    """PNG color type 3 (PLTE expansion) and Adam7 interlace (per-pass
+    unfilter + scatter) — lossless, exact round trips through the one
+    decode_pixels dispatcher, including 1x1 and pass-degenerate sizes."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for (w, h) in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 5), (23, 17)]:
+        ncol = min(256, w * h)
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, size=(h, w))].tobytes()
+        assert MM.decode_pixels(MM.encode_png_palette(w, h, px)) == (w, h, 3, px)
+        for c in (1, 3, 4):
+            raw = rng.integers(0, 256, size=h * w * c, dtype=np.uint8).tobytes()
+            assert MM.decode_pixels(MM.encode_png_interlaced(w, h, raw, c)) == (
+                w, h, c, raw,
+            )
+    # palette PNG without PLTE quarantines
+    broken = MM.encode_png_palette(4, 4, bytes(48))
+    # strip the PLTE chunk (header(8) + IHDR(25) + PLTE(12+len))
+    plte_len = int.from_bytes(broken[33:37], "big")
+    stripped = broken[:33] + broken[33 + 12 + plte_len:]
+    with pytest.raises(ValueError):
+        MM.decode_pixels(stripped)
