@@ -11811,6 +11811,58 @@ def x_mongo_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_lookup",
+    """
+    SELECT c.c_mktsegment AS _id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_c,
+           CAST(count(*) FILTER (WHERE o.o_totalprice > 300000) AS BIGINT)
+             AS n_big
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY _id
+    """,
+    "sources", "S10", "J1",
+)
+def x_mongo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup + $unwind FUSION (documents.mongo_aggregate): Mongo's
+    join idiom — $lookup embedding matches as an array, immediately
+    unwound — compiles to ONE relational join (inner here, since the
+    default $unwind drops empty arrays), so the array materialization
+    never happens and Catalyst broadcasts the customer dimension like
+    any J1 enrich join. Downstream stages run on the joined shape:
+    $cond flags big orders, $group aggregates per segment, $sort
+    orders the output. The oracle is the plain ANSI join the fusion
+    must be equivalent to."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    customer = _t(spark, sf_dir, "customer")
+    return DOC.mongo_aggregate(
+        orders,
+        [
+            {"$lookup": {"from": "customer", "localField": "o_custkey",
+                         "foreignField": "c_custkey", "as": "c"}},
+            {"$unwind": "$c"},
+            {"$addFields": {
+                "big": {"$cond": {"if": {"$gt": ["$o_totalprice", 300000]},
+                                  "then": 1, "else": 0}},
+            }},
+            {"$group": {"_id": "$c.c_mktsegment",
+                        "n": {"$sum": 1},
+                        "total_c": {"$sum": "$price_c"},
+                        "n_big": {"$sum": "$big"}}},
+            {"$sort": {"_id": 1}},
+        ],
+        collections={"customer": customer},
+    )
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -11996,9 +12048,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # round-11 first exposures: new JPEG entropy-decode entry, and the
     # probe whose corpus grew MP4 (its r8 attestation covered the old
     # 4-format fixture, so it re-attests)
-    "x_jpeg_decode", "x_media_probe", "x_mongo_aggregate",
+    "x_jpeg_decode", "x_media_probe", "x_mongo_aggregate", "x_mongo_lookup",
     # stalest greens — last attested r7
-    "a6_rollup_geo",
     "j9_supplier_pairs", "x_cdc_replay",
     "x_group_percentiles", "x_kmeans_clusters", "x_media_formats",
     "x_semantic_dedup",

@@ -386,6 +386,30 @@ def _mongo_expr(spec) -> Column:
         op, args = next(iter(spec.items()))
         if op == "$literal":
             return F.lit(args)
+        if op == "$cond":
+            if isinstance(args, dict):
+                cond, then, els = args["if"], args["then"], args["else"]
+            else:
+                cond, then, els = args
+            return F.when(_mongo_expr(cond), _mongo_expr(then)).otherwise(
+                _mongo_expr(els)
+            )
+        if op == "$switch":
+            out = None
+            for br in args["branches"]:
+                c, t = _mongo_expr(br["case"]), _mongo_expr(br["then"])
+                out = F.when(c, t) if out is None else out.when(c, t)
+            if out is None:
+                raise ValueError("$switch requires at least one branch")
+            return out.otherwise(_mongo_expr(args.get("default")))
+        if op in ("$gt", "$gte", "$lt", "$lte", "$eq", "$ne"):
+            if not isinstance(args, (list, tuple)) or len(args) != 2:
+                raise ValueError(f"{op} requires a two-element list")
+            a, b = (_mongo_expr(x) for x in args)
+            return {
+                "$gt": a > b, "$gte": a >= b, "$lt": a < b, "$lte": a <= b,
+                "$eq": a.eqNullSafe(b), "$ne": ~a.eqNullSafe(b),
+            }[op]
         if op in ("$toUpper", "$toLower"):
             inner = _mongo_expr(args)
             return F.upper(inner) if op == "$toUpper" else F.lower(inner)
@@ -449,7 +473,11 @@ def _mongo_accumulator(spec) -> Column:
     raise ValueError(f"unsupported accumulator: {op}")
 
 
-def mongo_aggregate(df: DataFrame, pipeline: list[dict]) -> DataFrame:
+def mongo_aggregate(
+    df: DataFrame,
+    pipeline: list[dict],
+    collections: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Run a MongoDB aggregation pipeline against a DataFrame — the
     second half of the Mongo migration shim (``mongo_find`` covers
     ``find()``; this covers the ``aggregate()`` read sites). Pure
@@ -466,7 +494,22 @@ def mongo_aggregate(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     "$f", ...}; accumulator semantics in :func:`_mongo_accumulator`),
     ``$sort`` (1/-1; Mongo's BSON order sorts null/missing lowest —
     exactly Spark's asc-nulls-first / desc-nulls-last defaults),
-    ``$skip``, ``$limit``, ``$count``.
+    ``$skip``, ``$limit``, ``$count``, and ``$lookup`` (see below;
+    referenced collections come in through ``collections``).
+
+    ``$lookup`` compilation is the interesting one. Mongo's contract
+    embeds every matching foreign doc as an ARRAY in the ``as`` field;
+    the shim implements that faithfully (join + per-row collect_list of
+    the foreign row struct), BUT when the immediately following stage
+    is ``$unwind`` on the same field — the overwhelmingly common idiom
+    — the pair FUSES into one relational join: INNER when the unwind
+    drops empty arrays (Mongo default), LEFT with
+    ``preserveNullAndEmptyArrays`` (the unmatched row's ``as`` field is
+    NULL, exactly what unwinding an absent array yields). The fused
+    form is what Catalyst can actually optimize (broadcast the
+    dimension, push predicates through) — the array materialization
+    never happens. Join equality is null-safe, matching Mongo's
+    null-matches-null $lookup rule.
 
     Relational deltas (documented): there is no implicit ``_id``
     carry-through in $project — only requested fields survive; $group's
@@ -474,10 +517,61 @@ def mongo_aggregate(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     key (document key), not a nested document.
     """
     out = df
-    for stage in pipeline:
+    pipeline = list(pipeline)
+    i = -1
+    while i + 1 < len(pipeline):
+        i += 1
+        stage = pipeline[i]
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"each stage must have exactly one operator: {stage}")
         op, spec = next(iter(stage.items()))
+        if op == "$lookup":
+            frm, lf = spec["from"], spec["localField"]
+            ff, as_f = spec["foreignField"], spec["as"]
+            if not collections or frm not in collections:
+                raise ValueError(f"$lookup from unknown collection {frm!r}")
+            ref = collections[frm]
+            # fusion peephole: $lookup immediately followed by $unwind
+            # of the looked-up field
+            nxt = pipeline[i + 1] if i + 1 < len(pipeline) else None
+            fuse = None
+            if nxt and len(nxt) == 1 and "$unwind" in nxt:
+                us = nxt["$unwind"]
+                upath = us if isinstance(us, str) else us["path"]
+                if upath == "$" + as_f:
+                    fuse = us
+            rstruct = F.struct(*[F.col(c) for c in ref.columns]).alias(as_f)
+            right = ref.select(F.col(ff).alias("__lk_key"), rstruct)
+            if fuse is not None:
+                preserve = not isinstance(fuse, str) and bool(
+                    fuse.get("preserveNullAndEmptyArrays", False)
+                )
+                out = out.join(
+                    right,
+                    on=out[lf].eqNullSafe(right["__lk_key"]),
+                    how="left" if preserve else "inner",
+                ).drop("__lk_key")
+                i += 1  # the $unwind is consumed by the fusion
+            else:
+                # faithful array form: per-left-row collect of matches.
+                # Row identity via monotonically_increasing_id — unique
+                # per row and deterministic for a deterministic source.
+                left_cols = out.columns
+                keyed = out.withColumn("__lk_row", F.monotonically_increasing_id())
+                joined = keyed.join(
+                    right,
+                    on=keyed[lf].eqNullSafe(right["__lk_key"]),
+                    how="left",
+                ).drop("__lk_key")
+                out = (
+                    joined.groupBy("__lk_row")
+                    .agg(
+                        *[F.first(c).alias(c) for c in left_cols],
+                        F.collect_list(as_f).alias(as_f),
+                    )
+                    .drop("__lk_row")
+                )
+            continue
         if op == "$match":
             out = out.filter(mongo_find_filter(spec))
         elif op == "$project":

@@ -372,3 +372,68 @@ def test_mongo_aggregate_stage_semantics(spark):
     ):
         with _pytest.raises((ValueError, KeyError)):
             mongo_aggregate(df, bad).collect()
+
+
+def test_mongo_lookup_and_conditional_expressions(spark):
+    """$lookup semantics against Mongo's rules: null localField matches
+    null foreignField, the general form embeds matches as an array
+    (empty for no match), and the $lookup+$unwind fusion compiles to
+    one join (inner by default, left with preserve). $cond/$switch:
+    null conditions are falsy (else/default), as in Mongo."""
+    import pytest as _pytest
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)], "oid: long, cust: int"
+    )
+    cust = spark.createDataFrame(
+        [(10, "alice"), (20, "bob"), (None, "ghost")], "cid: int, name: string"
+    )
+    colls = {"customers": cust}
+    lk = {"$lookup": {"from": "customers", "localField": "cust",
+                      "foreignField": "cid", "as": "c"}}
+
+    got = mongo_aggregate(
+        orders, [lk, {"$unwind": "$c"}, {"$project": {"oid": 1, "name": "$c.name"}}],
+        colls,
+    ).collect()
+    assert sorted((r.oid, r.name) for r in got) == [
+        (1, "alice"), (2, "bob"), (3, "ghost")]  # null==null matches; 4 dropped
+
+    got = mongo_aggregate(
+        orders,
+        [lk, {"$unwind": {"path": "$c", "preserveNullAndEmptyArrays": True}},
+         {"$project": {"oid": 1, "name": "$c.name"}}],
+        colls,
+    ).collect()
+    assert sorted([(r.oid, r.name) for r in got], key=str) == sorted(
+        [(1, "alice"), (2, "bob"), (3, "ghost"), (4, None)], key=str)
+
+    # un-fused: array-of-struct embedding, empty for no match
+    got = mongo_aggregate(orders, [lk], colls).collect()
+    assert sorted((r.oid, len(r.c)) for r in got) == [(1, 1), (2, 1), (3, 1), (4, 0)]
+
+    # the fusion is a real join in the physical plan (broadcastable)
+    plan = mongo_aggregate(
+        orders, [lk, {"$unwind": "$c"}], colls
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan and "collect_list" not in plan
+
+    # $cond / $switch with null conditions → else / default
+    got = mongo_aggregate(orders, [
+        {"$addFields": {
+            "big": {"$cond": {"if": {"$gte": ["$cust", 20]},
+                              "then": "yes", "else": "no"}},
+            "band": {"$switch": {"branches": [
+                {"case": {"$lt": ["$cust", 15]}, "then": "low"},
+                {"case": {"$lt": ["$cust", 50]}, "then": "mid"},
+            ], "default": "high"}},
+        }},
+    ]).collect()
+    assert sorted((r.oid, r.big, r.band) for r in got) == [
+        (1, "no", "low"), (2, "yes", "mid"), (3, "no", "high"),
+        (4, "yes", "high")]
+
+    with _pytest.raises(ValueError):
+        mongo_aggregate(orders, [lk])  # no collections supplied
