@@ -1,14 +1,15 @@
 #!/usr/bin/env bash
-# Four-way parallel test run (VERDICT r10 ask #8: the full suite hit
+# Five-way parallel test run (VERDICT r10 ask #8: the full suite hit
 # ~26 min single-process; pytest-xdist is not in this sandbox, so this
-# is plain pytest processes, each with its OWN Spark JVM — 4 x local[8]
+# is plain pytest processes, each with its OWN Spark JVM — 5 x local[8]
 # fills the 32-CPU box).
 #
-# Measured single-process breakdown (round 11): Hypothesis property
-# suite ≈ 18 min (the pacing item), oracle-parity + plan sweeps ≈ 7
-# min, the 16 unit/integration files ≈ 5 min. Split: the property
-# suite is halved via the PYTEST_SHARD nodeid-hash filter
-# (tests/conftest.py), so the wall is max(≈9, ≈7, ≈5) ≈ 10 min.
+# Measured breakdown (round 11): Hypothesis property suite ≈ 18 min
+# single-process (the pacing item; a HALVED run still measured 14:26
+# for the heavier half), oracle-parity + plan sweeps 6:40, the 16
+# unit/integration files 7:35. Split: the property suite is THIRDED
+# via the PYTEST_SHARD nodeid-hash filter (tests/conftest.py), so the
+# wall is the slowest property third ≈ 8-10 min.
 #
 # Usage: scripts/test_shards.sh   (exits non-zero if any shard fails)
 set -u
@@ -18,25 +19,27 @@ SWEEPS="tests/test_oracle_parity.py tests/test_plan_sweep.py"
 PROPS="tests/test_properties.py"
 REST=$(ls tests/test_*.py | grep -v -E 'oracle_parity|plan_sweep|properties' | tr '\n' ' ')
 
-echo "[shards] 1: catalog sweeps   2+3: property halves   4: $(echo "$REST" | wc -w) unit files"
+echo "[shards] 1: catalog sweeps   2-4: property thirds   5: $(echo "$REST" | wc -w) unit files"
 
 python -m pytest $SWEEPS -q >/tmp/test_shard_1.log 2>&1 &
 P1=$!
-PYTEST_SHARD=0/2 python -m pytest $PROPS -q >/tmp/test_shard_2.log 2>&1 &
+PYTEST_SHARD=0/3 python -m pytest $PROPS -q >/tmp/test_shard_2.log 2>&1 &
 P2=$!
-PYTEST_SHARD=1/2 python -m pytest $PROPS -q >/tmp/test_shard_3.log 2>&1 &
+PYTEST_SHARD=1/3 python -m pytest $PROPS -q >/tmp/test_shard_3.log 2>&1 &
 P3=$!
-python -m pytest $REST -q >/tmp/test_shard_4.log 2>&1 &
+PYTEST_SHARD=2/3 python -m pytest $PROPS -q >/tmp/test_shard_4.log 2>&1 &
 P4=$!
+python -m pytest $REST -q >/tmp/test_shard_5.log 2>&1 &
+P5=$!
 
 RC=0
-for i in 1 2 3 4; do
+for i in 1 2 3 4 5; do
   eval "wait \$P$i"; R=$?
   echo "--- shard $i tail ---"; tail -n 1 "/tmp/test_shard_$i.log"
   [ $R -ne 0 ] && RC=1
 done
 if [ $RC -ne 0 ]; then
-  echo "[shards] FAILED — full logs: /tmp/test_shard_{1,2,3,4}.log"
+  echo "[shards] FAILED — full logs: /tmp/test_shard_{1,2,3,4,5}.log"
   exit 1
 fi
 echo "[shards] OK"
