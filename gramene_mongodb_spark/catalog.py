@@ -6673,13 +6673,18 @@ def x_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization or color math breaks the hash. The general (AC)
     path is gated by tests/test_jpeg.py: a spec-literal O(N⁴) IDCT
     differential and a pinned-tolerance PNG-twin container-invariance
-    sweep. Scale: embarrassingly parallel map pass, ~1.7 ms/image."""
+    sweep. Scale: embarrassingly parallel map pass (~1.7 ms/image) over
+    PRE-SPREAD ids — the 8-byte id list shuffles once before the
+    codec pass, per the x_video_shots lesson (a 1-2-partition customer
+    scan would serialize the whole Arrow pass; measured here too:
+    12.8 s → sub-second at sf0.1)."""
     from gramene_mongodb_spark.operators import jpeg as J
 
     cust = (
         _t(spark, sf_dir, "customer")
         .select("c_custkey")
         .filter(F.col("c_custkey") % 2 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def gen(batches):
