@@ -6662,10 +6662,14 @@ def x_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiples of 8, so edge padding is live), encodes it worker-side as
     a real baseline JFIF stream (operators/jpeg.py: Annex-K Huffman +
     quality-scaled Annex-K quantization at q∈{35,75,92} — both branches
-    of the libjpeg scale formula — alternating 4:4:4/4:2:0 layouts),
-    then ``pixel_stats`` decodes through the one ``decode_pixels``
-    dispatcher (Huffman → dequant → IDCT → YCbCr→RGB) and reduces to
-    exact integer channel sums. Solid color makes every block DC-only,
+    of the libjpeg scale formula — alternating 4:4:4/4:2:0 layouts, and
+    alternating BASELINE (SOF0) / PROGRESSIVE (SOF2, 8-scan successive-
+    approximation script) processes, so both entropy decoders are
+    driver-gated), then ``pixel_stats`` decodes through the one
+    ``decode_pixels`` dispatcher (Huffman → dequant → IDCT →
+    YCbCr→RGB) and reduces to exact integer channel sums. The oracle is
+    process-independent by construction: both scan scripts reconstruct
+    the same quantized coefficients. Solid color makes every block DC-only,
     so the full lossy chain is closed-form: the oracle replays color
     convert (floor+0.5), integer quant-table scaling, DC quantize/
     dequantize and the inverse color transform ARITHMETICALLY — one
@@ -6703,8 +6707,10 @@ def x_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.uint8,
                 )
                 px = np.tile(color, (h, w, 1))
+                enc = (J.encode_jpeg_progressive if kk % 4 == 2
+                       else J.encode_jpeg_baseline)
                 payloads.append(
-                    J.encode_jpeg_baseline(
+                    enc(
                         w, h, px.tobytes(),
                         quality=(35, 75, 92)[kk % 3],
                         subsampling="420" if kk % 4 == 0 else "444",

@@ -3,12 +3,18 @@
 The one capability stub left after round 10 was compressed-image entropy
 decode (`multimodal.decode_pixels` covered PNG/BMP/PPM only; real web
 image corpora are overwhelmingly JPEG). No imaging library ships in this
-sandbox, so this module implements the baseline sequential DCT process
-from the public spec: Huffman entropy coding (Annex K tables for the
-encoder; arbitrary DHT tables for the decoder), zigzag + quantization
-(Annex K base tables scaled by the libjpeg quality formula), 8×8
-DCT/IDCT as an orthonormal matrix product, JFIF YCbCr colorimetry
-(ITU-T T.871), 4:4:4 and 4:2:0 chroma layouts, and restart markers.
+sandbox, so this module implements BOTH DCT processes found in the wild
+from the public spec: the baseline sequential process AND the full
+progressive process (spectral selection + successive approximation +
+EOB-run coding, T.81 §G) — the decoder is interop-verified against real
+libjpeg-produced files, including a real progressive photograph (see
+tests/test_jpeg.py). Shared machinery: Huffman entropy coding (Annex K
+tables for the baseline encoder; flat spec-valid tables for the
+progressive encoder, since Annex K carries no EOBn symbols; arbitrary
+DHT on decode), zigzag + quantization (Annex K base tables scaled by
+the libjpeg quality formula), 8×8 DCT/IDCT as an orthonormal matrix
+product, JFIF YCbCr colorimetry (ITU-T T.871), 4:4:4 and 4:2:0 chroma
+layouts, and restart markers.
 
 Design rules that make it oracle-replayable and test-tight:
 
@@ -543,13 +549,34 @@ def encode_jpeg_baseline(
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg_baseline(payload: bytes, idct=idct_2d) -> tuple[int, int, int, bytes]:
-    """REAL baseline JPEG entropy decode → (width, height, 3, RGB24
-    bytes). Supports: baseline sequential DCT (SOF0), 8-bit samples,
-    1 or 3 components, sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0),
-    arbitrary DHT/DQT tables, restart intervals, 16-bit DQT precision.
-    Raises ``ValueError`` on progressive (SOF2)/arithmetic streams,
-    missing segments, or corrupt entropy data — callers quarantine.
+def decode_jpeg(payload: bytes, idct=idct_2d) -> tuple[int, int, int, bytes]:
+    """REAL JPEG entropy decode → (width, height, 3, RGB24 bytes).
+
+    Supports BOTH DCT processes actually found in web corpora:
+
+    * **Baseline/extended sequential** (SOF0/SOF1): one scan, full
+      DC+AC per block.
+    * **Progressive** (SOF2): any legal scan script — spectral
+      selection (per-band AC scans, interleaved or single-component DC
+      scans) AND successive approximation (DC/AC first passes at
+      reduced precision plus refinement passes), with EOB-run coding
+      in both first and refinement AC scans, per ITU-T T.81 §G.
+      Verified against a real libjpeg progressive photograph (see
+      tests/test_jpeg.py interop tests).
+
+    Common machinery: 8-bit samples, 1 or 3 components, sampling
+    factors 1–2 (4:4:4/4:2:2/4:2:0), arbitrary DHT/DQT (16-bit DQT
+    precision), restart intervals, tables redefined between scans.
+    Non-interleaved scans iterate the component's TRUE block grid
+    (ceil(comp_size/8)), not the MCU-padded grid — the rule baseline
+    single-component images rely on too. Coefficients accumulate
+    across scans and dequantize once at the end, so the DC-only exact
+    path (and the solid-color oracle arithmetic) is identical for both
+    processes.
+
+    Raises ``ValueError`` on arithmetic-coded/lossless/hierarchical
+    processes, missing segments, or corrupt entropy data — callers
+    quarantine.
 
     ``idct`` is injectable so the test suite can run the spec-literal
     O(N⁴) reference IDCT through the IDENTICAL parse/upsample path as a
@@ -560,15 +587,21 @@ def decode_jpeg_baseline(payload: bytes, idct=idct_2d) -> tuple[int, int, int, b
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
-    frame = None  # (width, height, comps) where comps = [(id, h, v, tq)]
+    frame = None   # (width, height, comps=[(cid, hs, vs, tq)], progressive)
+    geo = None     # per comp: dict(hs, vs, bw, bh, tbw, tbh)
+    coefs = None   # per comp: (bh*bw, 64) int64, ZIGZAG order
     restart_interval = 0
+    any_scan = False
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
         size = _struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + size]
         if marker == 0xDB:  # DQT — possibly several tables per segment
@@ -582,9 +615,7 @@ def decode_jpeg_baseline(payload: bytes, idct=idct_2d) -> tuple[int, int, int, b
                 else:
                     tab = np.frombuffer(body[p : p + 64], dtype=np.uint8).astype(np.int64)
                     p += 64
-                nat = np.zeros(64, dtype=np.int64)
-                nat[ZIGZAG] = tab
-                qtables[tq] = nat.reshape(8, 8)
+                qtables[tq] = tab.copy()  # kept in ZIGZAG order
         elif marker == 0xC4:  # DHT — possibly several tables
             p = 0
             while p < len(body):
@@ -594,7 +625,7 @@ def decode_jpeg_baseline(payload: bytes, idct=idct_2d) -> tuple[int, int, int, b
                 values = tuple(body[p + 17 : p + 17 + n])
                 (ac_tabs if cls else dc_tabs)[tid] = _HuffDecoder(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = _struct.unpack(">HH", body[1:5])
@@ -603,13 +634,33 @@ def decode_jpeg_baseline(payload: bytes, idct=idct_2d) -> tuple[int, int, int, b
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if not (1 <= ncomp <= 3):
+                raise ValueError("unsupported component count")
+            h_max = max(c[1] for c in comps)
+            v_max = max(c[2] for c in comps)
+            if h_max > 2 or v_max > 2:
+                raise ValueError("sampling factors above 2 unsupported")
+            mcux = -(-w // (8 * h_max))
+            mcuy = -(-h // (8 * v_max))
+            geo = []
+            coefs = []
+            for cid, hs, vs, tq in comps:
+                bw, bh = mcux * hs, mcuy * vs
+                # true (non-MCU-padded) block grid: ceil(ceil(dim·s/s_max)/8)
+                comp_w = -(-(w * hs) // h_max)
+                comp_h = -(-(h * vs) // v_max)
+                tbw = -(-comp_w // 8)
+                tbh = -(-comp_h // 8)
+                geo.append({"hs": hs, "vs": vs, "bw": bw, "bh": bh,
+                            "tbw": tbw, "tbh": tbh})
+                coefs.append(np.zeros((bh * bw, 64), dtype=np.int64))
+            frame = (w, h, comps, marker == 0xC2, h_max, v_max, mcux, mcuy)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF{marker - 0xC0})")
         elif marker == 0xDD:
             restart_interval = _struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
@@ -617,87 +668,34 @@ def decode_jpeg_baseline(payload: bytes, idct=idct_2d) -> tuple[int, int, int, b
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            pos = pos + 2 + size
-            return _decode_scan(
-                payload, pos, frame, scan, qtables, dc_tabs, ac_tabs,
-                restart_interval, idct,
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan_into(
+                payload, pos + 2 + size, frame, geo, coefs, scan,
+                ss, se, ah, al, dc_tabs, ac_tabs, restart_interval,
             )
+            any_scan = True
+            continue
         pos += 2 + size
-    raise ValueError("no SOS segment (header-only or truncated JPEG)")
 
+    if frame is None or not any_scan:
+        raise ValueError("no SOS segment (header-only or truncated JPEG)")
 
-def _decode_scan(
-    payload, pos, frame, scan, qtables, dc_tabs, ac_tabs, restart_interval, idct
-):
-    width, height, comps = frame
-    if not (1 <= len(comps) <= 3) or len(scan) != len(comps):
-        raise ValueError("unsupported component layout")
-    h_max = max(c[1] for c in comps)
-    v_max = max(c[2] for c in comps)
-    if h_max > 2 or v_max > 2:
-        raise ValueError("sampling factors above 2 unsupported")
-    mcux = -(-width // (8 * h_max))
-    mcuy = -(-height // (8 * v_max))
-    scan_by_id = {s[0]: s for s in scan}
-
+    width, height, comps, _prog, h_max, v_max, mcux, mcuy = frame
+    zz_r, zz_c = ZIGZAG // 8, ZIGZAG % 8
     planes = []
-    blocks_per: list[np.ndarray] = []
-    geo = []
-    for cid, hs, vs, tq in comps:
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError(f"missing DQT {tq}")
-        _, td, ta = scan_by_id[cid]
-        if td not in dc_tabs or ta not in ac_tabs:
-            raise ValueError("missing DHT table")
-        bw, bh = mcux * hs, mcuy * vs
-        blocks_per.append(np.zeros((bh * bw, 8, 8), dtype=np.int64))
-        geo.append((hs, vs, bw, bh, qtables[tq], dc_tabs[td], ac_tabs[ta]))
-
-    reader = _BitReader(payload, pos)
-    zz_r, zz_c = ZIGZAG // 8, ZIGZAG % 8
-    pred = [0] * len(comps)
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                m = reader.align_to_marker()
-                if not (0xD0 <= m <= 0xD7):
-                    raise ValueError("expected RSTn marker")
-                pred = [0] * len(comps)
-            for ci, (hs, vs, bw, bh, q, dtab, atab) in enumerate(geo):
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        ssss = dtab.decode(reader)
-                        diff = _extend(reader.bits(ssss), ssss) if ssss else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = atab.decode(reader)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        block = np.zeros((8, 8), dtype=np.int64)
-                        block[zz_r, zz_c] = zz
-                        idx = (my * vs + by) * bw + (mx * hs + bx)
-                        blocks_per[ci][idx] = block * q
-            mcu_index += 1
-
-    # dequantized coefficients → samples → planes at full resolution
-    for ci, (hs, vs, bw, bh, q, _, _) in enumerate(geo):
-        spatial = idct(blocks_per[ci])
+        g = geo[ci]
+        deq = coefs[ci] * qtables[tq][None, :]  # both in zigzag order
+        blocks = np.zeros((len(deq), 8, 8), dtype=np.int64)
+        blocks[:, zz_r, zz_c] = deq
+        spatial = idct(blocks)
         samples = np.clip(
             _round_half_up(np.asarray(spatial, np.float64) + 128.0), 0, 255
         ).astype(np.int64)
+        bw, bh = g["bw"], g["bh"]
         plane = (
             samples.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
@@ -714,6 +712,445 @@ def _decode_scan(
     else:
         rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
     return width, height, 3, np.ascontiguousarray(rgb.astype(np.uint8)).tobytes()
+
+
+#: back-compat alias (the round-11 baseline-only entry point grew
+#: progressive support in place; decode_pixels dispatches decode_jpeg)
+decode_jpeg_baseline = decode_jpeg
+
+
+def _decode_scan_into(
+    payload, pos, frame, geo, coefs, scan, ss, se, ah, al,
+    dc_tabs, ac_tabs, restart_interval,
+):
+    """Decode ONE scan's entropy data into the per-component zigzag
+    coefficient arrays; returns the stream position of the next marker.
+    Handles all four progressive scan types plus full sequential scans,
+    interleaved (MCU order, padded grid) and single-component
+    (raster order over the TRUE block grid) layouts, and restarts."""
+    width, height, comps, progressive, h_max, v_max, mcux, mcuy = frame
+    id_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in id_to_ci:
+            raise ValueError(f"scan references unknown component {cs}")
+        ci = id_to_ci[cs]
+        need_dc = ss == 0 and (not progressive or ah == 0)
+        need_dc_refine = progressive and ss == 0 and ah > 0
+        need_ac = se > 0
+        if (need_dc and td not in dc_tabs) and not need_dc_refine:
+            raise ValueError("missing DC DHT table")
+        if need_ac and ta not in ac_tabs:
+            raise ValueError("missing AC DHT table")
+        sel.append((ci, dc_tabs.get(td), ac_tabs.get(ta)))
+    if progressive and ss > 0 and len(sel) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if progressive and (ss > 63 or se > 63 or se < ss):
+        raise ValueError("invalid spectral band")
+    if not progressive and (ss != 0 or se != 63 or ah or al):
+        raise ValueError("sequential scan with progressive parameters")
+
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+    p1, m1 = 1 << al, -(1 << al)
+
+    def decode_sequential(zz, dtab, atab, ci):
+        ssss = dtab.decode(reader)
+        diff = _extend(reader.bits(ssss), ssss) if ssss else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = atab.decode(reader)
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(reader.bits(sz), sz)
+            k += 1
+
+    def decode_dc_first(zz, dtab, ci):
+        ssss = dtab.decode(reader)
+        diff = _extend(reader.bits(ssss), ssss) if ssss else 0
+        pred[ci] += diff
+        zz[0] = pred[ci] << al
+
+    def decode_dc_refine(zz):
+        if reader.bits(1):
+            zz[0] |= p1
+
+    def decode_ac_first(zz, atab):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = atab.decode(reader)
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            zz[k] = _extend(reader.bits(sz), sz) << al
+            k += 1
+
+    def decode_ac_refine(zz, atab):
+        # T.81 G.1.2.3 / the libjpeg refinement algorithm: newly
+        # significant coefficients arrive as ±1<<Al with a sign bit;
+        # every nonzero-HISTORY coefficient passed along the way (and,
+        # inside an EOB run, through the rest of the band) carries a
+        # correction bit that may add 1<<Al toward its sign.
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = atab.decode(reader)
+                r, sz = rs >> 4, rs & 0x0F
+                val = 0
+                if sz == 0:
+                    if r < 15:
+                        # NO "-1" here (unlike the first-pass scan): the
+                        # tail loop below consumes the CURRENT block's
+                        # remaining correction bits and decrements once
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.bits(r)
+                        break
+                    # r == 15: skip 16 zero-history positions
+                else:
+                    if sz != 1:
+                        raise ValueError("invalid refinement magnitude")
+                    val = p1 if reader.bits(1) else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.bits(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0:
+                    if k > se:
+                        raise ValueError("refinement ran past the band")
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_block(ci, dtab, atab, idx):
+        zz = coefs[ci][idx]
+        if not progressive:
+            decode_sequential(zz, dtab, atab, ci)
+        elif ss == 0:
+            if ah == 0:
+                decode_dc_first(zz, dtab, ci)
+            else:
+                decode_dc_refine(zz)
+        elif ah == 0:
+            decode_ac_first(zz, atab)
+        else:
+            decode_ac_refine(zz, atab)
+
+    def restart_check(unit_index):
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            m = reader.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError("expected RSTn marker")
+            pred[:] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if len(sel) > 1 or (not progressive and len(comps) > 1 and len(sel) == len(comps)):
+        # interleaved: MCU order over the padded grid
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_check(unit)
+                for ci, dtab, atab in sel:
+                    g = geo[ci]
+                    for by in range(g["vs"]):
+                        for bx in range(g["hs"]):
+                            idx = (my * g["vs"] + by) * g["bw"] + (mx * g["hs"] + bx)
+                            decode_block(ci, dtab, atab, idx)
+                unit += 1
+    else:
+        # single-component: raster over the TRUE grid
+        ci, dtab, atab = sel[0]
+        g = geo[ci]
+        unit = 0
+        for by in range(g["tbh"]):
+            for bx in range(g["tbw"]):
+                restart_check(unit)
+                decode_block(ci, dtab, atab, by * g["bw"] + bx)
+                unit += 1
+
+    # drop the partial byte and resync to the next true marker (the
+    # reader may stop mid-byte before the scan's 1-fill padding, and
+    # stuffed FF00 pairs / FF fill bytes are not markers)
+    pnext = reader.pos
+    while pnext + 1 < len(payload):
+        if payload[pnext] == 0xFF and payload[pnext + 1] not in (0x00, 0xFF):
+            break
+        pnext += 1
+    return pnext
+
+
+#: fixed-length Huffman tables for the PROGRESSIVE encoder: Annex K's
+#: AC tables lack the EOBn (r<<4|0, r>0) symbols progressive EOB runs
+#: need, so the fixture encoder uses flat spec-valid tables — every DC
+#: category at 4 bits (12 ≤ 2⁴−1) and every AC symbol at 8 bits
+#: (176 ≤ 2⁸−1). Worse compression, trivially canonical; the decoder
+#: reads whatever DHT the stream declares either way.
+_PROG_DC_TABLE = (
+    (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_PROG_AC_SYMBOLS = tuple(
+    sorted([(r << 4) | sz for r in range(16) for sz in range(1, 11)]
+           + [r << 4 for r in range(15)] + [0xF0])
+)
+_PROG_AC_TABLE = (
+    (0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0),
+    _PROG_AC_SYMBOLS,
+)
+
+
+def _prep_quantized_zz(width, height, pixels, quality, subsampling):
+    """Shared encoder front end: RGB → YCbCr → (sub)sampled planes →
+    padded block grid → FDCT → quantize; returns per-component
+    ZIGZAG-order (n_blocks, 64) int64 arrays plus the grid geometry."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb)
+    h_max = v_max = 2 if subsampling == "420" else 1
+    samp = [(h_max, v_max), (1, 1), (1, 1)]
+    qluma = quant_table(BASE_QUANT_LUMA, quality)
+    qchroma = quant_table(BASE_QUANT_CHROMA, quality)
+    qtabs = [qluma, qchroma, qchroma]
+    mcux = -(-width // (8 * h_max))
+    mcuy = -(-height // (8 * v_max))
+    zz_r, zz_c = ZIGZAG // 8, ZIGZAG % 8
+    comp_zz, grids = [], []
+    for ci in range(3):
+        hs, vs = samp[ci]
+        plane = _component_plane(ycc, ci, hs, vs, h_max, v_max)
+        bw, bh = mcux * hs, mcuy * vs
+        blocks = _blockize(plane, bw, bh) - 128
+        q = qtabs[ci].reshape(8, 8).astype(np.float64)
+        quant = _round_half_up(fdct_2d(blocks) / q).astype(np.int64)
+        comp_zz.append(quant[:, zz_r, zz_c])
+        comp_w = -(-(width * hs) // h_max)
+        comp_h = -(-(height * vs) // v_max)
+        grids.append({"hs": hs, "vs": vs, "bw": bw, "bh": bh,
+                      "tbw": -(-comp_w // 8), "tbh": -(-comp_h // 8)})
+    return comp_zz, grids, samp, qluma, qchroma, mcux, mcuy
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes((0xFF, marker)) + _struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 75,
+    subsampling: str = "444",
+) -> bytes:
+    """REAL progressive JFIF encoder (SOF2) — the fixture twin of the
+    progressive half of :func:`decode_jpeg`. Scan script exercises
+    every progressive scan type:
+
+    1. DC first, interleaved, successive approximation Al=1;
+    2. DC refinement (Ah=1 → Al=0, raw bits);
+    3. per component: AC first pass, full band 1–63 at Al=1, with
+       EOB-run coding across blocks;
+    4. per component: AC refinement (Ah=1 → Al=0) with correction
+       bits, newly-significant ±1 coding, ZRL runs and EOB runs
+       carrying buffered correction bits.
+
+    Uses flat fixed-length Huffman tables (see ``_PROG_AC_TABLE``)
+    because Annex K's tables carry no EOBn symbols. Output decodes
+    bit-exactly to the same pixels as the BASELINE encoding of the same
+    image at the same quality/subsampling (both reconstruct the same
+    quantized coefficients) — the round-trip equivalence the tests
+    pin."""
+    comp_zz, grids, samp, qluma, qchroma, mcux, mcuy = _prep_quantized_zz(
+        width, height, pixels, quality, subsampling
+    )
+    dc_codes = _canonical_codes(*_PROG_DC_TABLE)
+    ac_codes = _canonical_codes(*_PROG_AC_TABLE)
+
+    def mcu_blocks(sel):
+        """(ci, idx) pairs in interleaved MCU order over the padded grid."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in sel:
+                    g = grids[ci]
+                    for by in range(g["vs"]):
+                        for bx in range(g["hs"]):
+                            yield ci, (my * g["vs"] + by) * g["bw"] + (
+                                mx * g["hs"] + bx)
+
+    def raster_blocks(ci):
+        g = grids[ci]
+        for by in range(g["tbh"]):
+            for bx in range(g["tbw"]):
+                yield by * g["bw"] + bx
+
+    scans = []
+
+    # --- scan 1: DC first (interleaved, Al=1) ---
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, idx in mcu_blocks((0, 1, 2)):
+        t = int(comp_zz[ci][idx, 0]) >> 1  # DC point transform: arithmetic shift
+        diff = t - pred[ci]
+        pred[ci] = t
+        ssss, bits_val = _magnitude(diff)
+        code, ln = dc_codes[ssss]
+        w.write(code, ln)
+        if ssss:
+            w.write(bits_val, ssss)
+    w.pad_to_byte()
+    scans.append(((0, 1, 2), 0, 0, 0, 1, bytes(w.buf)))
+
+    # --- scan 2: DC refinement (Ah=1, Al=0; one raw bit per block) ---
+    w = _BitWriter()
+    for ci, idx in mcu_blocks((0, 1, 2)):
+        w.write(int(comp_zz[ci][idx, 0]) & 1, 1)
+    w.pad_to_byte()
+    scans.append(((0, 1, 2), 0, 0, 1, 0, bytes(w.buf)))
+
+    # --- scans 3..5: AC first pass per component (band 1-63, Al=1) ---
+    def trunc_div2(v: int) -> int:  # AC point transform truncates toward 0
+        return v >> 1 if v >= 0 else -((-v) >> 1)
+
+    def flush_eobrun(w, st):
+        if st["eobrun"] > 0:
+            eb = st["eobrun"]
+            nbits = eb.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            w.write(code, ln)
+            if nbits:
+                w.write(eb - (1 << nbits), nbits)
+            st["eobrun"] = 0
+        for b in st["pending"]:
+            w.write(b, 1)
+        st["pending"] = []
+
+    for ci in range(3):
+        w = _BitWriter()
+        st = {"eobrun": 0, "pending": []}
+        for idx in raster_blocks(ci):
+            zz = comp_zz[ci][idx]
+            r = 0
+            wrote_any = False
+            for k in range(1, 64):
+                t = trunc_div2(int(zz[k]))
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eobrun(w, st)
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                ssss, bits_val = _magnitude(t)
+                code, ln = ac_codes[(r << 4) | ssss]
+                w.write(code, ln)
+                w.write(bits_val, ssss)
+                r = 0
+                wrote_any = True
+            if r > 0 or not wrote_any:
+                st["eobrun"] += 1
+                if st["eobrun"] == 0x7FFF:
+                    flush_eobrun(w, st)
+        flush_eobrun(w, st)
+        w.pad_to_byte()
+        scans.append(((ci,), 1, 63, 0, 1, bytes(w.buf)))
+
+    # --- scans 6..8: AC refinement per component (Ah=1 -> Al=0) ---
+    for ci in range(3):
+        w = _BitWriter()
+        st = {"eobrun": 0, "pending": []}
+        for idx in raster_blocks(ci):
+            zz = comp_zz[ci][idx]
+            r = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                t = abs(int(zz[k]))  # history = |coef| >> Al(=0 target);
+                if t == 0:
+                    r += 1
+                    continue
+                if t > 1:
+                    br.append(t & 1)  # correction bit for known-nonzero
+                    continue
+                # newly significant (|coef| == 1 at this precision)
+                while r > 15:
+                    flush_eobrun(w, st)
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                flush_eobrun(w, st)
+                code, ln = ac_codes[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if int(zz[k]) > 0 else 0, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                st["eobrun"] += 1
+                st["pending"].extend(br)
+                if st["eobrun"] == 0x7FFF:
+                    flush_eobrun(w, st)
+        flush_eobrun(w, st)
+        w.pad_to_byte()
+        scans.append(((ci,), 1, 63, 1, 0, bytes(w.buf)))
+
+    # --- segment assembly ---
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = _seg(0xDB, bytes([0]) + bytes(qluma[ZIGZAG].astype(np.uint8)))
+    dqt += _seg(0xDB, bytes([1]) + bytes(qchroma[ZIGZAG].astype(np.uint8)))
+    sof_body = b"\x08" + _struct.pack(">HH", height, width) + b"\x03"
+    for ci, (hs, vs) in enumerate(samp):
+        sof_body += bytes((ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1))
+    sof2 = _seg(0xC2, sof_body)
+    dht = _seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_TABLE[0]) + bytes(_PROG_DC_TABLE[1]))
+    dht += _seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_TABLE[0]) + bytes(_PROG_AC_TABLE[1]))
+    out = bytearray(b"\xff\xd8" + app0 + dqt + sof2 + dht)
+    for comps_in_scan, ss, se, ah, al, data in scans:
+        body = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            body += bytes((ci + 1, 0x00))  # Td=0, Ta=0 (flat tables)
+        body += bytes((ss, se, (ah << 4) | al))
+        out += _seg(0xDA, body) + data
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def idct_2d_reference(coefs: np.ndarray) -> np.ndarray:

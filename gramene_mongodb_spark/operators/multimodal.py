@@ -24,11 +24,12 @@ image/audio/video:
   RIFF chunk walk + 8/16-bit sample recovery; ``audio_stats`` reduces
   to exact integer sums).
 * JPEG pixel decode is REAL as of round 11 (operators/jpeg.py:
-  baseline Huffman entropy decode + dequant + IDCT + YCbCr→RGB,
-  4:4:4/4:2:2/4:2:0, restart markers) — ``decode_pixels`` dispatches
-  it, so phash / resize / stats run on actual JPEG corpora. Only
-  compressed AUDIO codecs (MP3/AAC sample decode) and progressive
-  JPEG remain stubbed — requesting one raises
+  Huffman entropy decode + dequant + IDCT + YCbCr→RGB for BOTH the
+  baseline and the full progressive process, 4:4:4/4:2:2/4:2:0,
+  restart markers, interop-verified on real libjpeg files) —
+  ``decode_pixels`` dispatches it, so phash / resize / stats run on
+  actual JPEG corpora. Only compressed AUDIO codecs (MP3/AAC sample
+  decode) remain stubbed — requesting one raises
   ``NotImplementedError``/``ValueError``; the Spark-side plumbing —
   schema, batching, partitioning — is real and tested either way.
 """
@@ -876,10 +877,12 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     * BMP — uncompressed 24-bit BI_RGB: bottom-up rows, 4-byte row
       padding stripped, BGR→RGB swapped.
     * PPM — binary ``P6`` with maxval 255.
-    * JPEG — REAL baseline entropy decode (operators/jpeg.py: Huffman +
-      dequant + IDCT + YCbCr→RGB, 4:4:4/4:2:2/4:2:0, restart markers);
-      grayscale decodes to replicated RGB. Progressive (SOF2) and
-      arithmetic-coded streams raise ``ValueError``.
+    * JPEG — REAL entropy decode, BOTH processes (operators/jpeg.py:
+      Huffman + dequant + IDCT + YCbCr→RGB, 4:4:4/4:2:2/4:2:0, restart
+      markers; progressive spectral selection + successive
+      approximation per T.81 §G, interop-verified against real libjpeg
+      files); grayscale decodes to replicated RGB. Arithmetic-coded /
+      lossless / hierarchical streams raise ``ValueError``.
     * GIF — REAL variable-width LZW decompression (global/local color
       tables, interlace undone, extension blocks skipped; animated
       GIFs yield their first frame), palette-expanded to RGB.

@@ -108,14 +108,20 @@ def test_restart_markers_roundtrip():
 
 
 def test_error_paths_quarantine():
-    """Header-only streams (make_jpeg fixtures), progressive SOF2 and
-    truncated payloads raise ValueError — the decode_pixels contract
-    that lets pixel_stats quarantine rather than kill the task."""
+    """Header-only streams (make_jpeg fixtures), unsupported processes
+    (arithmetic-coded SOF9, lossless SOF3), malformed progressive scan
+    scripts and truncated payloads raise ValueError — the decode_pixels
+    contract that lets pixel_stats quarantine rather than kill the
+    task."""
     with pytest.raises(ValueError):
         J.decode_jpeg_baseline(MM.make_jpeg(32, 24))
     px = _smooth_gradient(16, 16)
     enc = J.encode_jpeg_baseline(16, 16, px.tobytes(), quality=90)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # arithmetic-coded process
+        J.decode_jpeg_baseline(enc.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    with pytest.raises(ValueError):  # lossless process
+        J.decode_jpeg_baseline(enc.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    with pytest.raises(ValueError):  # SOF2 frame + sequential scan params
         J.decode_jpeg_baseline(enc.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError):
         J.decode_jpeg_baseline(enc[: len(enc) - 10])  # truncated entropy
@@ -151,3 +157,78 @@ def test_decode_pixels_dispatch_and_probe_agree():
     meta = MM.parse_media_header(enc)
     assert (dw, dh, dc) == (w, h, 3)
     assert (meta["format"], meta["width"], meta["height"]) == ("jpeg", w, h)
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """Progressive (SOF2, 8-scan successive-approximation script: DC
+    first at Al=1 → DC refine → per-component AC first at Al=1 with
+    EOB runs → per-component AC refine with correction bits) must
+    decode to EXACTLY the pixels of the baseline encoding of the same
+    image at the same quality/subsampling — both reconstruct the same
+    quantized coefficients, so any protocol slip in either progressive
+    codec half breaks bit equality."""
+    px = _smooth_gradient(26, 21)
+    for q, ss in ((90, "444"), (75, "444"), (90, "420"), (35, "420")):
+        base = J.encode_jpeg_baseline(26, 21, px.tobytes(), quality=q, subsampling=ss)
+        prog = J.encode_jpeg_progressive(26, 21, px.tobytes(), quality=q, subsampling=ss)
+        assert prog != base and b"\xff\xc2" in prog
+        assert J.decode_jpeg(prog)[3] == J.decode_jpeg(base)[3], (q, ss)
+    # rich random content: dense AC activity exercises ZRL-in-refine,
+    # multi-block EOB runs with buffered correction bits, etc.
+    rng = np.random.default_rng(4)
+    noisy = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    for q in (92, 50):
+        base = J.encode_jpeg_baseline(31, 24, noisy.tobytes(), quality=q)
+        prog = J.encode_jpeg_progressive(31, 24, noisy.tobytes(), quality=q)
+        assert J.decode_jpeg(prog)[3] == J.decode_jpeg(base)[3]
+
+
+def test_progressive_solid_color_analytic():
+    """Solid color through the progressive path lands on the SAME
+    closed-form DC arithmetic as baseline (the x_jpeg_decode oracle is
+    process-independent)."""
+    w, h = 19, 13
+    px = np.tile(np.array([17, 130, 201], np.uint8), (h, w, 1))
+    for q in (35, 92):
+        prog = J.encode_jpeg_progressive(w, h, px.tobytes(), quality=q)
+        base = J.encode_jpeg_baseline(w, h, px.tobytes(), quality=q)
+        assert J.decode_jpeg(prog)[3] == J.decode_jpeg(base)[3]
+
+
+_REAL_JPEGS = [
+    # (path, expected (w, h), progressive?)
+    ("/root/.pyenv/versions/3.11.7/lib/python3.11/test/test_email/data/python.jpg",
+     (16, 16), False),
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
+     "html/embedded-book/assets/verify.jpeg", (720, 477), False),
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/rust/"
+     "html/embedded-book/assets/f3.jpg", (720, 477), True),
+]
+
+
+@pytest.mark.parametrize("path,dims,progressive", _REAL_JPEGS,
+                         ids=[p[0].rsplit("/", 1)[-1] for p in _REAL_JPEGS])
+def test_real_world_jpeg_interop(path, dims, progressive):
+    """INTEROP gate against real libjpeg-encoded files found in the
+    environment (python's test suite, the rust embedded book): the
+    decoder must parse streams *we did not produce* — including a real
+    progressive photograph whose scan script (spectral selection +
+    successive approximation + EOB runs) came from an actual encoder.
+    Output must have natural-image statistics: mean absolute
+    neighbor difference far below the ~85 of uniform noise (a protocol
+    desync shreds this immediately), pixels spanning a sane range.
+    Skipped when the file is absent (environment-dependent fixture —
+    intentionally NOT copied into the repo)."""
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip(f"fixture not present: {path}")
+    payload = open(path, "rb").read()
+    assert (b"\xff\xc2" in payload[:2000]) == progressive
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (*dims, 3)
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(float)
+    row_diff = np.abs(arr[1:] - arr[:-1]).mean()
+    col_diff = np.abs(arr[:, 1:] - arr[:, :-1]).mean()
+    assert row_diff < 30 and col_diff < 30, (row_diff, col_diff)
+    assert 20 < arr.mean() < 235
