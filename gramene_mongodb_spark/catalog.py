@@ -8495,8 +8495,10 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm,
-                    MM.encode_gif)
+        # three formats by k%3 (this corpus filters to EVEN keys, so a
+        # k%4 rotation would only ever hit two encoders — the 4-format
+        # breadth entry is x_media_formats, which scans all keys)
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
         for pdf in batches:
             ks = pdf["c_custkey"]
             payloads = []
@@ -8511,7 +8513,7 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (x * 11 + y + 3 * g) % 256,
                     ]
                 ).astype(np.uint8)
-                payloads.append(encoders[kk % 4](w, h, px.tobytes()))
+                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
             yield pd.DataFrame({"media_id": ks, "payload": payloads})
 
     corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
@@ -10715,8 +10717,9 @@ def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm,
-                    MM.encode_gif)
+        # three formats by k%3 (even-key corpus: a k%4 rotation would
+        # only ever hit two encoders; see pipeline_media_curate note)
+        encoders = (MM.encode_png, MM.encode_bmp, MM.encode_ppm)
         for pdf in batches:
             ks = pdf["c_custkey"]
             payloads = []
@@ -10733,7 +10736,7 @@ def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).astype(np.uint8)
                 if kk % 7 == 0:
                     px[0, 0, 0] += 1  # g <= 39, no wraparound
-                payloads.append(encoders[kk % 4](w, h, px.tobytes()))
+                payloads.append(encoders[kk % 3](w, h, px.tobytes()))
             yield pd.DataFrame({"media_id": ks, "payload": payloads})
 
     corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
