@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gramene_mongodb_spark.lineage import hard_checkpoint
+
 # normalization applied before any hashing: lowercase, collapse whitespace
 def _norm(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
@@ -138,6 +140,7 @@ def shingle_arrays(
     text: str = "text",
     n: int = 3,
     materialize: bool = False,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per doc with its deduped word n-gram shingle array.
 
@@ -163,7 +166,9 @@ def shingle_arrays(
     grams = F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     arrays = df.repartition(parallelism).select(
-        F.col(id_col), F.array_distinct(grams).alias("shingles")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array_distinct(grams).alias("shingles"),
     )
     return arrays.localCheckpoint(eager=True) if materialize else arrays
 
@@ -1305,18 +1310,42 @@ def incremental_dedup(
     same id with DIFFERENT texts merges shingle sets and corrupts the
     Jaccard — don't do that.
     """
-    # ONE materialized shingle pass per side feeds banding AND the
-    # exact-verify join below (pre-refactor each side's shingles were
-    # computed twice — four O(tokens²) passes for one operator)
-    sh_h = shingles(history.select(id_col, text), id_col, text, n, materialize=True)
-    sh_d = shingles(delta.select(id_col, text), id_col, text, n, materialize=True)
+    # ONE materialized shingle pass for BOTH sides feeds banding AND
+    # the exact-verify join below: a side tag rides through
+    # shingle_arrays so the corpus is scanned, tokenized, repartitioned
+    # and checkpointed once, not once per side (the sides are usually
+    # slices of the same table; two separate passes paid the job
+    # overhead twice — measured ~1.5 s of the entry's wall at sf0.1).
+    tagged = (
+        history.select(F.col(id_col), F.col(text))
+        .withColumn("__hist", F.lit(True))
+        .unionByName(
+            delta.select(F.col(id_col), F.col(text))
+            .withColumn("__hist", F.lit(False))
+        )
+    )
+    arr = shingle_arrays(
+        tagged, id_col, text, n, materialize=True, keep=("__hist",)
+    )
+    sh_all = arr.select(
+        id_col, "__hist", F.explode("shingles").alias("shingle")
+    )
+    sh_h = sh_all.filter(F.col("__hist")).drop("__hist")
+    sh_d = sh_all.filter(~F.col("__hist")).drop("__hist")
     hb = _bands_from_signatures(
         _signatures_from_shingles(sh_h, id_col, num_hashes, seed),
         id_col, num_hashes, bands,
     )
-    db = _bands_from_signatures(
-        _signatures_from_shingles(sh_d, id_col, num_hashes, seed),
-        id_col, num_hashes, bands,
+    # delta bands are referenced TWICE (history probe + within-delta
+    # self-join); without severing, Catalyst re-runs the 64-min
+    # signature aggregate once per reference. The table is delta-sized
+    # × bands (tiny — and in production it IS a persisted artifact, so
+    # materializing it here matches the deployment shape).
+    db = hard_checkpoint(
+        _bands_from_signatures(
+            _signatures_from_shingles(sh_d, id_col, num_hashes, seed),
+            id_col, num_hashes, bands,
+        )
     )
 
     cand_h = (
@@ -1345,7 +1374,9 @@ def incremental_dedup(
             F.col(f"x.{id_col}").alias("src_id"),
         )
     )
-    cand = cand_h.unionByName(cand_d).distinct()
+    # candidate pairs are collision-sized (tiny) and referenced twice
+    # below (the verify join AND the candidate-id semi-join) — sever
+    cand = hard_checkpoint(cand_h.unionByName(cand_d).distinct())
 
     # shingle-Jaccard verification, candidates only — keyed on
     # xxhash64(shingle), the leakage-matrix trick: 8 B/row through the
@@ -1359,8 +1390,18 @@ def incremental_dedup(
     # shingle-vocabulary-sized Jaccard terms — it could only flip a
     # pair sitting EXACTLY on the verify threshold, the same
     # immateriality argument documented at source_leakage_matrix.
+    # verification touches CANDIDATE ids only — semi-join the corpus
+    # shingle table down before the distinct, so the 8-byte exchange is
+    # candidate-sized, not corpus-sized (history docs that never
+    # band-matched cannot affect any verdict)
+    need = (
+        cand.select(F.col("new_id").alias(id_col))
+        .unionByName(cand.select(F.col("src_id").alias(id_col)))
+        .distinct()
+    )
     sh = (
         sh_h.unionByName(sh_d)
+        .join(need, id_col, "left_semi")
         .select(id_col, F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )

@@ -2676,6 +2676,37 @@ def test_label_propagation_two_cliques(spark):
     assert {got[10], got[11], got[12]} == {10}
 
 
+def test_label_propagation_deep_rounds_cross_checkpoint(spark):
+    """Round-11 guard path: iterations > 8 crosses the hard_checkpoint
+    rotation (closure.py severs the label lineage every 8 rounds). The
+    checkpoint must be semantically invisible — a 17-round run on a
+    path graph matches the python simulation exactly, including rounds
+    9 and 17 that run on a freshly severed plan."""
+    from collections import Counter
+
+    from gramene_mongodb_spark.operators.closure import label_propagation
+
+    edges = [(i, i + 1) for i in range(20)] + [(5, 15), (0, 19)]
+    und: dict[int, set[int]] = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    lbl = {v: v for v in und}
+    for _ in range(17):
+        nxt = {}
+        for v, nbrs in und.items():
+            c = Counter(lbl[u] for u in nbrs)
+            nxt[v] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lbl = nxt
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r.vertex: r.community
+        for r in label_propagation(df, iterations=17).collect()
+    }
+    assert got == lbl
+
+
 @given(
     parts=st.lists(
         st.sampled_from(
