@@ -514,7 +514,11 @@ def mongo_aggregate(
     Relational deltas (documented): there is no implicit ``_id``
     carry-through in $project — only requested fields survive; $group's
     key column(s) come out as ``_id`` (scalar key) or one column per
-    key (document key), not a nested document.
+    key (document key), not a nested document; a ``$switch`` with no
+    matching branch and no ``default`` yields NULL where Mongo raises
+    (three-valued logic is the relational-native behavior, and $cond
+    with a null condition already takes the else branch on both
+    systems).
     """
     out = df
     pipeline = list(pipeline)
