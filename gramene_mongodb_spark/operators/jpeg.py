@@ -142,6 +142,12 @@ HUFF_AC_CHROMA = (
      0xF9, 0xFA),
 )
 
+#: decode-side dimension ceiling (≈16 Mpixel, 4096×4096): a fuzzed SOF
+#: header must not drive a multi-GB coefficient allocation before any
+#: entropy data is validated — and a pure-Python entropy decode past
+#: this size is outside this codec's performance envelope anyway.
+MAX_PIXELS = 1 << 24
+
 # ---------------------------------------------------------------------------
 # shared arithmetic
 # ---------------------------------------------------------------------------
@@ -636,6 +642,10 @@ def decode_jpeg(payload: bytes, idct=idct_2d) -> tuple[int, int, int, bytes]:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             if not (1 <= ncomp <= 3):
                 raise ValueError("unsupported component count")
+            if w == 0 or h == 0 or w * h > MAX_PIXELS:
+                raise ValueError(
+                    f"image dimensions {w}x{h} outside supported range"
+                )
             h_max = max(c[1] for c in comps)
             v_max = max(c[2] for c in comps)
             if h_max > 2 or v_max > 2:

@@ -579,6 +579,17 @@ def _png_deinterlace(raw: bytes, width: int, height: int, channels: int) -> byte
     """Adam7 reassembly: unfilter each pass sub-image independently
     (filters reference neighbors WITHIN the pass, per the spec), then
     scatter its pixels onto the full-resolution grid."""
+    # integer-only size audit BEFORE any allocation: a fuzzed IHDR can
+    # claim absurd dimensions, and the output buffer must be bounded by
+    # the actual inflated byte count, never by header claims
+    expected = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(width - x0) // xs) if width > x0 else 0
+        ph = -(-(height - y0) // ys) if height > y0 else 0
+        if pw > 0 and ph > 0:
+            expected += ph * (1 + pw * channels)
+    if expected != len(raw):
+        raise ValueError("interlaced PNG pixel data size mismatch")
     out = bytearray(width * height * channels)
     pos = 0
     for x0, y0, xs, ys in _ADAM7:
@@ -887,9 +898,24 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
       tables, interlace undone, extension blocks skipped; animated
       GIFs yield their first frame), palette-expanded to RGB.
 
-    Raises ``ValueError`` on unsupported/corrupt payloads (palette or
-    interlaced PNG, compressed BMP, …) — callers decide quarantine.
+    Raises ``ValueError`` — and ONLY ValueError — on unsupported or
+    corrupt payloads: real web corpora are full of truncated and
+    mangled images, so the error contract is part of the API
+    (fuzz-tested). Parser internals that surface as struct/zlib/index
+    errors on adversarial bytes are normalized here; callers decide
+    quarantine (``pixel_stats(quarantine=True)`` keeps the row with
+    null stats).
     """
+    try:
+        return _decode_pixels_inner(payload)
+    except ValueError:
+        raise
+    except (_struct.error, zlib.error, IndexError, KeyError,
+            OverflowError) as e:
+        raise ValueError(f"corrupt image payload: {e}") from e
+
+
+def _decode_pixels_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] == b"\xff\xd8":
         from gramene_mongodb_spark.operators.jpeg import decode_jpeg_baseline
 
@@ -952,15 +978,23 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unsupported BMP (bits={bits} compression={comp})")
         flip = height > 0
         height = abs(height)
+        if width <= 0 or height <= 0:
+            raise ValueError("BMP with non-positive dimensions")
         stride = (width * 3 + 3) & ~3
-        out = bytearray(width * height * 3)
-        for y in range(height):
-            src_y = height - 1 - y if flip else y
-            row = payload[off + src_y * stride : off + src_y * stride + width * 3]
-            for x in range(width):
-                b, g, r = row[3 * x : 3 * x + 3]
-                out[3 * (y * width + x) : 3 * (y * width + x) + 3] = bytes((r, g, b))
-        return width, height, 3, bytes(out)
+        # size audit BEFORE any work: bounds the decode by the actual
+        # payload bytes, so fuzzed header dimensions can neither
+        # allocate nor loop beyond the input (and it vectorizes —
+        # the old per-pixel Python loop was both slow and unbounded)
+        if len(payload) < off + stride * height:
+            raise ValueError("BMP pixel data truncated")
+        import numpy as np
+
+        rows = np.frombuffer(
+            payload, np.uint8, count=stride * height, offset=off
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        if flip:
+            rows = rows[::-1]
+        return width, height, 3, np.ascontiguousarray(rows[..., ::-1]).tobytes()
     if payload[:2] == b"P6":
         fields: list[int] = []
         pos = 2
@@ -1022,20 +1056,41 @@ _PIXEL_STATS_SCHEMA = (
 
 
 def pixel_stats(
-    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    quarantine: bool = False,
 ) -> DataFrame:
     """Exact integer per-channel pixel sums via ``mapInPandas`` — the
     oracle-checkable reduction of true pixel content (sums are integers,
     so there is no float surface; a single wrong pixel anywhere in
     decode → resample → encode breaks the hash). Grayscale payloads
-    report their sum as ``sum_r`` with null g/b."""
+    report their sum as ``sum_r`` with null g/b.
+
+    ``quarantine=True`` is the REAL-CORPUS mode: a corrupt payload
+    yields its row with all-null stats instead of failing the task
+    (one mangled crawl image must not kill a 100 TB job). The default
+    stays strict — synthetic fixture corpora SHOULD fail loudly on any
+    decode regression."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, c, px = decode_pixels(bytes(payload))
+                try:
+                    w, h, c, px = decode_pixels(bytes(payload))
+                except ValueError:
+                    if not quarantine:
+                        raise
+                    rows.append(
+                        {
+                            "media_id": mid, "width": None, "height": None,
+                            "channels": None, "sum_r": None, "sum_g": None,
+                            "sum_b": None,
+                        }
+                    )
+                    continue
                 sums = (
                     np.frombuffer(px, dtype=np.uint8)
                     .reshape(w * h, c)

@@ -232,3 +232,68 @@ def test_real_world_jpeg_interop(path, dims, progressive):
     col_diff = np.abs(arr[:, 1:] - arr[:, :-1]).mean()
     assert row_diff < 30 and col_diff < 30, (row_diff, col_diff)
     assert 20 < arr.mean() < 235
+
+
+def test_decode_pixels_fuzz_only_valueerror():
+    """Error-contract fuzz (round-11 hardening): decode_pixels on
+    mutated/truncated/garbage payloads must either succeed or raise
+    ValueError — NEVER a struct/zlib/index error (those would kill a
+    whole Spark task instead of quarantining one bad crawl image), and
+    never a runaway allocation from fuzzed header dimensions."""
+    rng = np.random.default_rng(42)
+    px = _smooth_gradient(17, 12)
+    seeds = [
+        MM.encode_png(17, 12, px.tobytes(), 3),
+        MM.encode_png_palette(17, 12, px.tobytes()),
+        MM.encode_png_interlaced(17, 12, px.tobytes(), 3),
+        MM.encode_bmp(17, 12, px.tobytes()),
+        MM.encode_ppm(17, 12, px.tobytes()),
+        MM.encode_gif(17, 12, px.tobytes()),
+        J.encode_jpeg_baseline(17, 12, px.tobytes(), quality=85),
+        J.encode_jpeg_progressive(17, 12, px.tobytes(), quality=85),
+    ]
+    n_ok = n_err = 0
+    for seed in seeds:
+        arr = bytearray(seed)
+        for _ in range(120):
+            mutated = bytearray(arr)
+            for _ in range(int(rng.integers(1, 4))):
+                mutated[int(rng.integers(0, len(mutated)))] = int(
+                    rng.integers(0, 256)
+                )
+            cut = int(rng.integers(0, len(mutated) + 1))
+            for payload in (bytes(mutated), bytes(mutated[:cut])):
+                try:
+                    w, h, c, out = MM.decode_pixels(payload)
+                    assert len(out) == w * h * c
+                    n_ok += 1
+                except ValueError:
+                    n_err += 1
+                # anything else propagates and fails the test
+    # sanity: the fuzz actually exercised both outcomes
+    assert n_ok > 0 and n_err > 0, (n_ok, n_err)
+
+    # header-dimension bombs: valid streams whose claimed dims are
+    # absurd must be rejected cheaply, not allocated
+    bomb = bytearray(J.encode_jpeg_baseline(17, 12, px.tobytes(), quality=85))
+    i = bomb.index(b"\xff\xc0") + 5
+    bomb[i : i + 4] = (60000).to_bytes(2, "big") + (60000).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(bomb))
+
+
+def test_pixel_stats_quarantine_mode(spark):
+    """quarantine=True keeps corrupt payloads as null-stat rows; the
+    strict default fails the task (fixture corpora must fail loudly)."""
+    px = _smooth_gradient(9, 7)
+    good = MM.encode_png(9, 7, px.tobytes(), 3)
+    rows = [(1, good), (2, b"\x89PNG\r\n\x1a\ntruncated"), (3, b"garbage")]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    out = {r.media_id: r for r in MM.pixel_stats(df, quarantine=True).collect()}
+    assert out[1].width == 9 and out[1].sum_r is not None
+    assert out[2].width is None and out[2].sum_r is None
+    assert out[3].width is None
+    import py4j.protocol
+
+    with pytest.raises(Exception):  # strict mode: the task fails
+        MM.pixel_stats(df).collect()
