@@ -6320,7 +6320,7 @@ def _synth_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return MM.make_mp3(
                     bitrate_kbps=(64, 128, 192)[kk % 3],
                     n_frames=kk % 20 + 1,
-                    id3_size=100 if kk % 10 == 4 else 0,
+                    id3_size=100 if kk % 10 == 3 else 0,
                 )
             return MM.make_mp4(
                 (kk % 1280) + 16, (kk % 720) + 9,
@@ -8523,6 +8523,11 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("w"),
         F.col("meta.height").alias("h"),
     )
+    # NOTE: this join re-evaluates the synthesized `corpus` generator on
+    # BOTH subtrees (meta derives from corpus too). Harmless here — the
+    # fixture is a cheap deterministic mapInPandas — but in production
+    # the corpus is a TABLE (scan twice = read twice, fine) or, if it
+    # really were an expensive generator, localCheckpoint() it first.
     kept = (
         meta.filter((F.col("w") >= 8) & (F.col("h") >= 6))
         .select("media_id", "fmt")

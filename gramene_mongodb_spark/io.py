@@ -526,20 +526,28 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
+        # F.col() PARSES its argument (dots split, backticks quote), so
+        # reference the source column in fully-quoted form — a column
+        # literally named "a`b" or "u.v" must profile like any other
+        src = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
             # count(when(...)) not sum(when(...)): sum over an EMPTY
             # table is NULL, count is 0 — the empty profile must read
             # as zeros, not nulls
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+            F.count(F.when(src.isNull(), 1)).alias(f"__nn_{c}"),
+            F.count_distinct(src).alias(f"__nd_{c}"),
+            F.min(src.cast("string")).alias(f"__mn_{c}"),
+            F.max(src.cast("string")).alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
+    # double embedded backticks inside the backtick-quoted derived
+    # identifiers (same rule as check_expectations) — the alias() calls
+    # above take the name literally, selectExpr parses it
     stack = ", ".join(
         f"""'{c.replace("'", "''")}', """
-        f"`__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`"
+        f"`__nn_{b}`, `__nd_{b}`, `__mn_{b}`, `__mx_{b}`"
         for c in cols
+        for b in (c.replace("`", "``"),)
     )
     return wide.selectExpr(
         "CAST(__n AS BIGINT) AS n_rows",

@@ -1106,6 +1106,13 @@ def encode_jpeg_progressive(
         st = {"eobrun": 0, "pending": []}
         for idx in raster_blocks(ci):
             zz = comp_zz[ci][idx]
+            # eob = index of the LAST newly-significant (|coef| == 1)
+            # position; zero-runs past it fold into the EOB-run, so the
+            # ZRL loop below is gated on k <= eob (the jcphuff.c rule)
+            eob = 0
+            for k in range(1, 64):
+                if abs(int(zz[k])) == 1:
+                    eob = k
             r = 0
             br: list[int] = []
             for k in range(1, 64):
@@ -1113,11 +1120,15 @@ def encode_jpeg_progressive(
                 if t == 0:
                     r += 1
                     continue
-                if t > 1:
-                    br.append(t & 1)  # correction bit for known-nonzero
-                    continue
-                # newly significant (|coef| == 1 at this precision)
-                while r > 15:
+                # Run the ZRL loop at EVERY nonzero position (ADVICE r11
+                # high; mirrors jcphuff.c encode_mcu_AC_refine), not only
+                # at newly-significant ones. Each ZRL covers the first 16
+                # zero-history slots of the run, and every bit currently
+                # in br was buffered while r <= 15 (this loop drains r
+                # before the known-nonzero branch appends), so the bits
+                # flushed after each ZRL are exactly the correction bits
+                # the decoder consumes while skipping that window.
+                while r > 15 and k <= eob:
                     flush_eobrun(w, st)
                     code, ln = ac_codes[0xF0]
                     w.write(code, ln)
@@ -1125,6 +1136,14 @@ def encode_jpeg_progressive(
                     for b in br:
                         w.write(b, 1)
                     br = []
+                if t > 1:
+                    # known-nonzero: correction bit only (r > 15 here is
+                    # possible only when k > eob — those bits ride the
+                    # EOB-run's pending buffer instead)
+                    br.append(t & 1)
+                    continue
+                # newly significant (|coef| == 1 at this precision);
+                # k <= eob by construction, so r <= 15 after the loop
                 flush_eobrun(w, st)
                 code, ln = ac_codes[(r << 4) | 1]
                 w.write(code, ln)

@@ -167,7 +167,10 @@ def _parse_media_header_inner(payload: bytes) -> dict | None:
             for ctype, cbody, cend in _walk(body, end):
                 if ctype == b"mvhd" and dur_ms is None:
                     ver = payload[cbody]
-                    if ver == 1 and cend >= cbody + 28:
+                    # v1 layout reads duration from cbody+24..+32, so the
+                    # box must hold at least 32 payload bytes — a 28–31
+                    # byte malformed v1 mvhd is skipped, not misread
+                    if ver == 1 and cend >= cbody + 32:
                         ts = _struct.unpack(">I", payload[cbody + 20 : cbody + 24])[0]
                         dur = _struct.unpack(">Q", payload[cbody + 24 : cbody + 32])[0]
                     elif cend >= cbody + 20:

@@ -465,6 +465,18 @@ def test_check_expectations_null_keys_fk_nulls_and_quoted_names(spark):
     assert got["id isn't null"] == ("row_check", 2)
 
 
+def test_table_profile_backtick_and_quote_column_names(spark):
+    """ADVICE r11 low: table_profile's stack() selectExpr must double
+    embedded backticks in the derived `__nn_{c}` identifiers (same rule
+    check_expectations already applied) — a column literally named
+    "a`b" or "o'k" profiles like any other."""
+    df = spark.createDataFrame([(1, 2), (None, 3)], ["x", "y"]) \
+        .withColumnRenamed("x", "a`b").withColumnRenamed("y", "o'k")
+    prof = {r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+            for r in io.table_profile(df).collect()}
+    assert prof == {"a`b": (2, 1, 1), "o'k": (2, 0, 2)}
+
+
 def test_write_sized_empty_append_preserves_existing(spark, tmp_path):
     """ADVICE r10 high: the empty-input fallback must honor the caller's
     mode — an empty incremental batch appended to an existing dataset

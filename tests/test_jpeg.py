@@ -183,6 +183,33 @@ def test_progressive_equals_baseline_bit_for_bit():
         assert J.decode_jpeg(prog)[3] == J.decode_jpeg(base)[3]
 
 
+def test_progressive_refine_zrl_fuzz():
+    """ADVICE r11 high regression: the AC-refinement ENCODER must run
+    the ZRL-emission loop at every nonzero coefficient (gated on
+    k <= last-newly-significant), flushing only the correction bits
+    buffered so far after each ZRL — buffering across a ZRL wrote bits
+    for positions past its 16-zero window where the decoder expects the
+    next Huffman symbol. Pre-fix this failed on ~10% of random natural
+    images (ValueError or silent pixel mismatch); the fuzz corpus below
+    (smooth gradients + gaussian texture → long zero runs interleaved
+    with known-nonzero coefficients in the refine scan) reproduced it
+    at seeds 7/8/24/28/33/56."""
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        w = int(rng.integers(17, 49))
+        h = int(rng.integers(17, 41))
+        y, x = np.ogrid[0:h, 0:w]
+        smooth = np.sin(x / 6.0) * 60 + np.cos(y / 5.0) * 60 + 128
+        img = np.clip(smooth + rng.normal(0, 28, size=(h, w)), 0, 255)
+        img = img.astype(np.uint8)
+        px = np.dstack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)])
+        q = int(rng.choice([35, 50, 75, 90, 95]))
+        ss = str(rng.choice(["444", "420"]))
+        base = J.encode_jpeg_baseline(w, h, px.tobytes(), quality=q, subsampling=ss)
+        prog = J.encode_jpeg_progressive(w, h, px.tobytes(), quality=q, subsampling=ss)
+        assert J.decode_jpeg(prog)[3] == J.decode_jpeg(base)[3], (seed, w, h, q, ss)
+
+
 def test_progressive_solid_color_analytic():
     """Solid color through the progressive path lands on the SAME
     closed-form DC arithmetic as baseline (the x_jpeg_decode oracle is
