@@ -494,8 +494,12 @@ def mongo_aggregate(
     "$f", ...}; accumulator semantics in :func:`_mongo_accumulator`),
     ``$sort`` (1/-1; Mongo's BSON order sorts null/missing lowest —
     exactly Spark's asc-nulls-first / desc-nulls-last defaults),
-    ``$skip``, ``$limit``, ``$count``, and ``$lookup`` (see below;
-    referenced collections come in through ``collections``).
+    ``$skip``, ``$limit``, ``$count``, ``$sortByCount``, ``$bucket`` /
+    ``$bucketAuto`` (see :func:`_mongo_bucket` / :func:`_mongo_bucket_auto`
+    for the pinned semantics), ``$facet`` (each sub-pipeline runs on the
+    same input; the facet document is one row of array-of-struct
+    columns), and ``$lookup`` (see below; referenced collections come in
+    through ``collections``).
 
     ``$lookup`` compilation is the interesting one. Mongo's contract
     embeds every matching foreign doc as an ARRAY in the ``as`` field;
@@ -636,6 +640,172 @@ def mongo_aggregate(
             out = out.limit(int(spec))
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$sortByCount":
+            # {$sortByCount: expr} ≡ {$group: {_id: expr, count: {$sum: 1}}}
+            # + {$sort: {count: -1}} (tie order unspecified, as in Mongo)
+            out = (
+                out.groupBy(_mongo_expr(spec).alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.col("count").desc())
+            )
+        elif op == "$bucket":
+            out = _mongo_bucket(out, spec)
+        elif op == "$bucketAuto":
+            out = _mongo_bucket_auto(out, spec)
+        elif op == "$facet":
+            # every facet runs its sub-pipeline against the SAME input
+            # and collapses to one array-of-row-structs cell; the facet
+            # document is the crossJoin of the 1-row aggregates (each
+            # side is exactly one row, so the join is a broadcast nested
+            # loop over singletons — no data movement that matters)
+            if not isinstance(spec, dict) or not spec:
+                raise ValueError("$facet requires a non-empty dict of pipelines")
+            faceted = None
+            for fname, sub in spec.items():
+                sub_df = mongo_aggregate(out, sub, collections)
+                one = sub_df.agg(
+                    F.collect_list(F.struct(*sub_df.columns)).alias(fname)
+                )
+                faceted = one if faceted is None else faceted.crossJoin(
+                    F.broadcast(one)
+                )
+            out = faceted
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out
+
+
+def _mongo_bucket(df: DataFrame, spec: dict) -> DataFrame:
+    """``$bucket`` — group into EXPLICIT boundary buckets.
+
+    ``boundaries`` are literals in ascending order; a document lands in
+    ``[b_i, b_{i+1})`` with ``_id = b_i``. Out-of-range and null/missing
+    groupBy values go to the ``default`` bucket when given. Documented
+    relational delta: with NO default, Mongo RAISES on the first
+    out-of-range document; a relational filter cannot raise per-row, so
+    out-of-range rows are DROPPED instead (same class of delta as the
+    no-default ``$switch``). Spark's type coercion stands in for BSON's
+    heterogeneous ``_id`` (a numeric boundary set with a string default
+    coerces the ``_id`` column to string).
+
+    Pure Catalyst: one CASE-chain expression + one groupBy — map-side
+    partial aggregation, a single shuffle on the (≤ #boundaries) bucket
+    ids at any scale.
+    """
+    bounds = list(spec["boundaries"])
+    if len(bounds) < 2:
+        raise ValueError("$bucket requires at least two boundaries")
+    gb = _mongo_expr(spec["groupBy"])
+    output = spec.get("output", {"count": {"$sum": 1}})
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (gb >= F.lit(lo)) & (gb < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(
+            cond, F.lit(lo)
+        )
+    if "default" in spec:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+        binned = df
+    else:
+        binned = df.filter((gb >= F.lit(bounds[0])) & (gb < F.lit(bounds[-1])))
+    accs = [_mongo_accumulator(v).alias(k) for k, v in output.items()]
+    return binned.groupBy(bucket.alias("_id")).agg(*accs)
+
+
+def _mongo_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    """``$bucketAuto`` — distribute into ``buckets`` groups of
+    approximately equal document count, equal groupBy values never
+    split. ``granularity`` is not supported (raises).
+
+    Replayable rule (the sequential fill Mongo documents): target size
+    ``s = ceil(n / buckets)``; walking values in BSON order (nulls
+    lowest), a bucket CLOSES at the first distinct-value boundary where
+    its cumulative count reaches ``s``; the last bucket absorbs the
+    remainder. ``_id`` comes out FLATTENED as ``_id_min``/``_id_max``
+    (the shim's document-key convention): min = the bucket's lowest
+    value, max = the NEXT bucket's min — exclusive, except the last
+    bucket's max, which is its own highest value, inclusive — exactly
+    Mongo's boundary contract.
+
+    Scale: one groupBy(value) shuffle with map-side combine builds the
+    distinct-value table; the running sum over it is the only
+    single-partition step (CARDINALITY CONTRACT: distinct-value-bounded,
+    same as ``relational.equidepth_bins``); the ``buckets`` close
+    thresholds are N ≤ buckets 1-row scalar aggregates over the
+    localCheckpointed cum table (bounded driver collects, the approved
+    pattern); assignment is a broadcast join of the distinct-value map
+    back onto the rows.
+    """
+    from pyspark.sql import Window
+
+    if "granularity" in spec:
+        raise ValueError("$bucketAuto granularity is not supported")
+    n_buckets = int(spec["buckets"])
+    if n_buckets < 1:
+        raise ValueError("$bucketAuto requires buckets >= 1")
+    gb = _mongo_expr(spec["groupBy"])
+    output = spec.get("output", {"count": {"$sum": 1}})
+
+    tagged = df.withColumn("__ba_v", gb)
+    counts = tagged.groupBy("__ba_v").agg(F.count(F.lit(1)).alias("__ba_c"))
+    wcum = Window.orderBy(F.col("__ba_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("__ba_cum", F.sum("__ba_c").over(wcum))
+    cum = cum.localCheckpoint(eager=False)
+
+    total_row = cum.agg(F.max("__ba_cum").alias("n")).first()
+    total = int(total_row["n"]) if total_row["n"] is not None else 0
+    if total == 0:
+        # Mongo emits no buckets for an empty input
+        accs = [_mongo_accumulator(v).alias(k) for k, v in output.items()]
+        empty = cum.groupBy(
+            F.col("__ba_v").alias("_id_min"), F.col("__ba_v").alias("_id_max")
+        ).agg(*accs)
+        return empty.limit(0)
+    size = -(-total // n_buckets)  # ceil
+    closes: list[int] = []
+    prev = 0
+    for k in range(n_buckets):
+        if k == n_buckets - 1 or prev + size > total:
+            closes.append(total)
+            break
+        nxt = cum.filter(F.col("__ba_cum") >= prev + size).agg(
+            F.min("__ba_cum")
+        ).first()[0]
+        closes.append(int(nxt))
+        prev = int(nxt)
+        if prev >= total:
+            break
+    # bucket(v) = number of non-final closes strictly below cum(v)
+    bexpr = F.lit(0)
+    for c in closes[:-1]:
+        bexpr = bexpr + F.when(F.col("__ba_cum") > F.lit(c), 1).otherwise(0)
+    assign = cum.select(
+        F.col("__ba_v").alias("__ba_k"), bexpr.alias("__ba_bucket")
+    )
+
+    rows = tagged.join(
+        F.broadcast(assign),
+        on=tagged["__ba_v"].eqNullSafe(assign["__ba_k"]),
+        how="inner",
+    ).drop("__ba_k")
+    accs = [_mongo_accumulator(v).alias(k) for k, v in output.items()]
+    per = rows.groupBy("__ba_bucket").agg(
+        F.min("__ba_v").alias("__ba_min"),
+        F.max("__ba_v").alias("__ba_max"),
+        *accs,
+    )
+    wnext = Window.orderBy("__ba_bucket")
+    return (
+        per.withColumn(
+            "_id_max",
+            F.coalesce(F.lead("__ba_min").over(wnext), F.col("__ba_max")),
+        )
+        .withColumnRenamed("__ba_min", "_id_min")
+        .drop("__ba_bucket", "__ba_max")
+        .select(
+            "_id_min", "_id_max",
+            *[k for k in output],
+        )
+    )

@@ -437,3 +437,90 @@ def test_mongo_lookup_and_conditional_expressions(spark):
 
     with _pytest.raises(ValueError):
         mongo_aggregate(orders, [lk])  # no collections supplied
+
+
+def test_mongo_facet_bucket_stages(spark):
+    """Round-12 stages against Mongo's documented semantics: $sortByCount
+    is group+count sorted desc; $bucket assigns [b_i, b_i+1) with _id =
+    the lower boundary, routes out-of-range AND null groupBy values to
+    the default (dropping them, documented delta, when there is none);
+    $bucketAuto fills SEQUENTIALLY with target ceil(n/N), never splits
+    equal values, absorbs the remainder into the last bucket, and emits
+    the min/next-min (last: max, inclusive) boundary contract; $facet
+    runs every sub-pipeline on the same input into one row."""
+    import pytest as _pytest
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "A", 5), (4, None, 40),
+         (5, "A", 5), (6, "C", 99), (7, "B", 1)],
+        "k: long, status: string, price: int",
+    )
+
+    got = mongo_aggregate(df, [{"$sortByCount": "$status"}]).collect()
+    assert {(r._id, r["count"]) for r in got} == {
+        ("A", 3), ("B", 2), ("C", 1), (None, 1)}
+    assert [r["count"] for r in got] == sorted(
+        (r["count"] for r in got), reverse=True)
+
+    got = mongo_aggregate(df, [
+        {"$addFields": {"nk": {"$cond": {"if": {"$eq": ["$k", 6]},
+                                         "then": {"$literal": None},
+                                         "else": "$k"}}}},
+        {"$bucket": {"groupBy": "$nk", "boundaries": [1, 3, 6],
+                     "default": -1,
+                     "output": {"count": {"$sum": 1},
+                                "tot": {"$sum": "$price"}}}},
+    ]).collect()
+    # k=1,2 -> bucket 1; k=3,4,5 -> bucket 3; k=7 out-of-range and k=6
+    # nulled -> default -1
+    assert {(r._id, r["count"], r.tot) for r in got} == {
+        (1, 2, 30), (3, 3, 50), (-1, 2, 100)}
+
+    # no default: out-of-range rows DROP (documented delta vs Mongo's
+    # per-document error)
+    got = mongo_aggregate(df, [
+        {"$bucket": {"groupBy": "$k", "boundaries": [1, 3, 6]}}]).collect()
+    assert {(r._id, r["count"]) for r in got} == {(1, 2), (3, 3)}
+
+    # sequential fill distinguisher: values [1,1,1,2,3,4], N=3, target
+    # ceil(6/3)=2 -> buckets [1,1,1] (equal values absorbed), [2,3], [4];
+    # a static (first_rn-1)//s assignment would misplace the 3
+    df2 = spark.createDataFrame([(v,) for v in [1, 1, 1, 2, 3, 4]], "v: long")
+    got = mongo_aggregate(
+        df2, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}]).collect()
+    assert {(r._id_min, r._id_max, r["count"]) for r in got} == {
+        (1, 2, 3), (2, 4, 2), (4, 4, 1)}
+
+    # nulls sort lowest (BSON order) into the first bucket; fewer
+    # distinct values than buckets -> fewer buckets
+    df3 = spark.createDataFrame([(None,), (1,), (2,)], "v: int")
+    got = mongo_aggregate(
+        df3, [{"$bucketAuto": {"groupBy": "$v", "buckets": 5}}]).collect()
+    assert {(r._id_min, r._id_max, r["count"]) for r in got} == {
+        (None, 1, 1), (1, 2, 1), (2, 2, 1)}
+
+    # empty input -> no buckets
+    assert mongo_aggregate(
+        df3.limit(0), [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}]
+    ).count() == 0
+
+    with _pytest.raises(ValueError):
+        mongo_aggregate(df, [{"$bucketAuto": {
+            "groupBy": "$k", "buckets": 2, "granularity": "R5"}}])
+    with _pytest.raises(ValueError):
+        mongo_aggregate(df, [{"$bucket": {"groupBy": "$k",
+                                          "boundaries": [1]}}])
+
+    row = mongo_aggregate(df, [{"$facet": {
+        "by_status": [{"$sortByCount": "$status"}],
+        "top2": [{"$sort": {"price": -1}}, {"$limit": 2},
+                 {"$project": {"k": 1}}],
+    }}]).collect()
+    assert len(row) == 1
+    assert {(e._id, e["count"]) for e in row[0].by_status} == {
+        ("A", 3), ("B", 2), ("C", 1), (None, 1)}
+    assert [e.k for e in row[0].top2] == [6, 4]
+    with _pytest.raises(ValueError):
+        mongo_aggregate(df, [{"$facet": {}}])
