@@ -12325,40 +12325,39 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-11 ROTATION (VERDICT r10 §next-round #1): finish the job —
-    # ALL 22 entries with no green row in any CORRECTNESS_r01–r10.json
-    # (the exact list in VERDICT r10 "What's missing" #1, reproduced by
-    # scripts/attestation_ledger.py) take the first slots, so after this
-    # round the never-attested count is 0. The remaining slots go to the
-    # STALEST prior attestations (last green r6/r7 — the r1–r5 cohorts
-    # were all re-attested since), starting the freshness rotation the
-    # verdict asked for. Displaced greens remain parity-swept at
-    # sf0.001+sf0.1 (scripts/parity.py) and pytest-parametrized.
+    # ROUND-12 ROTATION (VERDICT r11 §next-round #1): never-attested
+    # first (the two operators added after the r11 gate ran), then the
+    # ENTIRE r7-stale cohort, then the 41 alphabetically-first of the
+    # 50 r8-stale greens. After this round the latest-attestation
+    # histogram has no r7 bucket and 9 r8 leftovers (x_hll_distinct_merge
+    # … x_simhash_near, the alphabetical tail — r13's rotation seed),
+    # within the verdict's ≤14 target. Reproduce the cohort lists with
+    # scripts/attestation_ledger.py (the named source of truth).
+    # Displaced greens remain parity-swept at sf0.001+sf0.1
+    # (scripts/parity.py) and pytest-parametrized.
     #
-    # the 22 never-attested (incl. round-10's three new operators)
-    "x_adaptive_filter", "x_agg_merge", "x_cluster_split",
-    "x_cohort_retention", "x_communities_lpa", "x_equidepth_bins",
-    "x_expectations", "x_forward_fill", "x_frequent_itemsets",
-    "x_linear_interpolate", "x_mad_outliers", "x_overlap_depth",
-    "x_pack_sequences", "x_preference_pairs", "x_quality_classifier",
-    "x_random_projection", "x_skyline_orders", "x_snapshot_diff",
-    "x_table_profile", "x_temporal_join", "x_url_canonical",
-    "x_zorder_layout",
-    # stalest greens — last attested r6
-    "a_approx_aggregates", "a_count_distinct", "a_percentiles",
-    "a_rollup_status", "j10_anti_join", "j11_fanout_explode",
-    "o2_sorted_order_arrays", "q04_priority_exists", "q13_order_histogram",
-    "q16_supplier_variety", "q17_small_qty_revenue", "sliding_6h_events",
-    "u4_union_tagged", "u5_intersect_customers", "w2_genes_between",
-    "w_rolling_spend", "x_fingerprint", "x_ngram_jaccard",
-    # round-11 first exposures: new JPEG entropy-decode entry, and the
-    # probe whose corpus grew MP4 (its r8 attestation covered the old
-    # 4-format fixture, so it re-attests)
-    "x_jpeg_decode", "x_media_probe", "x_mongo_aggregate", "x_mongo_lookup",
+    # never-attested (registered after the r11 driver window ran)
+    "x_jpeg_ac_invariance", "x_mongo_facet",
     # stalest greens — last attested r7
-    "j9_supplier_pairs", "x_cdc_replay",
-    "x_group_percentiles", "x_kmeans_clusters", "x_media_formats",
-    "x_semantic_dedup",
+    "a6_rollup_geo", "a7_pivot_status", "j10_semi_join",
+    "o1_topk_lineitems", "q11_important_parts", "q21_waiting_supplier",
+    "w1_order_rank",
+    # stalest greens — last attested r8 (41 of 50, alphabetical)
+    "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
+    "j1_broadcast_enrich", "j2_ci_fallback_join", "j5_price_band_containment",
+    "j6_overlap_orders", "k10_bin_totalprice", "k11_graft_taxonomy",
+    "k12_descriptor", "k3k4_deep_tree", "k3k4_tree_representatives",
+    "k5_domain_architecture", "k6_merge_order_windows", "k7_closure_ancestors",
+    "pipeline_corpus_release", "pipeline_entity_resolution",
+    "pipeline_genes_decorate", "pipeline_media_curate",
+    "pipeline_obo_ontology", "pipeline_quality_gate",
+    "pipeline_taxonomy_build", "pipeline_tree_publish", "pipeline_web_curate",
+    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
+    "s_json_extract", "s_scalar_functions", "tumbling_hour_events",
+    "u3_priority_except", "w2_lead_ship_gap", "x_asof_last_click",
+    "x_bfs_distance", "x_bm25_topk", "x_cosine_topk", "x_dedup_clusters",
+    "x_dedup_exact", "x_edit_distance_pairs", "x_funnel_stages",
+    "x_heavy_hitters",
 )
 
 
