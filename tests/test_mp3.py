@@ -1,0 +1,303 @@
+"""MPEG Layer III codec (operators/mp3.py) — VERDICT r11 ask #2.
+
+Gates, per the ask: (a) encode→decode round-trips on real Layer III
+bitstreams with the reconstruction error bounded by the bundled-table
+quantizer (|q| ≤ 3 — a deliberately coarse but spec-valid codec), with
+EXACT stream geometry (frame/byte/sample counts) and exact
+``part2_3_length`` bit accounting, (b) real-file interop against the
+one MP3 on this disk (MPEG-2 LSF): full structural walk — every frame
+header, side info, scalefactor-bit accounting, bit-reservoir
+bookkeeping — AND full sample decode (the file is digital silence, so
+it sits inside the supported LSF subset and must produce exactly-zero
+PCM), (c) import-time Huffman table validation (Kraft completeness +
+prefix-freeness), and (d) a ValueError-only error contract under
+mutation/truncation fuzz, same contract as the other codecs in
+multimodal.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gramene_mongodb_spark.operators import mp3 as M
+
+REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+def test_bundled_tables_validate():
+    """Every bundled code table passed the import-time Kraft +
+    prefix-freeness validator (the module would not import otherwise);
+    pin the bundled set so a silent regression in coverage is loud."""
+    assert sorted(M._PAIR_DECODE) == [1, 2, 3, 5, 6]
+    assert sorted(M._QUAD_DECODE) == [0, 1]
+    for tid, (xlen, table) in M._PAIR_DECODE.items():
+        assert len(table) == xlen * xlen
+    assert len(M._QUAD_DECODE[0]) == 16
+    # count1 table B is the fixed 4-bit complement code
+    assert all(M._QUAD_DECODE[1][(4, 15 - i)] == i for i in range(16))
+
+
+def test_unbundled_tables_raise_by_name():
+    for tid in (7, 13, 15, 16, 24, 31):
+        with pytest.raises(ValueError, match=f"table {tid} not bundled"):
+            M._require_table(tid)
+    for tid in (4, 14):
+        with pytest.raises(ValueError, match="not used"):
+            M._require_table(tid)
+
+
+def test_polyphase_window_near_pr():
+    """The ALS/Gauss-Newton-derived tied window pair (d = 32·a family)
+    reconstructs through the spec's exact analysis+synthesis structure
+    at better than 100 dB SNR with the documented 481-sample delay."""
+    a, d = M._window_pair()
+    assert np.allclose(d, 32 * a)
+    an, syn = M._Analyzer(), M._Synthesizer()
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=32 * 18 * 20) * 0.5
+    S = np.stack([an.run(x[t * 32:(t + 1) * 32]) for t in range(18 * 20)])
+    y = np.concatenate([syn.run(S[b * 18:(b + 1) * 18]) for b in range(20)])
+    delay = 481
+    xs, ys = x[: len(y) - delay], y[delay:]
+    seg = slice(512, len(xs) - 512)
+    err = xs[seg] - ys[seg]
+    snr = 10 * np.log10((xs[seg] @ xs[seg]) / (err @ err))
+    assert snr > 100.0
+
+
+# ---------------------------------------------------------------------------
+# encode → decode round trips
+# ---------------------------------------------------------------------------
+
+def test_silence_roundtrips_to_exact_zero():
+    raw = M.encode_mp3(np.zeros(1152 * 3), 48000, 128)
+    assert len(raw) == 3 * 384  # 144·128000/48000 exactly, no padding
+    rate, nch, pcm = M.decode_mp3(raw)
+    assert (rate, nch) == (48000, 1)
+    assert pcm.shape == (3 * 1152, 1)
+    assert np.abs(pcm).max() == 0.0
+
+
+#: total codec delay: 481 (polyphase) + 576 (MDCT granule overlap)
+CODEC_DELAY = 1057
+
+
+def _roundtrip_snr(x: np.ndarray, rate: int, kbps: int) -> tuple[float, float]:
+    raw = M.encode_mp3(x, rate, kbps)
+    r, nch, pcm = M.decode_mp3(raw)
+    assert r == rate and nch == 1
+    y = pcm[:, 0]
+    xs, ys = x[: len(y) - CODEC_DELAY], y[CODEC_DELAY:]
+    seg = slice(1152, len(xs) - 1152)
+    err = xs[seg] - ys[seg]
+    snr = 10 * np.log10((xs[seg] @ xs[seg]) / (err @ err))
+    ratio = (ys[seg] @ ys[seg]) / (xs[seg] @ xs[seg])
+    return snr, ratio
+
+
+@pytest.mark.parametrize("rate", [32000, 44100, 48000])
+@pytest.mark.parametrize("kbps", [96, 128, 320])
+def test_sine_roundtrip_all_rates(rate, kbps):
+    t = np.arange(1152 * 5)
+    x = 0.4 * np.sin(2 * np.pi * 440 * t / rate)
+    snr, ratio = _roundtrip_snr(x, rate, kbps)
+    # the 3-level quantizer's inherent fidelity: ~9-11 dB, energy kept
+    # within [0.6, 1.2] — one broken stage (gain, window, butterfly,
+    # reorder, bit packing) drops SNR far below this floor
+    assert snr > 6.0, snr
+    assert 0.6 < ratio < 1.2, ratio
+
+
+def test_broadband_roundtrip():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=1152 * 6) * 0.1
+    snr, ratio = _roundtrip_snr(x, 48000, 128)
+    assert snr > 8.0
+    assert 0.8 < ratio < 1.1
+
+
+def test_sweep_roundtrip_exercises_table0_regions():
+    """A frequency sweep walks the spectral envelope through region
+    splits where region0/region2 are all-zero (table 0, ZERO bits) —
+    the encoder/decoder must agree a table-0 region consumes nothing."""
+    n = 1152 * 6
+    t = np.arange(n)
+    x = 0.5 * np.sin(2 * np.pi * (200 + 3000 * t / n) * t / 48000)
+    snr, ratio = _roundtrip_snr(x, 48000, 128)
+    assert snr > 6.0
+    assert 0.6 < ratio < 1.2
+
+
+def test_stereo_roundtrip():
+    n = 1152 * 4
+    t = np.arange(n)
+    x = np.stack(
+        [0.3 * np.sin(2 * np.pi * 440 * t / 44100),
+         0.3 * np.sin(2 * np.pi * 660 * t / 44100)], axis=1
+    )
+    raw = M.encode_mp3(x, 44100, 192)
+    rate, nch, pcm = M.decode_mp3(raw)
+    assert (rate, nch) == (44100, 2)
+    for ch in range(2):
+        xs = x[: len(pcm) - CODEC_DELAY, ch]
+        ys = pcm[CODEC_DELAY:, ch]
+        seg = slice(1152, len(xs) - 1152)
+        err = xs[seg] - ys[seg]
+        snr = 10 * np.log10((xs[seg] @ xs[seg]) / (err @ err))
+        assert snr > 6.0
+
+
+def test_part2_3_bit_accounting_is_exact():
+    """Re-walk an encoded stream and check each granule's Huffman data
+    decodes to EXACTLY part2_3_length bits — the spec's self-checksum
+    (any table/sign/region drift desyncs and fails loudly here)."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=1152 * 4) * 0.2
+    raw = M.encode_mp3(x, 48000, 128)
+    frames = M.walk_frames(raw)
+    sfb = M._SFB_LONG[48000]
+    for hdr in frames:
+        side = M.parse_side_info(hdr, raw)
+        off = hdr["offset"] + 4 + side["side_bytes"]
+        r = M._BitReader(raw[off:hdr["offset"] + hdr["frame_len"]])
+        for chans in side["granules"]:
+            for g in chans:
+                end = r.pos + g["part2_3_length"]
+                M._read_scalefactors_mpeg1(r, g, side["scfsi"][0], None)
+                before = r.pos
+                M._decode_spectrum(r, g, sfb, end)
+                assert r.pos == end
+                assert g["count1_end"] >= g["big_values"] * 2
+                assert before <= end
+
+
+def test_frame_geometry_is_closed_form():
+    for kbps, nfr in ((96, 2), (128, 3), (192, 5)):
+        x = np.zeros(1152 * nfr - 100)  # ragged tail → padded up
+        raw = M.encode_mp3(x, 48000, kbps)
+        flen = 144 * kbps * 1000 // 48000
+        assert len(raw) == nfr * flen
+        frames = M.walk_frames(raw)
+        assert len(frames) == nfr
+        _, _, pcm = M.decode_mp3(raw)
+        assert pcm.shape[0] == nfr * 1152
+
+
+# ---------------------------------------------------------------------------
+# real-file interop (MPEG-2 LSF)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REAL_MP3),
+    reason="real-world MP3 fixture not present on this host",
+)
+def test_real_world_mp3_interop():
+    """INTEROP gate against a real MPEG-2 LSF file we did not produce:
+    ID3v2 skip, all 45 frame headers, LSF side info, scalefactor-bit
+    and bit-reservoir accounting — then FULL sample decode (the file is
+    digital silence, inside the supported LSF subset) to exactly-zero
+    PCM with the closed-form sample count."""
+    data = open(REAL_MP3, "rb").read()
+    assert M.skip_id3v2(data) == 32
+    frames = M.walk_frames(data)
+    assert len(frames) >= 10
+    hdr = frames[0]
+    assert not hdr["mpeg1"] and hdr["sample_rate"] == 22050 and hdr["channels"] == 1
+    reservoir = 0
+    for hdr in frames:
+        side = M.parse_side_info(hdr, data)
+        assert side["main_data_begin"] <= reservoir
+        for chans in side["granules"]:
+            for g in chans:
+                assert M.lsf_scalefac_bits(g) <= max(g["part2_3_length"], 0)
+        md = (hdr["frame_len"] - 4 - (2 if hdr["crc"] else 0)
+              - side["side_bytes"])
+        reservoir = min(reservoir + md, 511)
+    rate, nch, pcm = M.decode_mp3(data)
+    assert (rate, nch) == (22050, 1)
+    assert pcm.shape == (len(frames) * 576, 1)
+    assert np.abs(pcm).max() == 0.0
+
+
+def test_lsf_beyond_subset_raises():
+    """An LSF granule that would need the missing sfb tables must raise
+    (not silently mis-decode): synthesize one by patching a nonzero
+    big_values into a silent LSF frame's side info."""
+    data = bytearray(open(REAL_MP3, "rb").read()) if __import__("os").path.exists(
+        REAL_MP3) else None
+    if data is None:
+        pytest.skip("real-world MP3 fixture not present")
+    frames = M.walk_frames(bytes(data))
+    hdr = frames[0]
+    # side info starts after the 4-byte header; LSF mono layout:
+    # main_data_begin(8) private(1) part2_3_length(12) big_values(9)...
+    off = hdr["offset"] + 4
+    # big_values occupies side-info bits 21..29; byte off+2 carries bits
+    # 16..23 MSB-first, so 0x04 sets bit 21 (big_values MSB)
+    data[off + 2] |= 0x04
+    data[off + 1] |= 0x04  # and a nonzero part2_3_length so it's read
+    with pytest.raises(ValueError):
+        M.decode_mp3(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# error contract
+# ---------------------------------------------------------------------------
+
+def test_error_contract_valueerror_only():
+    good = M.encode_mp3(
+        0.3 * np.sin(2 * np.pi * 440 * np.arange(1152 * 2) / 48000), 48000, 128)
+    rng = np.random.default_rng(3)
+    # random garbage
+    for n in (0, 1, 3, 10, 100):
+        try:
+            M.decode_mp3(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+        except ValueError:
+            pass
+    # truncations
+    for cut in (1, 4, 17, 100, len(good) - 1):
+        try:
+            M.decode_mp3(good[:cut])
+        except ValueError:
+            pass
+    # single-byte mutations: must either decode or raise ValueError —
+    # never IndexError/KeyError/struct.error
+    for _ in range(120):
+        buf = bytearray(good)
+        buf[rng.integers(0, len(buf))] ^= 1 << rng.integers(0, 8)
+        try:
+            M.decode_mp3(bytes(buf))
+        except ValueError:
+            pass
+
+
+def test_encoder_input_contract():
+    with pytest.raises(ValueError, match="sample rate"):
+        M.encode_mp3(np.zeros(1152), 22050, 128)
+    with pytest.raises(ValueError, match="bitrate"):
+        M.encode_mp3(np.zeros(1152), 48000, 123)
+    with pytest.raises(ValueError, match="PCM"):
+        M.encode_mp3(np.zeros((10, 3)), 48000, 128)
+    with pytest.raises(ValueError):
+        M.walk_frames(b"")
+    with pytest.raises(ValueError, match="free-format"):
+        M.parse_frame_header(bytes([0xFF, 0xFB, 0x00, 0x00]), 0)
+
+
+def test_header_fixture_from_multimodal_decodes_as_silence():
+    """multimodal.make_mp3 builds zero-side-info frames — a REAL decoder
+    must read them as digital silence, tying the r8 header-probe fixture
+    family to the new sample decoder."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    raw = MM.make_mp3(bitrate_kbps=128, sample_rate=44100, n_frames=4,
+                      id3_size=37)
+    rate, nch, pcm = M.decode_mp3(raw)
+    assert rate == 44100 and nch == 2
+    assert pcm.shape == (4 * 1152, 2)
+    assert np.abs(pcm).max() == 0.0
