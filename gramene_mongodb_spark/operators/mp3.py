@@ -1203,7 +1203,14 @@ def encode_mp3(
                 # uniformly better
                 chosen = None
                 best_err = None
-                for gg in range(210 - 60, 256):
+                # closed-form search start: q <= 3 iff mag/step < 3.5946^(4/3)
+                maxmag = float(mag.max(initial=0.0))
+                if maxmag > 0.0:
+                    lo = int(np.ceil(210 + 4 * np.log2(maxmag / 5.494690))) - 1
+                    lo = max(0, min(lo, 255))
+                else:
+                    lo = 210
+                for gg in range(lo, min(lo + 16, 256)):
                     step = 2.0 ** (0.25 * (gg - 210))
                     q = np.floor((mag / step) ** 0.75 + 0.4054).astype(np.int64)
                     if q.max(initial=0) > 3:
