@@ -151,6 +151,7 @@ def write_sized(
     target_bytes: int = 128 * 1024 * 1024,
     sample_rows: int = 2048,
     total_rows: int | None = None,
+    representative: bool = False,
     **options,
 ) -> dict:
     """Target-size governed sink — output FILE SIZING is the part of a
@@ -164,11 +165,15 @@ def write_sized(
     Mechanics (two bounded passes, no full pre-scan):
 
     1. **Price**: write ``sample_rows`` rows (``limit`` — cheap, reads
-       only leading partitions) to a ``<path>__sizing__`` sibling in
-       the same format+options, measure encoded bytes via the Hadoop
-       FileSystem API (scheme-honest: file:/, hdfs://, s3a://), derive
-       bytes/row. Encoded size is the only honest signal — in-memory
-       row width over-prices dictionary/RLE-friendly data by 5-20×.
+       only leading partitions; or, with ``representative=True`` and a
+       known ``total_rows``, a uniform Bernoulli sample — one extra
+       scan, required when encoded row size correlates with position,
+       e.g. nested docs of wildly varying depth) to a
+       ``<path>__sizing__`` sibling in the same format+options, measure
+       encoded bytes via the Hadoop FileSystem API (scheme-honest:
+       file:/, hdfs://, s3a://), derive bytes/row. Encoded size is the
+       only honest signal — in-memory row width over-prices
+       dictionary/RLE-friendly data by 5-20×.
     2. **Cap**: write with ``maxRecordsPerFile = target_bytes //
        bytes_per_row`` so no task emits an oversized file, regardless
        of upstream partitioning.
@@ -192,7 +197,19 @@ def write_sized(
     fmt_writer = lambda d, p: d.write.mode("overwrite").options(**options).format(
         fmt
     ).save(p)
-    sample = df.limit(int(sample_rows))
+    if representative and total_rows:
+        # ``limit`` prices LEADING rows — biased whenever encoded row
+        # size correlates with position (test_io.py builds such a
+        # dataset: small rows first, 100× rows last; leading-row pricing
+        # under-sizes maxRecordsPerFile and the write emits files far
+        # over target). When the caller already knows total_rows, a
+        # uniform Bernoulli sample prices the true mixture; it costs one
+        # extra scan of the input, the same class of price as the
+        # caller's count.
+        frac = min(1.0, float(sample_rows) / float(total_rows))
+        sample = df.sample(withReplacement=False, fraction=frac, seed=7)
+    else:
+        sample = df.limit(int(sample_rows))
     fmt_writer(sample, tmp)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     fs = jtmp.getFileSystem(conf)

@@ -47,3 +47,39 @@ def publish_corpus_clean(
         df, out_path, target_bytes=target_bytes, total_rows=total_rows
     )
     return {**stats, "rows": int(total_rows), "path": out_path}
+
+
+def publish_tree_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    target_bytes: int = 64 * 1024 * 1024,
+    total_rows: int | None = None,
+) -> dict:
+    """Publish the flagship TREE pipeline (prune → score → reps → leaf
+    summaries → decorate → FlatToNested; the plan the driver gates as
+    ``pipeline_tree_publish``) through the governed sink as JSONL — the
+    second ``write_sized`` adopter (VERDICT r11 ask #8), covering the
+    NESTED-document JSON path where per-row encoded size varies by
+    orders of magnitude with tree depth, exactly where in-memory row
+    width would mis-price the file split. ``ignoreNullFields``
+    reproduces the reference's remove-empties cosmetic on the published
+    docs (P3, ``search/decorate.js:124-143``), matching
+    ``io.write_jsonl``. Same ``total_rows`` contract as
+    :func:`publish_corpus_clean`.
+    """
+    from gramene_mongodb_spark import catalog
+
+    df = catalog.pipeline_tree_publish(spark, sf_dir)
+    if total_rows is None:
+        total_rows = df.count()
+    stats = write_sized(
+        df,
+        out_path,
+        fmt="json",
+        target_bytes=target_bytes,
+        total_rows=total_rows,
+        representative=True,  # tree-doc row size spans orders of magnitude
+        ignoreNullFields="true",
+    )
+    return {**stats, "rows": int(total_rows), "path": out_path}

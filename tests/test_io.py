@@ -513,3 +513,74 @@ def test_publish_corpus_clean_governed_sink_at_sf01(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == stats["rows"] > 0
     assert set(back.columns) == {"doc_id", "lang", "n_tokens", "quality_r", "n_dupes"}
+
+
+def test_publish_tree_docs_governed_jsonl_at_sf01(spark, tmp_path):
+    """VERDICT r11 ask #8: the nested tree docs publish through
+    write_sized as JSONL — file-count within 2x of the ideal split,
+    nothing oversized, read-back row count matches, and the JSON lines
+    carry the nested children structure (not a flattened echo)."""
+    import glob
+    import json
+
+    from gramene_mongodb_spark.pipelines import publish_tree_docs
+
+    out = str(tmp_path / "tree_publish")
+    # sf0.1 publishes 25 nested docs of ~112-130 KB each (~3 MB total);
+    # the target must sit above single-row size for a sizing contract
+    # to be satisfiable at all
+    target = 512 * 1024
+    stats = publish_tree_docs(
+        spark, "/root/testdata/sf0.1", out, target_bytes=target
+    )
+    files = sorted(glob.glob(os.path.join(out, "part-*.json")))
+    assert stats["n_partitions"] == len(files) >= 2
+    total = sum(os.path.getsize(f) for f in files)
+    ideal = max(1, -(-total // target))
+    assert ideal / 2 <= len(files) <= ideal * 2 + 1, (len(files), ideal)
+    assert max(os.path.getsize(f) for f in files) <= target * 1.5
+    back = spark.read.json(out)
+    assert back.count() == stats["rows"] > 0
+    with open(files[0]) as fh:
+        doc = json.loads(fh.readline())
+    assert "children" in json.dumps(doc)
+
+
+def test_write_sized_representative_pricing_on_skewed_rows(spark, tmp_path):
+    """When encoded row size correlates with position (small rows first,
+    100x rows last), leading-row pricing (limit) under-prices bytes/row
+    and the write emits files far over target; representative Bernoulli
+    pricing lands the split near ideal. Both paths asserted so the bias
+    this mode exists for stays demonstrated."""
+    rows = 3000
+    df = (
+        spark.range(rows)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < rows * 0.9, F.repeat(F.lit("a"), 10))
+            .otherwise(F.repeat(F.lit("z"), 1000))
+            .alias("payload"),
+        )
+        # single partition in id order so limit() provably reads small
+        # leading rows only
+        .coalesce(1)
+    )
+    from gramene_mongodb_spark.io import write_sized
+
+    target = 64 * 1024
+    biased = str(tmp_path / "biased")
+    s1 = write_sized(df, biased, fmt="json", target_bytes=target,
+                     sample_rows=256, total_rows=rows)
+    fair = str(tmp_path / "fair")
+    s2 = write_sized(df, fair, fmt="json", target_bytes=target,
+                     sample_rows=256, total_rows=rows, representative=True)
+    import glob
+
+    def _max_file(p):
+        return max(os.path.getsize(f) for f in glob.glob(os.path.join(p, "part-*")))
+
+    # leading-row pricing saw only ~40 B/row; true mean is ~130 B/row
+    assert s1["bytes_per_row"] < 0.6 * s2["bytes_per_row"]
+    assert _max_file(fair) <= target * 1.6
+    back = spark.read.json(fair)
+    assert back.count() == rows
