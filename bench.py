@@ -118,6 +118,11 @@ HEADLINE = [
     # Catalyst)
     "x_jpeg_decode",
     "x_mongo_aggregate",
+    # round 12: MPEG-1 Layer III codec (synthesize→encode→decode map
+    # pass, geometry closed-form + tolerance flags) and the $facet/
+    # $bucket/$bucketAuto Mongo read-side stages (pure Catalyst)
+    "x_mp3_decode",
+    "x_mongo_facet",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

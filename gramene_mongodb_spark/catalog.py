@@ -6982,7 +6982,9 @@ def x_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     int16 sample. The oracle replays the ramp arithmetic per sample —
     one wrong sample (endianness, chunk walk, width) breaks the hash.
     This closes the audio half of the former codec stub for PCM;
-    compressed codecs (MP3/AAC) still raise ValueError by design."""
+    through ``decode_wav_samples`` AAC still raises ValueError by
+    design; MP3 decodes for real since round 12 — see
+    ``x_mp3_decode`` and operators/mp3.py."""
     from gramene_mongodb_spark.operators import multimodal as MM
 
     cust = (

@@ -28,10 +28,13 @@ image/audio/video:
   baseline and the full progressive process, 4:4:4/4:2:2/4:2:0,
   restart markers, interop-verified on real libjpeg files) —
   ``decode_pixels`` dispatches it, so phash / resize / stats run on
-  actual JPEG corpora. Only compressed AUDIO codecs (MP3/AAC sample
-  decode) remain stubbed — requesting one raises
-  ``NotImplementedError``/``ValueError``; the Spark-side plumbing —
-  schema, batching, partitioning — is real and tested either way.
+  actual JPEG corpora.
+* MP3 sample decode is REAL as of round 12 (operators/mp3.py: full
+  MPEG-1 Layer III pipeline + a constrained spec-valid encoder; the
+  bundled-Huffman-table boundary and the LSF subset are documented
+  there). Only AAC sample decode remains stubbed — requesting it
+  raises ``ValueError``; the Spark-side plumbing — schema, batching,
+  partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -1140,8 +1143,9 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, "object"]:
     """REAL PCM decode: RIFF/WAVE chunk walk (same walk as
     ``parse_media_header``) → (sample_rate, channels, int numpy array of
     interleaved samples). Supports PCM 16-bit (little-endian signed) and
-    8-bit (unsigned, returned as stored). Compressed codecs (MP3/AAC/…)
-    raise ``ValueError`` — those libraries aren't in this container."""
+    8-bit (unsigned, returned as stored). Compressed payloads raise
+    ``ValueError`` here — MP3 decodes for real via
+    ``operators.mp3.decode_mp3`` (round 12); AAC stays unimplemented."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":

@@ -5,11 +5,13 @@
 # fills the 32-CPU box).
 #
 # Measured breakdown (round 11): Hypothesis property suite ≈ 18 min
-# single-process (the pacing item; a HALVED run still measured 14:26
-# for the heavier half), oracle-parity + plan sweeps 6:40, the 16
-# unit/integration files 7:35. Split: the property suite is THIRDED
-# via the PYTEST_SHARD nodeid-hash filter (tests/conftest.py), so the
-# wall is the slowest property third ≈ 8-10 min.
+# single-process (the pacing item), oracle-parity + plan sweeps 6:40,
+# the unit/integration files 7:35. Split: the property suite is
+# THIRDED via PYTEST_SHARD (tests/conftest.py). Round 12: the thirds
+# are assigned by MEASURED-duration bin-pack (tests/property_shards.json,
+# scripts/rebalance_shards.py) instead of nodeid hash — the hash split
+# measured 10:43/7:10/9:18 walls; the bin-pack predicts ~8:55 each
+# (tests new since the rebalance fall back to the hash rule).
 #
 # Usage: scripts/test_shards.sh   (exits non-zero if any shard fails)
 set -u
