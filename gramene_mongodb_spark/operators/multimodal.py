@@ -1218,20 +1218,45 @@ def encode_wav(sample_rate: int, samples: "object") -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def decode_audio_pcm(payload: bytes) -> tuple[int, int, "object"]:
+    """Unified integer-PCM decode for the audio-analysis operators:
+    RIFF/WAVE routes to :func:`decode_wav_samples` (samples as stored);
+    MPEG Layer III (ID3v2-tagged or bare frame sync) routes to the real
+    decoder (``operators.mp3.decode_mp3``) with float PCM quantized to
+    16-bit as ``floor(x·32768 + 0.5)`` clamped — the same HALF_UP rule
+    the other codecs in this module pin. Returns (sample_rate, channels,
+    int numpy array, channel-interleaved). Anything else raises
+    ``ValueError`` (AAC etc. — see operators/mp3.py's boundary notes)."""
+    import numpy as np
+
+    if payload[:4] == b"RIFF":
+        return decode_wav_samples(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        from gramene_mongodb_spark.operators import mp3 as _mp3
+
+        rate, nch, pcm = _mp3.decode_mp3(payload)
+        ints = np.floor(pcm * 32768.0 + 0.5).clip(-32768, 32767).astype(np.int64)
+        return rate, nch, ints.reshape(-1)
+    raise ValueError("unsupported audio container (PCM WAV and MP3 decode)")
+
+
 def frame_energy(
     media: DataFrame,
     frame_len: int = 160,
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Per-frame integer energy through the REAL PCM decoder: one Arrow
-    map pass decodes each WAV, folds the sample stream into fixed
-    ``frame_len`` windows (10 ms at 16 kHz with the default) and emits
-    mean absolute amplitude per frame as exact integer floor division —
-    a trailing partial frame is dropped. Output: (media_id, frame_idx,
-    energy). The payload is touched exactly once; everything downstream
-    is column math on a frames table ~frame_len× smaller than the
-    audio."""
+    """Per-frame integer energy through the REAL decoders (PCM WAV and,
+    since round 12, MP3 via :func:`decode_audio_pcm` — closing the
+    "VAD/energy stats require WAV" gap): one Arrow map pass decodes each
+    clip, folds the sample stream into fixed ``frame_len`` windows
+    (10 ms at 16 kHz with the default) and emits mean absolute amplitude
+    per frame as exact integer floor division — a trailing partial frame
+    is dropped. Output: (media_id, frame_idx, energy). The payload is
+    touched exactly once; everything downstream is column math on a
+    frames table ~frame_len× smaller than the audio."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1240,7 +1265,7 @@ def frame_energy(
             fs: list[int] = []
             es: list[int] = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                _, _, samples = decode_wav_samples(bytes(payload))
+                _, _, samples = decode_audio_pcm(bytes(payload))
                 a = np.abs(samples.astype(np.int64))
                 n = len(a) // frame_len
                 if not n:
