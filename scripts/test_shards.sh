@@ -10,7 +10,7 @@
 # THIRDED via PYTEST_SHARD (tests/conftest.py). Round 12: the thirds
 # are assigned by MEASURED-duration bin-pack (tests/property_shards.json,
 # scripts/rebalance_shards.py) instead of nodeid hash — the hash split
-# measured 10:43/7:10/9:18 walls; the bin-pack predicts ~8:55 each
+# measured 10:43/7:10/9:18 walls; the bin-pack measured 8:02/7:32/8:56
 # (tests new since the rebalance fall back to the hash rule).
 #
 # Usage: scripts/test_shards.sh   (exits non-zero if any shard fails)
