@@ -6950,6 +6950,93 @@ def x_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_id3_metadata",
+    """
+    SELECT c_custkey AS media_id,
+           CASE WHEN c_custkey % 2 = 0 THEN 'ID3v2.4' ELSE 'ID3v2.3' END
+             AS id3_version,
+           c_name AS title,
+           'seg:' || c_mktsegment AS artist,
+           CAST(c_custkey % 99 + 1 AS VARCHAR) AS track,
+           CAST(CASE WHEN c_custkey % 2 = 0
+                THEN 10 + (11 + length(c_name))
+                        + (11 + 4 + length(c_mktsegment))
+                        + (11 + length(CAST(c_custkey % 99 + 1 AS VARCHAR)))
+                ELSE 10 + (13 + 2*length(c_name))
+                        + (13 + 2*(4 + length(c_mktsegment)))
+                        + (13 + 2*length(CAST(c_custkey % 99 + 1 AS VARCHAR)))
+                END AS INT) AS skip_bytes,
+           CAST(1 AS INT) AS n_frames
+    FROM customer WHERE c_custkey % 53 = 11
+    """,
+    "multimodal",
+)
+def x_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata extraction from REAL tagged MP3 files — the
+    metadata half of audio-corpus curation (provenance, dedup keys,
+    attribution filters all start from the tag). Each selected customer
+    builds a worker-side fixture: a spec-valid ID3v2 tag (v2.4/UTF-8 on
+    even keys, v2.3/UTF-16-with-BOM on odd — both wire formats under
+    one gate) carrying title/artist/track derived from customer
+    columns, prepended to a REAL one-frame Layer III stream
+    (operators/mp3.py). The parse side (``id3_tags``) walks frames,
+    decodes declared text encodings, and ``skip_id3v2`` + ``walk_frames``
+    prove the audio after the tag still syncs. The oracle recomputes
+    every output closed-form — including ``skip_bytes``, which encodes
+    the v2.3-vs-v2.4 frame-size arithmetic (syncsafe vs plain,
+    UTF-16 BOM + 2 bytes/char vs UTF-8) — so one wrong byte in the tag
+    writer or one mis-stepped frame in the parser breaks the hash. The
+    real-file gate (an ffmpeg-written v2.4 TSSE tag on this disk) lives
+    in tests/test_mp3.py. Scale: pre-spread embarrassingly parallel
+    Arrow pass, no shuffle (the x_jpeg_decode shape)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .filter(F.col("c_custkey") % 53 == 11)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from gramene_mongodb_spark.operators import mp3 as M
+
+        for pdf in batches:
+            rows = []
+            for kk, name, seg in zip(
+                pdf["c_custkey"], pdf["c_name"], pdf["c_mktsegment"]
+            ):
+                kk = int(kk)
+                frames = {
+                    "TIT2": str(name),
+                    "TPE1": f"seg:{seg}",
+                    "TRCK": str(kk % 99 + 1),
+                }
+                tag = M.make_id3v2(frames, major=4 if kk % 2 == 0 else 3)
+                payload = tag + M.encode_mp3(np.zeros(1152), 48000, 96)
+                tags = M.id3_tags(payload)
+                rows.append(
+                    {
+                        "media_id": kk,
+                        "id3_version": tags["version"],
+                        "title": tags["TIT2"],
+                        "artist": tags["TPE1"],
+                        "track": tags["TRCK"],
+                        "skip_bytes": M.skip_id3v2(payload),
+                        "n_frames": len(M.walk_frames(payload)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return cust.mapInPandas(
+        gen,
+        "media_id BIGINT, id3_version STRING, title STRING, artist STRING, "
+        "track STRING, skip_bytes INT, n_frames INT",
+    )
+
+
+@register(
     "x_media_audio",
     """
     WITH a AS (
@@ -12434,11 +12521,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-12 ROTATION (VERDICT r11 §next-round #1): never-attested
     # first (the two operators added after the r11 gate ran, plus this
-    # round's new x_mp3_decode), then the ENTIRE r7-stale cohort, then
-    # the 40 alphabetically-first of the 50 r8-stale greens. After this
-    # round the latest-attestation histogram has no r7 bucket and 10 r8
-    # leftovers (x_heavy_hitters … x_simhash_near, the alphabetical
-    # tail — r13's rotation seed), within the verdict's ≤14 target.
+    # round's new x_mp3_decode and x_id3_metadata), then the ENTIRE
+    # r7-stale cohort, then the 39 alphabetically-first of the 50
+    # r8-stale greens. After this round the latest-attestation histogram
+    # has no r7 bucket and 11 r8 leftovers (x_funnel_stages …
+    # x_simhash_near, the alphabetical tail — r13's rotation seed),
+    # within the verdict's ≤14 target.
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth).
     # Displaced greens remain parity-swept at sf0.001+sf0.1
@@ -12447,11 +12535,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # never-attested (registered after the r11 driver window ran) + the
     # round-12 MP3 codec entry
     "x_jpeg_ac_invariance", "x_mongo_facet", "x_mp3_decode",
+    "x_id3_metadata",
     # stalest greens — last attested r7
     "a6_rollup_geo", "a7_pivot_status", "j10_semi_join",
     "o1_topk_lineitems", "q11_important_parts", "q21_waiting_supplier",
     "w1_order_rank",
-    # stalest greens — last attested r8 (41 of 50, alphabetical)
+    # stalest greens — last attested r8 (39 of 50, alphabetical)
     "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
     "j1_broadcast_enrich", "j2_ci_fallback_join", "j5_price_band_containment",
     "j6_overlap_orders", "k10_bin_totalprice", "k11_graft_taxonomy",
@@ -12465,7 +12554,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "s_json_extract", "s_scalar_functions", "tumbling_hour_events",
     "u3_priority_except", "w2_lead_ship_gap", "x_asof_last_click",
     "x_bfs_distance", "x_bm25_topk", "x_cosine_topk", "x_dedup_clusters",
-    "x_dedup_exact", "x_edit_distance_pairs", "x_funnel_stages",
+    "x_dedup_exact", "x_edit_distance_pairs",
 )
 
 

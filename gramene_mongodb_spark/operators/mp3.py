@@ -1310,3 +1310,104 @@ def mp3_stats(media, id_col: str = "media_id", payload_col: str = "payload"):
             yield pd.DataFrame(rows)
 
     return media.select(id_col, payload_col).mapInPandas(run, _MP3_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 metadata (informal standard id3v2.3.0 / id3v2.4.0)
+# ---------------------------------------------------------------------------
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3_tags(payload: bytes) -> dict[str, str]:
+    """Parse an ID3v2.2/2.3/2.4 tag prefix into {frame_id: text} for the
+    declared TEXT frames (T*** incl. TXXX, rendered as ``desc\\x00value``
+    collapsed to ``value`` when the description is empty). Non-text
+    frames are skipped, not errors; a payload with no ID3v2 tag returns
+    ``{"version": "none"}``. Structural faults raise ``ValueError`` —
+    the same loud-contract rule as the rest of the codec. The real-file
+    gate: the MPEG-2 fixture on this disk carries an ffmpeg-written
+    v2.4 UTF-8 ``TSSE`` frame (tests/test_mp3.py)."""
+    if payload[:3] != b"ID3":
+        return {"version": "none"}
+    if len(payload) < 10:
+        raise ValueError("ID3v2 header truncated")
+    major, flags = payload[3], payload[5]
+    if major not in (2, 3, 4):
+        raise ValueError(f"unsupported ID3v2.{major}")
+    if (payload[6] | payload[7] | payload[8] | payload[9]) & 0x80:
+        raise ValueError("ID3v2 size bytes not syncsafe")
+    size = (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    body = payload[10:10 + size]
+    if len(body) < size:
+        raise ValueError("ID3v2 body truncated")
+    if flags & 0x80:  # tag-level unsynchronisation: FF 00 -> FF
+        body = body.replace(b"\xff\x00", b"\xff")
+    if flags & 0x40:  # extended header: skip it
+        if major == 4:
+            ext = ((body[0] << 21) | (body[1] << 14) | (body[2] << 7) | body[3])
+        else:
+            ext = int.from_bytes(body[0:4], "big") + 4
+        body = body[ext:]
+    out: dict[str, str] = {"version": f"ID3v2.{major}"}
+    pos = 0
+    id_len, size_len, flag_len = (3, 3, 0) if major == 2 else (4, 4, 2)
+    while pos + id_len + size_len + flag_len <= len(body):
+        fid = body[pos:pos + id_len]
+        if fid == b"\x00" * id_len:
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(f"malformed ID3v2 frame id {fid!r} at {pos}")
+        raw = body[pos + id_len:pos + id_len + size_len]
+        if major == 4:
+            if any(b & 0x80 for b in raw):
+                raise ValueError("ID3v2.4 frame size not syncsafe")
+            fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsize = int.from_bytes(raw, "big")
+        pos += id_len + size_len + flag_len
+        frame = body[pos:pos + fsize]
+        if len(frame) < fsize:
+            raise ValueError("ID3v2 frame overruns tag")
+        pos += fsize
+        name = fid.decode("ascii")
+        if name.startswith("T") and frame:
+            enc = _ID3_ENCODINGS.get(frame[0])
+            if enc is None:
+                raise ValueError(f"bad ID3v2 text encoding {frame[0]}")
+            try:
+                text = frame[1:].decode(enc)
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"undecodable ID3v2 text frame {name}") from exc
+            text = text.rstrip("\x00")
+            if name == "TXXX" and "\x00" in text:
+                desc, _, value = text.partition("\x00")
+                text = value if not desc else f"{desc}\x00{value}"
+            out[name] = text
+    return out
+
+
+def make_id3v2(frames: dict[str, str], major: int = 4) -> bytes:
+    """Build a spec-valid ID3v2.3/2.4 tag carrying UTF-8 (v2.4) or
+    UTF-16 (v2.3 — its spec predates the UTF-8 encoding byte) text
+    frames — the fixture twin of :func:`id3_tags`, prepended to encoded
+    streams worker-side so the driver gate parses REAL tagged files."""
+    if major not in (3, 4):
+        raise ValueError("ID3v2.3 or .4 only")
+    body = bytearray()
+    for fid, text in frames.items():
+        if len(fid) != 4 or not fid.isupper() or not fid.startswith("T"):
+            raise ValueError(f"text frame id required, got {fid!r}")
+        if major == 4:
+            data = b"\x03" + text.encode("utf-8")
+            raw = bytes([(len(data) >> 21) & 0x7F, (len(data) >> 14) & 0x7F,
+                         (len(data) >> 7) & 0x7F, len(data) & 0x7F])
+        else:
+            data = b"\x01" + text.encode("utf-16")  # BOM included
+            raw = len(data).to_bytes(4, "big")
+        body += fid.encode("ascii") + raw + b"\x00\x00" + data
+    size = len(body)
+    hdr = b"ID3" + bytes([major, 0, 0,
+                          (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                          (size >> 7) & 0x7F, size & 0x7F])
+    return hdr + bytes(body)

@@ -366,3 +366,66 @@ def test_decode_audio_pcm_contract():
     raw = M.encode_mp3(np.zeros(1152), 48000, 128)
     rate, nch, s = MM.decode_audio_pcm(raw)
     assert rate == 48000 and len(s) == 1152 and int(np.abs(s).max()) == 0
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 metadata
+# ---------------------------------------------------------------------------
+
+def test_id3_real_file_ffmpeg_tag():
+    """The MPEG-2 fixture on this disk carries an ffmpeg-written ID3v2.4
+    UTF-8 TSSE frame — a tag we did not produce must parse exactly."""
+    if not __import__("os").path.exists(REAL_MP3):
+        pytest.skip("real-world MP3 fixture not present")
+    tags = M.id3_tags(open(REAL_MP3, "rb").read())
+    assert tags == {"version": "ID3v2.4", "TSSE": "Lavf53.5.0"}
+
+
+@pytest.mark.parametrize("major", [3, 4])
+def test_id3_roundtrip_both_versions(major):
+    frames = {"TIT2": "Hello Wörld", "TPE1": "Artist π", "TRCK": "7"}
+    tag = M.make_id3v2(frames, major)
+    payload = tag + M.encode_mp3(np.zeros(1152), 48000, 96)
+    got = M.id3_tags(payload)
+    assert got.pop("version") == f"ID3v2.{major}"
+    assert got == frames
+    # the audio after the tag still syncs and decodes
+    assert M.skip_id3v2(payload) == len(tag)
+    assert len(M.walk_frames(payload)) == 1
+    _, _, pcm = M.decode_mp3(payload)
+    assert pcm.shape[0] == 1152
+
+
+def test_id3_skips_non_text_frames_and_padding():
+    # hand-build a v2.4 tag: APIC (binary, skipped) + TIT2 + padding
+    apic = b"APIC" + bytes([0, 0, 0, 4]) + b"\x00\x00" + b"\x89PNG"
+    tit2 = b"TIT2" + bytes([0, 0, 0, 3]) + b"\x00\x00" + b"\x03ab"
+    body = apic + tit2 + b"\x00" * 10
+    size = len(body)
+    tag = (b"ID3\x04\x00\x00"
+           + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F]) + body)
+    got = M.id3_tags(tag)
+    assert got == {"version": "ID3v2.4", "TIT2": "ab"}
+
+
+def test_id3_error_contract():
+    assert M.id3_tags(b"\xff\xfbxx") == {"version": "none"}
+    with pytest.raises(ValueError, match="truncated"):
+        M.id3_tags(b"ID3\x04\x00\x00\x00\x00\x00\x10ABC")
+    with pytest.raises(ValueError, match="not syncsafe"):
+        M.id3_tags(b"ID3\x04\x00\x00\x80\x00\x00\x00")
+    with pytest.raises(ValueError, match="unsupported ID3v2"):
+        M.id3_tags(b"ID3\x07\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="text frame id"):
+        M.make_id3v2({"APIC": "x"})
+    rng = np.random.default_rng(9)
+    for _ in range(60):
+        n = int(rng.integers(10, 60))
+        buf = bytearray(b"ID3\x04\x00\x00")
+        buf += bytes(int(b) & 0x7F for b in rng.integers(0, 128, 4))
+        buf += bytes(int(b) for b in rng.integers(0, 256, n))
+        try:
+            M.id3_tags(bytes(buf))
+        except ValueError:
+            pass
