@@ -344,6 +344,37 @@ def side_info_size(mpeg1: bool, channels: int) -> int:
     return 9 if channels == 1 else 17
 
 
+def crc16_mpeg(data: bytes) -> int:
+    """ISO 11172-3 §2.4.3.1 CRC-16: G(x) = x¹⁶+x¹⁵+x²+1, init 0xFFFF,
+    MSB-first. For Layer III the protected span is header bytes 2-3
+    plus the whole side-information block."""
+    crc = 0xFFFF
+    for byte in data:
+        for k in range(7, -1, -1):
+            bit = (byte >> k) & 1
+            carry = ((crc >> 15) & 1) ^ bit
+            crc = (crc << 1) & 0xFFFF
+            if carry:
+                crc ^= 0x8005
+    return crc
+
+
+def verify_crc(hdr: dict, data: bytes) -> None:
+    """Check a protected frame's CRC-16 (no-op for unprotected frames);
+    ``ValueError`` on mismatch — a corrupted side-info block would
+    otherwise desync the whole bit reservoir, which is exactly what the
+    spec put the CRC in front of."""
+    if not hdr["crc"]:
+        return
+    off = hdr["offset"]
+    stored = int.from_bytes(data[off + 4:off + 6], "big")
+    span = data[off + 2:off + 4] + data[
+        off + 6:off + 6 + side_info_size(hdr["mpeg1"], hdr["channels"])
+    ]
+    if crc16_mpeg(span) != stored:
+        raise ValueError(f"CRC-16 mismatch in frame at byte {off}")
+
+
 def parse_side_info(hdr: dict, data: bytes) -> dict:
     """Parse the side information block following the header (and CRC,
     when present) of one frame. Returns granule/channel field arrays plus
@@ -962,6 +993,7 @@ def decode_mp3(payload: bytes) -> tuple[int, int, np.ndarray]:
     for hdr in frames:
         if hdr["sample_rate"] != rate or hdr["channels"] != nch:
             raise ValueError("mid-stream format change")
+        verify_crc(hdr, payload)
         side = parse_side_info(hdr, payload)
         data_off = (hdr["offset"] + 4 + (2 if hdr["crc"] else 0)
                     + side["side_bytes"])
@@ -1132,7 +1164,10 @@ def _encode_granule_bits(xs: np.ndarray, sfb_long: tuple[int, ...]) -> tuple:
 
 
 def encode_mp3(
-    pcm: np.ndarray, sample_rate: int = 48000, bitrate_kbps: int = 128
+    pcm: np.ndarray,
+    sample_rate: int = 48000,
+    bitrate_kbps: int = 128,
+    protection: bool = False,
 ) -> bytes:
     """Spec-valid CBR MPEG-1 Layer III encode of float PCM (±1 range,
     shape (n,) mono or (n, 2) stereo). Long blocks, zero scalefactors
@@ -1160,11 +1195,12 @@ def encode_mp3(
     br_idx = _BITRATES_L3[3].index(bitrate_kbps)
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate  # padding bit unused
     side_bytes = side_info_size(True, nch)
-    budget_bits = (frame_len - 4 - side_bytes) * 8
+    crc_bytes = 2 if protection else 0
+    budget_bits = (frame_len - 4 - crc_bytes - side_bytes) * 8
     mode = 3 if nch == 1 else 0  # mono / plain stereo
     header = bytes([
         0xFF,
-        0xFB,  # MPEG-1, Layer III, no CRC
+        0xFA if protection else 0xFB,  # MPEG-1, Layer III, CRC flag
         (br_idx << 4) | (sr_idx << 2),
         (mode << 6),
     ])
@@ -1262,10 +1298,12 @@ def encode_mp3(
                 take = min(8, bits - i * 8)
                 mw.write(byte >> (8 - take), take)
         main = mw.getvalue()
-        payload_len = frame_len - 4 - side_bytes
+        payload_len = frame_len - 4 - crc_bytes - side_bytes
         if len(main) > payload_len:
             raise AssertionError("main data exceeded frame budget")
-        out += header + side + main + b"\x00" * (payload_len - len(main))
+        crc = (crc16_mpeg(header[2:4] + side).to_bytes(2, "big")
+               if protection else b"")
+        out += header + crc + side + main + b"\x00" * (payload_len - len(main))
     return bytes(out)
 
 
