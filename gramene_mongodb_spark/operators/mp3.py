@@ -1105,9 +1105,13 @@ def _encode_pairs(w: _BitWriter, vals: np.ndarray, tid: int) -> None:
             w.write(1 if y < 0 else 0, 1)
 
 
-def _encode_granule_bits(xs: np.ndarray, sfb_long: tuple[int, ...]) -> tuple:
-    """Partition + Huffman-encode one granule's 576 integer lines.
-    Returns (bitstream bytes, nbits, side-info fields dict)."""
+def _encode_granule_bits(
+    xs: np.ndarray, sfb_long: tuple[int, ...], w: _BitWriter | None = None
+) -> tuple:
+    """Partition + Huffman-encode one granule's 576 integer lines,
+    appending to ``w`` (which already carries the scalefactor bits when
+    the caller wrote any — spec part2 ordering). Returns (writer,
+    side-info fields dict)."""
     nz = np.nonzero(xs)[0]
     last = int(nz[-1]) + 1 if len(nz) else 0
     # rzero boundary: pairs; count1 region: quads with |v| <= 1
@@ -1124,7 +1128,8 @@ def _encode_granule_bits(xs: np.ndarray, sfb_long: tuple[int, ...]) -> tuple:
     r0c, r1c = 7, 7
     r0_end = min(sfb_long[r0c + 1], big_end)
     r1_end = min(sfb_long[r0c + r1c + 2], big_end)
-    w = _BitWriter()
+    if w is None:
+        w = _BitWriter()
     t0 = _pick_pair_table(xs[:r0_end])
     t1 = _pick_pair_table(xs[r0_end:r1_end])
     t2 = _pick_pair_table(xs[r1_end:big_end])
@@ -1246,20 +1251,52 @@ def encode_mp3(
                     lo = max(0, min(lo, 255))
                 else:
                     lo = 210
+                # per-band SCALEFACTORS (scalefac_compress 15: slen1=4,
+                # slen2=3): quiet bands get sharpened up toward the
+                # |q| <= 3 ceiling — 2^(sf/2) finer steps — instead of
+                # quantizing to silence under the loudest band's step
+                sfc = 15
+                slen1, slen2 = _SLEN1[sfc], _SLEN2[sfc]
+                caps = [2 ** slen1 - 1] * 11 + [2 ** slen2 - 1] * 10
                 for gg in range(lo, min(lo + 16, 256)):
                     step = 2.0 ** (0.25 * (gg - 210))
-                    q = np.floor((mag / step) ** 0.75 + 0.4054).astype(np.int64)
+                    sf = [0] * 21
+                    scale = np.ones(576)
+                    for b in range(21):
+                        b_lo, b_hi = sfb_long[b], sfb_long[b + 1]
+                        m_b = float(mag[b_lo:b_hi].max(initial=0.0))
+                        if m_b <= 0.0:
+                            continue
+                        s = int(np.floor(2.0 * np.log2(5.494690 * step / m_b)))
+                        s = max(0, min(caps[b], s))
+                        while s and np.floor(
+                            (m_b * 2.0 ** (0.5 * s) / step) ** 0.75 + 0.4054
+                        ) > 3:
+                            s -= 1
+                        if s:
+                            sf[b] = s
+                            scale[b_lo:b_hi] = 2.0 ** (0.5 * s)
+                    q = np.floor((mag * scale / step) ** 0.75 + 0.4054
+                                 ).astype(np.int64)
                     if q.max(initial=0) > 3:
                         continue
-                    err = float(((mag - q.astype(np.float64) ** (4.0 / 3.0)
-                                  * step) ** 2).sum())
+                    recon = q.astype(np.float64) ** (4.0 / 3.0) * step / scale
+                    err = float(((mag - recon) ** 2).sum())
                     if best_err is not None and err >= best_err:
                         if err > 4.0 * best_err:
                             break  # monotonically worse from here on
                         continue
                     xs = (np.sign(xr) * q).astype(np.int64)
-                    w, fields = _encode_granule_bits(xs, sfb_long)
+                    use_sfc = sfc if any(sf) else 0
+                    w = _BitWriter()
+                    if use_sfc:
+                        for b in range(11):
+                            w.write(sf[b], slen1)
+                        for b in range(11, 21):
+                            w.write(sf[b], slen2)
+                    w, fields = _encode_granule_bits(xs, sfb_long, w)
                     if w.bit_length() <= share:
+                        fields["scalefac_compress"] = use_sfc
                         chosen = (gg, w, fields)
                         best_err = err
                 if chosen is None:
@@ -1278,7 +1315,7 @@ def encode_mp3(
             sw.write(fields["part2_3_length"], 12)
             sw.write(fields["big_values"], 9)
             sw.write(fields["global_gain"], 8)
-            sw.write(0, 4)                    # scalefac_compress = 0
+            sw.write(fields["scalefac_compress"], 4)
             sw.write(0, 1)                    # window_switching = 0 (long)
             for t in fields["table_select"]:
                 sw.write(t, 5)
