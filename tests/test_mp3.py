@@ -451,3 +451,162 @@ def test_crc_protected_frames():
     # stripping header flag + CRC (protection must not change the audio)
     plain = M.encode_mp3(x, 48000, 128)
     assert plain[4:4 + 17] == raw[6:6 + 17]  # same side info
+
+
+# ---------------------------------------------------------------------------
+# window-switching granules (block types 1/2/3) — hand-built bitstream
+# differential (our encoder emits long blocks only, so these decoder
+# paths need third-party-shaped streams: we craft them bit by bit)
+# ---------------------------------------------------------------------------
+
+def _build_ws_frame(block_type, subblock_gain, values, gg, ct=0):
+    """One MPEG-1 mono 48 kHz 320 kbps frame (960 bytes): granule 0 is a
+    window-switching granule with count1-only spectrum (big_values=0,
+    ±1 at the given indices), granule 1 silent."""
+    quad_end = 0
+    vals = dict(values)
+    if vals:
+        quad_end = ((max(vals) // 4) + 1) * 4
+    w = M._BitWriter()
+    entries = M._QUAD_CODES[ct]
+    for base in range(0, quad_end, 4):
+        q = [vals.get(base + j, 0) for j in range(4)]
+        pat = ((q[0] != 0) << 3) | ((q[1] != 0) << 2) | ((q[2] != 0) << 1) | (q[3] != 0)
+        hlen, hcod = entries[pat]
+        w.write(hcod, hlen)
+        for v in q:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+    p23 = w.bit_length()
+
+    sw = M._BitWriter()
+    sw.write(0, 9)   # main_data_begin
+    sw.write(0, 5)   # private (mono)
+    sw.write(0, 4)   # scfsi
+    # granule 0: window switching
+    sw.write(p23, 12)
+    sw.write(0, 9)          # big_values
+    sw.write(gg, 8)
+    sw.write(0, 4)          # scalefac_compress
+    sw.write(1, 1)          # window_switching
+    sw.write(block_type, 2)
+    sw.write(0, 1)          # mixed_block
+    for t in (1, 1):
+        sw.write(t, 5)      # table_select x2 (unused: big_values=0)
+    for g in subblock_gain:
+        sw.write(g, 3)
+    sw.write(0, 1)          # preflag
+    sw.write(0, 1)          # scalefac_scale
+    sw.write(ct, 1)
+    # granule 1: silent long
+    sw.write(0, 12); sw.write(0, 9); sw.write(210, 8); sw.write(0, 4)
+    sw.write(0, 1)
+    for t in (0, 0, 0):
+        sw.write(t, 5)
+    sw.write(0, 4); sw.write(0, 3)
+    sw.write(0, 1); sw.write(0, 1); sw.write(0, 1)
+    side = sw.getvalue()
+    assert len(side) == 17
+    header = bytes([0xFF, 0xFB, (0xE << 4) | (0x1 << 2), 3 << 6])  # 320k, 48k, mono
+    main = w.getvalue()
+    frame_len = 144 * 320000 // 48000
+    pad = frame_len - 4 - 17 - len(main)
+    return header + side + main + b"\x00" * pad
+
+
+def _ref_ws_granule(block_type, subblock_gain, values, gg):
+    """Spec-literal reference for one window-switching granule's subband
+    samples, written independently of operators/mp3.py: requantize with
+    per-window subblock gain (short), short reorder, the 12/36-point
+    IMDCT sums as explicit loops, window shapes from the spec text, and
+    frequency inversion. Long types (1/3) include the aliasing
+    butterflies."""
+    xs = np.zeros(576)
+    for idx, v in dict(values).items():
+        xs[idx] = v
+    sfb_s = M._SFB_SHORT[48000]
+    xr = np.zeros(576)
+    if block_type == 2:
+        for sfb in range(len(sfb_s) - 1):
+            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+            width = hi - lo
+            for win in range(3):
+                a = lo * 3 + win * width
+                for i in range(width):
+                    g = 2.0 ** (0.25 * (gg - 210 - 8 * subblock_gain[win]))
+                    xr[a + i] = np.sign(xs[a + i]) * abs(xs[a + i]) ** (4 / 3) * g
+        # reorder (sfb, win, line) -> (subband, win, line)
+        ro = np.zeros(576)
+        for sfb in range(len(sfb_s) - 1):
+            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+            width = hi - lo
+            for win in range(3):
+                for i in range(width):
+                    line = lo + i
+                    ro[(line // 6) * 18 + win * 6 + line % 6] = xr[lo * 3 + win * width + i]
+        xr = ro
+    else:
+        g = 2.0 ** (0.25 * (gg - 210))
+        xr = np.sign(xs) * np.abs(xs) ** (4 / 3) * g
+        # aliasing butterflies (long types only)
+        ci = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+        for sb in range(1, 32):
+            for i in range(8):
+                cs = 1 / np.sqrt(1 + ci[i] ** 2)
+                ca = ci[i] * cs
+                a, b = xr[18 * sb - 1 - i], xr[18 * sb + i]
+                xr[18 * sb - 1 - i] = a * cs - b * ca
+                xr[18 * sb + i] = b * cs + a * ca
+    # hybrid IMDCT + windows, overlap from zero state
+    out = np.zeros((32, 18))
+    for sb in range(32):
+        spec = xr[sb * 18:(sb + 1) * 18]
+        z = np.zeros(36)
+        if block_type == 2:
+            for win in range(3):
+                for i in range(12):
+                    s = 0.0
+                    for k in range(6):
+                        s += spec[win * 6 + k] * np.cos(
+                            np.pi / 24 * (2 * i + 1 + 6) * (2 * k + 1))
+                    z[6 + win * 6 + i] += np.sin(np.pi / 12 * (i + 0.5)) * s
+        else:
+            for i in range(36):
+                s = 0.0
+                for k in range(18):
+                    s += spec[k] * np.cos(np.pi / 72 * (2 * i + 1 + 18) * (2 * k + 1))
+                if block_type == 1:  # start window
+                    wv = (np.sin(np.pi / 36 * (i + 0.5)) if i < 18
+                          else 1.0 if i < 24
+                          else np.sin(np.pi / 12 * (i - 18 + 0.5)) if i < 30
+                          else 0.0)
+                else:  # stop window
+                    wv = (0.0 if i < 6
+                          else np.sin(np.pi / 12 * (i - 6 + 0.5)) if i < 12
+                          else 1.0 if i < 18
+                          else np.sin(np.pi / 36 * (i + 0.5)))
+                z[i] = wv * s
+        out[sb] = z[:18]  # zero overlap state: first half only
+    out[1::2, 1::2] *= -1.0
+    return out
+
+
+@pytest.mark.parametrize("block_type,sbg", [
+    (2, (0, 0, 0)), (2, (1, 0, 2)), (1, (0, 0, 0)), (3, (0, 0, 0)),
+])
+def test_window_switching_granule_differential(block_type, sbg):
+    """Decode a hand-built window-switching frame and check granule 0's
+    PCM equals a spec-literal reference pipeline (independent requantize
+    + reorder + O(N²) IMDCT sums + windows + inversion) pushed through
+    the same synthesis filterbank."""
+    values = {0: 1, 2: -1, 5: 1, 9: -1, 14: 1}
+    gg = 180
+    frame = _build_ws_frame(block_type, sbg, values, gg)
+    rate, nch, pcm = M.decode_mp3(frame)
+    assert (rate, nch) == (48000, 1) and pcm.shape == (1152, 1)
+    ref_sub = _ref_ws_granule(block_type, sbg, values, gg)
+    syn = M._Synthesizer()
+    ref_pcm = syn.run(ref_sub.T)
+    assert np.allclose(pcm[:576, 0], ref_pcm, atol=1e-12), (
+        np.abs(pcm[:576, 0] - ref_pcm).max())
+    assert np.abs(pcm[:576, 0]).max() > 0  # the granule is not silent
