@@ -7037,6 +7037,83 @@ def x_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mp3_vad",
+    """
+    SELECT c_custkey AS media_id,
+           CAST(1 + c_custkey % 3 AS BIGINT) AS n_segments,
+           TRUE AS uniform_span_ok,
+           TRUE AS peak_ok
+    FROM customer WHERE c_custkey % 101 = 13
+    """,
+    "multimodal", "llm",
+)
+def x_mp3_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL MP3 audio — the composed
+    claim behind round 12's ``decode_audio_pcm`` dispatch: the SAME
+    ``audio_segments`` operator that gates WAV (x_audio_segments) now
+    runs on compressed clips. Each selected key synthesizes 1 + k%3
+    loud sine bursts (3 × 576-sample frames each) separated by
+    3-frame digital silence, encodes the whole clip as a real Layer III
+    stream, and segments the DECODED int16 PCM at threshold 4000
+    (measured margins: loud frames ≥ ~5300, codec leakage into silent
+    frames ≤ ~2700, and the 1057-sample codec delay shifts burst
+    boundaries so each burst still spans exactly 3 frames — prototyped
+    across the key lattice before pinning). The oracle pins the exact
+    burst COUNT arithmetically and the span/peak invariants as TRUE
+    flags (the jpeg_ac_invariance pattern; sample-exact replay is
+    impossible for a lossy codec, segment counts by design are not).
+    Scale: one Arrow codec pass over pre-spread ids; the only shuffle
+    is the per-media window over a frames table 576× smaller than the
+    audio."""
+    from gramene_mongodb_spark.operators import multimodal as MM
+
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") % 101 == 13)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from gramene_mongodb_spark.operators import mp3 as M
+
+        span = 576
+        for pdf in batches:
+            ids, payloads = [], []
+            for kk in pdf["c_custkey"]:
+                kk = int(kk)
+                nseg = 1 + kk % 3
+                amp = 0.3 + 0.1 * (kk % 4)
+                freq = 300.0 + 50.0 * (kk % 10)
+                parts = []
+                for _ in range(nseg):
+                    t = np.arange(3 * span)
+                    parts.append(amp * np.sin(2.0 * np.pi * freq * t / 48000.0))
+                    parts.append(np.zeros(3 * span))
+                x = np.concatenate(parts + [np.zeros(1152)])
+                ids.append(kk)
+                payloads.append(M.encode_mp3(x, 48000, 128))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = keys.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    segs = MM.audio_segments(media, threshold=4000, frame_len=576)
+    return segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (F.min("n_frames") == F.max("n_frames")).alias("_uniform"),
+        F.min("n_frames").alias("_span"),
+        F.max("peak_energy").alias("_peak"),
+    ).select(
+        "media_id",
+        "n_segments",
+        (F.col("_uniform") & (F.col("_span") == 3)).alias("uniform_span_ok"),
+        ((F.col("_peak") >= 4000) & (F.col("_peak") <= 32768)).alias("peak_ok"),
+    )
+
+
+@register(
     "x_media_audio",
     """
     WITH a AS (
@@ -12521,10 +12598,10 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-12 ROTATION (VERDICT r11 §next-round #1): never-attested
     # first (the two operators added after the r11 gate ran, plus this
-    # round's new x_mp3_decode and x_id3_metadata), then the ENTIRE
-    # r7-stale cohort, then the 39 alphabetically-first of the 50
+    # round's new x_mp3_decode, x_id3_metadata and x_mp3_vad), then the
+    # ENTIRE r7-stale cohort, then the 38 alphabetically-first of the 50
     # r8-stale greens. After this round the latest-attestation histogram
-    # has no r7 bucket and 11 r8 leftovers (x_funnel_stages …
+    # has no r7 bucket and 12 r8 leftovers (x_edit_distance_pairs …
     # x_simhash_near, the alphabetical tail — r13's rotation seed),
     # within the verdict's ≤14 target.
     # Reproduce the cohort lists with scripts/attestation_ledger.py
@@ -12535,12 +12612,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # never-attested (registered after the r11 driver window ran) + the
     # round-12 MP3 codec entry
     "x_jpeg_ac_invariance", "x_mongo_facet", "x_mp3_decode",
-    "x_id3_metadata",
+    "x_id3_metadata", "x_mp3_vad",
     # stalest greens — last attested r7
     "a6_rollup_geo", "a7_pivot_status", "j10_semi_join",
     "o1_topk_lineitems", "q11_important_parts", "q21_waiting_supplier",
     "w1_order_rank",
-    # stalest greens — last attested r8 (39 of 50, alphabetical)
+    # stalest greens — last attested r8 (38 of 50, alphabetical)
     "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
     "j1_broadcast_enrich", "j2_ci_fallback_join", "j5_price_band_containment",
     "j6_overlap_orders", "k10_bin_totalprice", "k11_graft_taxonomy",
@@ -12554,7 +12631,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "s_json_extract", "s_scalar_functions", "tumbling_hour_events",
     "u3_priority_except", "w2_lead_ship_gap", "x_asof_last_click",
     "x_bfs_distance", "x_bm25_topk", "x_cosine_topk", "x_dedup_clusters",
-    "x_dedup_exact", "x_edit_distance_pairs",
+    "x_dedup_exact",
 )
 
 

@@ -53,6 +53,7 @@ ARROW_ALLOWED = {
     "x_jpeg_ac_invariance",  # JPEG-vs-PNG twin decode: same codec pass as x_jpeg_decode over gradient lattices (AC path under the driver gate)
     "x_mp3_decode",  # MPEG-1 Layer III codec: bit-serial entropy coding + IMDCT/filterbank — Arrow-batched by design (operators/mp3.py)
     "x_id3_metadata",  # ID3v2 tag write/parse over real tagged streams — byte-serial frame walk, Arrow-batched by design
+    "x_mp3_vad",  # VAD over compressed audio: Layer III codec pass feeding audio_segments — Arrow-batched by design
     "x_media_probe",
     "x_media_resize",
     "x_random_projection",  # Arrow int64 GEMM — HOF folds measured ~7x slower (BENCH_NOTES r10)
