@@ -1486,3 +1486,82 @@ def make_id3v2(frames: dict[str, str], major: int = 4) -> bytes:
                           (size >> 21) & 0x7F, (size >> 14) & 0x7F,
                           (size >> 7) & 0x7F, size & 0x7F])
     return hdr + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# Xing/Info VBR header (de-facto standard, LAME tech FAQ)
+# ---------------------------------------------------------------------------
+
+def parse_xing(payload: bytes) -> dict:
+    """Probe the first frame for a Xing (VBR) / Info (CBR) header — the
+    de-facto stream-geometry record real encoders write into frame 0's
+    otherwise-unused main data: total frame/byte counts, a 100-byte
+    seek TOC, a quality word, and (when the LAME extension follows) the
+    9-char encoder version. Returns ``{"kind": "none"}`` when absent;
+    corpus tooling uses this to get duration/seekability for VBR files
+    WITHOUT decoding (CBR arithmetic is wrong for them by definition).
+    Structural faults raise ``ValueError``."""
+    off = skip_id3v2(payload)
+    hdr = parse_frame_header(payload, off)
+    if off + hdr["frame_len"] > len(payload):
+        raise ValueError("first frame truncated")
+    probe = off + 4 + (2 if hdr["crc"] else 0) + side_info_size(
+        hdr["mpeg1"], hdr["channels"])
+    tag = payload[probe:probe + 4]
+    if tag not in (b"Xing", b"Info"):
+        return {"kind": "none"}
+    out: dict = {"kind": tag.decode("ascii")}
+    pos = probe + 4
+    end = off + hdr["frame_len"]
+    if pos + 4 > end:
+        raise ValueError("Xing header overruns its frame")
+    flags = int.from_bytes(payload[pos:pos + 4], "big")
+    pos += 4
+    for bit, name, width in ((1, "frames", 4), (2, "bytes", 4)):
+        if flags & bit:
+            if pos + width > end:
+                raise ValueError(f"Xing {name} field overruns its frame")
+            out[name] = int.from_bytes(payload[pos:pos + width], "big")
+            pos += width
+    if flags & 4:
+        if pos + 100 > end:
+            raise ValueError("Xing TOC overruns its frame")
+        out["toc"] = payload[pos:pos + 100]
+        pos += 100
+    if flags & 8:
+        if pos + 4 > end:
+            raise ValueError("Xing quality field overruns its frame")
+        out["quality"] = int.from_bytes(payload[pos:pos + 4], "big")
+        pos += 4
+    enc = payload[pos:pos + 9]
+    if len(enc) == 9 and all(0x20 <= c < 0x7F for c in enc):
+        out["encoder"] = enc.decode("ascii").rstrip()
+    return out
+
+
+def make_xing_frame(
+    n_frames: int,
+    n_bytes: int,
+    sample_rate: int = 48000,
+    bitrate_kbps: int = 128,
+    kind: bytes = b"Xing",
+    encoder: str = "GMSPARK12",
+) -> bytes:
+    """Spec-valid silent first frame carrying a Xing/Info header with
+    frame/byte counts, a linear 100-byte TOC, quality 57, and a 9-char
+    encoder string — the fixture twin of :func:`parse_xing` (VBR
+    streams prepend this to frames of varying bitrate)."""
+    base = encode_mp3(np.zeros(1152), sample_rate, bitrate_kbps)
+    frame = bytearray(base[:144 * bitrate_kbps * 1000 // sample_rate])
+    probe = 4 + side_info_size(True, 1)
+    body = (kind + (7).to_bytes(4, "big")
+            + int(n_frames).to_bytes(4, "big")
+            + int(n_bytes).to_bytes(4, "big")
+            + bytes(min(255, i * 256 // 100) for i in range(100)))
+    if len(encoder) != 9:
+        raise ValueError("encoder string must be 9 chars")
+    body += encoder.encode("ascii")
+    if probe + len(body) > len(frame):
+        raise ValueError("Xing body does not fit the frame")
+    frame[probe:probe + len(body)] = body
+    return bytes(frame)

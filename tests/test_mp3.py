@@ -610,3 +610,42 @@ def test_window_switching_granule_differential(block_type, sbg):
     assert np.allclose(pcm[:576, 0], ref_pcm, atol=1e-12), (
         np.abs(pcm[:576, 0] - ref_pcm).max())
     assert np.abs(pcm[:576, 0]).max() > 0  # the granule is not silent
+
+
+# ---------------------------------------------------------------------------
+# Xing/Info VBR header + mixed-bitrate stream walk
+# ---------------------------------------------------------------------------
+
+def test_xing_header_roundtrip_and_vbr_walk():
+    """A VBR-shaped stream (Xing frame + frames of DIFFERENT bitrates)
+    walks with per-frame length arithmetic, and the Xing geometry wins
+    over CBR arithmetic (which is wrong for VBR by definition)."""
+    f96 = M.encode_mp3(np.zeros(1152), 48000, 96)
+    f192 = M.encode_mp3(
+        0.3 * np.sin(2 * np.pi * 440 * np.arange(1152) / 48000), 48000, 192)
+    xing = M.make_xing_frame(3, 0, kind=b"Xing")
+    stream = xing + f96 + f192
+    stream = M.make_xing_frame(3, len(stream), kind=b"Xing") + f96 + f192
+    frames = M.walk_frames(stream)
+    assert [h["bitrate"] for h in frames] == [128000, 96000, 192000]
+    got = M.parse_xing(stream)
+    assert got["kind"] == "Xing" and got["frames"] == 3
+    assert got["bytes"] == len(stream)
+    assert len(got["toc"]) == 100 and got["toc"][0] == 0
+    assert got["encoder"] == "GMSPARK12"
+    # the Xing frame itself still sample-decodes as silence
+    rate, nch, pcm = M.decode_mp3(stream)
+    assert pcm.shape[0] == 3 * 1152
+    assert np.abs(pcm[:1152]).max() == 0.0
+
+
+def test_xing_absent_and_error_contract():
+    plain = M.encode_mp3(np.zeros(1152), 48000, 128)
+    assert M.parse_xing(plain) == {"kind": "none"}
+    # a truncated Xing body must raise, not misparse
+    xing = bytearray(M.make_xing_frame(1, 1))
+    probe = 4 + 17
+    xing[probe + 4:probe + 8] = (0xF).to_bytes(4, "big")  # claim all fields
+    short = bytes(xing[:probe + 10])
+    with pytest.raises(ValueError):
+        M.parse_xing(short + b"\x00")
