@@ -190,6 +190,16 @@ def write_sized(
     safe direction. Returns the sizing decision for observability:
     ``{bytes_per_row, records_per_file, n_partitions, sampled}``.
     """
+    if representative and not (isinstance(total_rows, int) and total_rows > 0):
+        # representative=True is an explicit opt-out of biased limit()
+        # pricing; silently falling back to it would defeat the caller's
+        # stated intent (round-13 advice). The Bernoulli fraction needs
+        # the row count — get it from an upstream observe/count.
+        raise ValueError(
+            "write_sized(representative=True) requires total_rows > 0 "
+            "(the Bernoulli sample fraction is sample_rows/total_rows); "
+            f"got total_rows={total_rows!r}"
+        )
     spark = df.sparkSession
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -10,6 +10,7 @@ shuffles except the explicit groupBys.
 
 from __future__ import annotations
 
+import contextvars
 from typing import Literal
 
 from pyspark.sql import Column, DataFrame
@@ -369,10 +370,13 @@ def mongo_find(
 # ---------------------------------------------------------------------------
 
 
-#: strict-$switch compile flag (single-element list so the context
-#: manager below mutates in place). Plan CONSTRUCTION is driver-side and
-#: single-threaded per pipeline call; mongo_aggregate saves/restores it.
-_STRICT_SWITCH = [False]
+#: strict-$switch compile flag. A ContextVar (not a module global) so
+#: concurrent mongo_aggregate calls from different driver threads — the
+#: normal shape for parallel Spark job submission — can't leak strict
+#: mode into each other's plan construction (round-13 advice).
+_STRICT_SWITCH: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "mongo_strict_switch", default=False
+)
 
 
 def _mongo_expr(spec) -> Column:
@@ -407,7 +411,7 @@ def _mongo_expr(spec) -> Column:
                 out = F.when(c, t) if out is None else out.when(c, t)
             if out is None:
                 raise ValueError("$switch requires at least one branch")
-            if "default" not in args and _STRICT_SWITCH[0]:
+            if "default" not in args and _STRICT_SWITCH.get():
                 # Mongo errors at RUNTIME when a document falls through a
                 # no-default $switch; strict mode reproduces that with
                 # raise_error so the shim can validate a migration
@@ -542,12 +546,11 @@ def mongo_aggregate(
     where Mongo would: the migration-validator mode (r11 verdict
     "What's missing" #4).
     """
-    prev_strict = _STRICT_SWITCH[0]
-    _STRICT_SWITCH[0] = bool(strict_switch)
+    token = _STRICT_SWITCH.set(bool(strict_switch))
     try:
         return _mongo_aggregate_impl(df, pipeline, collections)
     finally:
-        _STRICT_SWITCH[0] = prev_strict
+        _STRICT_SWITCH.reset(token)
 
 
 def _mongo_aggregate_impl(

@@ -579,9 +579,14 @@ def _decode_spectrum(
             xs[idx + 1] = y
         start = bound
     idx = big
-    # count1 region: quads until the bit budget (or spectrum) is exhausted
+    # count1 region: quads until the bit budget (or spectrum) is exhausted.
+    # A quad may START anywhere below 576 (big_values can leave the region
+    # at any even index — e.g. big_end == 574 leaves one in-range pair in
+    # the final quad); lines at/above 576 are out of range and discarded,
+    # matching ISO 11172-3 §2.4.3.4.6 ("values exceeding 576 are ignored")
+    # and the encoder's quad_end = min(..., 576) cap (_encode_granule_bits).
     quad = _QUAD_DECODE[g["count1table_select"]]
-    while r.pos < part2_end and idx <= 572:
+    while r.pos < part2_end and idx < 576:
         mark = r.pos
         try:
             sym = _decode_symbol(r, quad, part2_end)
@@ -598,9 +603,10 @@ def _decode_spectrum(
             r.pos = mark
             break
         for j in range(4):
-            xs[idx + j] = vals[j]
+            if idx + j < 576:
+                xs[idx + j] = vals[j]
         idx += 4
-    g["count1_end"] = idx
+    g["count1_end"] = min(idx, 576)
     r.pos = part2_end  # stuffing bits, if any, are skipped per spec
     return xs
 
@@ -1573,10 +1579,11 @@ def make_xing_frame(
     base = encode_mp3(np.zeros(1152), sample_rate, bitrate_kbps)
     frame = bytearray(base[:144 * bitrate_kbps * 1000 // sample_rate])
     probe = 4 + side_info_size(True, 1)
-    body = (kind + (7).to_bytes(4, "big")
+    body = (kind + (15).to_bytes(4, "big")  # frames|bytes|TOC|quality
             + int(n_frames).to_bytes(4, "big")
             + int(n_bytes).to_bytes(4, "big")
-            + bytes(min(255, i * 256 // 100) for i in range(100)))
+            + bytes(min(255, i * 256 // 100) for i in range(100))
+            + (57).to_bytes(4, "big"))
     if len(encoder) != 9:
         raise ValueError("encoder string must be 9 chars")
     body += encoder.encode("ascii")

@@ -584,3 +584,17 @@ def test_write_sized_representative_pricing_on_skewed_rows(spark, tmp_path):
     assert _max_file(fair) <= target * 1.6
     back = spark.read.json(fair)
     assert back.count() == rows
+
+
+def test_write_sized_representative_requires_total_rows(spark, tmp_path):
+    """representative=True is an explicit opt-out of biased limit()
+    pricing; without a positive total_rows the Bernoulli fraction is
+    undefined — the call must refuse loudly, never silently fall back
+    to the very bias the caller opted out of (round-13 advice)."""
+    from gramene_mongodb_spark.io import write_sized
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for bad in (None, 0, -5):
+        with pytest.raises(ValueError, match="total_rows"):
+            write_sized(df, str(tmp_path / "x"), fmt="json",
+                        total_rows=bad, representative=True)

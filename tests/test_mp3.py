@@ -176,6 +176,29 @@ def test_part2_3_bit_accounting_is_exact():
                 assert before <= end
 
 
+def test_count1_quad_starting_past_572_roundtrips():
+    """Directed regression (round-13 advice): big_end ≡ 2 (mod 4) near the
+    spectrum top — xs[573]=2 forces big_end=574, so the single count1 quad
+    STARTS at 574 and its last two lines fall past the 576-line spectrum.
+    The encoder zero-pads those (quad cap at _encode_granule_bits); the
+    decoder must accept the quad and keep the in-range ±1 lines instead of
+    skipping the whole quad (the old `idx <= 572` loop bound zeroed
+    xs[574] silently)."""
+    sfb = M._SFB_LONG[48000]
+    for sign in (1, -1):
+        xs = np.zeros(576, dtype=np.int64)
+        xs[573] = 2
+        xs[574] = sign  # count1 line inside a quad that starts at 574
+        w, fields = M._encode_granule_bits(xs.copy(), sfb)
+        g = dict(fields)
+        g["window_switching"] = 0
+        nbits = w.bit_length()
+        r = M._BitReader(w.getvalue())
+        out = M._decode_spectrum(r, g, sfb, nbits)
+        np.testing.assert_array_equal(out, xs)
+        assert g["count1_end"] == 576
+
+
 def test_frame_geometry_is_closed_form():
     for kbps, nfr in ((96, 2), (128, 3), (192, 5)):
         x = np.zeros(1152 * nfr - 100)  # ragged tail → padded up
@@ -632,6 +655,7 @@ def test_xing_header_roundtrip_and_vbr_walk():
     assert got["kind"] == "Xing" and got["frames"] == 3
     assert got["bytes"] == len(stream)
     assert len(got["toc"]) == 100 and got["toc"][0] == 0
+    assert got["quality"] == 57  # flags bit 8 — fixture twin of the parse path
     assert got["encoder"] == "GMSPARK12"
     # the Xing frame itself still sample-decodes as silence
     rate, nch, pcm = M.decode_mp3(stream)
