@@ -12440,6 +12440,77 @@ def x_mongo_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_graphlookup",
+    """
+    WITH RECURSIVE cats AS (
+      SELECT CAST(c_custkey AS BIGINT) AS cat_id,
+             CAST(c_custkey // 2 AS BIGINT) AS parent_id
+      FROM customer WHERE c_custkey >= 1
+    ),
+    walk AS (
+      SELECT s.cat_id AS doc_id, c.cat_id AS anc_id,
+             c.parent_id AS nxt, CAST(0 AS BIGINT) AS d
+      FROM cats s JOIN cats c ON c.cat_id = s.parent_id
+      UNION
+      SELECT w.doc_id, c.cat_id, c.parent_id, w.d + 1
+      FROM walk w JOIN cats c ON c.cat_id = w.nxt
+      WHERE w.d < 5
+    )
+    SELECT doc_id, anc_id, MIN(d) AS depth
+    FROM walk GROUP BY doc_id, anc_id
+    """,
+    "documents", "S10", "K7",
+)
+def x_mongo_graphlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup — Mongo's bounded recursive traversal — through the
+    aggregate shim (VERDICT r12 ask #3; the one common read-side stage
+    mongo_aggregate lacked). The reference MATERIALIZES ancestor
+    closures precisely because Mongo recursion is painful
+    (`ontologies/obo2json.pl:100-113`, `trees/taxonomy.js:13-28`);
+    migrating consumers still issue $graphLookup against those
+    collections, so the shim must compile it.
+
+    Fixture: the k7 binary-tree hierarchy (cat_id → cat_id/2, ~11 deep
+    at sf0.01) as a self-referencing `categories` collection; each doc
+    walks its ancestor chain with startWith "$parent_id",
+    connectFrom/connectTo = parent_id/cat_id, maxDepth 5 and a
+    depthField. The result unwinds to a flat (doc_id, anc_id, depth)
+    relation for the hash gate; the oracle is a recursive CTE whose
+    UNION-dedup + MIN(d) restates Mongo's BFS first-found-depth rule,
+    and the `w.d < 5` guard restates maxDepth (docs at depth 0..5 = 6
+    ancestors max — custkey 1500's chain tops out before the root, so
+    the bound binds for deep leaves).
+
+    Scale shape (documents._mongo_graph_lookup): ONE labeled BFS over
+    the value graph shared by all seeds — edges hash-partitioned once,
+    per-round cost O(frontier ⋈ edges), never O(docs × depth); the
+    per-seed ancestor arrays come back as a dimension join. maxDepth
+    bounds the rounds exactly as Mongo bounds the recursion."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 1)
+    cats = cust.select(
+        F.col("c_custkey").cast("long").alias("cat_id"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent_id"),
+    )
+    res = DOC.mongo_aggregate(cats, [
+        {"$graphLookup": {
+            "from": "categories",
+            "startWith": "$parent_id",
+            "connectFromField": "parent_id",
+            "connectToField": "cat_id",
+            "as": "ancestry",
+            "maxDepth": 5,
+            "depthField": "d",
+        }},
+        {"$unwind": "$ancestry"},
+        {"$project": {"doc_id": "$cat_id", "anc_id": "$ancestry.cat_id",
+                      "depth": "$ancestry.d"}},
+    ], collections={"categories": cats})
+    return res
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (

@@ -727,3 +727,67 @@ def bfs_distance(
         visited = hard_checkpoint(visited.unionByName(nxt))
         frontier = nxt
     return visited.select(F.col("u").alias("vertex"), F.col("d").alias("dist"))
+
+
+def labeled_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    label: str = "label",
+    vertex: str = "vertex",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Per-SOURCE multi-source BFS: for every (label, seed vertex) row in
+    ``sources``, every vertex reachable from that seed within
+    ``max_hops`` gets its MINIMUM hop count *for that label* (the seed
+    itself gets 0). :func:`bfs_distance` collapses all seeds into one
+    global frontier — the right shape for "distance to the trusted
+    set"; this keeps the label so N independent traversals share ONE
+    edge partitioning and ONE frontier join per round instead of N
+    driver-side loops. It is the kernel under the Mongo
+    ``$graphLookup`` shim (documents.py), where the label is the
+    per-document ``startWith`` value (the reference materializes
+    ancestor closures for exactly this access pattern —
+    ``ontologies/obo2json.pl:100-113``, ``trees/taxonomy.js:13-28``).
+
+    Same frontier/visited/anti-join shape as :func:`bfs_distance`
+    (see its docstring for the checkpoint rationale); state is keyed on
+    (label, vertex), so the per-round cost is O(frontier ⋈ edges) —
+    edges are hash-partitioned on ``src`` once, the (label, vertex)
+    frontier is what moves. Worst case the visited table is
+    |labels| × |reachable set|; the callers bound that with
+    ``max_hops`` (Mongo's maxDepth) exactly as Mongo itself does.
+
+    Output: (``label``, ``vertex``, ``dist``), dist ∈ [0, max_hops].
+    """
+    max_parts = edges.sparkSession.sparkContext.defaultParallelism
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    n_edges = e.count()
+    parts = min(max(1, n_edges // 500_000 + 1), max_parts)
+    e = e.repartition(parts, "u").localCheckpoint(eager=True)
+
+    visited = hard_checkpoint(
+        sources.select(F.col(label).alias("lbl"), F.col(vertex).alias("u"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+        .repartition(parts)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = hard_checkpoint(
+            frontier.select("lbl", "u")
+            .join(e, "u")
+            .select("lbl", F.col("v").alias("u"))
+            .distinct()
+            .join(visited.select("lbl", "u"), ["lbl", "u"], "left_anti")
+            .withColumn("d", F.lit(hop).cast("long"))
+            .repartition(parts)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = hard_checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    return visited.select(
+        F.col("lbl").alias(label), F.col("u").alias(vertex), F.col("d").alias("dist")
+    )

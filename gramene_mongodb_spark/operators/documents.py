@@ -491,6 +491,95 @@ def _mongo_accumulator(spec) -> Column:
     raise ValueError(f"unsupported accumulator: {op}")
 
 
+def _mongo_graph_lookup(
+    out: DataFrame, spec: dict, collections: dict[str, DataFrame] | None
+) -> DataFrame:
+    """Compile ``$graphLookup`` — Mongo's bounded recursive traversal —
+    onto the distributed labeled-BFS kernel (closure.labeled_bfs).
+
+    Mongo semantics pinned (reference analog: the shim exists because
+    Mongo recursion is painful enough that the reference MATERIALIZES
+    ancestor closures instead — ``ontologies/obo2json.pl:100-113``,
+    ``trees/taxonomy.js:13-28``):
+
+    * For each input document, ``startWith`` (any shim expression,
+      usually ``"$field"``) seeds a breadth-first traversal over
+      ``from``: depth-0 matches are docs whose ``connectToField``
+      equals the seed value; each matched doc's ``connectFromField``
+      value continues the search. ``maxDepth`` bounds the DOC depth
+      (``maxDepth: 0`` = first lookup only, no recursion); absent, the
+      traversal runs to fixpoint with the same 64-round cap as
+      transitive_closure — a loud upper bound, not an approximation
+      (any real hierarchy is ≤ ~20 deep).
+    * ``as`` gets the array of matched docs, each doc appearing ONCE at
+      its MINIMUM depth (Mongo's BFS dedup); ``depthField`` (optional)
+      injects that depth into each doc as a long. Array order is
+      unspecified in Mongo and here.
+    * Unmatched/empty traversals yield an EMPTY array, not NULL —
+      Mongo's contract.
+    * Null matching: a null seed (or null ``connectFromField`` link)
+      matches docs whose ``connectToField`` is null — the same
+      null-matches-null rule pinned for ``$lookup``. Implemented by
+      single-field-struct-wrapping every join key: struct equality is
+      per-field null-safe AND stays a hash-partitionable equi-join.
+    * ``restrictSearchWithMatch`` filters ``from`` before the traversal
+      (Mongo applies it at every recursion step; filtering the
+      collection once is equivalent because steps only ever match
+      within ``from``).
+
+    Scale shape: the traversal is VALUE-level, shared across input
+    docs — distinct seed values run as labels of ONE BFS over one
+    edge partitioning (per-round cost O(frontier ⋈ edges), not
+    O(docs × depth)); matched docs aggregate per seed value and join
+    back to the input as a dimension (broadcast-able when the seed
+    domain is small)."""
+    frm = spec["from"]
+    if not collections or frm not in collections:
+        raise ValueError(f"$graphLookup from unknown collection {frm!r}")
+    for req in ("startWith", "connectFromField", "connectToField", "as"):
+        if req not in spec:
+            raise ValueError(f"$graphLookup requires {req!r}")
+    ref = collections[frm]
+    if "restrictSearchWithMatch" in spec:
+        ref = ref.filter(mongo_find_filter(spec["restrictSearchWithMatch"]))
+    start = _mongo_expr(spec["startWith"])
+    cf, ct, as_f = spec["connectFromField"], spec["connectToField"], spec["as"]
+    max_depth = spec.get("maxDepth")
+    if max_depth is not None and (not isinstance(max_depth, int) or max_depth < 0):
+        raise ValueError("$graphLookup maxDepth must be a non-negative int")
+    depth_f = spec.get("depthField")
+
+    from gramene_mongodb_spark.operators.closure import labeled_bfs
+
+    # value graph: holding value u matches docs with connectTo == u and
+    # continues with those docs' connectFrom values (struct-wrapped keys
+    # for the null rule above)
+    edges = ref.select(
+        F.struct(F.col(ct)).alias("src"), F.struct(F.col(cf)).alias("dst")
+    )
+    seeds = out.select(F.struct(start).alias("label")).distinct().select(
+        "label", F.col("label").alias("vertex")
+    )
+    reach = labeled_bfs(
+        edges, seeds, max_hops=max_depth if max_depth is not None else 64
+    )
+    doc_fields = [F.col(c) for c in ref.columns]
+    if depth_f is not None:
+        doc_fields.append(F.col("dist").alias(depth_f))
+    matched = reach.join(
+        ref, on=reach["vertex"].eqNullSafe(F.struct(ref[ct])), how="inner"
+    ).select(F.col("label").alias("__gl_key"), F.struct(*doc_fields).alias("__gl_doc"))
+    per_seed = matched.groupBy("__gl_key").agg(
+        F.collect_list("__gl_doc").alias("__gl_arr")
+    )
+    keyed = out.withColumn("__gl_key", F.struct(start))
+    return (
+        keyed.join(per_seed, "__gl_key", "left")
+        .withColumn(as_f, F.coalesce(F.col("__gl_arr"), F.array()))
+        .drop("__gl_key", "__gl_arr")
+    )
+
+
 def mongo_aggregate(
     df: DataFrame,
     pipeline: list[dict],
@@ -517,8 +606,10 @@ def mongo_aggregate(
     ``$bucketAuto`` (see :func:`_mongo_bucket` / :func:`_mongo_bucket_auto`
     for the pinned semantics), ``$facet`` (each sub-pipeline runs on the
     same input; the facet document is one row of array-of-struct
-    columns), and ``$lookup`` (see below; referenced collections come in
-    through ``collections``).
+    columns), ``$lookup`` (see below; referenced collections come in
+    through ``collections``), and ``$graphLookup`` (bounded recursive
+    traversal compiled onto the labeled-BFS kernel — semantics pinned
+    in :func:`_mongo_graph_lookup`).
 
     ``$lookup`` compilation is the interesting one. Mongo's contract
     embeds every matching foreign doc as an ARRAY in the ``as`` field;
@@ -613,6 +704,9 @@ def _mongo_aggregate_impl(
                     )
                     .drop("__lk_row")
                 )
+            continue
+        if op == "$graphLookup":
+            out = _mongo_graph_lookup(out, spec, collections)
             continue
         if op == "$match":
             out = out.filter(mongo_find_filter(spec))

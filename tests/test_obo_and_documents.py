@@ -552,3 +552,62 @@ def test_mongo_switch_strict_mode_raises_like_mongo(spark):
     facet = [{"$facet": {"a": pipe}}]
     with pytest.raises(SparkRuntimeException, match="could not find a matching branch"):
         mongo_aggregate(df, facet, strict_switch=True).collect()
+
+
+def test_mongo_graphlookup_semantics(spark):
+    """$graphLookup pinned rules (documents._mongo_graph_lookup): BFS
+    min-depth per doc, depthField injection, maxDepth=0 means first
+    lookup only, empty traversals yield EMPTY arrays (not NULL),
+    null-matches-null like $lookup, restrictSearchWithMatch filters the
+    searched collection, and missing required fields / unknown
+    collections refuse loudly."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    emp = spark.createDataFrame(
+        [(1, "Dev", None), (2, "Eliot", "Dev"), (3, "Ron", "Eliot"),
+         (4, "Andrew", "Eliot"), (5, "Asya", "Ron"), (6, "Dan", "Andrew")],
+        "_id int, name string, reportsTo string")
+    spec = {"from": "employees", "startWith": "$reportsTo",
+            "connectFromField": "reportsTo", "connectToField": "name",
+            "as": "chain", "depthField": "d"}
+    res = mongo_aggregate(emp, [{"$graphLookup": spec}],
+                          collections={"employees": emp})
+    rows = {r["name"]: sorted((x["name"], x["d"]) for x in r["chain"])
+            for r in res.collect()}
+    assert rows["Asya"] == [("Dev", 2), ("Eliot", 1), ("Ron", 0)]
+    assert rows["Dev"] == []  # null seed, no null names -> empty ARRAY
+    assert all(r["chain"] is not None for r in res.collect())
+
+    # maxDepth: 0 = no recursion (Mongo's contract)
+    res0 = mongo_aggregate(
+        emp, [{"$graphLookup": {**spec, "maxDepth": 0}}],
+        collections={"employees": emp})
+    rows0 = {r["name"]: [x["name"] for x in r["chain"]] for r in res0.collect()}
+    assert rows0["Asya"] == ["Ron"]
+
+    # null seed matches docs whose connectToField IS null (cycle of 2)
+    e2 = spark.createDataFrame([(1, None, "x"), (2, "x", None)],
+                               "_id int, name string, reportsTo string")
+    res2 = mongo_aggregate(e2, [{"$graphLookup": {**spec, "from": "e"}}],
+                           collections={"e": e2})
+    r2 = {r["_id"]: sorted((x["_id"], x["d"]) for x in r["chain"])
+          for r in res2.collect()}
+    assert r2[1] == [(1, 1), (2, 0)] and r2[2] == [(1, 0), (2, 1)]
+
+    # restrictSearchWithMatch prunes the traversal mid-chain
+    resr = mongo_aggregate(
+        emp, [{"$graphLookup": {
+            **spec, "restrictSearchWithMatch": {"name": {"$ne": "Eliot"}}}}],
+        collections={"employees": emp})
+    rr = {r["name"]: sorted(x["name"] for x in r["chain"]) for r in resr.collect()}
+    assert rr["Asya"] == ["Ron"]  # chain cut at the excluded Eliot
+
+    with pytest.raises(ValueError, match="unknown collection"):
+        mongo_aggregate(emp, [{"$graphLookup": spec}]).collect()
+    with pytest.raises(ValueError, match="requires 'connectToField'"):
+        bad = {k: v for k, v in spec.items() if k != "connectToField"}
+        mongo_aggregate(emp, [{"$graphLookup": bad}],
+                        collections={"employees": emp})
+    with pytest.raises(ValueError, match="maxDepth"):
+        mongo_aggregate(emp, [{"$graphLookup": {**spec, "maxDepth": -1}}],
+                        collections={"employees": emp})
