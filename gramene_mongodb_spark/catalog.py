@@ -12762,42 +12762,42 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-12 ROTATION (VERDICT r11 §next-round #1): never-attested
-    # first (the two operators added after the r11 gate ran, plus this
-    # round's new x_mp3_decode, x_id3_metadata and x_mp3_vad), then the
-    # ENTIRE r7-stale cohort, then the 38 alphabetically-first of the 50
-    # r8-stale greens. After this round the latest-attestation histogram
-    # has no r7 bucket and 12 r8 leftovers (x_edit_distance_pairs …
-    # x_simhash_near, the alphabetical tail — r13's rotation seed),
-    # within the verdict's ≤14 target.
+    # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
+    # first (the two entries added THIS round), then the
+    # changed-since-attestation entry (x_random_projection — its r11
+    # green predates the degenerate-input fixture), then the ENTIRE
+    # r8-stale cohort (12), then the 35 alphabetically-first of the 49
+    # r9-stale greens. After this round the latest-attestation
+    # histogram has no r8 bucket and 14 r9 leftovers (x_heavy_keys …,
+    # the alphabetical tail — r14's rotation seed).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
-    # (the named source of truth).
-    # Displaced greens remain parity-swept at sf0.001+sf0.1
+    # (the named source of truth); the changed-entry set is enforced by
+    # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
+    # Displaced greens remain parity-swept at sf0.01+sf0.1
     # (scripts/parity.py) and pytest-parametrized.
     #
-    # never-attested (registered after the r11 driver window ran) + the
-    # round-12 MP3 codec entry
-    "x_jpeg_ac_invariance", "x_mongo_facet", "x_mp3_decode",
-    "x_id3_metadata", "x_mp3_vad",
-    # stalest greens — last attested r7
-    "a6_rollup_geo", "a7_pivot_status", "j10_semi_join",
-    "o1_topk_lineitems", "q11_important_parts", "q21_waiting_supplier",
-    "w1_order_rank",
-    # stalest greens — last attested r8 (38 of 50, alphabetical)
-    "a1_collect_priorities", "a3_sessionize_events", "a5_argmax_top_order",
-    "j1_broadcast_enrich", "j2_ci_fallback_join", "j5_price_band_containment",
-    "j6_overlap_orders", "k10_bin_totalprice", "k11_graft_taxonomy",
-    "k12_descriptor", "k3k4_deep_tree", "k3k4_tree_representatives",
-    "k5_domain_architecture", "k6_merge_order_windows", "k7_closure_ancestors",
-    "pipeline_corpus_release", "pipeline_entity_resolution",
-    "pipeline_genes_decorate", "pipeline_media_curate",
-    "pipeline_obo_ontology", "pipeline_quality_gate",
-    "pipeline_taxonomy_build", "pipeline_tree_publish", "pipeline_web_curate",
-    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
-    "s_json_extract", "s_scalar_functions", "tumbling_hour_events",
-    "u3_priority_except", "w2_lead_ship_gap", "x_asof_last_click",
-    "x_bfs_distance", "x_bm25_topk", "x_cosine_topk", "x_dedup_clusters",
-    "x_dedup_exact",
+    # never-attested (registered this round)
+    "x_mongo_graphlookup", "pipeline_release_e2e",
+    # fixture changed after its last (r11) attestation
+    "x_random_projection",
+    # stalest greens — last attested r8 (all 12)
+    "x_edit_distance_pairs", "x_funnel_stages", "x_heavy_hitters",
+    "x_hll_distinct_merge", "x_incremental_dedup", "x_ivf_topk",
+    "x_minhash_lsh", "x_pagerank_hosts", "x_pq_adc_topk",
+    "x_priority_sample", "x_scd2_history", "x_simhash_near",
+    # stalest greens — last attested r9 (35 of 49, alphabetical)
+    "a_cube_flags", "j12_decorate_tree_leaves", "k9_prune_zero_gene",
+    "pipeline_atlas_expression", "pipeline_corpus_clean",
+    "pipeline_corpus_curate", "pipeline_corpus_map", "pipeline_homologs",
+    "pipeline_tokenize_pack", "pipeline_training_mix",
+    "q02_min_price_supplier", "q06_forecast_revenue", "q07_nation_volume",
+    "q08_market_share", "q09_product_profit", "q10_returned_revenue",
+    "q12_late_priority_counts", "q14_promo_share", "q15_top_supplier",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
+    "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
+    "x_bleu_eval", "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs",
+    "x_bpe_train", "x_cms_frequency", "x_cms_selfjoin_size",
 )
 
 

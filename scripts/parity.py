@@ -24,7 +24,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
-    from tests.oracle import compare
+    from tests.oracle import compare, spark_value_hash
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # cross-TZ sweep: SPARK_GRAFT_TZ=Australia/Adelaide (half-hour offset
@@ -62,6 +62,10 @@ def main() -> int:
                     n_fail += 1
             else:
                 row = {"gate": "rows_only", "ok": True, "rows": df.count()}
+            # result fingerprint for the rotation guard (see
+            # tests/oracle.spark_value_hash): lets the next round prove
+            # "unchanged since last attestation" per entry
+            row["value_hash"] = spark_value_hash(df)
         except Exception as exc:  # noqa: BLE001 — report, don't die mid-sweep
             row = {"gate": "error", "ok": False, "msg": f"{type(exc).__name__}: {exc}"}
             n_fail += 1

@@ -51,6 +51,28 @@ def _canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def spark_value_hash(spark_df) -> str:
+    """Stable fingerprint of a Spark result: the sha256 of the SAME
+    canonical form `compare` checks (columns sorted by name, rows
+    sorted, cells null/float-normalized). Two trees whose entry
+    produces the same fingerprint at a given SF would attest
+    identically at the driver gate — parity sweeps record this per
+    entry so the rotation guard can prove 'result unchanged since last
+    attestation' without re-running history (round-13 window-family
+    guard)."""
+    import hashlib
+
+    cols = spark_df.columns
+    rows = [tuple(r) for r in spark_df.collect()]
+    c, canon = _canon(cols, rows)
+    h = hashlib.sha256()
+    h.update(("\x01".join(c)).encode())
+    for r in canon:
+        h.update(b"\x02")
+        h.update(("\x01".join(r)).encode())
+    return h.hexdigest()
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str):
     """Returns (ok, message). ok=True when counts, column-name sets and
     canonicalized values all match."""

@@ -169,3 +169,53 @@ def test_driver_window_entries_are_scalar_only(spark, sf_dir):
             if isinstance(f.dataType, complex_types):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, f"driver-window entries expose complex columns: {offenders}"
+
+
+def test_changed_entries_are_windowed():
+    """Rotation guard (VERDICT r12 ask #7): every registry entry whose
+    RESULT changed since the tree its last driver attestation ran on
+    must be IN the current driver window — an old green under a changed
+    implementation or fixture is stale evidence (the r11
+    x_random_projection incident). Change detection is by canonical
+    result fingerprint at the driver's gate scale (the same form the
+    gate hashes — tests/oracle.spark_value_hash), recorded per entry:
+    baseline in ATTESTED_HASHES.json (stamped at each rotation by
+    scripts/attested_hashes.py --refresh), current in PARITY_SF001.json
+    (stamped by every scripts/parity.py sweep). Result-level comparison
+    doesn't cry wolf on refactors/docstring edits the way file-level
+    git paths would, and can't MISS a semantic change however deep in
+    an operator module it hides. Never-baselined entries are flagged
+    too (they are never-attested by definition). The registry_total
+    cross-check makes a stale parity artifact itself a failure, so the
+    guard can't be starved by skipping the sweep."""
+    import json
+    from pathlib import Path
+
+    from gramene_mongodb_spark import catalog
+
+    root = Path(__file__).resolve().parent.parent
+    baseline = json.loads((root / "ATTESTED_HASHES.json").read_text())
+    parity = json.loads((root / "PARITY_SF001.json").read_text())
+    assert parity["summary"]["registry_total"] == len(catalog.REGISTRY), (
+        "PARITY_SF001.json was swept on a different registry — regenerate "
+        "it (scripts/parity.py) before relying on the rotation guard"
+    )
+    window = set(catalog._DRIVER_WINDOW)
+    flagged = []
+    for name in sorted(catalog.REGISTRY):
+        if name in window:
+            continue
+        cur = parity["queries"].get(name, {}).get("value_hash")
+        base = baseline.get(name)
+        if base is None:
+            flagged.append((name, "never attested (no baseline hash)"))
+        elif cur is None:
+            flagged.append((name, "no value_hash in parity artifact"))
+        elif cur != base["value_hash"]:
+            flagged.append(
+                (name, f"result changed since its r{base['round']} attestation")
+            )
+    assert not flagged, (
+        "entries changed (or never attested) but left OUT of the driver "
+        f"window — rotate them in: {flagged}"
+    )
