@@ -521,19 +521,37 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdocs = tr.groupBy(F.col("o_custkey").alias("tr_key")).agg(
         F.collect_list("t").alias("transcripts")
     )
+    # per-gene ARRAY-stage skew guard (r13 probe, scripts/scale_probe_r13.py
+    # + SCALE.md): the fused count aggregations below are skew-immune
+    # (partial agg collapses a hot key map-side; count_distinct's EXPAND
+    # spreads it over (key, value)), but the canonical-transcript chain
+    # does per-ROW array work — a corrupt upstream putting 50% of rows
+    # on one gene measured 17.4s vs 2.8s uniform at orders×10, and no
+    # AQE setting can split per-row work. The DOMAIN bounds transcripts
+    # per gene at ~tens; enforce it loudly (assert_true threaded through
+    # the when() so column pruning can't drop it) instead of melting a
+    # reducer at 100 TB.
+    _tr_bound = F.assert_true(
+        F.size("transcripts") <= 10_000,
+        "transcripts-per-gene exceeds the 10k domain bound — upstream "
+        "data is corrupt (skewed gene key); see scripts/scale_probe_r13.py",
+    )
     fixed = tdocs.withColumn(
         "transcripts",
-        F.transform(
-            "transcripts",
-            lambda t: F.struct(
-                t["id"].alias("id"),
-                t["length"].alias("length"),
-                F.struct(
-                    t["translation"]["id"].alias("id"),
-                    F.floor(t["translation"]["length"] / 3)
-                    .cast("int")
-                    .alias("length"),
-                ).alias("translation"),
+        F.when(
+            _tr_bound.isNull(),
+            F.transform(
+                "transcripts",
+                lambda t: F.struct(
+                    t["id"].alias("id"),
+                    t["length"].alias("length"),
+                    F.struct(
+                        t["translation"]["id"].alias("id"),
+                        F.floor(t["translation"]["length"] / 3)
+                        .cast("int")
+                        .alias("length"),
+                    ).alias("translation"),
+                ),
             ),
         ),
     )

@@ -38,7 +38,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from gramene_mongodb_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/scale13_skew"
@@ -128,6 +127,57 @@ def probe_composite(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def probe_attribution(spark):
+    """Which composite stage owns the zipf straggler? Each o_custkey-keyed
+    shape from pipeline_genes_decorate, isolated, zipf vs uniform."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    def t(label, fn):
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        print(f"{label}: {time.time() - t0:.2f}s", flush=True)
+
+    def noop(df):
+        return lambda: df.write.format("noop").mode("overwrite").save()
+
+    for name in ("zipf", "uniform"):
+        o = spark.read.parquet(f"{DST}/{name}/orders.parquet")
+        fused = o.groupBy("o_custkey").agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("o_orderpriority").startswith("1"), 1)
+                  .otherwise(0)).alias("b"),
+            F.count_distinct((F.col("o_orderkey") % 1500) + 1).alias("c"),
+        )
+        t(f"fused counts  {name:8}", noop(fused))
+        tr = o.select("o_custkey", F.struct(
+            F.concat(F.lit("T"), F.col("o_orderkey").cast("string")).alias("id"),
+            F.col("o_totalprice").cast("int").alias("length"),
+            F.struct(
+                F.concat(F.lit("P"), F.col("o_orderkey").cast("string")).alias("id"),
+                (F.col("o_orderkey") % 500).cast("int").alias("length"),
+            ).alias("translation"),
+        ).alias("t"))
+        tdocs = tr.groupBy(F.col("o_custkey").alias("tr_key")).agg(
+            F.collect_list("t").alias("transcripts")
+        )
+        t(f"collect_list  {name:8}", noop(tdocs.select("tr_key", F.size("transcripts"))))
+        fixed = tdocs.withColumn("transcripts", F.transform(
+            "transcripts",
+            lambda x: F.struct(
+                x["id"].alias("id"), x["length"].alias("length"),
+                F.struct(
+                    x["translation"]["id"].alias("id"),
+                    F.floor(x["translation"]["length"] / 3).cast("int").alias("length"),
+                ).alias("translation"),
+            ),
+        ))
+        chain = DOC.canonical_first(DOC.select_canonical_transcript(fixed)).select(
+            "tr_key", F.size("transcripts").alias("n")
+        )
+        t(f"array chain   {name:8}", noop(chain))
+
+
 def probe_isolated_control(spark):
     """r9 isolated-SMJ control in the same session: AQE skew split
     still fires where a sort-merge JOIN exists."""
@@ -153,8 +203,28 @@ def probe_isolated_control(spark):
 
 
 if __name__ == "__main__":
-    spark = get_spark("scale-probe-r13")
+    # the probe reads per-stage shuffle metrics via the REST status
+    # API, so it needs the UI server that get_spark disables (the r9
+    # probe's precedent)
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("scale-probe-r13")
+        .master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", os.environ["SPARK_GRAFT_CPUS"])
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     build_fixtures(spark)
     probe_composite(spark)
+    probe_attribution(spark)
     probe_isolated_control(spark)
     spark.stop()

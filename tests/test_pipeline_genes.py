@@ -213,3 +213,30 @@ def test_release_dag_order_is_load_bearing(spark, tmp_path):
     root_genes = m[999][0]
     n_cust = spark.read.parquet(f"{SF001}/customer.parquet").count()
     assert root_genes == n_cust
+
+
+def test_decorate_transcript_skew_guard_fires(spark, tmp_path):
+    """The r13 skew probe showed per-gene ARRAY stages are the one
+    composite shape a hot key can serialize (17.4s vs 2.8s at orders×10;
+    AQE cannot split per-row work) — so the decorate pipeline refuses
+    loudly when transcripts-per-gene exceeds the 10k domain bound
+    instead of melting a reducer. Corrupt fixture: every order row
+    remapped to one customer."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gramene_mongodb_spark import catalog
+
+    d = str(tmp_path / "skewed_sf")
+    orders = spark.read.parquet(f"{SF001}/orders.parquet")
+    reps = spark.range(8).withColumnRenamed("id", "__rep")
+    (orders.crossJoin(reps)
+     .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * 10_000_000)
+     .withColumn("o_custkey", F.lit(1).cast(dict(orders.dtypes)["o_custkey"]))
+     .drop("__rep")
+     .write.mode("overwrite").parquet(f"{d}/orders.parquet"))
+    spark.read.parquet(f"{SF001}/customer.parquet").write.mode(
+        "overwrite").parquet(f"{d}/customer.parquet")
+
+    with pytest.raises(SparkRuntimeException, match="domain bound"):
+        catalog.pipeline_genes_decorate(spark, d).write.format("noop").mode(
+            "overwrite").save()
