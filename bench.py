@@ -123,6 +123,11 @@ HEADLINE = [
     # $bucket/$bucketAuto Mongo read-side stages (pure Catalyst)
     "x_mp3_decode",
     "x_mongo_facet",
+    # round 13: the $graphLookup recursive-traversal shim (labeled
+    # multi-source BFS over one shared edge partitioning) and the §3
+    # dependency-order release DAG (5 staged-parquet barrier stages)
+    "x_mongo_graphlookup",
+    "pipeline_release_e2e",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

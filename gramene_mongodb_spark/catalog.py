@@ -12624,6 +12624,149 @@ def x_mongo_graphlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_window",
+    """
+    WITH v AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice) AS BIGINT) AS price_i
+      FROM orders),
+    w1 AS (
+      SELECT *,
+        sum(price_i) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_price,
+        sum(price_i) OVER (PARTITION BY o_orderstatus) AS part_total,
+        max(price_i) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv3_max,
+        row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_orderkey) AS rn,
+        coalesce(lead(price_i) OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey), -1) AS next_price
+      FROM v)
+    SELECT o_orderkey, o_orderstatus, price_i,
+           CAST(cum_price AS BIGINT) AS cum_price,
+           CAST(part_total AS BIGINT) AS part_total,
+           mv3_max,
+           CAST(rn AS BIGINT) AS rn,
+           next_price,
+           CAST(count(*) OVER (PARTITION BY o_orderstatus ORDER BY price_i
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_close,
+           CAST(rank() OVER (PARTITION BY o_orderstatus
+                             ORDER BY price_i) AS BIGINT) AS prank
+    FROM w1
+    """,
+    "documents", "S10", "W1", "W4",
+)
+def x_mongo_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields (Mongo 5.0) through the aggregate shim — Mongo
+    copied the SQL window model, so this is the shim stage with the
+    most direct Catalyst mapping (documents._mongo_set_window_fields
+    pins the deltas: omitted window = whole partition; $shift's default
+    fires only OUTSIDE the partition, a null value at a valid position
+    stays null; range windows need a single ascending numeric sortBy;
+    time units refused). One orders view exercises every supported
+    shape: running sum (documents [unbounded, current]), whole-partition
+    total (no window), 3-row sliding max, $documentNumber, $shift with
+    default, and a second stage with a VALUE-RANGE count ([-1000, 0] on
+    price) plus $rank over a tie-carrying key. The oracle restates each
+    as the SQL window it compiles to (sums CAST from DuckDB HUGEINT).
+
+    Scale: each $setWindowFields stage is one hash-partitioned sort per
+    distinct (partitionBy, sortBy) pair — Catalyst reuses the exchange
+    across output fields sharing the spec, exactly how you'd hand-write
+    it."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    view = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_i"),
+    )
+    return DOC.mongo_aggregate(view, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_orderstatus",
+            "sortBy": {"o_orderkey": 1},
+            "output": {
+                "cum_price": {"$sum": "$price_i",
+                              "window": {"documents": ["unbounded", "current"]}},
+                "part_total": {"$sum": "$price_i"},
+                "mv3_max": {"$max": "$price_i",
+                            "window": {"documents": [-2, 0]}},
+                "rn": {"$documentNumber": {}},
+                "next_price": {"$shift": {"output": "$price_i", "by": 1,
+                                          "default": -1}},
+            },
+        }},
+        {"$setWindowFields": {
+            "partitionBy": "$o_orderstatus",
+            "sortBy": {"price_i": 1},
+            "output": {
+                "n_close": {"$count": {}, "window": {"range": [-1000, 0]}},
+                "prank": {"$rank": {}},
+            },
+        }},
+    ])
+
+
+@register(
+    "x_mongo_densify_fill",
+    """
+    WITH src AS (
+      SELECT o_orderpriority AS p,
+             CAST(o_orderkey // 97 AS BIGINT) AS t,
+             CAST(floor(o_totalprice) AS BIGINT) AS val,
+             CAST(1 AS BIGINT) AS is_src
+      FROM orders WHERE o_orderkey % 97 = 0),
+    ext AS (SELECT p, min(t) AS lo, max(t) AS hi FROM src GROUP BY p),
+    grid AS (SELECT p, unnest(generate_series(lo, hi, 5)) AS t FROM ext),
+    miss AS (SELECT g.p, g.t FROM grid g
+             ANTI JOIN src s ON s.p = g.p AND s.t = g.t),
+    unioned AS (
+      SELECT p, t, val, is_src FROM src
+      UNION ALL SELECT p, t, NULL, NULL FROM miss)
+    SELECT p, t,
+      last_value(val IGNORE NULLS) OVER (PARTITION BY p ORDER BY t
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+      coalesce(is_src, 0) AS is_src
+    FROM unioned
+    """,
+    "documents", "S10", "K10",
+)
+def x_mongo_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify + $fill (Mongo 5.1/5.3) through the aggregate shim —
+    gap-filling, the standard time-series read pattern. A sparse orders
+    sample (every 97th key) per priority partition densifies onto a
+    step-5 grid from each partition's min to its max
+    (bounds "partition"; grid values colliding with existing docs are
+    NOT duplicated — Mongo's exact-match insertion rule, pinned in
+    documents._mongo_densify), then $fill carries the last observed
+    price forward over the generated rows (locf window) and pins the
+    is_src marker to 0 via {value}. The oracle restates the grid as
+    unnest(generate_series) + ANTI JOIN and the locf as
+    last_value IGNORE NULLS.
+
+    Scale: densify is one tiny per-partition extent aggregate, a
+    sequence+explode sized by the OUTPUT, and one anti-join on
+    (partition, value); fill is one partition-keyed sort. Nothing is
+    per-row Python and nothing scans the fact table twice."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderpriority").alias("p"),
+        F.floor(F.col("o_orderkey") / 97).cast("long").alias("t"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("val"),
+        F.lit(1).cast("long").alias("is_src"),
+    )
+    return DOC.mongo_aggregate(src, [
+        {"$densify": {"field": "t", "partitionByFields": ["p"],
+                      "range": {"step": 5, "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$p", "sortBy": {"t": 1},
+                   "output": {"val": {"method": "locf"},
+                              "is_src": {"value": 0}}}},
+    ])
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -12781,12 +12924,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
-    # first (the two entries added THIS round), then the
+    # first (the four entries added THIS round), then the
     # changed-since-attestation entry (x_random_projection — its r11
     # green predates the degenerate-input fixture), then the ENTIRE
-    # r8-stale cohort (12), then the 35 alphabetically-first of the 49
+    # r8-stale cohort (12), then the 33 alphabetically-first of the 49
     # r9-stale greens. After this round the latest-attestation
-    # histogram has no r8 bucket and 14 r9 leftovers (x_heavy_keys …,
+    # histogram has no r8 bucket and 16 r9 leftovers (x_cms_frequency …,
     # the alphabetical tail — r14's rotation seed).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
@@ -12796,6 +12939,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #
     # never-attested (registered this round)
     "x_mongo_graphlookup", "pipeline_release_e2e",
+    "x_mongo_window", "x_mongo_densify_fill",
     # fixture changed after its last (r11) attestation
     "x_random_projection",
     # stalest greens — last attested r8 (all 12)
@@ -12815,7 +12959,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
     "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
     "x_bleu_eval", "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs",
-    "x_bpe_train", "x_cms_frequency", "x_cms_selfjoin_size",
+    "x_bpe_train",
 )
 
 

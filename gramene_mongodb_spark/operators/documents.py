@@ -491,6 +491,257 @@ def _mongo_accumulator(spec) -> Column:
     raise ValueError(f"unsupported accumulator: {op}")
 
 
+def _wf_sort_cols(sort_by: dict) -> list[Column]:
+    cols = []
+    for k, direction in sort_by.items():
+        if direction not in (1, -1):
+            raise ValueError("sortBy directions must be 1 or -1")
+        cols.append(F.col(k).asc() if direction == 1 else F.col(k).desc())
+    return cols
+
+
+def _wf_bound(b, lower: bool):
+    from pyspark.sql.window import Window
+
+    if b == "unbounded":
+        return Window.unboundedPreceding if lower else Window.unboundedFollowing
+    if b == "current":
+        return Window.currentRow
+    if isinstance(b, int) and not isinstance(b, bool):
+        return b
+    raise ValueError(
+        f"window bound must be 'unbounded', 'current' or an int, got {b!r} "
+        "(fractional/time-unit bounds are refused, not approximated)"
+    )
+
+
+def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
+    """Compile ``$setWindowFields`` (Mongo 5.0's window stage) onto
+    Spark window functions — the shim stage with the most direct
+    Catalyst mapping, since Mongo copied the SQL window model.
+
+    Pinned semantics:
+
+    * ``partitionBy`` is any shim expression (absent = ONE partition —
+      exactly as degenerate at scale in Spark as in Mongo; Spark at
+      least spills, but don't do it on a big collection).
+    * ``sortBy`` uses find()-style 1/-1 directions.
+    * Omitted ``window`` = the WHOLE partition ([unbounded, unbounded]
+      — Mongo's documented default), even when ``sortBy`` is present.
+    * ``window.documents`` → ``rowsBetween``; ``window.range`` →
+      ``rangeBetween`` and requires a SINGLE ascending numeric sortBy
+      field (Mongo's own restriction). Bounds: "unbounded"/"current"/
+      int. Time ``unit`` ranges are refused loudly (use an epoch-secs
+      column instead) — no silent approximation.
+    * Accumulators: $sum/$avg/$min/$max/$count/$first/$last; position
+      ops $rank/$denseRank/$documentNumber (require sortBy, REFUSE an
+      explicit window — Mongo errors there too); $shift with
+      {output, by, default} (positive ``by`` looks forward — lead),
+      which ignores window bounds by contract.
+    * Ties under a non-unique sortBy make documents-window accumulator
+      results order-dependent in BOTH systems; fixtures/oracles must
+      sort on a unique key (house a1 convention).
+    """
+    from pyspark.sql.window import Window
+
+    output = spec.get("output")
+    if not isinstance(output, dict) or not output:
+        raise ValueError("$setWindowFields requires a non-empty output document")
+    base = Window.partitionBy(
+        _mongo_expr(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
+    )
+    sort_by = spec.get("sortBy")
+    sorted_base = base.orderBy(*_wf_sort_cols(sort_by)) if sort_by else None
+
+    _ACC = {
+        "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+        "$first": F.first, "$last": F.last,
+    }
+    for out_field, body in output.items():
+        if not isinstance(body, dict) or not body:
+            raise ValueError(f"output.{out_field} must be an operator document")
+        wspec = body.get("window")
+        ops = {k: v for k, v in body.items() if k != "window"}
+        if len(ops) != 1:
+            raise ValueError(f"output.{out_field} must have exactly one operator")
+        op, arg = next(iter(ops.items()))
+        if op in ("$rank", "$denseRank", "$documentNumber"):
+            if wspec is not None:
+                raise ValueError(f"{op} does not accept a window (as in Mongo)")
+            if sorted_base is None:
+                raise ValueError(f"{op} requires sortBy")
+            fn = {"$rank": F.rank, "$denseRank": F.dense_rank,
+                  "$documentNumber": F.row_number}[op]
+            out = out.withColumn(out_field, fn().over(sorted_base))
+            continue
+        if op == "$shift":
+            if sorted_base is None:
+                raise ValueError("$shift requires sortBy")
+            if wspec is not None:
+                raise ValueError("$shift does not accept a window (as in Mongo)")
+            by = arg.get("by", 1)
+            expr = _mongo_expr(arg["output"])
+            # Mongo's default applies ONLY when the position falls
+            # outside the partition — a null VALUE at a valid position
+            # stays null, so lead/lag's own default (not coalesce)
+            default = arg.get("default")
+            col = (F.lead(expr, by, default) if by >= 0
+                   else F.lag(expr, -by, default)).over(sorted_base)
+            out = out.withColumn(out_field, col)
+            continue
+        if op == "$count":
+            agg = F.count(F.lit(1))
+        elif op in _ACC:
+            agg = _ACC[op](_mongo_expr(arg))
+        else:
+            raise ValueError(f"unsupported $setWindowFields operator {op!r}")
+        if wspec is None:
+            w = base  # whole partition — Mongo's documented default
+        elif "documents" in wspec:
+            if sorted_base is None:
+                raise ValueError("documents windows require sortBy")
+            lo, hi = wspec["documents"]
+            w = sorted_base.rowsBetween(_wf_bound(lo, True), _wf_bound(hi, False))
+        elif "range" in wspec:
+            if wspec.get("unit") is not None:
+                raise ValueError(
+                    "range windows with a time unit are refused — sort on an "
+                    "epoch-seconds column and use a plain numeric range"
+                )
+            if not sort_by or len(sort_by) != 1 or next(iter(sort_by.values())) != 1:
+                raise ValueError(
+                    "range windows require a single ascending sortBy field"
+                )
+            lo, hi = wspec["range"]
+            w = base.orderBy(*_wf_sort_cols(sort_by)).rangeBetween(
+                _wf_bound(lo, True), _wf_bound(hi, False)
+            )
+        else:
+            raise ValueError("window must specify documents or range")
+        out = out.withColumn(out_field, agg.over(w))
+    return out
+
+
+def _mongo_densify(out: DataFrame, spec: dict) -> DataFrame:
+    """Compile ``$densify`` (Mongo 5.1): insert documents so ``field``
+    covers a step grid; all non-partition, non-densified fields on
+    generated docs are NULL (missing, in Mongo terms).
+
+    Pinned semantics:
+
+    * ``range.bounds``: ``"partition"`` grids from each partition's
+      min to max (inclusive where the grid lands exactly);
+      ``"full"`` grids every partition over the GLOBAL [min, max];
+      explicit ``[lo, hi]`` is half-open — values lo, lo+step, … < hi,
+      generated even for partitions with no existing docs in range
+      (within partitions that exist).
+    * A grid value is only inserted if no document in that partition
+      has EXACTLY that value (off-grid documents are kept, never
+      snapped).
+    * Integer fields/steps only; time ``unit`` and fractional steps are
+      refused loudly — float grids accumulate drift and Mongo itself
+      documents exact-match insertion.
+
+    Scale shape: one partition-keyed min/max aggregate (tiny), a
+    ``sequence``+``explode`` over it (output-sized), and one left-anti
+    join on (partition, value) — no per-row Python anywhere.
+    """
+    field = spec.get("field")
+    rng = spec.get("range") or {}
+    step = rng.get("step")
+    bounds = rng.get("bounds")
+    parts = spec.get("partitionByFields", [])
+    if not field or step is None or bounds is None:
+        raise ValueError("$densify requires field and range{step, bounds}")
+    if rng.get("unit") is not None:
+        raise ValueError("$densify time units are refused — densify an "
+                         "epoch-seconds column instead")
+    if not isinstance(step, int) or isinstance(step, bool) or step <= 0:
+        raise ValueError("$densify step must be a positive int")
+    pcols = [F.col(p) for p in parts]
+
+    if isinstance(bounds, str) and bounds in ("partition", "full"):
+        ext = out.groupBy(*pcols).agg(
+            F.min(field).alias("__lo"), F.max(field).alias("__hi")
+        )
+        if bounds == "full":
+            g = out.agg(F.min(field).alias("__glo"), F.max(field).alias("__ghi"))
+            ext = ext.crossJoin(F.broadcast(g)).select(
+                *[F.col(p) for p in parts],
+                F.col("__glo").alias("__lo"), F.col("__ghi").alias("__hi"),
+            )
+        grid = ext.select(
+            *[F.col(p) for p in parts],
+            F.explode(F.sequence("__lo", "__hi", F.lit(step))).alias(field),
+        )
+    elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
+        lo, hi = bounds
+        if not all(isinstance(b, int) and not isinstance(b, bool) for b in (lo, hi)):
+            raise ValueError("$densify explicit bounds must be ints")
+        if hi <= lo:
+            raise ValueError("$densify bounds must satisfy lo < hi")
+        pdf = out.select(*pcols).distinct() if parts else out.limit(0).select(
+            F.lit(1).alias("__one")
+        ).unionByName(
+            out.sparkSession.range(1).select(F.lit(1).alias("__one"))
+        ).limit(1)
+        # half-open [lo, hi): last grid value strictly below hi
+        grid = pdf.select(
+            *([F.col(p) for p in parts] if parts else []),
+            F.explode(
+                F.sequence(F.lit(lo), F.lit(lo + ((hi - 1 - lo) // step) * step),
+                           F.lit(step))
+            ).alias(field),
+        )
+    else:
+        raise ValueError('$densify bounds must be "partition", "full" or [lo, hi]')
+
+    missing = grid.join(
+        out.select(*pcols, F.col(field)).distinct(), [*parts, field], "left_anti"
+    )
+    filler = missing
+    for c in out.columns:
+        if c not in parts and c != field:
+            filler = filler.withColumn(c, F.lit(None).cast(dict(out.dtypes)[c]))
+    return out.unionByName(filler.select(*out.columns))
+
+
+def _mongo_fill(out: DataFrame, spec: dict) -> DataFrame:
+    """Compile ``$fill`` (Mongo 5.3): fill null/missing values either
+    with a constant/expression (``{value: expr}``) or by
+    last-observation-carried-forward (``{method: "locf"}`` — the
+    `last non-null over rows unbounded-preceding..current` window).
+    ``method: "linear"`` is refused loudly (interpolation needs the
+    prev/next anchors; add it when a consumer actually migrates one).
+    ``sortBy`` is required for locf, exactly as in Mongo."""
+    from pyspark.sql.window import Window
+
+    output = spec.get("output")
+    if not isinstance(output, dict) or not output:
+        raise ValueError("$fill requires a non-empty output document")
+    base = Window.partitionBy(
+        _mongo_expr(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
+    )
+    sort_by = spec.get("sortBy")
+    for f, body in output.items():
+        if "value" in body:
+            out = out.withColumn(f, F.coalesce(F.col(f), _mongo_expr(body["value"])))
+        elif body.get("method") == "locf":
+            if not sort_by:
+                raise ValueError("$fill locf requires sortBy")
+            w = base.orderBy(*_wf_sort_cols(sort_by)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            out = out.withColumn(f, F.last(F.col(f), ignorenulls=True).over(w))
+        elif body.get("method") == "linear":
+            raise ValueError("$fill method 'linear' is not implemented — "
+                             "refused rather than approximated")
+        else:
+            raise ValueError(f"$fill output.{f} must be {{value}} or "
+                             "{method: 'locf'}")
+    return out
+
+
 def _mongo_graph_lookup(
     out: DataFrame, spec: dict, collections: dict[str, DataFrame] | None
 ) -> DataFrame:
@@ -780,6 +1031,12 @@ def _mongo_aggregate_impl(
             out = _mongo_bucket(out, spec)
         elif op == "$bucketAuto":
             out = _mongo_bucket_auto(out, spec)
+        elif op == "$setWindowFields":
+            out = _mongo_set_window_fields(out, spec)
+        elif op == "$densify":
+            out = _mongo_densify(out, spec)
+        elif op == "$fill":
+            out = _mongo_fill(out, spec)
         elif op == "$facet":
             # every facet runs its sub-pipeline against the SAME input
             # and collapses to one array-of-row-structs cell; the facet

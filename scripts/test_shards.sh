@@ -12,6 +12,9 @@
 # scripts/rebalance_shards.py) instead of nodeid hash — the hash split
 # measured 10:43/7:10/9:18 walls; the bin-pack measured 8:02/7:32/8:56
 # (tests new since the rebalance fall back to the hash rule).
+# Round 13: re-packed from a fresh --durations=0 run after the suite
+# grew (r12 walls had crept to 10:22/9:44/10:42); the new assignment
+# measured 6:37/7:10/7:21 (predicted 7:19/7:19/7:20).
 #
 # Usage: scripts/test_shards.sh   (exits non-zero if any shard fails)
 set -u

@@ -611,3 +611,73 @@ def test_mongo_graphlookup_semantics(spark):
     with pytest.raises(ValueError, match="maxDepth"):
         mongo_aggregate(emp, [{"$graphLookup": {**spec, "maxDepth": -1}}],
                         collections={"employees": emp})
+
+
+def test_mongo_window_densify_fill_semantics(spark):
+    """$setWindowFields / $densify / $fill pinned rules
+    (documents._mongo_set_window_fields/_mongo_densify/_mongo_fill):
+    omitted window = whole partition; $shift default fires only OUTSIDE
+    the partition (null value at a valid position stays null); rank ops
+    refuse explicit windows; range windows demand single ascending
+    numeric sortBy; densify inserts only missing grid values and keeps
+    off-grid docs; explicit bounds are half-open and cover empty
+    partitions; fill supports locf + value and refuses linear."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [("CA", 1, 10), ("CA", 2, 20), ("CA", 3, None), ("NY", 1, 7)],
+        "state string, seq int, qty int")
+    res = mongo_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$state", "sortBy": {"seq": 1},
+        "output": {
+            "cum": {"$sum": "$qty", "window": {"documents": ["unbounded", "current"]}},
+            "tot": {"$sum": "$qty"},
+            "nxt": {"$shift": {"output": "$qty", "by": 1, "default": -1}},
+            "rnk": {"$rank": {}},
+        }}}])
+    rows = {(r.state, r.seq): r for r in res.collect()}
+    assert rows[("CA", 2)].cum == 30 and rows[("CA", 2)].tot == 30
+    assert rows[("CA", 1)].nxt == 20
+    assert rows[("CA", 2)].nxt is None      # null VALUE stays null
+    assert rows[("CA", 3)].nxt == -1        # outside partition -> default
+    assert rows[("NY", 1)].rnk == 1
+
+    for bad in (
+        [{"$setWindowFields": {"sortBy": {"seq": 1}, "output": {
+            "r": {"$rank": {}, "window": {"documents": [-1, 0]}}}}}],
+        [{"$setWindowFields": {"output": {"r": {"$rank": {}}}}}],
+        [{"$setWindowFields": {"sortBy": {"seq": -1}, "output": {
+            "c": {"$count": {}, "window": {"range": [-1, 0]}}}}}],
+        [{"$setWindowFields": {"sortBy": {"seq": 1}, "output": {
+            "c": {"$count": {}, "window": {"range": [-1, 0], "unit": "hour"}}}}}],
+        [{"$fill": {"sortBy": {"seq": 1}, "output": {
+            "qty": {"method": "linear"}}}}],
+        [{"$densify": {"field": "seq", "range": {"step": 1, "bounds": "full",
+                                                 "unit": "hour"}}}],
+        [{"$densify": {"field": "seq", "range": {"step": 0, "bounds": "full"}}}],
+    ):
+        with pytest.raises(ValueError):
+            mongo_aggregate(df, bad)
+
+    # densify: partition bounds + off-grid kept + explicit half-open
+    d2 = spark.createDataFrame([("a", 0, 1), ("a", 7, 2), ("b", 2, 9)],
+                               "p string, t int, v int")
+    got = mongo_aggregate(d2, [
+        {"$densify": {"field": "t", "partitionByFields": ["p"],
+                      "range": {"step": 5, "bounds": "partition"}}}])
+    pts = sorted((r.p, r.t, r.v) for r in got.collect())
+    assert pts == [("a", 0, 1), ("a", 5, None), ("a", 7, 2), ("b", 2, 9)]
+    got2 = mongo_aggregate(d2, [
+        {"$densify": {"field": "t", "partitionByFields": ["p"],
+                      "range": {"step": 2, "bounds": [0, 5]}}}])
+    pts2 = sorted((r.p, r.t) for r in got2.collect())
+    # grid 0,2,4 per partition, hi=5 exclusive; existing (a,0),(b,2) kept once
+    assert pts2 == [("a", 0), ("a", 2), ("a", 4), ("a", 7),
+                    ("b", 0), ("b", 2), ("b", 4)]
+
+    # fill: locf + value
+    filled = mongo_aggregate(got, [
+        {"$fill": {"partitionBy": "$p", "sortBy": {"t": 1},
+                   "output": {"v": {"method": "locf"}}}}])
+    fm = {(r.p, r.t): r.v for r in filled.collect()}
+    assert fm[("a", 5)] == 1 and fm[("a", 7)] == 2
