@@ -711,9 +711,19 @@ def _mongo_fill(out: DataFrame, spec: dict) -> DataFrame:
     with a constant/expression (``{value: expr}``) or by
     last-observation-carried-forward (``{method: "locf"}`` — the
     `last non-null over rows unbounded-preceding..current` window).
-    ``method: "linear"`` is refused loudly (interpolation needs the
-    prev/next anchors; add it when a consumer actually migrates one).
-    ``sortBy`` is required for locf, exactly as in Mongo."""
+    or by linear interpolation (``{method: "linear"}``).
+
+    Linear semantics pinned to Mongo's: interpolation runs on the
+    ``sortBy`` field's NUMERIC value (so it requires a single ascending
+    numeric sortBy, as Mongo documents), nulls between two non-null
+    anchors get ``prev + (next − prev) · (pos − prev_pos) /
+    (next_pos − prev_pos)`` as a double, and nulls BEFORE the first or
+    AFTER the last anchor stay null (no extrapolation). Implemented as
+    two windows per filled field — last-non-null over the preceding
+    frame and first-non-null over the following frame, each carrying
+    its anchor position — which is one partition sort reused by all
+    four window expressions. ``sortBy`` is required for locf and
+    linear, exactly as in Mongo."""
     from pyspark.sql.window import Window
 
     output = spec.get("output")
@@ -734,8 +744,34 @@ def _mongo_fill(out: DataFrame, spec: dict) -> DataFrame:
             )
             out = out.withColumn(f, F.last(F.col(f), ignorenulls=True).over(w))
         elif body.get("method") == "linear":
-            raise ValueError("$fill method 'linear' is not implemented — "
-                             "refused rather than approximated")
+            if not sort_by or len(sort_by) != 1 or next(iter(sort_by.values())) != 1:
+                raise ValueError(
+                    "$fill linear requires a single ascending numeric sortBy "
+                    "field (Mongo's own restriction)"
+                )
+            pos = F.col(next(iter(sort_by)))
+            back = base.orderBy(*_wf_sort_cols(sort_by)).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            fwd = base.orderBy(*_wf_sort_cols(sort_by)).rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+            v = F.col(f).cast("double")
+            anchor = F.when(
+                v.isNotNull(),
+                F.struct(pos.cast("double").alias("p"), v.alias("v")),
+            )
+            prev = F.last(anchor, ignorenulls=True).over(back)
+            nxt = F.first(anchor, ignorenulls=True).over(fwd)
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                (pos.cast("double") - prev["p"]) / (nxt["p"] - prev["p"])
+            )
+            out = out.withColumn(
+                f,
+                F.when(v.isNotNull(), v)
+                .when(prev.isNotNull() & nxt.isNotNull(), interp)
+                .otherwise(F.lit(None).cast("double")),
+            )
         else:
             raise ValueError(f"$fill output.{f} must be {{value}} or "
                              "{method: 'locf'}")

@@ -650,8 +650,8 @@ def test_mongo_window_densify_fill_semantics(spark):
             "c": {"$count": {}, "window": {"range": [-1, 0]}}}}}],
         [{"$setWindowFields": {"sortBy": {"seq": 1}, "output": {
             "c": {"$count": {}, "window": {"range": [-1, 0], "unit": "hour"}}}}}],
-        [{"$fill": {"sortBy": {"seq": 1}, "output": {
-            "qty": {"method": "linear"}}}}],
+        [{"$fill": {"sortBy": {"seq": -1}, "output": {
+            "qty": {"method": "linear"}}}}],  # linear needs single ASC sortBy
         [{"$densify": {"field": "seq", "range": {"step": 1, "bounds": "full",
                                                  "unit": "hour"}}}],
         [{"$densify": {"field": "seq", "range": {"step": 0, "bounds": "full"}}}],
@@ -681,3 +681,24 @@ def test_mongo_window_densify_fill_semantics(spark):
                    "output": {"v": {"method": "locf"}}}}])
     fm = {(r.p, r.t): r.v for r in filled.collect()}
     assert fm[("a", 5)] == 1 and fm[("a", 7)] == 2
+
+
+def test_mongo_fill_linear_interpolation(spark):
+    """$fill linear pinned to Mongo: interpolation on the sortBy
+    field's numeric VALUE (not row position), doubles out, and no
+    extrapolation — nulls before the first / after the last anchor
+    stay null."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 30.0),
+         ("a", 6, None), ("b", 1, None), ("b", 2, 5.0), ("b", 4, None)],
+        "p string, t int, v double")
+    res = mongo_aggregate(df, [
+        {"$fill": {"partitionBy": "$p", "sortBy": {"t": 1},
+                   "output": {"v": {"method": "linear"}}}}])
+    rows = {(r.p, r.t): r.v for r in res.collect()}
+    assert rows[("a", 2)] == 20.0 and rows[("a", 3)] == 25.0  # value-weighted
+    assert rows[("a", 0)] == 10.0 and rows[("a", 4)] == 30.0  # anchors kept
+    assert rows[("a", 6)] is None and rows[("b", 1)] is None  # no extrapolation
+    assert rows[("b", 4)] is None
