@@ -12767,6 +12767,72 @@ def x_mongo_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_merge",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice) AS BIGINT) AS price_i
+      FROM orders),
+    u AS (
+      SELECT CASE WHEN o_orderkey % 14 = 0 THEN -o_orderkey
+                  ELSE o_orderkey END AS o_orderkey,
+             'U' AS o_orderstatus,
+             CASE WHEN o_orderkey % 21 = 0 THEN NULL
+                  ELSE CAST(floor(o_totalprice * 1.1) AS BIGINT)
+             END AS price_i
+      FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT coalesce(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN coalesce(u.o_orderstatus, t.o_orderstatus)
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN coalesce(u.price_i, t.price_i)
+                ELSE t.price_i END AS price_i
+    FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+    """,
+    "documents", "S12", "J8",
+)
+def x_mongo_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$merge — Mongo's upsert-into-collection terminal stage — through
+    the aggregate shim (documents._mongo_merge), returning the merged
+    collection state. The reference's `update({_id}, doc, {upsert:
+    true})` loops (`trees/speciesTree.js:230-252`, `taxonomy.js:48-69`)
+    are aggregate-then-$merge; the live binding is io.mongo_writer /
+    upsert_parquet_collection — this entry gates the SEMANTICS without
+    a mongod, the same twin strategy as x_upsert_orders (S12).
+
+    Update set: every 7th order re-priced ×1.1 with status 'U'; every
+    14th key negated (guaranteed-new → whenNotMatched insert); every
+    21st price nulled (whenMatched MERGE keeps the target's price —
+    Mongo's field-wise $set, distinguishing merge from replace). The
+    oracle restates the default merge/insert matrix as one FULL OUTER
+    JOIN with per-column CASE/coalesce.
+
+    Scale: one co-partitioned full-outer shuffle on the key; bucketing
+    both sides (io.write_bucketed) removes even that — the
+    nightly-merge layout."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_i"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.when(F.col("o_orderkey") % 14 == 0, -F.col("o_orderkey"))
+        .otherwise(F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 21 == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("o_totalprice") * 1.1).cast("long"))
+        .alias("price_i"),
+    )
+    return DOC.mongo_aggregate(updates, [
+        {"$merge": {"into": "orders_coll", "on": "o_orderkey",
+                    "whenMatched": "merge", "whenNotMatched": "insert"}},
+    ], collections={"orders_coll": target})
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -12924,12 +12990,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
-    # first (the four entries added THIS round), then the
+    # first (the five entries added THIS round), then the
     # changed-since-attestation entry (x_random_projection — its r11
     # green predates the degenerate-input fixture), then the ENTIRE
-    # r8-stale cohort (12), then the 33 alphabetically-first of the 49
+    # r8-stale cohort (12), then the 32 alphabetically-first of the 49
     # r9-stale greens. After this round the latest-attestation
-    # histogram has no r8 bucket and 16 r9 leftovers (x_cms_frequency …,
+    # histogram has no r8 bucket and 17 r9 leftovers (x_bpe_train …,
     # the alphabetical tail — r14's rotation seed).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
@@ -12939,7 +13005,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #
     # never-attested (registered this round)
     "x_mongo_graphlookup", "pipeline_release_e2e",
-    "x_mongo_window", "x_mongo_densify_fill",
+    "x_mongo_window", "x_mongo_densify_fill", "x_mongo_merge",
     # fixture changed after its last (r11) attestation
     "x_random_projection",
     # stalest greens — last attested r8 (all 12)
@@ -12959,7 +13025,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
     "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
     "x_bleu_eval", "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs",
-    "x_bpe_train",
 )
 
 

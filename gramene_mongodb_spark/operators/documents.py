@@ -778,6 +778,108 @@ def _mongo_fill(out: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+def _mongo_merge(result: DataFrame, spec, collections) -> DataFrame:
+    """Compile ``$merge`` — Mongo's upsert-into-collection terminal
+    stage (`trees/speciesTree.js:230-252`-style ``update({_id}, doc,
+    {upsert: true})`` loops are exactly aggregate-then-$merge) — as a
+    RELATIONAL merge returning the new collection state. The live-sink
+    binding is io.mongo_writer / io.upsert_parquet_collection; this
+    compiles the SEMANTICS so a migration can validate results without
+    a mongod.
+
+    Pinned semantics (Mongo defaults: whenMatched "merge",
+    whenNotMatched "insert"):
+
+    * ``on``: field or list of fields — the merge key(s). Must be
+      unique on BOTH sides for deterministic relational semantics
+      (Mongo requires a unique index on ``on`` for the same reason);
+      duplicate keys in the pipeline result raise at runtime (Mongo
+      errors too).
+    * ``whenMatched``: "replace" (pipeline doc wins whole), "merge"
+      (field-wise $set — the pipeline's non-null fields overwrite,
+      target fields survive where the update is null/missing, the
+      house null≈missing convention), "keepExisting" (target wins),
+      "fail" (LOUD runtime error on any match — assert_true threaded
+      through the output so Catalyst can't prune it).
+    * ``whenNotMatched``: "insert" | "discard" | "fail" (same loud
+      mechanism).
+    * Output columns: the union (target order first, then
+      pipeline-only columns, NULL-padded on the side that lacks them).
+
+    Scale: ONE co-partitioned full-outer shuffle on the key — the
+    nightly-merge shape; bucket both sides (io.write_bucketed) and
+    even that exchange disappears.
+    """
+    if not isinstance(spec, dict):
+        spec = {"into": spec}
+    into = spec.get("into")
+    if not collections or into not in collections:
+        raise ValueError(f"$merge into unknown collection {into!r}")
+    target = collections[into]
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = spec.get("whenMatched", "merge")
+    when_not = spec.get("whenNotMatched", "insert")
+    if when_matched not in ("replace", "merge", "keepExisting", "fail"):
+        raise ValueError(f"unsupported whenMatched {when_matched!r}")
+    if when_not not in ("insert", "discard", "fail"):
+        raise ValueError(f"unsupported whenNotMatched {when_not!r}")
+    for k in keys:
+        if k not in result.columns or k not in target.columns:
+            raise ValueError(f"$merge on-field {k!r} missing from a side")
+
+    from pyspark.sql.window import Window
+
+    # Mongo requires a unique index on `on`; enforce the twin contract.
+    # The duplicate check rides the presence flag (assert_true is NULL
+    # when it passes, coalesced to 1) so Catalyst can't prune it.
+    dup = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys]))
+    ucols = list(result.columns)
+    tcols = list(target.columns)
+    out_cols = tcols + [c for c in ucols if c not in tcols]
+    uu = result.select(
+        *[F.col(c).alias(f"__u_{c}") for c in ucols],
+        F.coalesce(
+            F.assert_true(dup == 1, "$merge pipeline result has duplicate on-key")
+            .cast("int"),
+            F.lit(1),
+        ).alias("__u_pres"),
+    )
+    tt = target.select(
+        *[F.col(c).alias(f"__t_{c}") for c in tcols], F.lit(1).alias("__t_pres")
+    )
+    cond = None
+    for k in keys:
+        e = F.col(f"__t_{k}").eqNullSafe(F.col(f"__u_{k}"))
+        cond = e if cond is None else cond & e
+    j = tt.join(uu, on=cond, how="full_outer")
+    in_t = F.col("__t_pres").isNotNull()
+    in_u = F.col("__u_pres").isNotNull()
+    matched = in_t & in_u
+    if when_matched == "fail":
+        fail_m = F.assert_true(~matched, "$merge whenMatched: 'fail' matched")
+    if when_not == "fail":
+        fail_n = F.assert_true(in_t | ~in_u, "$merge whenNotMatched: 'fail'")
+    if when_not == "discard":
+        j = j.filter(in_t)
+    sel = []
+    for c in out_cols:
+        tc = F.col(f"__t_{c}") if c in tcols else F.lit(None)
+        ucol = F.col(f"__u_{c}") if c in ucols else F.lit(None)
+        if when_matched == "replace":
+            v = F.when(matched, ucol).when(in_u, ucol).otherwise(tc)
+        elif when_matched == "keepExisting":
+            v = F.when(matched, tc).when(in_u, ucol).otherwise(tc)
+        else:  # merge: update's non-null fields overwrite
+            v = F.when(matched, F.coalesce(ucol, tc)).when(in_u, ucol).otherwise(tc)
+        if when_matched == "fail":
+            v = F.when(fail_m.isNull(), v)
+        if when_not == "fail":
+            v = F.when(fail_n.isNull(), v)
+        sel.append(v.alias(c))
+    return j.select(*sel)
+
+
 def _mongo_graph_lookup(
     out: DataFrame, spec: dict, collections: dict[str, DataFrame] | None
 ) -> DataFrame:
@@ -994,6 +1096,16 @@ def _mongo_aggregate_impl(
             continue
         if op == "$graphLookup":
             out = _mongo_graph_lookup(out, spec, collections)
+            continue
+        if op in ("$merge", "$out"):
+            # terminal write stages (Mongo errors mid-pipeline; so do we)
+            if i != len(pipeline) - 1:
+                raise ValueError(f"{op} must be the last pipeline stage")
+            if op == "$merge":
+                out = _mongo_merge(out, spec, collections)
+            # $out REPLACES the collection wholesale — the new state IS
+            # the pipeline result; the live binding is
+            # io.mongo_writer(..., mode="overwrite")
             continue
         if op == "$match":
             out = out.filter(mongo_find_filter(spec))

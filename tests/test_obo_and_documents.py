@@ -702,3 +702,54 @@ def test_mongo_fill_linear_interpolation(spark):
     assert rows[("a", 0)] == 10.0 and rows[("a", 4)] == 30.0  # anchors kept
     assert rows[("a", 6)] is None and rows[("b", 1)] is None  # no extrapolation
     assert rows[("b", 4)] is None
+
+
+def test_mongo_merge_semantics(spark):
+    """$merge pinned rules (documents._mongo_merge): field-wise merge
+    vs whole-doc replace vs keepExisting; insert/discard/fail for
+    unmatched; fail-on-match; duplicate on-keys in the pipeline result
+    refuse at runtime (Mongo's unique-index requirement); write stages
+    must be terminal."""
+    from pyspark.errors import SparkRuntimeException
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "_id int, name string, v int")
+    updates = spark.createDataFrame(
+        [(2, None, 99), (4, "d", 40)], "_id int, name string, v int")
+
+    def run(wm, wn):
+        return {r._id: (r.name, r.v) for r in mongo_aggregate(
+            updates, [{"$merge": {"into": "t", "on": "_id",
+                                  "whenMatched": wm, "whenNotMatched": wn}}],
+            collections={"t": target}).collect()}
+
+    assert run("merge", "insert") == {
+        1: ("a", 10), 2: ("b", 99), 3: ("c", 30), 4: ("d", 40)}
+    assert run("replace", "insert")[2] == (None, 99)  # whole doc, null included
+    assert run("keepExisting", "discard") == {
+        1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+    with pytest.raises(SparkRuntimeException, match="whenMatched"):
+        run("fail", "insert")
+    with pytest.raises(SparkRuntimeException, match="whenNotMatched"):
+        run("merge", "fail")
+
+    dup = spark.createDataFrame([(2, "x", 1), (2, "y", 2)],
+                                "_id int, name string, v int")
+    with pytest.raises(SparkRuntimeException, match="duplicate on-key"):
+        mongo_aggregate(dup, [{"$merge": {"into": "t", "on": "_id"}}],
+                        collections={"t": target}).collect()
+
+    # $out returns the new collection state (the pipeline result);
+    # write stages refuse mid-pipeline
+    out_res = mongo_aggregate(
+        updates, [{"$match": {"_id": {"$gte": 2}}}, {"$out": "t"}],
+        collections={"t": target})
+    assert out_res.count() == 2
+    for bad in ([{"$out": "t"}, {"$limit": 1}],
+                [{"$merge": {"into": "t"}}, {"$limit": 1}]):
+        with pytest.raises(ValueError, match="last pipeline stage"):
+            mongo_aggregate(updates, bad, collections={"t": target})
+    with pytest.raises(ValueError, match="unknown collection"):
+        mongo_aggregate(updates, [{"$merge": {"into": "zzz"}}])
