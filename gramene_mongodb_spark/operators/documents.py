@@ -996,9 +996,16 @@ def mongo_aggregate(
     for the pinned semantics), ``$facet`` (each sub-pipeline runs on the
     same input; the facet document is one row of array-of-struct
     columns), ``$lookup`` (see below; referenced collections come in
-    through ``collections``), and ``$graphLookup`` (bounded recursive
+    through ``collections``), ``$graphLookup`` (bounded recursive
     traversal compiled onto the labeled-BFS kernel — semantics pinned
-    in :func:`_mongo_graph_lookup`).
+    in :func:`_mongo_graph_lookup`), ``$setWindowFields`` /
+    ``$densify`` / ``$fill`` (the Mongo 5.x window and time-series
+    stages — :func:`_mongo_set_window_fields`, :func:`_mongo_densify`,
+    :func:`_mongo_fill`), ``$unionWith`` (union BY NAME, optional
+    sub-pipeline), ``$replaceRoot``/``$replaceWith`` (struct-typed
+    root promotion, non-documents refused at plan time), and the
+    terminal write stages ``$merge`` (:func:`_mongo_merge`) and
+    ``$out`` (replace-wholesale — the result IS the new state).
 
     ``$lookup`` compilation is the interesting one. Mongo's contract
     embeds every matching foreign doc as an ARRAY in the ``as`` field;
@@ -1096,6 +1103,35 @@ def _mongo_aggregate_impl(
             continue
         if op == "$graphLookup":
             out = _mongo_graph_lookup(out, spec, collections)
+            continue
+        if op == "$unionWith":
+            # {"$unionWith": "coll"} or {"$unionWith": {"coll": c,
+            # "pipeline": [...]}} — the second input runs its
+            # sub-pipeline then unions BY NAME (Mongo documents are
+            # keyed, not positional); columns one side lacks come back
+            # NULL (missing). Output order is unspecified in Mongo and
+            # here.
+            cname = spec if isinstance(spec, str) else spec.get("coll")
+            if not collections or cname not in collections:
+                raise ValueError(f"$unionWith unknown collection {cname!r}")
+            other = collections[cname]
+            if isinstance(spec, dict) and spec.get("pipeline"):
+                other = _mongo_aggregate_impl(other, spec["pipeline"], collections)
+            out = out.unionByName(other, allowMissingColumns=True)
+            continue
+        if op in ("$replaceRoot", "$replaceWith"):
+            # promote an embedded document to the root: the new root
+            # must be a struct-typed expression; all other fields drop
+            # (Mongo errors on non-document roots at runtime — here the
+            # struct requirement is checked at plan time, stricter but
+            # louder)
+            new_root = spec["newRoot"] if op == "$replaceRoot" else spec
+            col = _mongo_expr(new_root)
+            out = out.select(col.alias("__rr"))
+            if not isinstance(out.schema["__rr"].dataType, T.StructType):
+                raise ValueError(f"{op} newRoot must be a document (struct) "
+                                 "expression")
+            out = out.select("__rr.*")
             continue
         if op in ("$merge", "$out"):
             # terminal write stages (Mongo errors mid-pipeline; so do we)

@@ -753,3 +753,29 @@ def test_mongo_merge_semantics(spark):
             mongo_aggregate(updates, bad, collections={"t": target})
     with pytest.raises(ValueError, match="unknown collection"):
         mongo_aggregate(updates, [{"$merge": {"into": "zzz"}}])
+
+
+def test_mongo_unionwith_replaceroot(spark):
+    """$unionWith unions BY NAME with NULL-padded missing columns and
+    runs the optional sub-pipeline on the second input; $replaceRoot/
+    $replaceWith promote a struct to the root and refuse non-document
+    roots at plan time."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    a = spark.createDataFrame([(1, "x")], "_id int, name string")
+    b = spark.createDataFrame([(2, "y", 9), (0, "z", 1)],
+                              "_id int, name string, extra int")
+    res = mongo_aggregate(a, [{"$unionWith": {"coll": "b", "pipeline": [
+        {"$match": {"_id": {"$gte": 2}}}]}}], collections={"b": b})
+    assert sorted((r._id, r.name, r.extra) for r in res.collect()) == [
+        (1, "x", None), (2, "y", 9)]
+    with pytest.raises(ValueError, match="unknown collection"):
+        mongo_aggregate(a, [{"$unionWith": "zzz"}])
+
+    c = spark.createDataFrame([(1, ("inner", 5))],
+                              "_id int, doc struct<n string, v int>")
+    r2 = mongo_aggregate(c, [{"$replaceRoot": {"newRoot": "$doc"}}])
+    assert r2.columns == ["n", "v"] and r2.first().n == "inner"
+    assert mongo_aggregate(c, [{"$replaceWith": "$doc"}]).columns == ["n", "v"]
+    with pytest.raises(ValueError, match="struct"):
+        mongo_aggregate(c, [{"$replaceRoot": {"newRoot": "$_id"}}])
