@@ -12833,6 +12833,89 @@ def x_mongo_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_expressions",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice) AS BIGINT) AS price_i,
+             str_split(o_orderpriority, '-')[2] AS word,
+             substr(o_orderpriority, 1, 1) AS pfx,
+             o_orderkey % 7 AS pm,
+             abs(CAST(floor(o_totalprice) AS BIGINT) - 150000) AS pabs
+      FROM orders)
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(price_i) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN price_i > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
+           CAST(sum(price_i * 2) AS BIGINT) AS scaled_sum,
+           CAST(sum(pm) AS BIGINT) AS sum_mod,
+           CAST(max(pabs) AS BIGINT) AS max_absdev,
+           min(pfx) AS min_pfx
+    FROM v GROUP BY word
+    """,
+    "documents", "S10", "P8",
+)
+def x_mongo_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 aggregation-EXPRESSION surface through real stages:
+    $split/$arrayElemAt/$substrCP (Mongo 0-indexing pinned), $mod,
+    $abs/$subtract, $push into the higher-order trio — $size, $filter
+    (bound $$this), $map, and $reduce (bound $$value/$$this, typed
+    initialValue) — everything compiled to JVM-side Catalyst
+    expressions (higher-order functions, never a Python UDF). The
+    oracle restates each list op as its aggregate twin (len ≡ count,
+    reduce-add ≡ sum, size∘filter ≡ conditional count), so a drift in
+    any operator's semantics (indexing base, null handling, bound-
+    variable scoping) breaks the hash. n vs n_items pins $size ==
+    group count; scaled_sum pins $map feeding $reduce.
+
+    Scale: one groupBy exchange; the list expressions run on grouped
+    arrays whose size is bounded by orders-per-priority-word — and the
+    same surface composes per-row (no group) at scan speed."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    view = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_i"),
+    )
+    return DOC.mongo_aggregate(view, [
+        {"$addFields": {
+            "word": {"$arrayElemAt": [{"$split": ["$o_orderpriority", "-"]}, 1]},
+            "pfx": {"$substrCP": ["$o_orderpriority", 0, 1]},
+            "pm": {"$mod": ["$o_orderkey", 7]},
+            "pabs": {"$abs": {"$subtract": ["$price_i", 150000]}},
+        }},
+        {"$group": {
+            "_id": "$word",
+            "n": {"$sum": 1},
+            "prices": {"$push": "$price_i"},
+            "sum_mod": {"$sum": "$pm"},
+            "max_absdev": {"$max": "$pabs"},
+            "min_pfx": {"$min": "$pfx"},
+        }},
+        {"$addFields": {
+            "n_items": {"$size": "$prices"},
+            "total": {"$reduce": {"input": "$prices",
+                                  "initialValue": {"$toLong": 0},
+                                  "in": {"$add": ["$$value", "$$this"]}}},
+            "n_big": {"$size": {"$filter": {
+                "input": "$prices",
+                "cond": {"$gt": ["$$this", 150000]}}}},
+            "scaled_sum": {"$reduce": {
+                "input": {"$map": {"input": "$prices",
+                                   "in": {"$multiply": ["$$this", 2]}}},
+                "initialValue": {"$toLong": 0},
+                "in": {"$add": ["$$value", "$$this"]}}},
+        }},
+        {"$project": {"word": "$_id", "n": 1, "n_items": 1, "total": 1,
+                      "n_big": 1, "scaled_sum": 1, "sum_mod": 1,
+                      "max_absdev": 1, "min_pfx": 1}},
+    ])
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -12990,12 +13073,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
-    # first (the five entries added THIS round), then the
+    # first (the six entries added THIS round), then the
     # changed-since-attestation entry (x_random_projection — its r11
     # green predates the degenerate-input fixture), then the ENTIRE
-    # r8-stale cohort (12), then the 32 alphabetically-first of the 49
+    # r8-stale cohort (12), then the 31 alphabetically-first of the 49
     # r9-stale greens. After this round the latest-attestation
-    # histogram has no r8 bucket and 17 r9 leftovers (x_bpe_train …,
+    # histogram has no r8 bucket and 18 r9 leftovers (x_bpe_pairs …,
     # the alphabetical tail — r14's rotation seed).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
@@ -13006,6 +13089,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # never-attested (registered this round)
     "x_mongo_graphlookup", "pipeline_release_e2e",
     "x_mongo_window", "x_mongo_densify_fill", "x_mongo_merge",
+    "x_mongo_expressions",
     # fixture changed after its last (r11) attestation
     "x_random_projection",
     # stalest greens — last attested r8 (all 12)
@@ -13024,7 +13108,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
     "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
     "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
-    "x_bleu_eval", "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs",
+    "x_bleu_eval", "x_bloom_prefilter", "x_bpe_encode",
 )
 
 

@@ -11,6 +11,7 @@ shuffles except the explicit groupBys.
 from __future__ import annotations
 
 import contextvars
+import functools
 from typing import Literal
 
 from pyspark.sql import Column, DataFrame
@@ -379,21 +380,68 @@ _STRICT_SWITCH: contextvars.ContextVar[bool] = contextvars.ContextVar(
 )
 
 
-def _mongo_expr(spec) -> Column:
+#: unary Mongo math/string/cast operators with direct Spark twins.
+#: Casts follow the session's cast semantics: under ANSI (the Spark 4
+#: default) an unparseable $toInt/$toLong/$toDouble ERRORS at runtime —
+#: exactly what Mongo's conversion operators do; with ANSI off the cast
+#: yields NULL instead (Mongo's $convert-with-onNull shape). Neither is
+#: silently approximated, both are documented.
+_EXPR_UNARY = {
+    "$abs": F.abs, "$ceil": F.ceil, "$floor": F.floor,
+    "$sqrt": F.sqrt, "$exp": F.exp, "$ln": F.log, "$log10": F.log10,
+    "$trunc": lambda c: c.cast("long"),
+    "$toUpper": F.upper, "$toLower": F.lower,
+    "$strLenCP": F.length,
+    "$trim": lambda c: F.trim(c), "$ltrim": lambda c: F.ltrim(c),
+    "$rtrim": lambda c: F.rtrim(c),
+    "$toString": lambda c: c.cast("string"),
+    "$toInt": lambda c: c.cast("int"),
+    "$toLong": lambda c: c.cast("long"),
+    "$toDouble": lambda c: c.cast("double"),
+    "$toBool": lambda c: c.cast("boolean"),
+    "$size": F.size,
+    "$not": lambda c: ~c.cast("boolean"),
+}
+
+
+def _mongo_expr(spec, env: dict | None = None) -> Column:
     """MongoDB aggregation value expression → Spark Column.
 
-    Covers the expression surface the shim's stage set needs: ``"$f"``
-    field paths (dotted paths resolve into struct fields), bare
-    literals, ``{"$literal": v}``, arithmetic ``$add/$subtract/
-    $multiply/$divide``, ``$concat``, ``$toUpper/$toLower``, and
-    ``$ifNull``. Anything else raises — silent approximation is worse
-    than an explicit gap."""
+    Surface: ``"$f"`` field paths (dotted paths resolve into struct
+    fields), ``"$$var"`` bound variables (``$$this``/``$$value`` from
+    the higher-order operators below, plus custom ``as`` names), bare
+    literals, ``{"$literal": v}``, ``$cond``/``$switch``, comparisons
+    (null-safe $eq/$ne — the find() rule), arithmetic ``$add/
+    $subtract/$multiply/$divide/$mod/$pow``, unary math
+    (``$abs/$ceil/$floor/$trunc/$sqrt/$exp/$ln/$log10``), strings
+    (``$concat/$toUpper/$toLower/$strLenCP/$substrCP/$split/$trim``
+    family — ``$substrCP`` keeps Mongo's 0-indexing; ``$split``'s
+    delimiter is a literal, regex-escaped into Spark's split),
+    casts (``$toString/$toInt/$toLong/$toDouble/$toBool`` — NULL on
+    unparseable where Mongo errors, documented), booleans
+    (``$and/$or/$not``), arrays (``$size/$arrayElemAt/$slice/$in/
+    $concatArrays/$setUnion/$setIntersection/$setDifference`` —
+    ``$arrayElemAt`` keeps 0-indexing and negative-from-end;
+    ``$slice`` takes Mongo's [arr, n] / [arr, pos, n] int-literal
+    forms), and the higher-order trio ``$filter/$map/$reduce``
+    compiled to Spark's filter/transform/aggregate lambdas (all
+    JVM-side — no Python UDF anywhere in the shim). Anything else
+    raises — silent approximation is worse than an explicit gap."""
+    if isinstance(spec, str) and spec.startswith("$$"):
+        path = spec[2:].split(".")
+        if not env or path[0] not in env:
+            raise ValueError(f"unbound aggregation variable $${path[0]}")
+        col = env[path[0]]
+        for fld in path[1:]:
+            col = col[fld]
+        return col
     if isinstance(spec, str) and spec.startswith("$"):
         return F.col(spec[1:])
     if isinstance(spec, dict):
         if len(spec) != 1:
             raise ValueError(f"expression must have one operator: {spec}")
         op, args = next(iter(spec.items()))
+        sub = lambda s, e=None: _mongo_expr(s, e if e is not None else env)
         if op == "$literal":
             return F.lit(args)
         if op == "$cond":
@@ -401,13 +449,11 @@ def _mongo_expr(spec) -> Column:
                 cond, then, els = args["if"], args["then"], args["else"]
             else:
                 cond, then, els = args
-            return F.when(_mongo_expr(cond), _mongo_expr(then)).otherwise(
-                _mongo_expr(els)
-            )
+            return F.when(sub(cond), sub(then)).otherwise(sub(els))
         if op == "$switch":
             out = None
             for br in args["branches"]:
-                c, t = _mongo_expr(br["case"]), _mongo_expr(br["then"])
+                c, t = sub(br["case"]), sub(br["then"])
                 out = F.when(c, t) if out is None else out.when(c, t)
             if out is None:
                 raise ValueError("$switch requires at least one branch")
@@ -419,25 +465,107 @@ def _mongo_expr(spec) -> Column:
                 return out.otherwise(F.raise_error(F.lit(
                     "$switch could not find a matching branch for an "
                     "input, and no default was specified")))
-            return out.otherwise(_mongo_expr(args.get("default")))
+            return out.otherwise(sub(args.get("default")))
+        if op == "$filter":
+            inp, var = sub(args["input"]), args.get("as", "this")
+            e0 = env or {}
+            return F.filter(
+                inp, lambda x: sub(args["cond"], {**e0, var: x}).cast("boolean")
+            )
+        if op == "$map":
+            inp, var = sub(args["input"]), args.get("as", "this")
+            e0 = env or {}
+            return F.transform(inp, lambda x: sub(args["in"], {**e0, var: x}))
+        if op == "$reduce":
+            inp = sub(args["input"])
+            e0 = env or {}
+            return F.aggregate(
+                inp,
+                sub(args["initialValue"]),
+                lambda acc, x: sub(args["in"], {**e0, "value": acc, "this": x}),
+            )
+        if op in ("$trim", "$ltrim", "$rtrim") and isinstance(args, dict):
+            if "chars" in args:
+                raise ValueError(f"{op} with chars is not supported — "
+                                 "refused rather than approximated")
+            return _EXPR_UNARY[op](sub(args["input"]))
         if op in ("$gt", "$gte", "$lt", "$lte", "$eq", "$ne"):
             if not isinstance(args, (list, tuple)) or len(args) != 2:
                 raise ValueError(f"{op} requires a two-element list")
-            a, b = (_mongo_expr(x) for x in args)
+            a, b = sub(args[0]), sub(args[1])
             return {
                 "$gt": a > b, "$gte": a >= b, "$lt": a < b, "$lte": a <= b,
                 "$eq": a.eqNullSafe(b), "$ne": ~a.eqNullSafe(b),
             }[op]
-        if op in ("$toUpper", "$toLower"):
-            inner = _mongo_expr(args)
-            return F.upper(inner) if op == "$toUpper" else F.lower(inner)
+        if op in _EXPR_UNARY:
+            # Mongo wraps single args in one-element lists interchangeably
+            arg = args[0] if isinstance(args, (list, tuple)) and len(args) == 1 \
+                else args
+            return _EXPR_UNARY[op](sub(arg))
         if not isinstance(args, (list, tuple)):
             raise ValueError(f"{op} requires an argument list")
-        cols = [_mongo_expr(a) for a in args]
+        if op == "$substrCP":
+            s, start, length = (sub(a) for a in args)
+            return s.substr(start + F.lit(1), length)  # Mongo is 0-indexed
+        if op == "$split":
+            # a "$"-prefixed string is a field path in Mongo; Spark's
+            # split takes a compile-time regex, so only literal
+            # delimiters compile (use {"$literal": "$"} to split on a
+            # literal dollar sign)
+            delim = args[1]
+            if isinstance(delim, dict) and set(delim) == {"$literal"}:
+                delim = delim["$literal"]
+            elif isinstance(delim, str) and delim.startswith("$"):
+                delim = None
+            if not isinstance(delim, str):
+                raise ValueError("$split delimiter must be a literal string")
+            import re as _re
+
+            return F.split(sub(args[0]), _re.escape(delim))
+        if op == "$arrayElemAt":
+            arr, idx = sub(args[0]), sub(args[1])
+            # Mongo: 0-indexed, negative from end; element_at is
+            # 1-indexed positive, negative from end
+            return F.element_at(arr, F.when(idx >= 0, idx + 1).otherwise(idx))
+        if op == "$slice":
+            ints = args[1:]
+            if not all(isinstance(i, int) and not isinstance(i, bool)
+                       for i in ints):
+                raise ValueError("$slice positions/counts must be int literals")
+            arr = sub(args[0])
+            if len(args) == 2:
+                n = args[1]
+                # [arr, n]: first n (n>0) / last n (n<0)
+                return (F.slice(arr, 1, n) if n >= 0
+                        else F.slice(arr, n, -n))
+            pos, n = args[1], args[2]
+            if n <= 0:
+                raise ValueError("$slice count must be positive in the "
+                                 "three-argument form (as in Mongo)")
+            return F.slice(arr, pos + 1 if pos >= 0 else pos, n)
+        if op == "$in":
+            return F.array_contains(sub(args[1]), sub(args[0]))
+        if op in ("$mod", "$pow"):
+            a, b = sub(args[0]), sub(args[1])
+            return a % b if op == "$mod" else F.pow(a, b)
+        cols = [sub(a) for a in args]
         if op == "$ifNull":
             return F.coalesce(*cols)
-        if op == "$concat":
+        if op in ("$concat", "$concatArrays"):
             return F.concat(*cols)
+        if op == "$and":
+            return functools.reduce(
+                lambda a, b: a & b, [c.cast("boolean") for c in cols]
+            )
+        if op == "$or":
+            return functools.reduce(
+                lambda a, b: a | b, [c.cast("boolean") for c in cols]
+            )
+        setops = {"$setUnion": F.array_union,
+                  "$setIntersection": F.array_intersect,
+                  "$setDifference": F.array_except}
+        if op in setops:
+            return functools.reduce(setops[op], cols)
         binops = {
             "$add": lambda a, b: a + b,
             "$subtract": lambda a, b: a - b,

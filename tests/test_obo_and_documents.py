@@ -779,3 +779,60 @@ def test_mongo_unionwith_replaceroot(spark):
     assert mongo_aggregate(c, [{"$replaceWith": "$doc"}]).columns == ["n", "v"]
     with pytest.raises(ValueError, match="struct"):
         mongo_aggregate(c, [{"$replaceRoot": {"newRoot": "$_id"}}])
+
+
+def test_mongo_expression_surface(spark):
+    """Round-13 expression compiler additions: math/string/cast/array/
+    boolean operators and the higher-order trio with bound variables
+    ($$this/$$value/custom as-names), Mongo's 0-indexing pinned for
+    $substrCP/$arrayElemAt/$slice, negative-from-end for
+    $arrayElemAt/$slice, ANSI cast behavior documented, unbound
+    variables and non-literal $split delimiters refused."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "Hello World", [3, 1, 2, 1], -7.6, 10)],
+        "_id int, s string, arr array<int>, x double, n int")
+    r = mongo_aggregate(df, [{"$addFields": {
+        "m": {"$mod": ["$n", 3]}, "p": {"$pow": ["$n", 2]},
+        "a": {"$abs": "$x"}, "c": {"$ceil": "$x"}, "fl": {"$floor": "$x"},
+        "tr": {"$trunc": "$x"}, "ln": {"$strLenCP": "$s"},
+        "sb": {"$substrCP": ["$s", 0, 5]},
+        "sp": {"$arrayElemAt": [{"$split": ["$s", " "]}, 1]},
+        "last": {"$arrayElemAt": ["$arr", -1]},
+        "sz": {"$size": "$arr"},
+        "sl": {"$slice": ["$arr", -2]}, "sl3": {"$slice": ["$arr", 1, 2]},
+        "inn": {"$in": [2, "$arr"]},
+        "un": {"$setUnion": ["$arr", {"$literal": [9]}]},
+        "ix": {"$setIntersection": ["$arr", {"$literal": [1, 9]}]},
+        "dx": {"$setDifference": ["$arr", {"$literal": [1]}]},
+        "ca": {"$concatArrays": ["$arr", {"$literal": [7]}]},
+        "fi": {"$filter": {"input": "$arr", "cond": {"$gt": ["$$this", 1]}}},
+        "mp": {"$map": {"input": "$arr", "as": "e",
+                        "in": {"$multiply": ["$$e", 10]}}},
+        "rd": {"$reduce": {"input": "$arr", "initialValue": 0,
+                           "in": {"$add": ["$$value", "$$this"]}}},
+        "bo": {"$and": [{"$gt": ["$n", 5]}, {"$not": [{"$eq": ["$n", 3]}]}]},
+        "ts": {"$toString": "$n"},
+        "ti": {"$toInt": {"$trim": {"input": "  42 "}}},
+    }}]).first()
+    assert (r.m, r.p, r.a) == (1, 100.0, 7.6)
+    assert (r.c, r.fl, r.tr) == (-7, -8, -7)
+    assert (r.ln, r.sb, r.sp) == (11, "Hello", "World")
+    assert (r.last, r.sz) == (1, 4)
+    assert r.sl == [2, 1] and r.sl3 == [1, 2]
+    assert r.inn is True and sorted(r.un) == [1, 2, 3, 9]
+    assert sorted(r.ix) == [1] and sorted(r.dx) == [2, 3]
+    assert r.ca == [3, 1, 2, 1, 7]
+    assert r.fi == [3, 2] and r.mp == [30, 10, 20, 10] and r.rd == 7
+    assert r.bo is True and r.ts == "10" and r.ti == 42
+
+    with pytest.raises(ValueError, match="unbound"):
+        mongo_aggregate(df, [{"$addFields": {"z": "$$nope"}}])
+    with pytest.raises(ValueError, match="literal string"):
+        mongo_aggregate(df, [{"$addFields": {"z": {"$split": ["$s", "$s"]}}}])
+    with pytest.raises(ValueError, match="chars"):
+        mongo_aggregate(df, [{"$addFields": {"z": {"$trim": {
+            "input": "$s", "chars": "x"}}}}])
+    with pytest.raises(ValueError, match="int literals"):
+        mongo_aggregate(df, [{"$addFields": {"z": {"$slice": ["$arr", "$n"]}}}])
