@@ -12,6 +12,8 @@ uses is a shelf tool).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from gramene_mongodb_spark.io import write_sized
@@ -299,3 +301,128 @@ def release_e2e(spark: SparkSession, sf_dir: str, stage_dir: str | None = None):
     for name in RELEASE_ORDER[:-1]:
         RELEASE_STAGES[name](spark, sf_dir, stage_dir)
     return RELEASE_STAGES["publish"](spark, sf_dir, stage_dir)
+
+
+#: base tables each stage reads from sf_dir (for the resume fingerprint)
+_STAGE_BASE_TABLES = {
+    "taxonomy": ("nation", "region", "customer"),
+    "genes": ("customer", "orders"),
+    "homologs": (),
+    "decorate": (),
+    "publish": (),
+}
+
+#: staged-table dependencies (stage → upstream stages whose manifests
+#: chain into this stage's fingerprint — a change anywhere upstream
+#: invalidates everything downstream, Merkle-style)
+_STAGE_UPSTREAM = {
+    "taxonomy": (),
+    "genes": ("taxonomy",),
+    "homologs": ("genes",),
+    "decorate": ("taxonomy", "genes", "homologs"),
+    "publish": ("taxonomy", "decorate"),
+}
+
+
+def _stage_fingerprint(name: str, sf_dir: str, upstream: dict[str, str]) -> str:
+    """What must be identical for a staged output to be reusable: the
+    stage's CODE (source text), its base-table inputs (file path +
+    size + mtime — a cheap content proxy; regenerated testdata flips
+    mtimes), and the fingerprints of every upstream stage it reads
+    (chained, so an early change invalidates the whole suffix)."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    h.update(name.encode())
+    h.update(inspect.getsource(RELEASE_STAGES[name]).encode())
+    for u in _STAGE_UPSTREAM[name]:
+        h.update(upstream[u].encode())
+    for t in _STAGE_BASE_TABLES[name]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.exists(p):
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _manifest_path(stage_dir: str, name: str) -> str:
+    return os.path.join(stage_dir, f"_manifest_{name}.json")
+
+
+def release_e2e_resumable(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str,
+    resume: bool = True,
+):
+    """The release DAG with REAL retry/resume barriers — the property
+    that makes staged tables worth their write cost at 100 TB: a
+    failed or killed release re-runs only the suffix that's actually
+    stale, not five stages of recompute.
+
+    Each materializing stage records a manifest next to its parquet:
+    the fingerprint of (stage code, base-table file identities,
+    upstream manifests — chained). With ``resume=True`` a stage whose
+    manifest matches its recomputed fingerprint AND whose output
+    directory still exists is SKIPPED; anything else (missing output,
+    changed code, regenerated testdata, invalidated upstream) re-runs,
+    and because fingerprints chain, an early change re-runs the whole
+    downstream suffix. ``resume=False`` degrades to the plain ordered
+    run (manifests still written).
+
+    Returns ``(summary_df, ran_stages)`` — the final publish plan is
+    always (re)built lazily; only the materializing stages 1-4
+    participate in skip logic."""
+    import json as _json
+
+    ran: list[str] = []
+    fps: dict[str, str] = {}
+    for name in RELEASE_ORDER[:-1]:
+        fp = _stage_fingerprint(name, sf_dir, fps)
+        fps[name] = fp
+        mpath = _manifest_path(stage_dir, name)
+        fresh = False
+        if resume and os.path.exists(mpath):
+            try:
+                fresh = _json.loads(open(mpath).read())["fingerprint"] == fp
+            except Exception:
+                fresh = False
+        # output presence check: a manifest without its parquet is stale
+        outputs = {
+            "taxonomy": ("taxonomy", "taxonomy_closure"),
+            "genes": ("genes_raw",),
+            "homologs": ("homolog_counts",),
+            "decorate": ("genes_decorated",),
+        }[name]
+        fresh = fresh and all(
+            os.path.exists(os.path.join(stage_dir, o)) for o in outputs
+        )
+        if fresh:
+            continue
+        RELEASE_STAGES[name](spark, sf_dir, stage_dir)
+        ran.append(name)
+        with open(mpath, "w") as fh:
+            _json.dump({"stage": name, "fingerprint": fp}, fh)
+    return RELEASE_STAGES["publish"](spark, sf_dir, stage_dir), ran
+
+
+def publish_release_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str,
+    out_path: str,
+    target_bytes: int = 64 * 1024 * 1024,
+) -> dict:
+    """Third ``write_sized`` adopter: run the (resumable) release DAG
+    and publish the final per-taxon summary through the governed sink —
+    the release artifact consumers actually read, sized like one."""
+    df, ran = release_e2e_resumable(spark, sf_dir, stage_dir)
+    total = df.count()
+    stats = write_sized(df, out_path, target_bytes=target_bytes,
+                        total_rows=total)
+    return {**stats, "rows": int(total), "ran_stages": ran, "path": out_path}
