@@ -1066,7 +1066,10 @@ def _mongo_graph_lookup(
         raise ValueError("$graphLookup maxDepth must be a non-negative int")
     depth_f = spec.get("depthField")
 
-    from gramene_mongodb_spark.operators.closure import labeled_bfs
+    from gramene_mongodb_spark.operators.closure import (
+        labeled_bfs,
+        transitive_closure,
+    )
 
     # value graph: holding value u matches docs with connectTo == u and
     # continues with those docs' connectFrom values (struct-wrapped keys
@@ -1077,9 +1080,25 @@ def _mongo_graph_lookup(
     seeds = out.select(F.struct(start).alias("label")).distinct().select(
         "label", F.col("label").alias("vertex")
     )
-    reach = labeled_bfs(
-        edges, seeds, max_hops=max_depth if max_depth is not None else 64
-    )
+    if depth_f is None and max_depth is None:
+        # UNBOUNDED traversal without a depth field: per-seed hop-by-hop
+        # BFS would pay one super-step per level (a depth-d hierarchy =
+        # d checkpointed jobs). Depths aren't needed, so take the
+        # path-doubling closure over the (collection-sized) value graph
+        # instead — ⌈log2 d⌉ self-join rounds (transitive_closure), then
+        # restrict the all-pairs reach set to the seed values. This is
+        # the shim-side twin of the reference MATERIALIZING ancestor
+        # closures rather than recursing per document.
+        clos = transitive_closure(edges, child="src", parent="dst")
+        reach = seeds.select("label", "vertex").unionByName(
+            clos.join(
+                seeds.select("label", F.col("vertex").alias("node")), "node"
+            ).select("label", F.col("ancestor").alias("vertex"))
+        ).distinct()
+    else:
+        reach = labeled_bfs(
+            edges, seeds, max_hops=max_depth if max_depth is not None else 64
+        )
     doc_fields = [F.col(c) for c in ref.columns]
     if depth_f is not None:
         doc_fields.append(F.col("dist").alias(depth_f))

@@ -836,3 +836,31 @@ def test_mongo_expression_surface(spark):
             "input": "$s", "chars": "x"}}}}])
     with pytest.raises(ValueError, match="int literals"):
         mongo_aggregate(df, [{"$addFields": {"z": {"$slice": ["$arr", "$n"]}}}])
+
+
+def test_mongo_graphlookup_unbounded_doubling_path(spark):
+    """Unbounded $graphLookup without a depthField takes the
+    path-doubling closure fast path (⌈log2 d⌉ rounds, not d) — the
+    reach SETS must equal the hop-by-hop labeled-BFS result (the
+    depthField variant) on the same fixture, including a cyclic one."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    emp = spark.createDataFrame(
+        [(1, "Dev", None), (2, "Eliot", "Dev"), (3, "Ron", "Eliot"),
+         (4, "Andrew", "Eliot"), (5, "Asya", "Ron"), (6, "Dan", "Andrew"),
+         (7, "Loop1", "Loop2"), (8, "Loop2", "Loop1")],  # 2-cycle
+        "_id int, name string, reportsTo string")
+    base = {"from": "e", "startWith": "$reportsTo",
+            "connectFromField": "reportsTo", "connectToField": "name",
+            "as": "chain"}
+    fast = mongo_aggregate(emp, [{"$graphLookup": base}],
+                           collections={"e": emp})
+    slow = mongo_aggregate(emp, [{"$graphLookup": {**base, "depthField": "d"}}],
+                           collections={"e": emp})
+    f = {r["name"]: sorted(x["name"] for x in r["chain"]) for r in fast.collect()}
+    s = {r["name"]: sorted(x["name"] for x in r["chain"]) for r in slow.collect()}
+    assert f == s
+    assert f["Asya"] == ["Dev", "Eliot", "Ron"]
+    # the cycle converges to both members (each reaches the other and,
+    # via the closure, itself)
+    assert set(f["Loop1"]) == {"Loop1", "Loop2"}
