@@ -12916,6 +12916,49 @@ def x_mongo_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_dates",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           strftime(ts, '%Y-%m') AS ym,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events WHERE hour(ts) >= 6
+    GROUP BY 1, 2, 3
+    """,
+    "documents", "S10", "A4",
+)
+def x_mongo_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-operator + $expr surface through the shim: an aggregation-
+    expression $match predicate ($expr with $hour — Mongo 3.6 query-
+    context expressions), $dayOfWeek (Mongo and Spark agree on
+    1=Sunday..7=Saturday; the DuckDB oracle is 0-based, +1 restates the
+    contract), and $dateToString with Mongo %-specifiers translated to
+    Spark patterns. All date parts read the column's WALL CLOCK — the
+    house TIMESTAMP_NTZ rule (catalog._epoch_s), so the cross-TZ sweep
+    holds; Mongo's timezone arguments are refused, never defaulted.
+
+    Scale: the $expr predicate is a plain Catalyst filter (pushdown-
+    eligible); one groupBy exchange on a tiny key space."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    res = DOC.mongo_aggregate(ev, [
+        {"$match": {"$expr": {"$gte": [{"$hour": "$ts"}, 6]}}},
+        {"$group": {
+            "_id": {"dow": {"$dayOfWeek": "$ts"},
+                    "ym": {"$dateToString": {"date": "$ts", "format": "%Y-%m"}},
+                    "et": "$event_type"},
+            "n": {"$sum": 1},
+            "total": {"$sum": "$value"},
+        }},
+        {"$project": {"dow": {"$toLong": "$dow"}, "ym": 1,
+                      "event_type": "$et", "n": 1, "total": 1}},
+    ])
+    return res.withColumn("total", F.round("total", 2))
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -13073,12 +13116,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
-    # first (the six entries added THIS round), then the
+    # first (the seven entries added THIS round), then the
     # changed-since-attestation entry (x_random_projection — its r11
     # green predates the degenerate-input fixture), then the ENTIRE
-    # r8-stale cohort (12), then the 31 alphabetically-first of the 49
+    # r8-stale cohort (12), then the 30 alphabetically-first of the 49
     # r9-stale greens. After this round the latest-attestation
-    # histogram has no r8 bucket and 18 r9 leftovers (x_bpe_pairs …,
+    # histogram has no r8 bucket and 19 r9 leftovers (x_bpe_encode …,
     # the alphabetical tail — r14's rotation seed).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
@@ -13089,7 +13132,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # never-attested (registered this round)
     "x_mongo_graphlookup", "pipeline_release_e2e",
     "x_mongo_window", "x_mongo_densify_fill", "x_mongo_merge",
-    "x_mongo_expressions",
+    "x_mongo_expressions", "x_mongo_dates",
     # fixture changed after its last (r11) attestation
     "x_random_projection",
     # stalest greens — last attested r8 (all 12)
@@ -13108,7 +13151,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
     "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
     "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
-    "x_bleu_eval", "x_bloom_prefilter", "x_bpe_encode",
+    "x_bleu_eval", "x_bloom_prefilter",
 )
 
 

@@ -322,6 +322,12 @@ def mongo_find_filter(query: dict) -> Column:
         return F.lit(True)
     preds: list[Column] = []
     for key, spec in query.items():
+        if key == "$expr":
+            # aggregation expression in query context (Mongo 3.6+):
+            # compile through the expression surface; NULL results are
+            # falsy, exactly as in Mongo's query engine
+            preds.append(_mongo_expr(spec).cast("boolean").eqNullSafe(F.lit(True)))
+            continue
         if key in ("$and", "$or"):
             if not isinstance(spec, (list, tuple)) or not spec:
                 # Mongo: "$and/$or must be a nonempty array"
@@ -401,7 +407,43 @@ _EXPR_UNARY = {
     "$toBool": lambda c: c.cast("boolean"),
     "$size": F.size,
     "$not": lambda c: ~c.cast("boolean"),
+    # date parts — these read the column's WALL CLOCK (tz-proof on
+    # TIMESTAMP_NTZ, the engine's house flavor; see catalog._epoch_s).
+    # Mongo's optional timezone argument is refused, not defaulted
+    # (the document form below). $dayOfWeek: Mongo and Spark agree on
+    # 1=Sunday..7=Saturday.
+    "$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
+    "$hour": F.hour, "$minute": F.minute, "$second": F.second,
+    "$dayOfWeek": F.dayofweek, "$dayOfYear": F.dayofyear,
 }
+
+#: Mongo $dateToString format specifiers → Spark date_format patterns.
+#: Unknown specifiers and stray letters are refused (a letter that
+#: slips through unquoted would be INTERPRETED by the Java pattern).
+_DATE_FMT = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+             "%M": "mm", "%S": "ss", "%L": "SSS", "%j": "DDD", "%%": "%"}
+
+
+def _mongo_date_format(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            spec = fmt[i:i + 2]
+            if spec not in _DATE_FMT:
+                raise ValueError(f"unsupported $dateToString specifier {spec!r}")
+            out.append(_DATE_FMT[spec])
+            i += 2
+        elif fmt[i].isalpha():
+            raise ValueError(
+                f"literal letter {fmt[i]!r} in $dateToString format — quote "
+                "it with a specifier or remove it (unquoted letters are "
+                "pattern syntax in Spark)"
+            )
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 def _mongo_expr(spec, env: dict | None = None) -> Column:
@@ -484,6 +526,23 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
                 sub(args["initialValue"]),
                 lambda acc, x: sub(args["in"], {**e0, "value": acc, "this": x}),
             )
+        if op == "$dateToString":
+            if not isinstance(args, dict) or "date" not in args:
+                raise ValueError("$dateToString requires a document with date")
+            if args.get("timezone") is not None:
+                raise ValueError(
+                    "$dateToString timezone is refused — the shim formats "
+                    "the column's wall clock (TIMESTAMP_NTZ house flavor); "
+                    "convert explicitly upstream if you need another zone"
+                )
+            fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%L")
+            return F.date_format(sub(args["date"]), _mongo_date_format(fmt))
+        if (op in _EXPR_UNARY and op.startswith("$") and isinstance(args, dict)
+                and "date" in args):
+            # document form of the date parts ({date, timezone?})
+            if args.get("timezone") is not None:
+                raise ValueError(f"{op} timezone is refused — wall clock only")
+            return _EXPR_UNARY[op](sub(args["date"]))
         if op in ("$trim", "$ltrim", "$rtrim") and isinstance(args, dict):
             if "chars" in args:
                 raise ValueError(f"{op} with chars is not supported — "

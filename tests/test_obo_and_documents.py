@@ -864,3 +864,39 @@ def test_mongo_graphlookup_unbounded_doubling_path(spark):
     # the cycle converges to both members (each reaches the other and,
     # via the closure, itself)
     assert set(f["Loop1"]) == {"Loop1", "Loop2"}
+
+
+def test_mongo_dates_and_expr_match(spark):
+    """Date parts read the wall clock (house NTZ rule), $dayOfWeek
+    agrees with Mongo's 1=Sunday, $dateToString translates Mongo
+    %-specifiers (unknown specifiers and stray letters refused),
+    timezone arguments are refused, and $expr works in $match with
+    Mongo's null-is-falsy query rule."""
+    import datetime
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 7, 14, 30, 5), 10, 4),
+         (2, datetime.datetime(2024, 3, 9, 2, 0, 0), None, 1)],
+        "_id int, ts timestamp_ntz, a int, b int")
+    r = mongo_aggregate(df, [
+        {"$match": {"_id": 1}},
+        {"$addFields": {
+            "y": {"$year": "$ts"}, "h": {"$hour": {"date": "$ts"}},
+            "dow": {"$dayOfWeek": "$ts"},
+            "s": {"$dateToString": {"date": "$ts",
+                                    "format": "%Y-%m-%d %H:%M:%S"}}}}]).first()
+    assert (r.y, r.h, r.dow) == (2024, 14, 5)  # Thursday
+    assert r.s == "2024-03-07 14:30:05"
+
+    # $expr in $match; null expression result is FALSY (row 2's a is null)
+    assert mongo_aggregate(df, [{"$match": {"$expr": {
+        "$gt": ["$a", {"$multiply": ["$b", 2]}]}}}]).count() == 1
+
+    for bad in ({"$dateToString": {"date": "$ts", "timezone": "UTC"}},
+                {"$dateToString": {"date": "$ts", "format": "%Q"}},
+                {"$dateToString": {"date": "$ts", "format": "at %H"}},
+                {"$year": {"date": "$ts", "timezone": "UTC"}}):
+        with pytest.raises(ValueError):
+            mongo_aggregate(df, [{"$addFields": {"z": bad}}])
