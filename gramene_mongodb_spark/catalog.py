@@ -12959,6 +12959,50 @@ def x_mongo_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_lookup_pipeline",
+    """
+    SELECT o.o_orderkey,
+           CAST(l.l_partkey AS BIGINT) AS part,
+           CAST(floor(l.l_quantity) AS BIGINT) AS qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 30
+    """,
+    "documents", "S10", "J8", "J11",
+)
+def x_mongo_lookup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN $lookup form (let + correlated sub-pipeline) through
+    the shim (documents._mongo_lookup_pipeline): the correlated $expr
+    $eq compiles to ONE hash join — never the per-outer-document
+    collection scan Mongo executes — with the row-wise quantity filter
+    and projection running once over the matched side (pushdown-
+    eligible), then the standard $unwind flattens the arrays for the
+    hash gate. The oracle is the relational restatement: a plain
+    filtered equi-join."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    res = DOC.mongo_aggregate(orders, [
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"oid": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$oid", "$l_orderkey"]}}},
+                {"$match": {"qty": {"$gte": 30}}},
+                {"$project": {"l_partkey": 1, "qty": 1}},
+            ],
+            "as": "lines"}},
+        {"$unwind": "$lines"},
+        {"$project": {"o_orderkey": 1, "part": "$lines.l_partkey",
+                      "qty": "$lines.qty"}},
+    ], collections={"lineitem": li})
+    return res.withColumn("part", F.col("part").cast("long"))
+
+
+@register(
     "x_event_transitions",
     """
     WITH e AS (
@@ -13116,12 +13160,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
-    # first (the seven entries added THIS round), then the
+    # first (the eight entries added THIS round), then the
     # changed-since-attestation entry (x_random_projection — its r11
     # green predates the degenerate-input fixture), then the ENTIRE
-    # r8-stale cohort (12), then the 30 alphabetically-first of the 49
+    # r8-stale cohort (12), then the 29 alphabetically-first of the 49
     # r9-stale greens. After this round the latest-attestation
-    # histogram has no r8 bucket and 19 r9 leftovers (x_bpe_encode …,
+    # histogram has no r8 bucket and 20 r9 leftovers (x_bloom_prefilter …,
     # the alphabetical tail — r14's rotation seed).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
@@ -13132,7 +13176,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # never-attested (registered this round)
     "x_mongo_graphlookup", "pipeline_release_e2e",
     "x_mongo_window", "x_mongo_densify_fill", "x_mongo_merge",
-    "x_mongo_expressions", "x_mongo_dates",
+    "x_mongo_expressions", "x_mongo_dates", "x_mongo_lookup_pipeline",
     # fixture changed after its last (r11) attestation
     "x_random_projection",
     # stalest greens — last attested r8 (all 12)
@@ -13151,7 +13195,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
     "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
     "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
-    "x_bleu_eval", "x_bloom_prefilter",
+    "x_bleu_eval",
 )
 
 

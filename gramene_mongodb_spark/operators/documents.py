@@ -965,6 +965,166 @@ def _mongo_fill(out: DataFrame, spec: dict) -> DataFrame:
     return out
 
 
+def _eq_join_pairs(cond, let_names: set[str]) -> list[tuple]:
+    """Decompose a correlated $expr condition into equi-join pairs.
+
+    Accepts ``{"$eq": [a, b]}`` or ``{"$and": [list of $eq]}`` where in
+    each pair ONE side references only ``$$let`` variables (the outer
+    key expression) and the other references only inner fields.
+    Returns [(outer_side_spec, inner_side_spec), ...]; anything else
+    raises — a non-equi correlation has no hash-join compile and Mongo
+    itself executes it as a per-document scan, which is exactly the
+    shape this shim refuses to hide."""
+    def refs(spec, out: set):
+        if isinstance(spec, str):
+            if spec.startswith("$$"):
+                out.add("let")
+            elif spec.startswith("$"):
+                out.add("field")
+        elif isinstance(spec, dict):
+            for v in spec.values():
+                refs(v, out)
+        elif isinstance(spec, (list, tuple)):
+            for v in spec:
+                refs(v, out)
+        return out
+
+    conds = []
+    if isinstance(cond, dict) and set(cond) == {"$and"}:
+        conds = list(cond["$and"])
+    else:
+        conds = [cond]
+    pairs = []
+    for c in conds:
+        if not (isinstance(c, dict) and set(c) == {"$eq"} and len(c["$eq"]) == 2):
+            raise ValueError(
+                "$lookup pipeline form: the correlated $match must be an "
+                "$expr $eq (or $and of $eq) — non-equi correlations are "
+                "refused, not silently turned into a per-document scan"
+            )
+        a, b = c["$eq"]
+        ra, rb = refs(a, set()), refs(b, set())
+        if ra <= {"let"} and rb <= {"field"} and "let" in ra:
+            pairs.append((a, b))
+        elif rb <= {"let"} and ra <= {"field"} and "let" in rb:
+            pairs.append((b, a))
+        else:
+            raise ValueError(
+                "$lookup pipeline form: each $eq must compare a $$let "
+                "expression with an inner-field expression"
+            )
+    return pairs
+
+
+def _mongo_lookup_pipeline(
+    out: DataFrame, spec: dict, collections: dict[str, DataFrame] | None
+) -> DataFrame:
+    """The modern ``$lookup`` form — ``let`` variables + a correlated
+    sub-``pipeline`` — compiled to ONE relational equi-join.
+
+    Compilable subset (everything else refuses loudly):
+
+    * The FIRST sub-pipeline stage must be the correlated
+      ``{"$match": {"$expr": …}}`` whose condition decomposes into
+      equi-pairs of (outer ``$$let`` expression, inner field
+      expression) — see :func:`_eq_join_pairs`. This is the form the
+      idiom exists for; Mongo executes anything else as a per-outer-doc
+      collection scan, which a distributed engine should surface, not
+      emulate.
+    * Remaining sub-pipeline stages must be ROW-WISE ($match without
+      $$vars, $project, $addFields/$set, $unwind): row-wise transforms
+      commute with the per-outer-doc grouping, so they run ONCE over
+      the matched side globally instead of once per outer doc.
+      ($project inclusions are transparently extended with the hidden
+      join-key columns; the keys never appear in the output docs.)
+    * Join equality is null-safe via single-field-struct keys — the
+      same $lookup null-matches-null rule as the classic form.
+
+    Output: ``as`` holds the array of sub-pipeline output docs per
+    outer doc (empty array when nothing matched — Mongo's contract).
+
+    Scale: the correlated scan Mongo would do per document becomes one
+    hash join on the extracted keys; the row-wise stages stay on the
+    matched side pre-aggregation, so Catalyst pushes their predicates
+    into the inner scan."""
+    frm, as_f = spec["from"], spec["as"]
+    if not collections or frm not in collections:
+        raise ValueError(f"$lookup from unknown collection {frm!r}")
+    inner = collections[frm]
+    let = spec.get("let", {})
+    sub_pipe = list(spec["pipeline"])
+    if not sub_pipe or set(sub_pipe[0]) != {"$match"} or not (
+        isinstance(sub_pipe[0]["$match"], dict)
+        and set(sub_pipe[0]["$match"]) == {"$expr"}
+    ):
+        raise ValueError(
+            "$lookup pipeline form: the first stage must be the correlated "
+            "{'$match': {'$expr': …}}"
+        )
+    pairs = _eq_join_pairs(sub_pipe[0]["$match"]["$expr"], set(let))
+    rest = sub_pipe[1:]
+
+    # hidden key columns on the inner side, computed from ORIGINAL docs
+    # (Mongo runs the correlated match before the rest of the pipeline)
+    kcols = [f"__lkp_k{i}" for i in range(len(pairs))]
+    inner_keyed = inner.select(
+        "*", *[F.struct(_mongo_expr(inz)).alias(k)
+               for k, (_, inz) in zip(kcols, pairs)]
+    )
+    # row-wise rest stages, with $project inclusions extended to keep
+    # the hidden keys alive
+    for st in rest:
+        if len(st) != 1:
+            raise ValueError(f"each stage must have exactly one operator: {st}")
+        sop, sspec = next(iter(st.items()))
+        if sop not in ("$match", "$project", "$addFields", "$set", "$unwind"):
+            raise ValueError(
+                f"$lookup pipeline form: stage {sop} after the correlated "
+                "match is not row-wise compilable — refused"
+            )
+        if sop == "$match" and _expr_uses_let(sspec):
+            raise ValueError("$lookup pipeline form: only the FIRST stage "
+                             "may be correlated")
+        if sop == "$project":
+            inc = {k: v for k, v in sspec.items() if v in (1, True)}
+            if inc:
+                sspec = {**sspec, **{k: 1 for k in kcols}}
+        inner_keyed = _mongo_aggregate_impl(inner_keyed, [{sop: sspec}],
+                                            collections)
+    doc_cols = [c for c in inner_keyed.columns if c not in kcols]
+    right = inner_keyed.select(
+        *kcols, F.struct(*[F.col(c) for c in doc_cols]).alias("__lkp_doc")
+    )
+    # outer key expressions: $$var resolves through the let bindings
+    env = {name: _mongo_expr(expr) for name, expr in let.items()}
+    okeys = [F.struct(_mongo_expr(oz, env)) for oz, _ in pairs]
+    per_key = right.groupBy(*kcols).agg(
+        F.collect_list("__lkp_doc").alias("__lkp_arr")
+    )
+    keyed = out.select(
+        "*", *[ok.alias(k) for ok, k in zip(okeys, kcols)]
+    )
+    cond = None
+    for k in kcols:
+        e = keyed[k] == per_key[k]
+        cond = e if cond is None else cond & e
+    return (
+        keyed.join(per_key, on=cond, how="left")
+        .withColumn(as_f, F.coalesce(F.col("__lkp_arr"), F.array()))
+        .drop("__lkp_arr", *kcols)
+    )
+
+
+def _expr_uses_let(spec) -> bool:
+    if isinstance(spec, str):
+        return spec.startswith("$$")
+    if isinstance(spec, dict):
+        return any(_expr_uses_let(v) for v in spec.values())
+    if isinstance(spec, (list, tuple)):
+        return any(_expr_uses_let(v) for v in spec)
+    return False
+
+
 def _mongo_merge(result: DataFrame, spec, collections) -> DataFrame:
     """Compile ``$merge`` — Mongo's upsert-into-collection terminal
     stage (`trees/speciesTree.js:230-252`-style ``update({_id}, doc,
@@ -1260,6 +1420,9 @@ def _mongo_aggregate_impl(
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"each stage must have exactly one operator: {stage}")
         op, spec = next(iter(stage.items()))
+        if op == "$lookup" and "pipeline" in spec:
+            out = _mongo_lookup_pipeline(out, spec, collections)
+            continue
         if op == "$lookup":
             frm, lf = spec["from"], spec["localField"]
             ff, as_f = spec["foreignField"], spec["as"]

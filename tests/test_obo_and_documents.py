@@ -900,3 +900,45 @@ def test_mongo_dates_and_expr_match(spark):
                 {"$year": {"date": "$ts", "timezone": "UTC"}}):
         with pytest.raises(ValueError):
             mongo_aggregate(df, [{"$addFields": {"z": bad}}])
+
+
+def test_mongo_lookup_pipeline_form(spark):
+    """$lookup with let + correlated sub-pipeline: $expr equi-pairs
+    become ONE hash join; row-wise rest stages run once globally
+    ($project transparently keeps the hidden join keys alive and they
+    never leak into the output docs); dry lookups yield empty arrays;
+    non-equi correlations, correlated later stages, non-row-wise
+    stages and a missing correlated first stage all refuse loudly."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    orders = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "_id int, cust string")
+    items = spark.createDataFrame(
+        [(1, "apple", 3), (1, "pear", 5), (2, "apple", 1), (9, "kiwi", 2)],
+        "order_id int, sku string, qty int")
+    coll = {"items": items}
+    res = mongo_aggregate(orders, [{"$lookup": {
+        "from": "items", "let": {"oid": "$_id"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$oid", "$order_id"]}}},
+            {"$match": {"qty": {"$gte": 2}}},
+            {"$project": {"sku": 1, "qty": 1}},
+        ],
+        "as": "lines"}}], collections=coll)
+    rows = {r._id: sorted((x["sku"], x["qty"]) for x in r["lines"])
+            for r in res.collect()}
+    assert rows == {1: [("apple", 3), ("pear", 5)], 2: [], 3: []}
+    assert set(res.schema["lines"].dataType.elementType.names) == {"sku", "qty"}
+
+    for bad in (
+        [{"$match": {"$expr": {"$gt": ["$$oid", "$order_id"]}}}],
+        [{"$match": {"$expr": {"$eq": ["$$oid", "$order_id"]}}},
+         {"$match": {"$expr": {"$eq": ["$$oid", "$qty"]}}}],
+        [{"$match": {"$expr": {"$eq": ["$$oid", "$order_id"]}}},
+         {"$group": {"_id": None, "n": {"$sum": 1}}}],
+        [{"$project": {"sku": 1}}],
+    ):
+        with pytest.raises(ValueError):
+            mongo_aggregate(orders, [{"$lookup": {
+                "from": "items", "let": {"oid": "$_id"},
+                "pipeline": bad, "as": "z"}}], collections=coll)
