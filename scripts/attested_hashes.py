@@ -158,6 +158,8 @@ def refresh(round_no: int, parity_path: str) -> None:
             "round": round_no,
             "tree": "HEAD",
         }
+        if "oracle_hash" in parity[name]:
+            baseline[name]["oracle_hash"] = parity[name]["oracle_hash"]
     BASELINE.write_text(json.dumps(baseline, indent=1, sort_keys=True) + "\n")
     print(f"refreshed {len(_DRIVER_WINDOW)} windowed entries to round {round_no}")
 

@@ -62,10 +62,18 @@ def main() -> int:
                     n_fail += 1
             else:
                 row = {"gate": "rows_only", "ok": True, "rows": df.count()}
-            # result fingerprint for the rotation guard (see
+            # result + oracle fingerprints for the rotation guard (see
             # tests/oracle.spark_value_hash): lets the next round prove
-            # "unchanged since last attestation" per entry
+            # "unchanged since last attestation" per entry — the oracle
+            # text is hashed too, because an entry whose ORACLE changed
+            # is claiming an old green that validated a different check
             row["value_hash"] = spark_value_hash(df)
+            if name in osql:
+                import hashlib
+
+                row["oracle_hash"] = hashlib.sha256(
+                    osql[name].encode()
+                ).hexdigest()
         except Exception as exc:  # noqa: BLE001 — report, don't die mid-sweep
             row = {"gate": "error", "ok": False, "msg": f"{type(exc).__name__}: {exc}"}
             n_fail += 1

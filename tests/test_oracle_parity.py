@@ -200,6 +200,8 @@ def test_changed_entries_are_windowed():
         "PARITY_SF001.json was swept on a different registry — regenerate "
         "it (scripts/parity.py) before relying on the rotation guard"
     )
+    import hashlib
+
     window = set(catalog._DRIVER_WINDOW)
     flagged = []
     for name in sorted(catalog.REGISTRY):
@@ -209,12 +211,25 @@ def test_changed_entries_are_windowed():
         base = baseline.get(name)
         if base is None:
             flagged.append((name, "never attested (no baseline hash)"))
-        elif cur is None:
+            continue
+        if cur is None:
             flagged.append((name, "no value_hash in parity artifact"))
         elif cur != base["value_hash"]:
             flagged.append(
                 (name, f"result changed since its r{base['round']} attestation")
             )
+        # an entry whose ORACLE text changed claims an old green that
+        # validated a DIFFERENT check — equally stale evidence. Current
+        # hash comes straight from the live registry, so this half of
+        # the guard can't be starved by a stale artifact.
+        spec = catalog.REGISTRY[name]
+        if spec.oracle and "oracle_hash" in base:
+            cur_o = hashlib.sha256(spec.oracle.encode()).hexdigest()
+            if cur_o != base["oracle_hash"]:
+                flagged.append(
+                    (name, f"oracle changed since its r{base['round']} "
+                           "attestation")
+                )
     assert not flagged, (
         "entries changed (or never attested) but left OUT of the driver "
         f"window — rotate them in: {flagged}"
