@@ -2889,3 +2889,129 @@ def test_mp3_roundtrip_property(seed, n_frames, kind, rate, kbps, protection):
             err = xs[seg] - ys[seg]
             snr = 10 * np.log10((xs[seg] @ xs[seg]) / max(err @ err, 1e-18))
             assert snr > 3.0, snr
+
+
+# ---------------------------------------------------------------------------
+# Mongo expression compiler vs a pure-Python reference interpreter
+# ---------------------------------------------------------------------------
+
+#: scalar grammar over document fields a/b (ints) — closed under the
+#: null-free integer subset so the reference interpreter stays exact:
+#: literals, field refs, $add/$subtract/$multiply, $mod by a positive
+#: literal (Spark/Java REMAINDER semantics — sign of the dividend —
+#: which Python's % does not share; the interpreter models remainder),
+#: $abs, and $cond over a comparison.
+def _scalar_expr(depth: int):
+    base = st.one_of(
+        st.integers(-50, 50).map(lambda v: {"$literal": v}),
+        st.sampled_from(["$a", "$b"]),
+    )
+    if depth == 0:
+        return base
+    sub = _scalar_expr(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(st.sampled_from(["$add", "$subtract", "$multiply"]), sub, sub)
+        .map(lambda t: {t[0]: [t[1], t[2]]}),
+        st.tuples(sub, st.integers(1, 7)).map(
+            lambda t: {"$mod": [t[0], {"$literal": t[1]}]}
+        ),
+        sub.map(lambda e: {"$abs": e}),
+        st.tuples(st.sampled_from(["$gt", "$lte", "$eq"]), sub, sub, sub, sub)
+        .map(lambda t: {"$cond": [{t[0]: [t[1], t[2]]}, t[3], t[4]]}),
+    )
+
+
+#: inner grammar for higher-order lambdas (over $$this, and $$value in
+#: $reduce) — shallow on purpose; the compile path is what's under test
+def _inner_expr(vars_):
+    base = st.one_of(
+        st.integers(-9, 9).map(lambda v: {"$literal": v}),
+        st.sampled_from(vars_),
+    )
+    return st.one_of(
+        base,
+        st.tuples(st.sampled_from(["$add", "$multiply"]), base, base)
+        .map(lambda t: {t[0]: [t[1], t[2]]}),
+        base.map(lambda e: {"$abs": e}),
+    )
+
+
+expr_case = st.fixed_dictionaries({
+    "scalar": _scalar_expr(3),
+    "map_in": _inner_expr(["$$this"]),
+    "filt_rhs": st.integers(-9, 9),
+    "red_in": st.tuples(_inner_expr(["$$value", "$$this"]),
+                        _inner_expr(["$$value", "$$this"]))
+    .map(lambda t: {"$add": [t[0], t[1]]}),
+})
+
+docs_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(-50, 50),
+              st.lists(st.integers(-9, 9), min_size=1, max_size=6)),
+    min_size=1, max_size=8,
+)
+
+
+def _rem(a: int, m: int) -> int:
+    """Java/Spark integer remainder: sign follows the DIVIDEND."""
+    return a % m if a >= 0 else -((-a) % m)
+
+
+def _py_eval(spec, doc: dict, env: dict):
+    if isinstance(spec, str) and spec.startswith("$$"):
+        return env[spec[2:]]
+    if isinstance(spec, str) and spec.startswith("$"):
+        return doc[spec[1:]]
+    if isinstance(spec, dict):
+        (op, args), = spec.items()
+        if op == "$literal":
+            return args
+        if op == "$cond":
+            c, t, e = args
+            return _py_eval(t, doc, env) if _py_eval(c, doc, env) \
+                else _py_eval(e, doc, env)
+        if op in ("$gt", "$lte", "$eq"):
+            a, b = (_py_eval(x, doc, env) for x in args)
+            return {"$gt": a > b, "$lte": a <= b, "$eq": a == b}[op]
+        if op == "$abs":
+            return abs(_py_eval(args, doc, env))
+        if op == "$mod":
+            a, m = (_py_eval(x, doc, env) for x in args)
+            return _rem(a, m)
+        a, b = (_py_eval(x, doc, env) for x in args)
+        return {"$add": a + b, "$subtract": a - b, "$multiply": a * b}[op]
+    return spec
+
+
+@given(case=expr_case, rows=docs_rows)
+@settings(**SETTINGS)
+def test_mongo_expr_compiler_matches_reference(spark, case, rows):
+    """The shim's expression compiler (documents._mongo_expr) agrees
+    with a pure-Python reference interpreter on a recursive null-free
+    integer grammar — scalar arithmetic with Java remainder semantics,
+    $cond over comparisons, and the higher-order trio with bound
+    variables ($filter/$map/$reduce)."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(i, a, b, arr) for i, (a, b, arr) in enumerate(rows)],
+        "_id int, a int, b int, arr array<int>")
+    got = {r._id: r for r in mongo_aggregate(df, [{"$addFields": {
+        "s": case["scalar"],
+        "m": {"$map": {"input": "$arr", "in": case["map_in"]}},
+        "f": {"$filter": {"input": "$arr",
+                          "cond": {"$gt": ["$$this", case["filt_rhs"]]}}},
+        "r": {"$reduce": {"input": "$arr", "initialValue": 0,
+                          "in": case["red_in"]}},
+    }}]).collect()}
+    for i, (a, b, arr) in enumerate(rows):
+        doc = {"a": a, "b": b, "arr": arr}
+        assert got[i].s == _py_eval(case["scalar"], doc, {})
+        assert got[i].m == [
+            _py_eval(case["map_in"], doc, {"this": x}) for x in arr]
+        assert got[i].f == [x for x in arr if x > case["filt_rhs"]]
+        acc = 0
+        for x in arr:
+            acc = _py_eval(case["red_in"], doc, {"value": acc, "this": x})
+        assert got[i].r == acc
