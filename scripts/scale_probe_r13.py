@@ -202,6 +202,51 @@ def probe_isolated_control(spark):
     conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+
+
+def probe_new_entries_10x(spark):
+    """Wall-factor rows for the round-13 shim entries at 1× (sf0.1) vs
+    10× replication (orderkeys/custkeys shifted so keys stay unique,
+    customers and lineitem replicated alongside orders). The claim
+    under test: every new entry's plan is keyed-exchange-shaped, so
+    10× the input must cost ≲10× the wall (α = log10(t10/t1) ≤ 1)."""
+    from gramene_mongodb_spark.catalog import REGISTRY
+
+    d10 = f"{DST}/entries10x"
+    if not os.path.exists(f"{d10}/orders.parquet"):
+        reps = spark.range(10).withColumnRenamed("id", "__rep")
+        orders = spark.read.parquet(f"{SRC}/orders.parquet")
+        cust = spark.read.parquet(f"{SRC}/customer.parquet")
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        n_cust = cust.count()
+        (orders.crossJoin(reps)
+         .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * 100_000_000)
+         .withColumn("o_custkey", F.col("o_custkey") + F.col("__rep") * n_cust)
+         .drop("__rep").write.mode("overwrite").parquet(f"{d10}/orders.parquet"))
+        (cust.crossJoin(reps)
+         .withColumn("c_custkey", F.col("c_custkey") + F.col("__rep") * n_cust)
+         .drop("__rep").write.mode("overwrite").parquet(f"{d10}/customer.parquet"))
+        (li.crossJoin(reps)
+         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * 100_000_000)
+         .drop("__rep").write.mode("overwrite").parquet(f"{d10}/lineitem.parquet"))
+        for t in ("nation", "region", "events", "documents", "embeddings",
+                  "part", "supplier"):
+            p = f"{SRC}/{t}.parquet"
+            if os.path.exists(p):
+                spark.read.parquet(p).write.mode("overwrite").parquet(
+                    f"{d10}/{t}.parquet")
+    for name in ("x_mongo_graphlookup", "x_mongo_window", "x_mongo_merge",
+                 "x_mongo_lookup_pipeline", "x_mongo_densify_fill",
+                 "x_mongo_expressions", "pipeline_release_e2e"):
+        fn = REGISTRY[name].fn
+        for label, d in ((f"{name} 1x ", SRC), (f"{name} 10x", d10)):
+            run = lambda: fn(spark, d).write.format("noop").mode("overwrite").save()
+            run()  # warm
+            t0 = time.time()
+            run()
+            print(f"{label}: {time.time() - t0:.2f}s", flush=True)
+
+
 if __name__ == "__main__":
     # the probe reads per-stage shuffle metrics via the REST status
     # API, so it needs the UI server that get_spark disables (the r9
@@ -223,8 +268,12 @@ if __name__ == "__main__":
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build_fixtures(spark)
-    probe_composite(spark)
-    probe_attribution(spark)
-    probe_isolated_control(spark)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "skew"):
+        build_fixtures(spark)
+        probe_composite(spark)
+        probe_attribution(spark)
+        probe_isolated_control(spark)
+    if which in ("all", "new10x"):
+        probe_new_entries_10x(spark)
     spark.stop()
