@@ -737,6 +737,7 @@ def labeled_bfs(
     label: str = "label",
     vertex: str = "vertex",
     max_hops: int = 8,
+    detect_empty: bool = True,
 ) -> DataFrame:
     """Per-SOURCE multi-source BFS: for every (label, seed vertex) row in
     ``sources``, every vertex reachable from that seed within
@@ -758,6 +759,13 @@ def labeled_bfs(
     frontier is what moves. Worst case the visited table is
     |labels| × |reachable set|; the callers bound that with
     ``max_hops`` (Mongo's maxDepth) exactly as Mongo itself does.
+
+    ``detect_empty=False`` skips the per-round empty-frontier count —
+    one Spark action saved per hop. Right when ``max_hops`` is a HARD
+    bound the caller means to pay in full (Mongo's maxDepth): a
+    frontier that empties early just makes the remaining rounds cheap
+    empty jobs, the same bounded-contract trade as
+    transitive_closure's ``max_depth``.
 
     Output: (``label``, ``vertex``, ``dist``), dist ∈ [0, max_hops].
     """
@@ -784,7 +792,7 @@ def labeled_bfs(
             .withColumn("d", F.lit(hop).cast("long"))
             .repartition(parts)
         )
-        if nxt.limit(1).count() == 0:
+        if detect_empty and nxt.limit(1).count() == 0:
             break
         visited = hard_checkpoint(visited.unionByName(nxt))
         frontier = nxt

@@ -1314,10 +1314,17 @@ def _mongo_graph_lookup(
                 seeds.select("label", F.col("vertex").alias("node")), "node"
             ).select("label", F.col("ancestor").alias("vertex"))
         ).distinct()
+    elif max_depth is not None:
+        # bounded contract: run exactly maxDepth rounds with no
+        # per-round empty-frontier action (Mongo's bound is small and
+        # hard; an early-empty frontier makes leftover rounds cheap
+        # empty jobs)
+        reach = labeled_bfs(edges, seeds, max_hops=max_depth,
+                            detect_empty=False)
     else:
-        reach = labeled_bfs(
-            edges, seeds, max_hops=max_depth if max_depth is not None else 64
-        )
+        # depthField without maxDepth: fixpoint detection needed (the
+        # 64-round cap is a backstop, not the expected depth)
+        reach = labeled_bfs(edges, seeds, max_hops=64)
     doc_fields = [F.col(c) for c in ref.columns]
     if depth_f is not None:
         doc_fields.append(F.col("dist").alias(depth_f))
