@@ -543,6 +543,45 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             if args.get("timezone") is not None:
                 raise ValueError(f"{op} timezone is refused — wall clock only")
             return _EXPR_UNARY[op](sub(args["date"]))
+        if op == "$sortArray":
+            # {"$sortArray": {input, sortBy: 1|-1}} — scalar-element
+            # form; sortBy documents (field specs) are refused, not
+            # approximated
+            if not isinstance(args, dict) or "input" not in args:
+                raise ValueError("$sortArray requires {input, sortBy}")
+            direction = args.get("sortBy", 1)
+            if direction not in (1, -1):
+                raise ValueError(
+                    "$sortArray supports scalar sortBy 1/-1 only (field-"
+                    "spec sorts over document arrays are refused)"
+                )
+            arr = sub(args["input"])
+            out_arr = F.array_sort(arr)
+            return out_arr if direction == 1 else F.reverse(out_arr)
+        if op == "$getField":
+            if isinstance(args, dict):
+                fld, inp = args["field"], args.get("input", "$$CURRENT")
+                if inp == "$$CURRENT":
+                    return F.col(fld)
+                return sub(inp)[fld]
+            return F.col(args)  # shorthand: field name on the root doc
+        if op == "$zip" and isinstance(args, dict):
+            inputs = [sub(a) for a in args.get("inputs", [])]
+            if len(inputs) < 2:
+                raise ValueError("$zip requires at least two inputs")
+            if args.get("useLongestLength"):
+                # Mongo pads with defaults; the relational twin pads
+                # with NULL structs fields (arrays_zip) — defaults are
+                # refused rather than silently NULLed
+                if args.get("defaults") is not None:
+                    raise ValueError("$zip defaults are not supported — "
+                                     "pad upstream")
+                return F.arrays_zip(*inputs)
+            # Mongo default truncates to the SHORTEST input; output
+            # elements come back as STRUCTS (named 0..n-1), the
+            # relational-native shape for Mongo's positional arrays
+            shortest = functools.reduce(F.least, [F.size(c) for c in inputs])
+            return F.slice(F.arrays_zip(*inputs), 1, shortest)
         if op in ("$trim", "$ltrim", "$rtrim") and isinstance(args, dict):
             if "chars" in args:
                 raise ValueError(f"{op} with chars is not supported — "
@@ -604,6 +643,29 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             return F.slice(arr, pos + 1 if pos >= 0 else pos, n)
         if op == "$in":
             return F.array_contains(sub(args[1]), sub(args[0]))
+        if op == "$indexOfArray":
+            # Mongo: 0-based index of first match, -1 when absent
+            # (array_position is 1-based with 0-for-absent)
+            pos = F.array_position(sub(args[0]), sub(args[1]))
+            return (pos - 1).cast("int")
+        if op == "$range":
+            start, end = sub(args[0]), sub(args[1])
+            step = sub(args[2]) if len(args) > 2 else F.lit(1)
+            # Mongo $range is half-open [start, end); F.sequence is
+            # inclusive — stop one step short, and an empty range
+            # (nothing between start and end in step's direction)
+            # yields an empty array as in Mongo
+            last = end - F.when(step > 0, F.lit(1)).otherwise(F.lit(-1))
+            empty = F.when(step > 0, start >= end).otherwise(start <= end)
+            return F.when(empty, F.array().cast("array<int>")).otherwise(
+                F.sequence(start.cast("int"), last.cast("int"),
+                           step.cast("int"))
+            )
+        if op == "$zip":
+            raise ValueError(
+                "$zip is supported through the document form "
+                '{"$zip": {"inputs": [...]}} only'
+            )
         if op in ("$mod", "$pow"):
             a, b = sub(args[0]), sub(args[1])
             return a % b if op == "$mod" else F.pow(a, b)

@@ -942,3 +942,39 @@ def test_mongo_lookup_pipeline_form(spark):
             mongo_aggregate(orders, [{"$lookup": {
                 "from": "items", "let": {"oid": "$_id"},
                 "pipeline": bad, "as": "z"}}], collections=coll)
+
+
+def test_mongo_array_expression_batch(spark):
+    """Round-13 late batch: $sortArray (scalar 1/-1 only), $indexOfArray
+    (0-based, -1 absent), $range (half-open, negative steps, empty),
+    $zip (truncate-to-shortest default, struct elements; longest form
+    null-pads; defaults refused) and $getField."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame([(1, [3, 1, 2], [10, 20, 30, 40])],
+                               "_id int, a array<int>, b array<int>")
+    r = mongo_aggregate(df, [{"$addFields": {
+        "srt": {"$sortArray": {"input": "$a", "sortBy": 1}},
+        "srd": {"$sortArray": {"input": "$a", "sortBy": -1}},
+        "idx": {"$indexOfArray": ["$a", 2]},
+        "idm": {"$indexOfArray": ["$a", 99]},
+        "rng": {"$range": [0, 5]},
+        "rn2": {"$range": [5, 0, -2]},
+        "rn0": {"$range": [3, 3]},
+        "zp": {"$zip": {"inputs": ["$a", "$b"]}},
+        "zl": {"$zip": {"inputs": ["$a", "$b"], "useLongestLength": True}},
+        "gf": {"$getField": {"field": "_id"}},
+    }}]).first()
+    assert r.srt == [1, 2, 3] and r.srd == [3, 2, 1]
+    assert r.idx == 2 and r.idm == -1
+    assert r.rng == [0, 1, 2, 3, 4] and r.rn2 == [5, 3, 1] and r.rn0 == []
+    assert [tuple(x) for x in r.zp] == [(3, 10), (1, 20), (2, 30)]
+    assert len(r.zl) == 4 and r.zl[3][0] is None
+    assert r.gf == 1
+    for bad in ({"$sortArray": {"input": "$a", "sortBy": {"x": 1}}},
+                {"$zip": {"inputs": ["$a"]}},
+                {"$zip": {"inputs": ["$a", "$b"], "useLongestLength": True,
+                          "defaults": [0, 0]}},
+                {"$zip": ["$a", "$b"]}):
+        with pytest.raises(ValueError):
+            mongo_aggregate(df, [{"$addFields": {"z": bad}}])
