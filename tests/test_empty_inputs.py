@@ -407,3 +407,60 @@ def test_label_propagation_empty(spark):
 
     edges = spark.createDataFrame([], "src LONG, dst LONG")
     assert label_propagation(edges).count() == 0
+
+
+def test_mongo_new_stages_empty_inputs(spark):
+    """Round-13 shim stages over EMPTY frames: window fields, densify,
+    fill, graphLookup (both strategies), merge (both directions empty),
+    unionWith, lookup pipeline form — all must yield sane empty/other-
+    side results, never crash on the degenerate case a real migration
+    hits first."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    empty = spark.createDataFrame([], "_id int, p string, t int, v int")
+    one = spark.createDataFrame([(1, "a", 2, 5)], "_id int, p string, t int, v int")
+
+    # window/fill/densify on empty input
+    assert mongo_aggregate(empty, [{"$setWindowFields": {
+        "partitionBy": "$p", "sortBy": {"t": 1},
+        "output": {"c": {"$sum": "$v",
+                         "window": {"documents": ["unbounded", "current"]}},
+                   "r": {"$rank": {}}}}}]).count() == 0
+    assert mongo_aggregate(empty, [{"$densify": {
+        "field": "t", "partitionByFields": ["p"],
+        "range": {"step": 2, "bounds": "partition"}}}]).count() == 0
+    # explicit bounds over empty input: no partitions exist -> no grid
+    assert mongo_aggregate(empty, [{"$densify": {
+        "field": "t", "partitionByFields": ["p"],
+        "range": {"step": 2, "bounds": [0, 10]}}}]).count() == 0
+    assert mongo_aggregate(empty, [{"$fill": {
+        "partitionBy": "$p", "sortBy": {"t": 1},
+        "output": {"v": {"method": "locf"}}}}]).count() == 0
+
+    # graphLookup: empty input (both strategies) and empty collection
+    gl = {"from": "c", "startWith": "$p", "connectFromField": "p",
+          "connectToField": "p", "as": "chain"}
+    assert mongo_aggregate(empty, [{"$graphLookup": gl}],
+                           collections={"c": one}).count() == 0
+    assert mongo_aggregate(empty, [{"$graphLookup": {**gl, "depthField": "d",
+                                                     "maxDepth": 2}}],
+                           collections={"c": one}).count() == 0
+    got = mongo_aggregate(one, [{"$graphLookup": gl}],
+                          collections={"c": empty}).collect()
+    assert len(got) == 1 and got[0]["chain"] == []
+
+    # merge: empty updates keep the target; empty target inserts all
+    m = {"into": "t", "on": "_id"}
+    assert mongo_aggregate(empty, [{"$merge": m}],
+                           collections={"t": one}).count() == 1
+    assert mongo_aggregate(one, [{"$merge": m}],
+                           collections={"t": empty}).count() == 1
+
+    # unionWith with one empty side; lookup pipeline over empty inner
+    assert mongo_aggregate(empty, [{"$unionWith": "o"}],
+                           collections={"o": one}).count() == 1
+    lp = mongo_aggregate(one, [{"$lookup": {
+        "from": "i", "let": {"x": "$_id"},
+        "pipeline": [{"$match": {"$expr": {"$eq": ["$$x", "$_id"]}}}],
+        "as": "z"}}], collections={"i": empty}).collect()
+    assert len(lp) == 1 and lp[0]["z"] == []

@@ -3015,3 +3015,100 @@ def test_mongo_expr_compiler_matches_reference(spark, case, rows):
         for x in arr:
             acc = _py_eval(case["red_in"], doc, {"value": acc, "this": x})
         assert got[i].r == acc
+
+
+# ---------------------------------------------------------------------------
+# $merge matrix vs a dict-merge reference
+# ---------------------------------------------------------------------------
+
+_merge_rows = st.lists(
+    st.tuples(st.integers(0, 9),
+              st.one_of(st.none(), st.integers(-5, 5)),
+              st.one_of(st.none(), st.integers(-5, 5))),
+    min_size=0, max_size=8, unique_by=lambda t: t[0],
+)
+
+
+@given(
+    target=_merge_rows, updates=_merge_rows,
+    wm=st.sampled_from(["replace", "merge", "keepExisting"]),
+    wn=st.sampled_from(["insert", "discard"]),
+)
+@settings(**SETTINGS)
+def test_mongo_merge_matches_dict_reference(spark, target, updates, wm, wn):
+    """documents._mongo_merge agrees with a per-key Python dict merge
+    across the whenMatched × whenNotMatched matrix, including null
+    fields (merge keeps target values where the update is null —
+    Mongo's field-wise $set under the null≈missing convention)."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    schema = "_id int, x int, y int"
+    t_df = spark.createDataFrame(target, schema)
+    u_df = spark.createDataFrame(updates, schema)
+    got = {
+        r._id: (r.x, r.y)
+        for r in mongo_aggregate(u_df, [{"$merge": {
+            "into": "t", "on": "_id",
+            "whenMatched": wm, "whenNotMatched": wn}}],
+            collections={"t": t_df}).collect()
+    }
+
+    ref = {k: (x, y) for k, x, y in target}
+    for k, x, y in updates:
+        if k in ref:
+            tx, ty = ref[k]
+            if wm == "replace":
+                ref[k] = (x, y)
+            elif wm == "merge":
+                ref[k] = (x if x is not None else tx,
+                          y if y is not None else ty)
+            # keepExisting: unchanged
+        elif wn == "insert":
+            ref[k] = (x, y)
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# $densify grid invariants
+# ---------------------------------------------------------------------------
+
+_densify_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 40)),
+    min_size=1, max_size=12, unique=True,
+)
+
+
+@given(rows=_densify_rows, step=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_mongo_densify_partition_grid_invariants(spark, rows, step):
+    """$densify bounds "partition": for every partition, (a) every grid
+    value min+k·step ≤ max is present exactly once afterwards, (b) every
+    original (incl. off-grid) value survives, (c) nothing else is
+    added, and (d) generated rows carry NULL payloads."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame([(p, t, t * 10) for p, t in rows],
+                               "p string, t int, v int")
+    out = mongo_aggregate(df, [{"$densify": {
+        "field": "t", "partitionByFields": ["p"],
+        "range": {"step": step, "bounds": "partition"}}}]).collect()
+
+    by_part: dict = {}
+    for p, t in rows:
+        by_part.setdefault(p, set()).add(t)
+    expected = {}
+    for p, ts in by_part.items():
+        grid = set(range(min(ts), max(ts) + 1, step))
+        expected[p] = ts | grid
+    got: dict = {}
+    for r in out:
+        got.setdefault(r.p, []).append((r.t, r.v))
+    assert {p: {t for t, _ in v} for p, v in got.items()} == expected
+    for p, tv in got.items():
+        ts = [t for t, _ in tv]
+        assert len(ts) == len(set(ts))  # exactly once
+        for t, v in tv:
+            if t in by_part[p]:
+                assert v == t * 10      # originals keep payloads
+            else:
+                assert v is None        # generated rows: NULL payload
