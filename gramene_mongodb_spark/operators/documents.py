@@ -250,7 +250,10 @@ _CMP_OPS = {
 
 
 def _mongo_predicate(field: str, spec) -> Column:
-    col = F.col(field)
+    return _col_predicate(F.col(field), spec)
+
+
+def _col_predicate(col: Column, spec) -> Column:
     if not isinstance(spec, dict):
         # bare equality; null-safe (<=>) so {field: None} matches
         # missing/null like Mongo's {field: null}
@@ -294,7 +297,53 @@ def _mongo_predicate(field: str, spec) -> Column:
             # Mongo $not matches docs where the field is MISSING (the
             # inner predicate never ran); a bare ~inner would be
             # null-poisoned and drop them — coalesce first
-            preds.append(~F.coalesce(_mongo_predicate(field, val), F.lit(False)))
+            preds.append(~F.coalesce(_col_predicate(col, val), F.lit(False)))
+        elif op == "$size":
+            # array-length match; a null/missing array never matches
+            # (Mongo: $size only matches actual arrays)
+            if not isinstance(val, int) or isinstance(val, bool):
+                raise ValueError("$size requires an int literal")
+            preds.append(F.coalesce(F.size(col) == val, F.lit(False)))
+        elif op == "$all":
+            if not isinstance(val, (list, tuple)):
+                raise ValueError("$all requires a list")
+            # every listed value must be contained; null/missing arrays
+            # never match. Empty $all matches nothing (Mongo: an empty
+            # $all matches no documents)
+            if not val:
+                preds.append(F.lit(False))
+            else:
+                p = None
+                for v in val:
+                    c = F.coalesce(
+                        F.array_contains(col, F.lit(v)), F.lit(False)
+                    )
+                    p = c if p is None else p & c
+                preds.append(p)
+        elif op == "$elemMatch":
+            if not isinstance(val, dict) or not val:
+                raise ValueError("$elemMatch requires a non-empty document")
+            # scalar-element form ({"$gt": 5, "$lt": 9}: operators apply
+            # to the element itself) vs document-element form (field
+            # specs apply to the element's struct fields) — Mongo
+            # forbids mixing them, so do we. Both compile to one
+            # F.exists lambda; null/missing arrays never match.
+            dollar = [k.startswith("$") for k in val]
+            if any(dollar) and not all(dollar):
+                raise ValueError(
+                    "$elemMatch cannot mix operators and field specs"
+                )
+
+            def _elem_pred(x: Column) -> Column:
+                if all(dollar):
+                    return _col_predicate(x, val)
+                ps = [_col_predicate(x[k], v) for k, v in val.items()]
+                out = ps[0]
+                for q in ps[1:]:
+                    out = out & q
+                return out
+
+            preds.append(F.coalesce(F.exists(col, _elem_pred), F.lit(False)))
         else:
             raise ValueError(f"unsupported mongo operator: {op}")
     out = preds[0]

@@ -978,3 +978,35 @@ def test_mongo_array_expression_batch(spark):
                 {"$zip": ["$a", "$b"]}):
         with pytest.raises(ValueError):
             mongo_aggregate(df, [{"$addFields": {"z": bad}}])
+
+
+def test_mongo_find_array_operators(spark):
+    """find() array operators: $size (arrays only — null/missing never
+    match), $all (conjunction of containment; empty $all matches
+    nothing), $elemMatch in both scalar-element and document-element
+    forms (mixing refused, as in Mongo)."""
+    from gramene_mongodb_spark.operators.documents import mongo_find
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], [(5, "a"), (9, "b")]),
+         (2, [2], [(1, "a")]),
+         (3, None, None),
+         (4, [], [])],
+        "_id int, tags array<int>, items array<struct<qty int, sku string>>")
+
+    def ids(q):
+        return sorted(r._id for r in mongo_find(df, q).collect())
+
+    assert ids({"tags": {"$size": 1}}) == [2]
+    assert ids({"tags": {"$size": 0}}) == [4]
+    assert ids({"tags": {"$all": [1, 3]}}) == [1]
+    assert ids({"tags": {"$all": [2]}}) == [1, 2]
+    assert ids({"tags": {"$all": []}}) == []
+    assert ids({"tags": {"$elemMatch": {"$gt": 1, "$lt": 3}}}) == [1, 2]
+    assert ids({"items": {"$elemMatch": {"qty": {"$gte": 9}, "sku": "b"}}}) == [1]
+    assert ids({"items": {"$elemMatch": {"sku": "a"}}}) == [1, 2]
+    for bad in ({"tags": {"$size": "x"}}, {"tags": {"$all": 3}},
+                {"items": {"$elemMatch": {}}},
+                {"items": {"$elemMatch": {"$gt": 1, "sku": "a"}}}):
+        with pytest.raises(ValueError):
+            mongo_find(df, bad)
