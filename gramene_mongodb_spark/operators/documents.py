@@ -839,6 +839,13 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     * Ties under a non-unique sortBy make documents-window accumulator
       results order-dependent in BOTH systems; fixtures/oracles must
       sort on a unique key (house a1 convention).
+    * NULL sort values under a range window: Mongo ERRORS at runtime
+      ("sortBy field must be numeric"); Spark groups the null rows into
+      their own peer frame (they see each other, no numeric rows).
+      Documented divergence (test-pinned) — a plan-time check can't see
+      the data, and a per-row assert would tax every row; filter or
+      coalesce nulls upstream when migrating a collection that has
+      them.
     """
     from pyspark.sql.window import Window
 

@@ -1010,3 +1010,18 @@ def test_mongo_find_array_operators(spark):
                 {"items": {"$elemMatch": {"$gt": 1, "sku": "a"}}}):
         with pytest.raises(ValueError):
             mongo_find(df, bad)
+
+
+def test_mongo_range_window_null_sort_divergence(spark):
+    """Documented divergence: Mongo ERRORS on null sortBy values under
+    a range window; the shim (Spark) groups null rows into their own
+    peer frame. Pinned so the behavior is a contract, not an accident."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 12), (4, None)],
+                               "_id int, x int")
+    r = {row._id: row.c for row in mongo_aggregate(df, [{"$setWindowFields": {
+        "sortBy": {"x": 1},
+        "output": {"c": {"$count": {}, "window": {"range": [-2, 0]}}},
+    }}]).collect()}
+    assert r == {1: 1, 3: 2, 2: 2, 4: 2}  # nulls form their own frame
