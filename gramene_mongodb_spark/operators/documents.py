@@ -786,6 +786,44 @@ def _mongo_accumulator(spec) -> Column:
         return F.first(_mongo_expr(arg))
     if op == "$last":
         return F.last(_mongo_expr(arg))
+    if op == "$count":
+        # accumulator form (Mongo 5.0): {"$count": {}}
+        if arg not in ({}, None):
+            raise ValueError("$count accumulator takes an empty document")
+        return F.count(F.lit(1))
+    if op == "$stdDevPop":
+        return F.stddev_pop(_mongo_expr(arg))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(_mongo_expr(arg))
+    if op in ("$top", "$bottom"):
+        # Mongo 5.2: the output of the doc that sorts first ($top) /
+        # last ($bottom). Single-field 1/-1 sortBy compiles to
+        # min_by/max_by (ties unspecified in BOTH systems — give the
+        # sort a unique tie-break key if determinism matters).
+        if not isinstance(arg, dict) or "output" not in arg or "sortBy" not in arg:
+            raise ValueError(f"{op} requires {{output, sortBy}}")
+        sort_by = arg["sortBy"]
+        if not isinstance(sort_by, dict) or len(sort_by) != 1:
+            raise ValueError(f"{op} supports a single sortBy field")
+        f, direction = next(iter(sort_by.items()))
+        if direction not in (1, -1):
+            raise ValueError("sortBy directions must be 1 or -1")
+        outc, key = _mongo_expr(arg["output"]), F.col(f)
+        want_min = (direction == 1) == (op == "$top")
+        return F.min_by(outc, key) if want_min else F.max_by(outc, key)
+    if op == "$mergeObjects":
+        # last-write-wins per field over encounter order on struct
+        # inputs: Spark's last(ignorenulls) per FIELD restates Mongo's
+        # document fold under the null≈missing convention — but that
+        # requires schema access, so keep the faithful whole-struct
+        # form: last non-null struct wins wholesale. Field-wise merge
+        # diverges; refuse rather than approximate.
+        raise ValueError(
+            "$mergeObjects is not supported — Mongo folds documents "
+            "FIELD-WISE, which has no faithful single-aggregate twin "
+            "over a fixed relational schema; restructure as explicit "
+            "per-field $last/$first accumulators"
+        )
     raise ValueError(f"unsupported accumulator: {op}")
 
 

@@ -1025,3 +1025,34 @@ def test_mongo_range_window_null_sort_divergence(spark):
         "output": {"c": {"$count": {}, "window": {"range": [-2, 0]}}},
     }}]).collect()}
     assert r == {1: 1, 3: 2, 2: 2, 4: 2}  # nulls form their own frame
+
+
+def test_mongo_group_accumulators_5x(spark):
+    """Mongo 5.x $group accumulators: $count (empty-doc form),
+    $stdDevPop/$stdDevSamp, $top/$bottom (single-field sortBy →
+    min_by/max_by); $mergeObjects refused with a restructuring hint."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 9, 5.0)],
+        "g string, seq int, v double")
+    r = {row._id: row for row in mongo_aggregate(df, [{"$group": {
+        "_id": "$g",
+        "n": {"$count": {}},
+        "sd": {"$stdDevPop": "$v"},
+        "first_v": {"$top": {"sortBy": {"seq": 1}, "output": "$v"}},
+        "last_v": {"$bottom": {"sortBy": {"seq": 1}, "output": "$v"}},
+        "max_v_doc": {"$top": {"sortBy": {"v": -1}, "output": "$seq"}},
+    }}]).collect()}
+    a = r["a"]
+    assert a.n == 3 and abs(a.sd - 8.16496580927726) < 1e-9
+    assert a.first_v == 10.0 and a.last_v == 20.0
+    assert a.max_v_doc == 2  # seq of the max-v row
+    assert r["b"].n == 1 and r["b"].sd == 0.0
+
+    for bad in ({"$count": {"x": 1}},
+                {"$top": {"output": "$v"}},
+                {"$top": {"sortBy": {"seq": 1, "v": 1}, "output": "$v"}},
+                {"$mergeObjects": "$v"}):
+        with pytest.raises(ValueError):
+            mongo_aggregate(df, [{"$group": {"_id": "$g", "z": bad}}])
