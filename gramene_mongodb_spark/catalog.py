@@ -12916,6 +12916,113 @@ def x_mongo_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_object_reshape",
+    r"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(regexp_extract(o_orderpriority, '^(\d)-(\w+)', 1) AS INT)
+               AS pnum,
+             regexp_extract(o_orderpriority, '^(\d)-(\w+)', 2) AS pword,
+             CASE WHEN regexp_matches(o_orderpriority, '(?i)specified')
+                  THEN 1 ELSE 0 END AS is_spec,
+             date_diff('month', o_orderdate,
+                       o_orderdate + INTERVAL 20 DAY) AS mcross
+      FROM orders),
+    kv AS (
+      SELECT b.*, t.k,
+             CASE t.k WHEN 'num'    THEN b.pnum
+                      WHEN 'keymod' THEN b.o_orderkey % 7
+                      WHEN 'wlen'   THEN length(b.pword) END AS v
+      FROM base b
+      CROSS JOIN (VALUES ('num'), ('keymod'), ('wlen')) AS t(k))
+    SELECT o_orderstatus AS status, pword, k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS v_sum,
+           CAST(sum(is_spec) AS BIGINT) AS n_spec,
+           CAST(sum(mcross) AS BIGINT) AS cross_sum
+    FROM kv GROUP BY 1, 2, 3
+    """,
+    "documents", "S10", "P8",
+)
+def x_mongo_object_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-14 expression tail (VERDICT r13 §missing #3) through
+    real stages — the operators the reference leans on hardest:
+
+    * ``$regexFind`` (capture groups → typed fields; the reference's
+      regex predicates, `trees/genetree.js:153-176`) parses
+      ``o_orderpriority`` ("1-URGENT") into number + word, and
+      ``$regexMatch`` with ``i`` pins inline-flag options;
+    * dynamic-key documents (`search/genetree_adder.js:166-172`, the
+      SURVEY §1.3 MapType convention): per-row docs built with
+      ``$arrayToObject`` (array-construction + embedded-doc
+      expressions), combined with ``$mergeObjects`` (disjoint keys —
+      duplicate-key behavior follows spark.sql.mapKeyDedupPolicy and
+      is pinned at the operator), then shredded back with
+      ``$objectToArray`` + ``$unwind`` into (k, v) rows — the
+      full reshape round-trip;
+    * ``$dateAdd`` + ``$dateDiff`` with Mongo's boundary-CROSSING
+      semantics: month crossings of a +20-day jump are 0 or 1
+      depending on day-of-month — truncate-then-diff, which DuckDB's
+      date_diff restates natively (both count partition boundaries,
+      unlike Spark's raw timestampdiff which counts elapsed units).
+
+    Everything compiles to JVM-side Catalyst expressions (regexp_*,
+    map_from_entries/map_entries/map_concat, timestamp_add/date_trunc)
+    — no Python UDF. The oracle restates the map round-trip as a
+    3-row constant CROSS JOIN (one row per map key) with a CASE-picked
+    value, so any drift in entry enumeration, merge policy, regex
+    semantics, or crossing counts breaks the hash.
+
+    Scale: per-row map building is scan-speed; the only exchange is
+    the final (status, pword, k) groupBy — map-side partials apply.
+    The constant 3× fan-out from $unwind is output-proportional."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    view = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority",
+                         "o_orderdate")
+    return DOC.mongo_aggregate(view, [
+        {"$addFields": {
+            "found": {"$regexFind": {"input": "$o_orderpriority",
+                                     "regex": r"^(\d)-(\w+)"}},
+            "is_spec": {"$regexMatch": {"input": "$o_orderpriority",
+                                        "regex": "specified",
+                                        "options": "i"}},
+            "mcross": {"$dateDiff": {
+                "startDate": "$o_orderdate",
+                "endDate": {"$dateAdd": {"startDate": "$o_orderdate",
+                                         "unit": "day", "amount": 20}},
+                "unit": "month"}},
+        }},
+        {"$addFields": {
+            "pnum": {"$toInt": {"$arrayElemAt": ["$found.captures", 0]}},
+            "pword": {"$arrayElemAt": ["$found.captures", 1]},
+        }},
+        {"$addFields": {
+            "doc": {"$arrayToObject": [[
+                {"k": "num", "v": "$pnum"},
+                {"k": "keymod", "v": {"$mod": ["$o_orderkey", 7]}},
+            ]]},
+            "extra": {"$arrayToObject": [[
+                {"k": "wlen", "v": {"$strLenCP": "$pword"}},
+            ]]},
+        }},
+        {"$addFields": {"merged": {"$mergeObjects": ["$doc", "$extra"]}}},
+        {"$addFields": {"ents": {"$objectToArray": "$merged"}}},
+        {"$unwind": "$ents"},
+        {"$group": {
+            "_id": {"status": "$o_orderstatus", "pword": "$pword",
+                    "k": "$ents.k"},
+            "n": {"$sum": 1},
+            "v_sum": {"$sum": {"$toLong": "$ents.v"}},
+            "n_spec": {"$sum": {"$cond": {"if": "$is_spec",
+                                          "then": 1, "else": 0}}},
+            "cross_sum": {"$sum": "$mcross"},
+        }},
+    ])
+
+
+@register(
     "x_mongo_dates",
     """
     SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
@@ -13159,14 +13266,15 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-13 ROTATION (VERDICT r12 §next-round #1): never-attested
-    # first (the eight entries added THIS round), then the
-    # changed-since-attestation entry (x_random_projection — its r11
-    # green predates the degenerate-input fixture), then the ENTIRE
-    # r8-stale cohort (12), then the 29 alphabetically-first of the 49
-    # r9-stale greens. After this round the latest-attestation
-    # histogram has no r8 bucket and 20 r9 leftovers (x_bloom_prefilter …,
-    # the alphabetical tail — r14's rotation seed).
+    # ROUND-14 ROTATION (VERDICT r13 §next-round #1): never-attested
+    # first (x_mongo_object_reshape, the round-14 expression-tail
+    # entry), then the ENTIRE remaining r9-stale cohort (20 — the
+    # alphabetical tail the r13 window couldn't fit), then the 29
+    # alphabetically-first of the 50 r10-stale greens. After this
+    # round the latest-attestation histogram has no bucket older than
+    # r10, closing the rotation program: every entry's floor is ≤2
+    # rounds at the 50/round cadence (21 r10 leftovers, x_media_frames …,
+    # seed the r15 window).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
@@ -13174,28 +13282,26 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (scripts/parity.py) and pytest-parametrized.
     #
     # never-attested (registered this round)
-    "x_mongo_graphlookup", "pipeline_release_e2e",
-    "x_mongo_window", "x_mongo_densify_fill", "x_mongo_merge",
-    "x_mongo_expressions", "x_mongo_dates", "x_mongo_lookup_pipeline",
-    # fixture changed after its last (r11) attestation
-    "x_random_projection",
-    # stalest greens — last attested r8 (all 12)
-    "x_edit_distance_pairs", "x_funnel_stages", "x_heavy_hitters",
-    "x_hll_distinct_merge", "x_incremental_dedup", "x_ivf_topk",
-    "x_minhash_lsh", "x_pagerank_hosts", "x_pq_adc_topk",
-    "x_priority_sample", "x_scd2_history", "x_simhash_near",
-    # stalest greens — last attested r9 (35 of 49, alphabetical)
-    "a_cube_flags", "j12_decorate_tree_leaves", "k9_prune_zero_gene",
-    "pipeline_atlas_expression", "pipeline_corpus_clean",
-    "pipeline_corpus_curate", "pipeline_corpus_map", "pipeline_homologs",
-    "pipeline_tokenize_pack", "pipeline_training_mix",
-    "q02_min_price_supplier", "q06_forecast_revenue", "q07_nation_volume",
-    "q08_market_share", "q09_product_profit", "q10_returned_revenue",
-    "q12_late_priority_counts", "q14_promo_share", "q15_top_supplier",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q22_idle_rich_customers", "s_schema_evolution", "s_sql_parity",
-    "w_ntile_quartiles", "x_asof_next_click", "x_audio_segments",
-    "x_bleu_eval",
+    "x_mongo_object_reshape",
+    # stalest greens — last attested r9 (all 20 remaining)
+    "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs", "x_bpe_train",
+    "x_cms_frequency", "x_cms_selfjoin_size", "x_graph_components",
+    "x_hard_negatives", "x_image_phash", "x_lsh_recall_eval",
+    "x_pii_redact", "x_quantile_sketch_merge", "x_ranking_eval",
+    "x_rest_lut", "x_rouge_eval", "x_stream_agg_merge",
+    "x_substring_dedup", "x_upsert_orders", "x_video_shots",
+    "x_xml_interpro",
+    # stalest greens — last attested r10 (29 of 50, alphabetical)
+    "k8_nested_tree_docs", "p7_gene_split_filter",
+    "pipeline_markup_curate", "s17_reject_stream", "u1_priority_union",
+    "w3_species_ranked", "w5_canonical_transcript", "x_auc_eval",
+    "x_boilerplate_ratio", "x_boilerplate_shingles", "x_chunk_documents",
+    "x_cigar_identity", "x_contamination", "x_domain_quota",
+    "x_dsir_select", "x_embed_near_exact", "x_embed_near_lsh",
+    "x_embed_quantize", "x_event_transitions", "x_fixed_sample",
+    "x_hash_sample", "x_html_extract", "x_inverted_index",
+    "x_kappa_eval", "x_lang_id", "x_leakage_matrix", "x_line_filter",
+    "x_lm_score", "x_media_audio",
 )
 
 

@@ -514,9 +514,16 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
     $concatArrays/$setUnion/$setIntersection/$setDifference`` —
     ``$arrayElemAt`` keeps 0-indexing and negative-from-end;
     ``$slice`` takes Mongo's [arr, n] / [arr, pos, n] int-literal
-    forms), and the higher-order trio ``$filter/$map/$reduce``
+    forms), the higher-order trio ``$filter/$map/$reduce``
     compiled to Spark's filter/transform/aggregate lambdas (all
-    JVM-side — no Python UDF anywhere in the shim). Anything else
+    JVM-side — no Python UDF anywhere in the shim), regex
+    (``$regexMatch/$regexFind`` — literal pattern, imsx options as
+    inline flags), dynamic-key documents over MapType
+    (``$objectToArray/$arrayToObject/$mergeObjects`` — duplicate-key
+    behavior follows spark.sql.mapKeyDedupPolicy, pinned at each
+    site), and date arithmetic (``$dateAdd/$dateSubtract/$dateDiff``
+    — wall-clock, timezone refused; $dateDiff counts Mongo's unit-
+    boundary CROSSINGS via truncate-then-diff). Anything else
     raises — silent approximation is worse than an explicit gap."""
     if isinstance(spec, str) and spec.startswith("$$"):
         path = spec[2:].split(".")
@@ -529,12 +536,28 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
     if isinstance(spec, str) and spec.startswith("$"):
         return F.col(spec[1:])
     if isinstance(spec, dict):
+        if spec and not any(k.startswith("$") for k in spec):
+            # embedded-document expression (no $-operator keys):
+            # Mongo builds a sub-document field-wise → struct
+            return F.struct(*[
+                _mongo_expr(v, env).alias(k) for k, v in spec.items()
+            ])
         if len(spec) != 1:
             raise ValueError(f"expression must have one operator: {spec}")
         op, args = next(iter(spec.items()))
         sub = lambda s, e=None: _mongo_expr(s, e if e is not None else env)
         if op == "$literal":
-            return F.lit(args)
+            # documents → structs and arrays recurse (F.lit cannot take
+            # a dict); scalars stay verbatim — no operator evaluation
+            # anywhere inside, as in Mongo
+            def _lit(v):
+                if isinstance(v, dict):
+                    return F.struct(*[_lit(x).alias(k) for k, x in v.items()])
+                if isinstance(v, (list, tuple)):
+                    return F.array(*[_lit(x) for x in v])
+                return F.lit(v)
+
+            return _lit(args)
         if op == "$cond":
             if isinstance(args, dict):
                 cond, then, els = args["if"], args["then"], args["else"]
@@ -592,6 +615,118 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             if args.get("timezone") is not None:
                 raise ValueError(f"{op} timezone is refused — wall clock only")
             return _EXPR_UNARY[op](sub(args["date"]))
+        if op in ("$regexMatch", "$regexFind"):
+            # {input, regex, options?} — regex must be a LITERAL (Spark
+            # compiles the pattern plan-side); Mongo options i/m/s/x
+            # become Java inline flags. $regexFind returns Mongo's
+            # {match, idx, captures} struct for the FIRST match, NULL
+            # when none. Pinned divergences: idx counts UTF-16 code
+            # units (Java), Mongo counts code points — equal on BMP
+            # text; a non-participating capture group yields '' where
+            # Mongo yields null (regexp_extract has no tri-state).
+            if not isinstance(args, dict) or not {"input", "regex"} <= set(args):
+                raise ValueError(f"{op} requires {{input, regex}}")
+            pattern = args["regex"]
+            if isinstance(pattern, dict) and set(pattern) == {"$literal"}:
+                pattern = pattern["$literal"]
+            if not isinstance(pattern, str) or pattern.startswith("$"):
+                raise ValueError(f"{op} regex must be a literal string "
+                                 "(wrap in {'$literal': …} if it starts "
+                                 "with '$')")
+            opts = args.get("options", "")
+            if not set(opts) <= set("imsx"):
+                raise ValueError(f"{op} options must be drawn from imsx")
+            if opts:
+                pattern = f"(?{opts})" + pattern
+            inp = sub(args["input"])
+            if op == "$regexMatch":
+                return inp.rlike(pattern)
+            import re as _re
+
+            ngroups = _re.compile(pattern).groups
+            matched = F.regexp_substr(inp, F.lit(pattern))  # NULL if no match
+            idx = (F.regexp_instr(inp, F.lit(pattern)) - 1).cast("int")
+            caps = (F.array(*[F.regexp_extract(inp, pattern, g + 1)
+                              for g in range(ngroups)])
+                    if ngroups else F.array().cast("array<string>"))
+            return F.when(matched.isNotNull(), F.struct(
+                matched.alias("match"), idx.alias("idx"),
+                caps.alias("captures")))
+        if op == "$objectToArray":
+            # MapType input only — the house flavor for Mongo's
+            # dynamic-key objects (SURVEY §1.3); a STRUCT input has a
+            # static schema, so Catalyst rejects it at analysis (loud),
+            # and the faithful restatement is an explicit projection.
+            arg = args[0] if isinstance(args, (list, tuple)) \
+                and len(args) == 1 else args
+            return F.transform(
+                F.map_entries(sub(arg)),
+                lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+            )
+        if op == "$arrayToObject":
+            # array<struct<k,v>> form (what $objectToArray emits); the
+            # [[k,v], …] pair-array form is refused. Duplicate keys
+            # follow spark.sql.mapKeyDedupPolicy — default EXCEPTION
+            # raises loudly where Mongo keeps the LAST value; set
+            # LAST_WIN to match Mongo exactly.
+            arg = args[0] if isinstance(args, (list, tuple)) \
+                and len(args) == 1 else args
+            return F.map_from_entries(F.transform(
+                sub(arg), lambda e: F.struct(e["k"], e["v"])))
+        if op == "$mergeObjects":
+            # EXPRESSION form over MapType documents: later fields win
+            # (map_concat under mapKeyDedupPolicy=LAST_WIN; the default
+            # EXCEPTION raises loudly on a key collision). Divergence,
+            # pinned: Mongo silently skips null/missing inputs;
+            # map_concat null-propagates — coalesce upstream. The
+            # ACCUMULATOR form stays refused (_mongo_accumulator).
+            if not isinstance(args, (list, tuple)) or len(args) < 2:
+                raise ValueError("$mergeObjects (expression form) requires "
+                                 "a list of two or more map inputs")
+            return F.map_concat(*[sub(a) for a in args])
+        if op in ("$dateAdd", "$dateSubtract"):
+            # {startDate, unit, amount, timezone?} — literal unit,
+            # wall-clock arithmetic (timezone refused, house NTZ rule)
+            if not isinstance(args, dict) \
+                    or not {"startDate", "unit", "amount"} <= set(args):
+                raise ValueError(f"{op} requires {{startDate, unit, amount}}")
+            if args.get("timezone") is not None:
+                raise ValueError(f"{op} timezone is refused — wall clock only")
+            unit = args["unit"]
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second", "millisecond"):
+                raise ValueError(f"{op} unit {unit!r} is not supported")
+            amount = sub(args["amount"])
+            if op == "$dateSubtract":
+                amount = -amount
+            return F.timestamp_add(unit.upper(), amount, sub(args["startDate"]))
+        if op == "$dateDiff":
+            # Mongo counts unit-BOUNDARY crossings (23:59→00:01 is one
+            # day), not elapsed whole units — truncate both endpoints
+            # to the unit, then count units between the truncations.
+            # week requires an explicit startOfWeek of "monday" (Spark
+            # date_trunc weeks are Monday-based; Mongo defaults to
+            # Sunday — refused rather than silently shifted).
+            if not isinstance(args, dict) \
+                    or not {"startDate", "endDate", "unit"} <= set(args):
+                raise ValueError(
+                    "$dateDiff requires {startDate, endDate, unit}")
+            if args.get("timezone") is not None:
+                raise ValueError("$dateDiff timezone is refused — wall "
+                                 "clock only")
+            unit = args["unit"]
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second", "millisecond"):
+                raise ValueError(f"$dateDiff unit {unit!r} is not supported")
+            if unit == "week" and str(
+                    args.get("startOfWeek", "sunday")).lower() != "monday":
+                raise ValueError(
+                    "$dateDiff week unit requires startOfWeek: 'monday' "
+                    "(Spark weeks are Monday-based; Mongo's Sunday default "
+                    "is refused rather than silently shifted)")
+            s = F.date_trunc(unit, sub(args["startDate"]))
+            e = F.date_trunc(unit, sub(args["endDate"]))
+            return F.timestamp_diff(unit.upper(), s, e)
         if op == "$sortArray":
             # {"$sortArray": {input, sortBy: 1|-1}} — scalar-element
             # form; sortBy documents (field specs) are refused, not
@@ -671,9 +806,13 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             return F.split(sub(args[0]), _re.escape(delim))
         if op == "$arrayElemAt":
             arr, idx = sub(args[0]), sub(args[1])
-            # Mongo: 0-indexed, negative from end; element_at is
-            # 1-indexed positive, negative from end
-            return F.element_at(arr, F.when(idx >= 0, idx + 1).otherwise(idx))
+            # Mongo: 0-indexed, negative from end, and out-of-range
+            # yields *missing* (≈ NULL under the house convention).
+            # try_element_at preserves that: NULL on out-of-range
+            # instead of ANSI INVALID_ARRAY_INDEX (element_at throws
+            # under Spark 4's default ANSI mode).
+            return F.try_element_at(
+                arr, F.when(idx >= 0, idx + 1).otherwise(idx))
         if op == "$slice":
             ints = args[1:]
             if not all(isinstance(i, int) and not isinstance(i, bool)
@@ -748,6 +887,10 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
         for c in cols[1:]:
             out = binops[op](out, c)
         return out
+    if isinstance(spec, (list, tuple)):
+        # array-construction expression: each element evaluates
+        # (field paths, operators, embedded docs), as in Mongo
+        return F.array(*[_mongo_expr(e, env) for e in spec])
     return F.lit(spec)
 
 
@@ -874,6 +1017,11 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
       explicit window — Mongo errors there too); $shift with
       {output, by, default} (positive ``by`` looks forward — lead),
       which ignores window bounds by contract.
+    * Every output field is evaluated against the INPUT document
+      (Mongo's rule): an output whose name shadows an input column
+      cannot poison another output's argument or the shared sortBy —
+      all window columns are computed in one select and applied at
+      the end.
     * Ties under a non-unique sortBy make documents-window accumulator
       results order-dependent in BOTH systems; fixtures/oracles must
       sort on a unique key (house a1 convention).
@@ -900,6 +1048,12 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
         "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
         "$first": F.first, "$last": F.last,
     }
+    # Every output expression is evaluated against the INPUT document
+    # (Mongo's semantics): collect (name, column) pairs and apply them
+    # in ONE select at the end, so an output that shadows an input
+    # column can't poison a later output's (or the shared sortBy's)
+    # reads the way sequential withColumn would.
+    results: list[tuple[str, Column]] = []
     for out_field, body in output.items():
         if not isinstance(body, dict) or not body:
             raise ValueError(f"output.{out_field} must be an operator document")
@@ -915,7 +1069,7 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
                 raise ValueError(f"{op} requires sortBy")
             fn = {"$rank": F.rank, "$denseRank": F.dense_rank,
                   "$documentNumber": F.row_number}[op]
-            out = out.withColumn(out_field, fn().over(sorted_base))
+            results.append((out_field, fn().over(sorted_base)))
             continue
         if op == "$shift":
             if sorted_base is None:
@@ -930,7 +1084,7 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
             default = arg.get("default")
             col = (F.lead(expr, by, default) if by >= 0
                    else F.lag(expr, -by, default)).over(sorted_base)
-            out = out.withColumn(out_field, col)
+            results.append((out_field, col))
             continue
         if op == "$count":
             agg = F.count(F.lit(1))
@@ -961,8 +1115,19 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
             )
         else:
             raise ValueError("window must specify documents or range")
-        out = out.withColumn(out_field, agg.over(w))
-    return out
+        results.append((out_field, agg.over(w)))
+    # one-shot apply: stage under collision-proof temp names, then
+    # replace shadowed input columns in place and append new fields
+    tmps = {n: f"__swf_tmp_{i}" for i, (n, _) in enumerate(results)}
+    staged = out.select("*", *[c.alias(tmps[n]) for n, c in results])
+    replaced = set(tmps)
+    final = [
+        (F.col(tmps[c]).alias(c) if c in replaced else F.col(c))
+        for c in out.columns
+    ]
+    final += [F.col(tmps[n]).alias(n) for n, _ in results
+              if n not in out.columns]
+    return staged.select(*final)
 
 
 def _mongo_densify(out: DataFrame, spec: dict) -> DataFrame:
@@ -1242,8 +1407,18 @@ def _mongo_lookup_pipeline(
             raise ValueError("$lookup pipeline form: only the FIRST stage "
                              "may be correlated")
         if sop == "$project":
-            inc = {k: v for k, v in sspec.items() if v in (1, True)}
-            if inc:
+            # An inclusion projection (Mongo's rule, mirrored by the
+            # base $project above) is one with 1/True flags OR computed
+            # fields — a computed-ONLY spec like {"part": "$l_partkey"}
+            # still drops unlisted columns, so the hidden keys must be
+            # re-injected there too or the join select below fails.
+            flags = {k: v for k, v in sspec.items()
+                     if v in (0, 1, True, False)}
+            inclusion_shaped = (
+                any(v in (1, True) for v in flags.values())
+                or any(k not in flags for k in sspec)
+            )
+            if inclusion_shaped:
                 sspec = {**sspec, **{k: 1 for k in kcols}}
         inner_keyed = _mongo_aggregate_impl(inner_keyed, [{sop: sspec}],
                                             collections)
@@ -1296,8 +1471,8 @@ def _mongo_merge(result: DataFrame, spec, collections) -> DataFrame:
     * ``on``: field or list of fields — the merge key(s). Must be
       unique on BOTH sides for deterministic relational semantics
       (Mongo requires a unique index on ``on`` for the same reason);
-      duplicate keys in the pipeline result raise at runtime (Mongo
-      errors too).
+      duplicate keys on EITHER side (pipeline result or target
+      collection) raise at runtime (Mongo errors too).
     * ``whenMatched``: "replace" (pipeline doc wins whole), "merge"
       (field-wise $set — the pipeline's non-null fields overwrite,
       target fields survive where the update is null/missing, the
@@ -1348,8 +1523,19 @@ def _mongo_merge(result: DataFrame, spec, collections) -> DataFrame:
             F.lit(1),
         ).alias("__u_pres"),
     )
+    # Same guard on the target: Mongo's unique-index requirement covers
+    # the collection too, and target-side duplicate keys would silently
+    # multiply rows through the full-outer join instead of raising.
+    tdup = F.count(F.lit(1)).over(
+        Window.partitionBy(*[F.col(k) for k in keys]))
     tt = target.select(
-        *[F.col(c).alias(f"__t_{c}") for c in tcols], F.lit(1).alias("__t_pres")
+        *[F.col(c).alias(f"__t_{c}") for c in tcols],
+        F.coalesce(
+            F.assert_true(tdup == 1,
+                          "$merge target collection has duplicate on-key")
+            .cast("int"),
+            F.lit(1),
+        ).alias("__t_pres"),
     )
     cond = None
     for k in keys:

@@ -324,18 +324,78 @@ _STAGE_UPSTREAM = {
 }
 
 
-def _stage_fingerprint(name: str, sf_dir: str, upstream: dict[str, str]) -> str:
-    """What must be identical for a staged output to be reusable: the
-    stage's CODE (source text), its base-table inputs (file path +
-    size + mtime — a cheap content proxy; regenerated testdata flips
-    mtimes), and the fingerprints of every upstream stage it reads
-    (chained, so an early change invalidates the whole suffix)."""
+def _stage_code_modules(name: str) -> list[str]:
+    """The transitive set of gramene_mongodb_spark modules a stage's
+    source reaches — the fixed point over package-internal ``import``
+    references found in each reached module's source text."""
+    import importlib
+    import inspect
+    import re
+
+    pkg = "gramene_mongodb_spark"
+
+    def refs(text: str) -> set[str]:
+        # every dotted prefix too: a greedy match on an attribute chain
+        # like pkg.io.load_table isn't importable, but pkg.io is
+        out: set[str] = set()
+        for m in re.findall(rf"{pkg}(?:\.[\w.]+)?", text):
+            parts = m.split(".")
+            out.update(".".join(parts[: i + 1]) for i in range(len(parts)))
+        return out
+
+    # seed with this module (stage helpers like _staged live here),
+    # then close over package-internal imports
+    seen: set[str] = set()
+    frontier = {__name__} | refs(inspect.getsource(RELEASE_STAGES[name]))
+    while frontier:
+        mod = frontier.pop()
+        if mod in seen:
+            continue
+        seen.add(mod)
+        try:
+            msrc = inspect.getsource(importlib.import_module(mod))
+        except Exception:
+            continue
+        frontier.update(refs(msrc))
+    return sorted(seen)
+
+
+def _stage_code_digest(name: str) -> bytes:
+    """Digest of the stage function's source PLUS the transitive set of
+    gramene_mongodb_spark module sources it reaches — so an edit to a
+    helper the stage calls (graft_genome_children, transitive_closure,
+    load_table, this module's _staged) invalidates the staged output
+    exactly as the resume docstring promises, not just edits to the
+    stage body itself."""
     import hashlib
+    import importlib
     import inspect
 
     h = hashlib.sha256()
-    h.update(name.encode())
     h.update(inspect.getsource(RELEASE_STAGES[name]).encode())
+    for mod in _stage_code_modules(name):
+        try:
+            msrc = inspect.getsource(importlib.import_module(mod))
+        except Exception:
+            continue
+        h.update(mod.encode())
+        h.update(msrc.encode())
+    return h.digest()
+
+
+def _stage_fingerprint(name: str, sf_dir: str, upstream: dict[str, str]) -> str:
+    """What must be identical for a staged output to be reusable: the
+    stage's CODE (its own source text plus every gramene_mongodb_spark
+    module it transitively reaches — see _stage_code_digest), its
+    base-table inputs (file path + size + mtime — a cheap content
+    proxy; regenerated testdata flips mtimes), and the fingerprints of
+    every upstream stage it reads (chained, so an early change
+    invalidates the whole suffix)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(name.encode())
+    h.update(_stage_code_digest(name))
     for u in _STAGE_UPSTREAM[name]:
         h.update(upstream[u].encode())
     for t in _STAGE_BASE_TABLES[name]:

@@ -26,13 +26,16 @@ REST=$(ls tests/test_*.py | grep -v -E 'oracle_parity|plan_sweep|properties' | t
 
 echo "[shards] 1: catalog sweeps   2-4: property thirds   5: $(echo "$REST" | wc -w) unit files"
 
+# property shards run with --durations=0 so every run leaves logs a
+# scripts/rebalance_shards.py re-pack can consume directly, and the
+# conftest [shard-tripwire] (measured-vs-packed drift >25%) has data
 python -m pytest $SWEEPS -q >/tmp/test_shard_1.log 2>&1 &
 P1=$!
-PYTEST_SHARD=0/3 python -m pytest $PROPS -q >/tmp/test_shard_2.log 2>&1 &
+PYTEST_SHARD=0/3 python -m pytest $PROPS -q --durations=0 >/tmp/test_shard_2.log 2>&1 &
 P2=$!
-PYTEST_SHARD=1/3 python -m pytest $PROPS -q >/tmp/test_shard_3.log 2>&1 &
+PYTEST_SHARD=1/3 python -m pytest $PROPS -q --durations=0 >/tmp/test_shard_3.log 2>&1 &
 P3=$!
-PYTEST_SHARD=2/3 python -m pytest $PROPS -q >/tmp/test_shard_4.log 2>&1 &
+PYTEST_SHARD=2/3 python -m pytest $PROPS -q --durations=0 >/tmp/test_shard_4.log 2>&1 &
 P4=$!
 python -m pytest $REST -q >/tmp/test_shard_5.log 2>&1 &
 P5=$!
@@ -41,6 +44,7 @@ RC=0
 for i in 1 2 3 4 5; do
   eval "wait \$P$i"; R=$?
   echo "--- shard $i tail ---"; tail -n 1 "/tmp/test_shard_$i.log"
+  grep -h '\[shard-tripwire\]' "/tmp/test_shard_$i.log" || true
   [ $R -ne 0 ] && RC=1
 done
 if [ $RC -ne 0 ]; then

@@ -1056,3 +1056,181 @@ def test_mongo_group_accumulators_5x(spark):
                 {"$mergeObjects": "$v"}):
         with pytest.raises(ValueError):
             mongo_aggregate(df, [{"$group": {"_id": "$g", "z": bad}}])
+
+
+def test_mongo_advice_r13_fixes(spark):
+    """Round-14 ADVICE closures, all pinned here:
+
+    1. $arrayElemAt out-of-range (positive or negative) returns NULL —
+       Mongo's *missing* under the house null≈missing convention —
+       instead of ANSI INVALID_ARRAY_INDEX (try_element_at).
+    2. $lookup pipeline form keeps the hidden join keys alive through a
+       COMPUTED-ONLY $project (inclusion-shaped in Mongo's rule even
+       with zero 1/True flags).
+    3. $setWindowFields evaluates every output against the INPUT
+       document: an output that shadows an input column can't poison a
+       later output's argument (Mongo's semantics).
+    4. $merge refuses duplicate on-keys on the TARGET side too, not
+       just the pipeline-result side (Mongo's unique-index rule).
+    """
+    from pyspark.errors import SparkRuntimeException
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    # 1 — ragged arrays, every out-of-range flavor
+    df = spark.createDataFrame([(1, [10, 20]), (2, [])],
+                               "_id int, arr array<int>")
+    r = {row._id: (row.hi, row.lo, row.ok)
+         for row in mongo_aggregate(df, [{"$addFields": {
+             "hi": {"$arrayElemAt": ["$arr", 5]},
+             "lo": {"$arrayElemAt": ["$arr", -5]},
+             "ok": {"$arrayElemAt": ["$arr", -1]},
+         }}]).collect()}
+    assert r[1] == (None, None, 20)
+    assert r[2] == (None, None, None)
+
+    # 2 — computed-only projection in the sub-pipeline
+    orders = spark.createDataFrame([(1,), (2,)], "_id int")
+    items = spark.createDataFrame(
+        [(1, "apple"), (1, "pear"), (9, "kiwi")], "order_id int, sku string")
+    res = mongo_aggregate(orders, [{"$lookup": {
+        "from": "items", "let": {"oid": "$_id"},
+        "pipeline": [
+            {"$match": {"$expr": {"$eq": ["$$oid", "$order_id"]}}},
+            {"$project": {"item": {"$toUpper": "$sku"}}},
+        ],
+        "as": "lines"}}], collections={"items": items})
+    rows = {row._id: sorted(x["item"] for x in row["lines"])
+            for row in res.collect()}
+    assert rows == {1: ["APPLE", "PEAR"], 2: []}
+    assert res.schema["lines"].dataType.elementType.names == ["item"]
+
+    # 3 — output name "v" shadows the input column a LATER output reads
+    wdf = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)],
+        "g string, seq int, v double")
+    out = {(row.g, row.seq): (row.v, row.tot)
+           for row in mongo_aggregate(wdf, [{"$setWindowFields": {
+               "partitionBy": "$g", "sortBy": {"seq": 1},
+               "output": {
+                   "v": {"$rank": {}},          # shadows input column v
+                   "tot": {"$sum": "$v"},       # must still read INPUT v
+               }}}]).collect()}
+    assert out[("a", 1)] == (1, 30.0) and out[("a", 2)] == (2, 30.0)
+    assert out[("b", 1)] == (1, 5.0)
+
+    # 4 — duplicate on-key in the TARGET collection
+    dup_target = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "_id int, name string")
+    updates = spark.createDataFrame([(3, "c")], "_id int, name string")
+    with pytest.raises(SparkRuntimeException, match="target.*duplicate"):
+        mongo_aggregate(updates, [{"$merge": {"into": "t", "on": "_id"}}],
+                        collections={"t": dup_target}).collect()
+
+
+def test_release_stage_fingerprint_covers_helpers():
+    """ADVICE r13: the resume fingerprint must cover the HELPERS a
+    stage calls, not just the stage body — _stage_code_digest walks the
+    transitive gramene_mongodb_spark imports, so graft_genome_children
+    (genomics), transitive_closure (closure), load_table (io) and this
+    module's _staged all participate.  An edit to any of those modules
+    flips the digest and forces a re-run."""
+    from gramene_mongodb_spark import pipelines as P
+
+    mods = P._stage_code_modules("taxonomy")
+    for needed in ("gramene_mongodb_spark.pipelines",
+                   "gramene_mongodb_spark.io",
+                   "gramene_mongodb_spark.operators.closure",
+                   "gramene_mongodb_spark.operators.genomics"):
+        assert needed in mods, f"{needed} missing from fingerprint scope"
+    # genes reads staged taxonomy via _staged (this module) + load_table
+    gmods = P._stage_code_modules("genes")
+    assert "gramene_mongodb_spark.pipelines" in gmods
+    assert "gramene_mongodb_spark.io" in gmods
+    # digest is deterministic and differs across stages
+    assert P._stage_code_digest("taxonomy") == P._stage_code_digest("taxonomy")
+    assert P._stage_code_digest("taxonomy") != P._stage_code_digest("genes")
+
+
+def test_mongo_expression_tail_r14(spark):
+    """Round-14 expression tail (VERDICT r13 §missing #3):
+    $regexMatch/$regexFind (literal pattern, imsx inline-flag options,
+    first-match {match, idx, captures}, NULL doc when no match),
+    $objectToArray/$arrayToObject/$mergeObjects over MapType (the
+    SURVEY §1.3 dynamic-key flavor; embedded-document and
+    array-construction expressions compile), typed $literal documents,
+    and $dateAdd/$dateSubtract/$dateDiff with Mongo's unit-boundary-
+    CROSSING semantics. Error contracts: non-literal regex, bad
+    options, bad units, timezone, Sunday weeks, and the accumulator
+    $mergeObjects all refuse loudly."""
+    import datetime as dt
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        df = spark.createDataFrame(
+            [(1, "Hello World 42",
+              dt.datetime(2020, 1, 1, 23, 59), dt.datetime(2020, 1, 2, 0, 1))],
+            "_id int, s string, t0 timestamp_ntz, t1 timestamp_ntz")
+
+        r = mongo_aggregate(df, [{"$addFields": {
+            "m": {"$regexMatch": {"input": "$s", "regex": "world",
+                                  "options": "i"}},
+            "nm": {"$regexMatch": {"input": "$s", "regex": "^world"}},
+            "f": {"$regexFind": {"input": "$s", "regex": r"(\w+) (\d+)"}},
+            "fn": {"$regexFind": {"input": "$s", "regex": "zzz"}},
+        }}]).first()
+        assert r.m is True and r.nm is False
+        assert (r.f.match, r.f.idx, list(r.f.captures)) == (
+            "World 42", 6, ["World", "42"])
+        assert r.fn is None
+
+        # map round-trip: build → merge → shred; last-wins under LAST_WIN
+        r2 = mongo_aggregate(df, [{"$addFields": {
+            "kv": {"$arrayToObject": [{"$map": {
+                "input": {"$split": ["$s", " "]},
+                "in": {"k": "$$this", "v": {"$strLenCP": "$$this"}}}}]},
+        }}, {"$addFields": {
+            "merged": {"$mergeObjects": ["$kv", {"$arrayToObject": [
+                {"$literal": [{"k": "Hello", "v": 99}]}]}]},
+        }}, {"$addFields": {
+            "back": {"$objectToArray": "$merged"},
+        }}]).first()
+        assert sorted(r2.kv.items()) == [("42", 2), ("Hello", 5), ("World", 5)]
+        assert r2.merged["Hello"] == 99  # later doc wins
+        assert sorted((e.k, e.v) for e in r2.back) == [
+            ("42", 2), ("Hello", 99), ("World", 5)]
+
+        # boundary crossings, not elapsed units: 23:59 → next-day 00:01
+        r3 = mongo_aggregate(df, [{"$addFields": {
+            "dd": {"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                                 "unit": "day"}},
+            "dm": {"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                                 "unit": "minute"}},
+            "plus": {"$dateAdd": {"startDate": "$t0", "unit": "hour",
+                                  "amount": 2}},
+            "minus": {"$dateSubtract": {"startDate": "$t0", "unit": "day",
+                                        "amount": 1}},
+        }}]).first()
+        assert (r3.dd, r3.dm) == (1, 2)
+        assert r3.plus == dt.datetime(2020, 1, 2, 1, 59)
+        assert r3.minus == dt.datetime(2019, 12, 31, 23, 59)
+
+        for bad, pat in (
+            ({"$regexMatch": {"input": "$s", "regex": "$s"}}, "literal"),
+            ({"$regexMatch": {"input": "$s", "regex": "x",
+                              "options": "g"}}, "imsx"),
+            ({"$regexFind": {"input": "$s"}}, "requires"),
+            ({"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                            "unit": "fortnight"}}, "unit"),
+            ({"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                            "unit": "week"}}, "monday"),
+            ({"$dateAdd": {"startDate": "$t0", "unit": "day", "amount": 1,
+                           "timezone": "UTC"}}, "timezone"),
+            ({"$mergeObjects": ["$s"]}, "two or more"),
+        ):
+            with pytest.raises(ValueError, match=pat):
+                mongo_aggregate(df, [{"$addFields": {"z": bad}}])
+    finally:
+        spark.conf.unset("spark.sql.mapKeyDedupPolicy")

@@ -306,3 +306,47 @@ def test_release_dag_resume_skips_fresh_stages(spark, tmp_path):
     os.utime(cust, (time.time() + 5, time.time() + 5))
     _, again = release_e2e_resumable(spark, mut_sf, d2)
     assert again == ["taxonomy", "genes", "homologs", "decorate"]
+
+
+def test_release_dag_crash_resume(spark, tmp_path, monkeypatch):
+    """Nineteenth scale probe's correctness twin (VERDICT r13 ask #6):
+    a release KILLED mid-DAG — after stage 3 (homologs) completes,
+    during stage 4 (decorate) — resumes by re-running ONLY the suffix:
+    stages 1-3 are skipped via manifest fingerprint hit, and the final
+    summary equals the uninterrupted control run's. This is the crash
+    case the retryable barriers exist for; the other invalidation
+    paths (deleted output, perturbed manifest, changed inputs) are
+    pinned in test_release_dag_resume_skips_fresh_stages."""
+    import os
+
+    from gramene_mongodb_spark import pipelines as P
+
+    # uninterrupted control
+    d0 = str(tmp_path / "control")
+    df0, ran0 = P.release_e2e_resumable(spark, SF001, d0)
+    assert ran0 == ["taxonomy", "genes", "homologs", "decorate"]
+    want = {r["taxon_id"]: (r["n_genes"], r["n_orders"], r["n_homologs"])
+            for r in df0.collect()}
+
+    # crash during stage 4 — stages 1-3 have committed their
+    # parquet + manifest barriers, decorate has not
+    d = str(tmp_path / "stage")
+    real_decorate = P.RELEASE_STAGES["decorate"]
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-release crash")
+
+    monkeypatch.setitem(P.RELEASE_STAGES, "decorate", boom)
+    with pytest.raises(RuntimeError, match="simulated mid-release"):
+        P.release_e2e_resumable(spark, SF001, d)
+    for done in ("taxonomy", "genes", "homologs"):
+        assert os.path.exists(P._manifest_path(d, done)), done
+    assert not os.path.exists(P._manifest_path(d, "decorate"))
+
+    # resume with the real stage back: 1-3 skip on fingerprint hit
+    monkeypatch.setitem(P.RELEASE_STAGES, "decorate", real_decorate)
+    df, ran = P.release_e2e_resumable(spark, SF001, d)
+    assert ran == ["decorate"], f"prefix was not skipped: {ran}"
+    got = {r["taxon_id"]: (r["n_genes"], r["n_orders"], r["n_homologs"])
+           for r in df.collect()}
+    assert got == want
