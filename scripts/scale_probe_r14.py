@@ -22,6 +22,13 @@ of the production saving.
 The correctness twin is tests/test_pipeline_genes.py::
 test_release_dag_crash_resume (sf0.001, every assertion hard).
 
+A second measurement gives the round's new entry its 10× row:
+``x_mongo_object_reshape`` on orders sf0.1 vs a ×10 replication
+(orderkeys shifted to stay unique) — expected ~linear-or-better: the
+map build/shred is scan-speed, the only exchange is the final
+(status, pword, k) groupBy whose key domain is FIXED (3 statuses × 5
+words × 3 keys), so the 10× run is pure map-side partial aggregation.
+
 Usage: python scripts/scale_probe_r14.py   (repo root; quiet machine)
 Results recorded in SCALE.md "Measured scaling".
 """
@@ -91,6 +98,32 @@ def main():
         f"resume={wall_resume:.2f}s ratio={wall_resume / wall_control:.2f} "
         f"prefix_saved={wall_prefix:.2f}s fingerprints_equal=True"
     )
+
+    # --- 10× probe for the round's new entry ---
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark import catalog
+
+    d10 = os.path.join(DIR, "x10")
+    os.makedirs(d10, exist_ok=True)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    reps = spark.range(10).withColumnRenamed("id", "__rep")
+    span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    (orders.crossJoin(F.broadcast(reps))
+     .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * span)
+     .drop("__rep")
+     .write.mode("overwrite").parquet(f"{d10}/orders.parquet"))
+
+    def timed(sf_dir):
+        t = time.monotonic()
+        catalog.x_mongo_object_reshape(spark, sf_dir).collect()
+        return time.monotonic() - t
+
+    timed(SF)  # warm
+    t1 = min(timed(SF) for _ in range(3))
+    t10 = min(timed(d10) for _ in range(3))
+    print(f"RESULT x_mongo_object_reshape sf0.1={t1:.2f}s x10={t10:.2f}s "
+          f"factor={t10 / t1:.1f}")
     spark.stop()
     shutil.rmtree(DIR, ignore_errors=True)
 
