@@ -128,6 +128,11 @@ HEADLINE = [
     # dependency-order release DAG (5 staged-parquet barrier stages)
     "x_mongo_graphlookup",
     "pipeline_release_e2e",
+    # round 14: the expression-tail entries — regex/object-reshape/
+    # date-crossing surface and strings/sets/$topN accumulators
+    # (per-row JVM expressions; one fixed-domain groupBy each)
+    "x_mongo_object_reshape",
+    "x_mongo_strings_sets",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -13023,6 +13023,110 @@ def x_mongo_object_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_strings_sets",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             replace(o_orderpriority, '-', '_') AS pri_u,
+             date_trunc('week', o_orderdate) AS wk,
+             strpos(o_orderpriority, 'G') - 1 AS gpos,
+             CASE WHEN lower(o_orderpriority) < '3-medium' THEN -1
+                  WHEN lower(o_orderpriority) > '3-medium' THEN 1
+                  ELSE 0 END AS cmp_med,
+             list_contains(str_split(o_orderpriority, '-'), 'URGENT')
+               AS has_urgent,
+             regexp_replace(o_orderpriority, 'E', '3') AS pri_x
+      FROM orders)
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks,
+           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3]
+             AS top3,
+           list_reverse(
+             (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:2]
+           ) AS bot2,
+           CAST(sum(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sub,
+           CAST(sum(CASE WHEN cmp_med = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_medeq,
+           CAST(sum(CASE WHEN gpos >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS g_found,
+           list_sort(list(DISTINCT pri_u)) AS pris,
+           list_sort(list(DISTINCT pri_x)) AS pris_x
+    FROM base GROUP BY 1
+    """,
+    "documents", "S10", "A4",
+)
+def x_mongo_strings_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-14 batch-2 expression surface through real stages:
+    string editing ($replaceAll / first-occurrence $replaceOne /
+    $strcasecmp / $indexOfCP), $dateTrunc (Monday weeks, binSize 1 —
+    everything else refused), set predicates ($setIsSubset over a
+    $split product), and the Mongo 5.2 N-accumulators $topN/$bottomN
+    (single-field sortBy compiled to collect_list → array_sort →
+    slice, with the struct tie-break mirrored in the oracle's ORDER
+    BY ... DESC, key DESC — $bottomN's ascending tail is EXACTLY the
+    reverse of the descending head, which is how the twin SQL states
+    it without negative slicing). $addToSet + $sortArray give the
+    deterministic distinct-strings column.
+
+    All JVM-side; the only exchange is the status groupBy (map-side
+    partials; collect_list payloads are bounded by orders-per-status
+    for the sort-slice accumulators — the documented $topN memory
+    shape: O(group) worst case, use the window-rank form for
+    unbounded groups).
+
+    Scale note: $topN via full collect-then-slice is the faithful
+    per-group form at Mongo-shaped group sizes; at 100 TB with
+    million-row groups, restate as W1 rank ≤ n (same result, bounded
+    memory) — the refusal docstring on the accumulator points there."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    view = orders.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                         "o_orderpriority", "o_orderdate")
+    return DOC.mongo_aggregate(view, [
+        {"$addFields": {
+            "pri_u": {"$replaceAll": {"input": "$o_orderpriority",
+                                      "find": "-", "replacement": "_"}},
+            "pri_x": {"$replaceOne": {"input": "$o_orderpriority",
+                                      "find": "E", "replacement": "3"}},
+            "wk": {"$dateTrunc": {"date": "$o_orderdate", "unit": "week",
+                                  "startOfWeek": "monday"}},
+            "gpos": {"$indexOfCP": ["$o_orderpriority", "G"]},
+            "cmp_med": {"$strcasecmp": ["$o_orderpriority", "3-medium"]},
+            "has_urgent": {"$setIsSubset": [
+                {"$literal": ["URGENT"]},
+                {"$split": ["$o_orderpriority", "-"]}]},
+        }},
+        {"$group": {
+            "_id": "$o_orderstatus",
+            "n": {"$sum": 1},
+            "wks": {"$addToSet": "$wk"},
+            "top3": {"$topN": {"n": 3, "sortBy": {"o_totalprice": -1},
+                               "output": "$o_orderkey"}},
+            "bot2": {"$bottomN": {"n": 2, "sortBy": {"o_totalprice": 1},
+                                  "output": "$o_orderkey"}},
+            "n_sub": {"$sum": {"$cond": {"if": "$has_urgent",
+                                         "then": 1, "else": 0}}},
+            "n_medeq": {"$sum": {"$cond": {"if": {"$eq": ["$cmp_med", 0]},
+                                           "then": 1, "else": 0}}},
+            "g_found": {"$sum": {"$cond": {"if": {"$gte": ["$gpos", 0]},
+                                           "then": 1, "else": 0}}},
+            "pris_set": {"$addToSet": "$pri_u"},
+            "prix_set": {"$addToSet": "$pri_x"},
+        }},
+        {"$project": {
+            "status": "$_id", "n": 1,
+            "n_weeks": {"$size": "$wks"},
+            "top3": 1, "bot2": 1, "n_sub": 1, "n_medeq": 1, "g_found": 1,
+            "pris": {"$sortArray": {"input": "$pris_set", "sortBy": 1}},
+            "pris_x": {"$sortArray": {"input": "$prix_set", "sortBy": 1}},
+        }},
+    ])
+
+
+@register(
     "x_mongo_dates",
     """
     SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
@@ -13267,14 +13371,15 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-14 ROTATION (VERDICT r13 §next-round #1): never-attested
-    # first (x_mongo_object_reshape, the round-14 expression-tail
-    # entry), then the ENTIRE remaining r9-stale cohort (20 — the
-    # alphabetical tail the r13 window couldn't fit), then the 29
-    # alphabetically-first of the 50 r10-stale greens. After this
-    # round the latest-attestation histogram has no bucket older than
-    # r10, closing the rotation program: every entry's floor is ≤2
-    # rounds at the 50/round cadence (21 r10 leftovers, x_media_frames …,
-    # seed the r15 window).
+    # first (x_mongo_object_reshape + x_mongo_strings_sets, the
+    # round-14 expression-tail entries), then the ENTIRE remaining
+    # r9-stale cohort (20 — the alphabetical tail the r13 window
+    # couldn't fit), then the 28 alphabetically-first of the 50
+    # r10-stale greens. After this round the latest-attestation
+    # histogram has no bucket older than r10, closing the rotation
+    # program: every entry's floor is ≤2 rounds at the 50/round
+    # cadence (22 r10 leftovers, x_media_audio …, seed the r15
+    # window).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
@@ -13282,7 +13387,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (scripts/parity.py) and pytest-parametrized.
     #
     # never-attested (registered this round)
-    "x_mongo_object_reshape",
+    "x_mongo_object_reshape", "x_mongo_strings_sets",
     # stalest greens — last attested r9 (all 20 remaining)
     "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs", "x_bpe_train",
     "x_cms_frequency", "x_cms_selfjoin_size", "x_graph_components",
@@ -13301,7 +13406,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "x_embed_quantize", "x_event_transitions", "x_fixed_sample",
     "x_hash_sample", "x_html_extract", "x_inverted_index",
     "x_kappa_eval", "x_lang_id", "x_leakage_matrix", "x_line_filter",
-    "x_lm_score", "x_media_audio",
+    "x_lm_score",
 )
 
 

@@ -521,9 +521,12 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
     inline flags), dynamic-key documents over MapType
     (``$objectToArray/$arrayToObject/$mergeObjects`` — duplicate-key
     behavior follows spark.sql.mapKeyDedupPolicy, pinned at each
-    site), and date arithmetic (``$dateAdd/$dateSubtract/$dateDiff``
-    — wall-clock, timezone refused; $dateDiff counts Mongo's unit-
-    boundary CROSSINGS via truncate-then-diff). Anything else
+    site), date arithmetic (``$dateAdd/$dateSubtract/$dateDiff/
+    $dateTrunc`` — wall-clock, timezone refused; $dateDiff counts
+    Mongo's unit-boundary CROSSINGS via truncate-then-diff; weeks are
+    Monday-only), string editing (``$replaceOne/$replaceAll/
+    $strcasecmp/$indexOfCP``), and set predicates (``$setEquals/
+    $setIsSubset/$anyElementTrue/$allElementsTrue``). Anything else
     raises — silent approximation is worse than an explicit gap."""
     if isinstance(spec, str) and spec.startswith("$$"):
         path = spec[2:].split(".")
@@ -700,6 +703,93 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             if op == "$dateSubtract":
                 amount = -amount
             return F.timestamp_add(unit.upper(), amount, sub(args["startDate"]))
+        if op in ("$replaceOne", "$replaceAll"):
+            # {input, find, replacement} — find/replacement are
+            # expressions (Mongo matches the literal find STRING, no
+            # regex). $replaceAll → F.replace (literal-string
+            # semantics); $replaceOne via locate/concat splice, also
+            # literal. Mongo returns null when input is null; a null
+            # find errors in Mongo and null-propagates here (pinned).
+            if not isinstance(args, dict) \
+                    or not {"input", "find", "replacement"} <= set(args):
+                raise ValueError(
+                    f"{op} requires {{input, find, replacement}}")
+            inp = sub(args["input"])
+            find = sub(args["find"])
+            repl = sub(args["replacement"])
+            if op == "$replaceAll":
+                return F.replace(inp, find, repl)
+            pos = F.instr(inp, find)
+            return F.when(
+                pos > 0,
+                F.concat(
+                    F.substring(inp, F.lit(1), pos - 1),
+                    repl,
+                    F.substring(inp, pos + F.length(find),
+                                F.length(inp)),
+                ),
+            ).otherwise(inp)
+        if op == "$dateTrunc":
+            # {date, unit, binSize?, timezone?, startOfWeek?} —
+            # binSize≠1 refused (no silent bucketing), timezone
+            # refused (house wall-clock rule), week is Monday-only
+            # (Spark's date_trunc week base; Mongo's Sunday default
+            # refused rather than silently shifted)
+            if not isinstance(args, dict) or not {"date", "unit"} <= set(args):
+                raise ValueError("$dateTrunc requires {date, unit}")
+            if args.get("timezone") is not None:
+                raise ValueError("$dateTrunc timezone is refused — wall "
+                                 "clock only")
+            if args.get("binSize", 1) != 1:
+                raise ValueError("$dateTrunc binSize != 1 is not supported")
+            unit = args["unit"]
+            if unit not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second", "millisecond"):
+                raise ValueError(f"$dateTrunc unit {unit!r} is not supported")
+            if unit == "week" and str(
+                    args.get("startOfWeek", "sunday")).lower() != "monday":
+                raise ValueError(
+                    "$dateTrunc week unit requires startOfWeek: 'monday' "
+                    "(Spark weeks are Monday-based; Mongo's Sunday default "
+                    "is refused rather than silently shifted)")
+            return F.date_trunc(unit, sub(args["date"]))
+        if op == "$strcasecmp":
+            if not isinstance(args, (list, tuple)) or len(args) != 2:
+                raise ValueError("$strcasecmp requires a two-element list")
+            a, b = F.lower(sub(args[0])), F.lower(sub(args[1]))
+            return (F.when(a < b, -1).when(a > b, 1).otherwise(0)
+                    .cast("int"))
+        if op == "$indexOfCP":
+            # [str, substr] — 0-based index of first occurrence, -1
+            # when absent (instr is 1-based, 0 for absent). The
+            # start/end range form is refused. Code-point caveat as
+            # $regexFind's idx: UTF-16 units, equal on BMP text.
+            if not isinstance(args, (list, tuple)) or len(args) != 2:
+                raise ValueError("$indexOfCP supports the two-argument "
+                                 "form only (start/end ranges refused)")
+            return (F.instr(sub(args[0]), sub(args[1])) - 1).cast("int")
+        if op in ("$setEquals", "$setIsSubset"):
+            if not isinstance(args, (list, tuple)) or len(args) < 2:
+                raise ValueError(f"{op} requires at least two arrays")
+            if op == "$setIsSubset":
+                if len(args) != 2:
+                    raise ValueError("$setIsSubset takes exactly two arrays")
+                a, b = sub(args[0]), sub(args[1])
+                return F.size(F.array_except(a, b)) == 0
+            cols = [sub(a) for a in args]
+            out = None
+            for x, y in zip(cols, cols[1:]):
+                e = (F.size(F.array_except(x, y)) == 0) & \
+                    (F.size(F.array_except(y, x)) == 0)
+                out = e if out is None else out & e
+            return out
+        if op in ("$anyElementTrue", "$allElementsTrue"):
+            # Mongo wraps the array in a one-element list
+            arg = args[0] if isinstance(args, (list, tuple)) \
+                and len(args) == 1 else args
+            arr = sub(arg)
+            fn = F.exists if op == "$anyElementTrue" else F.forall
+            return fn(arr, lambda x: x.cast("boolean"))
         if op == "$dateDiff":
             # Mongo counts unit-BOUNDARY crossings (23:59→00:01 is one
             # day), not elapsed whole units — truncate both endpoints
@@ -908,6 +998,12 @@ def _mongo_accumulator(spec) -> Column:
       documented divergence; pre-coalesce if null slots matter.
     * ``$first``/``$last`` follow encounter order, which (as in Mongo)
       is only meaningful downstream of a ``$sort``.
+    * ``$top/$bottom/$topN/$bottomN`` take a single-field 1/-1 sortBy;
+      the N forms sort-then-slice collected (key, output) structs with
+      the output as the deterministic tie-break.
+    * ``$median/$percentile`` compile to EXACT linear-interpolated
+      percentile (Mongo's t-digest approximation has no stable twin;
+      exact is the safer migration-validation direction).
     """
     if not isinstance(spec, dict) or len(spec) != 1:
         raise ValueError(f"accumulator must have one operator: {spec}")
@@ -954,6 +1050,68 @@ def _mongo_accumulator(spec) -> Column:
         outc, key = _mongo_expr(arg["output"]), F.col(f)
         want_min = (direction == 1) == (op == "$top")
         return F.min_by(outc, key) if want_min else F.max_by(outc, key)
+    if op in ("$median", "$percentile"):
+        # Mongo 7.0 {input, method: 'approximate'[, p: [...]]}.
+        # Compiled to Spark's EXACT linear-interpolated percentile —
+        # a deliberate, pinned divergence: Mongo only offers a t-digest
+        # approximation whose values are algorithm-specific; exact is
+        # the strictly-safer direction for migration validation (and
+        # what the DuckDB quantile_cont oracle computes). The method
+        # key is required (as in Mongo) and must be 'approximate' —
+        # naming any other method would promise something neither
+        # engine has.
+        if not isinstance(arg, dict) or "input" not in arg:
+            raise ValueError(f"{op} requires {{input, method}}")
+        if arg.get("method") != "approximate":
+            raise ValueError(f"{op} requires method: 'approximate' "
+                             "(Mongo's only method; compiled to exact "
+                             "percentile — see docstring)")
+        if op == "$median":
+            return F.percentile(_mongo_expr(arg["input"]), 0.5)
+        ps = arg.get("p")
+        if (not isinstance(ps, (list, tuple)) or not ps
+                or not all(isinstance(p, (int, float))
+                           and not isinstance(p, bool)
+                           and 0.0 <= p <= 1.0 for p in ps)):
+            raise ValueError("$percentile p must be a non-empty list of "
+                             "numeric literals in [0, 1]")
+        return F.percentile(_mongo_expr(arg["input"]),
+                            [float(p) for p in ps])
+    if op in ("$topN", "$bottomN"):
+        # Mongo 5.2: the outputs of the n docs that sort first/last.
+        # Single-field 1/-1 sortBy; collect (key, output) structs,
+        # array_sort (struct order: key, then output as the
+        # DETERMINISTIC tie-break — Mongo leaves ties unspecified, so
+        # give the oracle the same tie-break), reverse for descending
+        # sortBy (which also reverses the tie-break — ORDER BY key
+        # DESC, output DESC in the twin SQL), slice n from the top
+        # ($topN) or the tail ($bottomN; Mongo returns the tail in
+        # sort order, so no re-reverse). NULL sort keys: array_sort
+        # puts nulls LAST; Mongo sorts nulls FIRST ascending —
+        # null-free sort keys are the caller's contract here.
+        if not isinstance(arg, dict) \
+                or not {"n", "output", "sortBy"} <= set(arg):
+            raise ValueError(f"{op} requires {{n, output, sortBy}}")
+        n = arg["n"]
+        if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+            raise ValueError(f"{op} n must be a positive int literal")
+        sort_by = arg["sortBy"]
+        if not isinstance(sort_by, dict) or len(sort_by) != 1:
+            raise ValueError(f"{op} supports a single sortBy field")
+        f, direction = next(iter(sort_by.items()))
+        if direction not in (1, -1):
+            raise ValueError("sortBy directions must be 1 or -1")
+        pairs = F.array_sort(F.collect_list(
+            F.struct(F.col(f).alias("k"), _mongo_expr(arg["output"]).alias("v"))
+        ))
+        if direction == -1:
+            pairs = F.reverse(pairs)
+        if op == "$topN":
+            sliced = F.slice(pairs, 1, n)
+        else:
+            start = F.greatest(F.size(pairs) - F.lit(n) + 1, F.lit(1))
+            sliced = F.slice(pairs, start, F.lit(n))
+        return F.transform(sliced, lambda e: e["v"])
     if op == "$mergeObjects":
         # last-write-wins per field over encounter order on struct
         # inputs: Spark's last(ignorenulls) per FIELD restates Mongo's

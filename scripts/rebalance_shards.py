@@ -29,7 +29,11 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 OUT = ROOT / "tests" / "property_shards.json"
-N_SHARDS = 3
+# 4 thirds→quarters at round 14: the property suite's total call time
+# (~37 min measured under the 5-way contention it actually runs in)
+# outgrew a 3-way split's ~9-minute wall target; 4 shards predict
+# ~9:15 each (6 pytest processes total — still fine on 32 CPUs)
+N_SHARDS = 4
 
 #: pytest --durations line: "12.34s call tests/test_x.py::test_y[case]"
 _LINE = re.compile(r"^\s*(\d+(?:\.\d+)?)s\s+call\s+(\S+)\s*$")

@@ -1234,3 +1234,112 @@ def test_mongo_expression_tail_r14(spark):
                 mongo_aggregate(df, [{"$addFields": {"z": bad}}])
     finally:
         spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+
+
+def test_mongo_expression_batch2_r14(spark):
+    """Round-14 batch 2: $replaceOne (FIRST occurrence via
+    instr/concat splice) / $replaceAll (literal find, no regex),
+    $dateTrunc (Monday weeks, binSize 1, no timezone), $strcasecmp /
+    $indexOfCP (0-based, -1 absent, two-arg form only), set
+    predicates, and the $topN/$bottomN accumulators ($bottomN returns
+    the ascending TAIL in sort order — exactly the reverse of the
+    descending head). Error contracts refuse everything else."""
+    import datetime as dt
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0, "1-URGENT", dt.datetime(2020, 1, 8, 5)),
+         ("a", 2, 30.0, "2-HIGH", dt.datetime(2020, 1, 9, 5)),
+         ("a", 3, 20.0, "3-MEDIUM", dt.datetime(2020, 1, 20, 5)),
+         ("b", 4, 5.0, "5-LOW", dt.datetime(2020, 2, 1, 5))],
+        "g string, k int, price double, pri string, ts timestamp_ntz")
+
+    r = {row.pri: row for row in mongo_aggregate(df, [{"$addFields": {
+        "rall": {"$replaceAll": {"input": "$pri", "find": "-",
+                                 "replacement": "_"}},
+        "rone": {"$replaceOne": {"input": "$pri", "find": "I",
+                                 "replacement": "!"}},
+        "wk": {"$dateTrunc": {"date": "$ts", "unit": "week",
+                              "startOfWeek": "monday"}},
+        "cmp": {"$strcasecmp": ["$pri", "3-medium"]},
+        "gx": {"$indexOfCP": ["$pri", "G"]},
+        "sub": {"$setIsSubset": [{"$literal": [1]}, {"$literal": [1, 2]}]},
+        "seq": {"$setEquals": [{"$literal": [2, 1, 1]},
+                               {"$literal": [1, 2]}]},
+        "anyt": {"$anyElementTrue": [{"$literal": [False, True]}]},
+        "allt": {"$allElementsTrue": [{"$literal": [False, True]}]},
+    }}]).collect()}
+    assert r["1-URGENT"].rall == "1_URGENT"
+    assert r["3-MEDIUM"].rone == "3-MED!UM"  # first I only
+    assert r["1-URGENT"].wk == dt.datetime(2020, 1, 6)  # Monday
+    assert (r["1-URGENT"].cmp, r["3-MEDIUM"].cmp, r["5-LOW"].cmp) == (-1, 0, 1)
+    assert (r["1-URGENT"].gx, r["5-LOW"].gx) == (4, -1)
+    row = r["1-URGENT"]
+    assert (row.sub, row.seq, row.anyt, row.allt) == (True, True, True, False)
+
+    g = {row._id: row for row in mongo_aggregate(df, [{"$group": {
+        "_id": "$g",
+        "top2": {"$topN": {"n": 2, "sortBy": {"price": -1}, "output": "$k"}},
+        "bot2": {"$bottomN": {"n": 2, "sortBy": {"price": 1}, "output": "$k"}},
+    }}]).collect()}
+    assert g["a"].top2 == [2, 3]   # 30.0 then 20.0
+    assert g["a"].bot2 == [3, 2]   # ascending tail: 20.0 then 30.0
+    assert g["b"].top2 == [4] and g["b"].bot2 == [4]  # n > group size
+
+    for bad, pat in (
+        ({"$replaceOne": {"input": "$pri"}}, "requires"),
+        ({"$dateTrunc": {"date": "$ts", "unit": "week"}}, "monday"),
+        ({"$dateTrunc": {"date": "$ts", "unit": "day",
+                         "binSize": 2}}, "binSize"),
+        ({"$dateTrunc": {"date": "$ts", "unit": "day",
+                         "timezone": "UTC"}}, "timezone"),
+        ({"$indexOfCP": ["$pri", "G", 1]}, "two-argument"),
+        ({"$setIsSubset": ["$pri"]}, "two"),
+        ({"$strcasecmp": ["$pri"]}, "two-element"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            mongo_aggregate(df, [{"$addFields": {"z": bad}}])
+    for badacc, pat in (
+        ({"$topN": {"n": 2, "output": "$k"}}, "requires"),
+        ({"$topN": {"n": 0, "sortBy": {"price": 1},
+                    "output": "$k"}}, "positive"),
+        ({"$bottomN": {"n": 1, "sortBy": {"price": 1, "k": 1},
+                       "output": "$k"}}, "single"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            mongo_aggregate(df, [{"$group": {"_id": "$g", "z": badacc}}])
+
+
+def test_mongo_median_percentile(spark):
+    """Mongo 7.0 $median/$percentile accumulators, compiled to EXACT
+    linear-interpolated percentile (pinned divergence: Mongo offers
+    only a t-digest approximation; exact is the safer migration-
+    validation direction and matches quantile_cont oracles). method:
+    'approximate' is REQUIRED as in Mongo; p must be numeric literals
+    in [0,1]."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [("b", 10.0)],
+        "g string, v double")
+    r = {row._id: row for row in mongo_aggregate(df, [{"$group": {
+        "_id": "$g",
+        "med": {"$median": {"input": "$v", "method": "approximate"}},
+        "pct": {"$percentile": {"input": "$v", "p": [0.25, 0.5, 1.0],
+                                "method": "approximate"}},
+    }}]).collect()}
+    assert r["a"].med == 2.5
+    assert r["a"].pct == [1.75, 2.5, 4.0]  # linear interpolation
+    assert r["b"].med == 10.0 and r["b"].pct == [10.0, 10.0, 10.0]
+
+    for bad, pat in (
+        ({"$median": {"input": "$v"}}, "method"),
+        ({"$median": {"input": "$v", "method": "exact"}}, "method"),
+        ({"$percentile": {"input": "$v", "method": "approximate",
+                          "p": []}}, "non-empty"),
+        ({"$percentile": {"input": "$v", "method": "approximate",
+                          "p": [1.5]}}, "0, 1"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            mongo_aggregate(df, [{"$group": {"_id": "$g", "z": bad}}])
