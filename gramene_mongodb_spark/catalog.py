@@ -13040,19 +13040,21 @@ def x_mongo_object_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS status,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks,
-           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3]
-             AS top3,
-           list_reverse(
-             (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:2]
-           ) AS bot2,
+           array_to_string(
+             (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:3],
+             ',') AS top3,
+           array_to_string(
+             list_reverse(
+               (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))[1:2]),
+             ',') AS bot2,
            CAST(sum(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
              AS n_sub,
            CAST(sum(CASE WHEN cmp_med = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_medeq,
            CAST(sum(CASE WHEN gpos >= 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS g_found,
-           list_sort(list(DISTINCT pri_u)) AS pris,
-           list_sort(list(DISTINCT pri_x)) AS pris_x
+           array_to_string(list_sort(list(DISTINCT pri_u)), ',') AS pris,
+           array_to_string(list_sort(list(DISTINCT pri_x)), ',') AS pris_x
     FROM base GROUP BY 1
     """,
     "documents", "S10", "A4",
@@ -13070,6 +13072,9 @@ def x_mongo_strings_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     it without negative slicing). $addToSet + $sortArray give the
     deterministic distinct-strings column.
 
+    Arrays leave the entry as comma-joined strings (the house a1
+    driver-gate convention — the driver's canonicalizer cannot hash
+    list cells; the typed arrays stay in the shim/operator layer).
     All JVM-side; the only exchange is the status groupBy (map-side
     partials; collect_list payloads are bounded by orders-per-status
     for the sort-slice accumulators — the documented $topN memory
@@ -13085,7 +13090,7 @@ def x_mongo_strings_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     view = orders.select("o_orderkey", "o_orderstatus", "o_totalprice",
                          "o_orderpriority", "o_orderdate")
-    return DOC.mongo_aggregate(view, [
+    out = DOC.mongo_aggregate(view, [
         {"$addFields": {
             "pri_u": {"$replaceAll": {"input": "$o_orderpriority",
                                       "find": "-", "replacement": "_"}},
@@ -13124,6 +13129,14 @@ def x_mongo_strings_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pris_x": {"$sortArray": {"input": "$prix_set", "sortBy": 1}},
         }},
     ])
+    # driver-gate presentation: comma-join the arrays (order IS the
+    # $topN/$bottomN payload, so no re-sort here; pris/pris_x are
+    # already $sortArray-deterministic)
+    for c in ("top3", "bot2"):
+        out = out.withColumn(
+            c, F.array_join(F.transform(c, lambda x: x.cast("string")), ","))
+    return out.withColumn("pris", F.array_join("pris", ",")) \
+              .withColumn("pris_x", F.array_join("pris_x", ","))
 
 
 @register(
