@@ -129,10 +129,12 @@ HEADLINE = [
     "x_mongo_graphlookup",
     "pipeline_release_e2e",
     # round 14: the expression-tail entries — regex/object-reshape/
-    # date-crossing surface and strings/sets/$topN accumulators
-    # (per-row JVM expressions; one fixed-domain groupBy each)
+    # date-crossing surface, strings/sets/$topN accumulators, and the
+    # $integral/$derivative window calculus (per-row JVM expressions;
+    # one fixed-domain groupBy / one window exchange each)
     "x_mongo_object_reshape",
     "x_mongo_strings_sets",
+    "x_mongo_window_calculus",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -12708,6 +12708,92 @@ def x_mongo_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_mongo_window_calculus",
+    """
+    WITH v AS (
+      SELECT o_orderkey AS t, o_orderstatus AS g,
+             CAST(floor(o_totalprice) AS BIGINT) AS val
+      FROM orders),
+    w AS (
+      SELECT *,
+             (t - lag(t) OVER w1) * (val + lag(val) OVER w1) / 2.0 AS term,
+             val - lag(val) OVER w1 AS dv,
+             t - lag(t) OVER w1 AS dt
+      FROM v WINDOW w1 AS (PARTITION BY g ORDER BY t))
+    SELECT t, g, val,
+           coalesce(sum(term) OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS cum_area,
+           coalesce(sum(term) OVER (PARTITION BY g), 0) AS tot_area,
+           coalesce(term, 0) AS pair_area,
+           CAST(dv AS DOUBLE) / dt AS slope2,
+           round(stddev_pop(val) OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS sd5,
+           round(covar_pop(t % 100, val % 1000) OVER (PARTITION BY g
+             ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 2)
+             AS cov10
+    FROM w
+    """,
+    "documents", "S10", "W1",
+)
+def x_mongo_window_calculus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields calculus/statistics tail (round 14):
+    ``$integral`` (trapezoid rule — per-row partition-lag terms plus a
+    lower-bound-shifted windowed sum, so bounded frames exclude the
+    half-trapezoid reaching outside; cumulative, whole-partition and
+    pairwise [-1, current] shapes all exercised), ``$derivative``
+    ((last−first)/(key span) over a documents window; NULL on zero
+    span, pinned vs Mongo's Infinity), windowed ``$stdDevPop`` and
+    two-expression ``$covariancePop``, with Mongo's half-even
+    ``$round`` on the statistics.
+
+    Exactness contract with the oracle: sort key and value are
+    INTEGERS, so every trapezoid term is an exact binary multiple of
+    0.5 and the windowed sums are bit-identical across engines; the
+    derivative is one IEEE division of the same two exact doubles;
+    only the stddev/covariance columns need rounding (streaming
+    moment algorithms differ in low bits).
+
+    Scale: ONE hash exchange + sort per (partitionBy, sortBy) pair,
+    shared by all six outputs — Catalyst reuses the window exchange
+    exactly as a hand-written SQL WINDOW clause would."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    view = orders.select(
+        F.col("o_orderkey").alias("t"),
+        F.col("o_orderstatus").alias("g"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("val"),
+    )
+    return DOC.mongo_aggregate(view, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"t": 1},
+            "output": {
+                "cum_area": {"$integral": {"input": "$val"},
+                             "window": {"documents": ["unbounded",
+                                                      "current"]}},
+                "tot_area": {"$integral": {"input": "$val"}},
+                "pair_area": {"$integral": {"input": "$val"},
+                              "window": {"documents": [-1, "current"]}},
+                "slope2": {"$derivative": {"input": "$val"},
+                           "window": {"documents": [-1, 0]}},
+                "sd5_raw": {"$stdDevPop": "$val",
+                            "window": {"documents": [-4, 0]}},
+                "cov10_raw": {"$covariancePop": [
+                    {"$mod": ["$t", 100]}, {"$mod": ["$val", 1000]}],
+                    "window": {"documents": [-9, 0]}},
+            },
+        }},
+        {"$project": {
+            "t": 1, "g": 1, "val": 1, "cum_area": 1, "tot_area": 1,
+            "pair_area": 1, "slope2": 1,
+            "sd5": {"$round": ["$sd5_raw", 2]},
+            "cov10": {"$round": ["$cov10_raw", 2]},
+        }},
+    ])
+
+
+@register(
     "x_mongo_densify_fill",
     """
     WITH src AS (
@@ -13384,15 +13470,15 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-14 ROTATION (VERDICT r13 §next-round #1): never-attested
-    # first (x_mongo_object_reshape + x_mongo_strings_sets, the
-    # round-14 expression-tail entries), then the ENTIRE remaining
-    # r9-stale cohort (20 — the alphabetical tail the r13 window
-    # couldn't fit), then the 28 alphabetically-first of the 50
-    # r10-stale greens. After this round the latest-attestation
-    # histogram has no bucket older than r10, closing the rotation
-    # program: every entry's floor is ≤2 rounds at the 50/round
-    # cadence (22 r10 leftovers, x_media_audio …, seed the r15
-    # window).
+    # first (x_mongo_object_reshape + x_mongo_strings_sets +
+    # x_mongo_window_calculus, the round-14 expression/window-tail
+    # entries), then the ENTIRE remaining r9-stale cohort (20 — the
+    # alphabetical tail the r13 window couldn't fit), then the 27
+    # alphabetically-first of the 50 r10-stale greens. After this
+    # round the latest-attestation histogram has no bucket older than
+    # r10, closing the rotation program: every entry's floor is ≤2
+    # rounds at the 50/round cadence (23 r10 leftovers, x_lm_score /
+    # x_media_audio …, seed the r15 window).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
@@ -13401,6 +13487,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #
     # never-attested (registered this round)
     "x_mongo_object_reshape", "x_mongo_strings_sets",
+    "x_mongo_window_calculus",
     # stalest greens — last attested r9 (all 20 remaining)
     "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs", "x_bpe_train",
     "x_cms_frequency", "x_cms_selfjoin_size", "x_graph_components",
@@ -13419,7 +13506,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "x_embed_quantize", "x_event_transitions", "x_fixed_sample",
     "x_hash_sample", "x_html_extract", "x_inverted_index",
     "x_kappa_eval", "x_lang_id", "x_leakage_matrix", "x_line_filter",
-    "x_lm_score",
 )
 
 

@@ -947,6 +947,13 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
         if op in ("$mod", "$pow"):
             a, b = sub(args[0]), sub(args[1])
             return a % b if op == "$mod" else F.pow(a, b)
+        if op == "$round":
+            # Mongo rounds HALF-TO-EVEN (banker's) — that's bround,
+            # not round (HALF_UP). place must be an int literal.
+            place = args[1] if len(args) > 1 else 0
+            if not isinstance(place, int) or isinstance(place, bool):
+                raise ValueError("$round place must be an int literal")
+            return F.bround(sub(args[0]), place)
         cols = [sub(a) for a in args]
         if op == "$ifNull":
             return F.coalesce(*cols)
@@ -1170,11 +1177,18 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
       field (Mongo's own restriction). Bounds: "unbounded"/"current"/
       int. Time ``unit`` ranges are refused loudly (use an epoch-secs
       column instead) — no silent approximation.
-    * Accumulators: $sum/$avg/$min/$max/$count/$first/$last; position
-      ops $rank/$denseRank/$documentNumber (require sortBy, REFUSE an
-      explicit window — Mongo errors there too); $shift with
-      {output, by, default} (positive ``by`` looks forward — lead),
-      which ignores window bounds by contract.
+    * Accumulators: $sum/$avg/$min/$max/$count/$first/$last,
+      $stdDevPop/$stdDevSamp, $push/$addToSet (null-dropping pinned at
+      the $group twins), $covariancePop/$covarianceSamp (two-expression
+      list); position ops $rank/$denseRank/$documentNumber (require
+      sortBy, REFUSE an explicit window — Mongo errors there too);
+      $shift with {output, by, default} (positive ``by`` looks forward
+      — lead), which ignores window bounds by contract; $derivative
+      ((last−first)/(key span) over documents windows; zero span →
+      NULL where Mongo gives Infinity — pinned); $integral (trapezoid
+      rule via partition-lag terms + a lower-bound-shifted windowed
+      sum; documents windows only). $expMovingAvg is refused (a
+      sequential recurrence with no window twin).
     * Every output field is evaluated against the INPUT document
       (Mongo's rule): an output whose name shadows an input column
       cannot poison another output's argument or the shared sortBy —
@@ -1244,8 +1258,97 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
                    else F.lag(expr, -by, default)).over(sorted_base)
             results.append((out_field, col))
             continue
-        if op == "$count":
+        if op == "$expMovingAvg":
+            raise ValueError(
+                "$expMovingAvg is a sequential recurrence (each value "
+                "depends on the previous OUTPUT) with no Spark window "
+                "twin — refused; restate as a grouped-map kernel if the "
+                "recurrence is genuinely needed"
+            )
+        if op == "$integral":
+            # Trapezoid rule, Mongo's definition: the integral of the
+            # (sortKey, input) polyline across the window's documents.
+            # Per-row term = the trapezoid between a doc and its
+            # PARTITION predecessor (lag over the sorted partition),
+            # then a windowed sum whose LOWER bound is shifted +1 so
+            # the first in-frame doc's predecessor-trapezoid (which
+            # reaches outside the frame) is excluded. unit refused
+            # (numeric sort key); range windows refused (a positional
+            # term cannot respect a value-based boundary); one-doc
+            # frames integrate to 0.
+            if isinstance(arg, dict) and arg.get("unit") is not None:
+                raise ValueError("$integral unit is refused — sort on a "
+                                 "numeric (e.g. epoch-seconds) field")
+            if not sort_by or len(sort_by) != 1 \
+                    or next(iter(sort_by.values())) != 1:
+                raise ValueError(
+                    "$integral requires a single ascending sortBy field")
+            inp = _mongo_expr(arg["input"] if isinstance(arg, dict) else arg)
+            key = F.col(next(iter(sort_by)))
+            term = (key - F.lag(key, 1).over(sorted_base)) * \
+                (inp + F.lag(inp, 1).over(sorted_base)) / 2
+            if wspec is None:
+                w = base
+            elif "documents" in wspec:
+                lo, hi = wspec["documents"]
+                lo_b = _wf_bound(lo, True)
+                from pyspark.sql.window import Window as _W
+
+                if lo_b != _W.unboundedPreceding:
+                    lo_b = lo_b + 1
+                w = sorted_base.rowsBetween(lo_b, _wf_bound(hi, False))
+            else:
+                raise ValueError("$integral windows must use documents "
+                                 "bounds (range bounds cannot scope the "
+                                 "positional trapezoid terms)")
+            results.append((out_field, F.coalesce(
+                F.sum(term).over(w), F.lit(0.0))))
+            continue
+        if op == "$derivative":
+            # (last(input) − first(input)) / (last(sortKey) −
+            # first(sortKey)) over the window — Mongo's definition.
+            # unit refused (numeric sort key); a zero key-span yields
+            # NULL (Spark's x/0) where Mongo yields Infinity — pinned.
+            if isinstance(arg, dict) and arg.get("unit") is not None:
+                raise ValueError("$derivative unit is refused — sort on a "
+                                 "numeric (e.g. epoch-seconds) field")
+            if not sort_by or len(sort_by) != 1 \
+                    or next(iter(sort_by.values())) != 1:
+                raise ValueError(
+                    "$derivative requires a single ascending sortBy field")
+            inp = _mongo_expr(arg["input"] if isinstance(arg, dict) else arg)
+            key = F.col(next(iter(sort_by)))
+            if wspec is None:
+                w = base
+            elif "documents" in wspec:
+                lo, hi = wspec["documents"]
+                w = sorted_base.rowsBetween(_wf_bound(lo, True),
+                                            _wf_bound(hi, False))
+            else:
+                raise ValueError("$derivative windows must use documents "
+                                 "bounds (range adds nothing over the "
+                                 "sort key itself)")
+            col = F.try_divide(
+                F.last(inp).over(w) - F.first(inp).over(w),
+                F.last(key).over(w) - F.first(key).over(w))
+            results.append((out_field, col))
+            continue
+        if op in ("$covariancePop", "$covarianceSamp"):
+            if not isinstance(arg, (list, tuple)) or len(arg) != 2:
+                raise ValueError(f"{op} requires a two-expression list")
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            agg = fn(_mongo_expr(arg[0]).cast("double"),
+                     _mongo_expr(arg[1]).cast("double"))
+        elif op == "$count":
             agg = F.count(F.lit(1))
+        elif op in ("$stdDevPop", "$stdDevSamp"):
+            agg = (F.stddev_pop if op == "$stdDevPop"
+                   else F.stddev_samp)(_mongo_expr(arg))
+        elif op in ("$push", "$addToSet"):
+            # same null-dropping divergence as the $group twins (the
+            # accumulator docstring pins it)
+            agg = (F.collect_list if op == "$push"
+                   else F.collect_set)(_mongo_expr(arg))
         elif op in _ACC:
             agg = _ACC[op](_mongo_expr(arg))
         else:

@@ -1343,3 +1343,70 @@ def test_mongo_median_percentile(spark):
     ):
         with pytest.raises(ValueError, match=pat):
             mongo_aggregate(df, [{"$group": {"_id": "$g", "z": bad}}])
+
+
+def test_mongo_window_calculus_r14(spark):
+    """$setWindowFields calculus/statistics tail: $integral (trapezoid
+    rule; bounded documents frames exclude the half-trapezoid that
+    reaches outside via the shifted lower bound), $derivative
+    ((last−first)/(key span); NULL on zero span — pinned vs Mongo's
+    Infinity), windowed $stdDevPop/$covariancePop, $push/$addToSet
+    windows, and refusals: $expMovingAvg (sequential recurrence),
+    range-bounded $integral/$derivative, $integral/$derivative
+    without a single ascending numeric sortBy, time units."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    # y = 2x on x = 0..3 → ∫ = x², slope 2 everywhere
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+         ("b", 0.0, 1.0), ("b", 2.0, 1.0)],
+        "g string, x double, y double")
+    rows = {(r.g, r.x): r for r in mongo_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"x": 1},
+        "output": {
+            "cum": {"$integral": {"input": "$y"},
+                    "window": {"documents": ["unbounded", "current"]}},
+            "tot": {"$integral": {"input": "$y"}},
+            "pair": {"$integral": {"input": "$y"},
+                     "window": {"documents": [-1, "current"]}},
+            "slope": {"$derivative": {"input": "$y"},
+                      "window": {"documents": [-1, 0]}},
+            "sd": {"$stdDevPop": "$y"},
+            "cov": {"$covariancePop": ["$x", "$y"]},
+            "ys": {"$push": "$y",
+                   "window": {"documents": ["unbounded", "current"]}},
+        }}}]).collect()}
+    a3 = rows[("a", 3.0)]
+    assert [rows[("a", x)].cum for x in (0.0, 1.0, 2.0, 3.0)] == \
+        [0.0, 1.0, 4.0, 9.0]  # x² — the trapezoid rule is exact on lines
+    assert a3.tot == 9.0 and rows[("b", 2.0)].tot == 2.0
+    assert a3.pair == 5.0  # trapezoid between x=2 and x=3 only
+    assert a3.slope == 2.0 and rows[("a", 0.0)].slope is None  # zero span
+    assert abs(a3.sd - 2.2360679) < 1e-6 and abs(a3.cov - 2.5) < 1e-12
+    assert a3.ys == [0.0, 2.0, 4.0, 6.0]
+
+    for bad, pat in (
+        ({"$expMovingAvg": {"input": "$y", "N": 3}}, "recurrence"),
+        ({"$integral": {"input": "$y"},
+          "window": {"range": [-1, 0]}}, "documents"),
+        ({"$derivative": {"input": "$y"},
+          "window": {"range": [-1, 0]}}, "documents"),
+        ({"$integral": {"input": "$y", "unit": "hour"},
+          "window": {"documents": [-1, 0]}}, "unit"),
+        ({"$covariancePop": ["$x"]}, "two-expression"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            mongo_aggregate(df, [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"x": 1},
+                "output": {"z": bad}}}])
+    with pytest.raises(ValueError, match="ascending"):
+        mongo_aggregate(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": -1},
+            "output": {"z": {"$derivative": {"input": "$y"},
+                             "window": {"documents": [-1, 0]}}}}}])
+    # $round is half-to-even (banker's), matching Mongo
+    r = mongo_aggregate(
+        spark.createDataFrame([(0.125, 0.375)], "p double, q double"),
+        [{"$addFields": {"rp": {"$round": ["$p", 2]},
+                         "rq": {"$round": ["$q", 2]}}}]).first()
+    assert (r.rp, r.rq) == (0.12, 0.38)
