@@ -12729,10 +12729,12 @@ def x_mongo_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dv AS DOUBLE) / dt AS slope2,
            round(stddev_pop(val) OVER (PARTITION BY g ORDER BY t
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS sd5,
-           round(covar_pop(t % 100, val % 1000) OVER (PARTITION BY g
-             ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 2)
-             AS cov10
-    FROM w
+           CAST(round(
+             covar_pop(t % 100, val % 1000) OVER w10
+               * (count(*) OVER w10) * (count(*) OVER w10), 0) AS BIGINT)
+             AS cov10n2
+    FROM w WINDOW w10 AS (PARTITION BY g ORDER BY t
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
     """,
     "documents", "S10", "W1",
 )
@@ -12751,8 +12753,13 @@ def x_mongo_window_calculus(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGERS, so every trapezoid term is an exact binary multiple of
     0.5 and the windowed sums are bit-identical across engines; the
     derivative is one IEEE division of the same two exact doubles;
-    only the stddev/covariance columns need rounding (streaming
-    moment algorithms differ in low bits).
+    the covariance leaves as the INTEGER n²·cov (= n·Σxy − Σx·Σy —
+    exact in doubles at these magnitudes, so a 0-decimal round is
+    boundary-proof; plain round-2 hit an exact dyadic half at
+    sf0.001, where small frames make cov a multiple of 1/n² and the
+    two engines break .005 ties differently), and stddev rounds to 2
+    (its value is an irrational sqrt except at dyadic m/n points
+    that cannot land on a .XX5 boundary for frame sizes ≤ 5).
 
     Scale: ONE hash exchange + sort per (partitionBy, sortBy) pair,
     shared by all six outputs — Catalyst reuses the window exchange
@@ -12782,13 +12789,16 @@ def x_mongo_window_calculus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cov10_raw": {"$covariancePop": [
                     {"$mod": ["$t", 100]}, {"$mod": ["$val", 1000]}],
                     "window": {"documents": [-9, 0]}},
+                "cnt10": {"$count": {},
+                          "window": {"documents": [-9, 0]}},
             },
         }},
         {"$project": {
             "t": 1, "g": 1, "val": 1, "cum_area": 1, "tot_area": 1,
             "pair_area": 1, "slope2": 1,
             "sd5": {"$round": ["$sd5_raw", 2]},
-            "cov10": {"$round": ["$cov10_raw", 2]},
+            "cov10n2": {"$toLong": {"$round": [{"$multiply": [
+                "$cov10_raw", "$cnt10", "$cnt10"]}, 0]}},
         }},
     ])
 
