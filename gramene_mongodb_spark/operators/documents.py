@@ -524,10 +524,14 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
     site), date arithmetic (``$dateAdd/$dateSubtract/$dateDiff/
     $dateTrunc`` — wall-clock, timezone refused; $dateDiff counts
     Mongo's unit-boundary CROSSINGS via truncate-then-diff; weeks are
-    Monday-only), string editing (``$replaceOne/$replaceAll/
-    $strcasecmp/$indexOfCP``), and set predicates (``$setEquals/
-    $setIsSubset/$anyElementTrue/$allElementsTrue``). Anything else
-    raises — silent approximation is worse than an explicit gap."""
+    Monday-only), date parsing (``$toDate/$dateFromString`` —
+    NULL-on-unparseable, TIMESTAMP_NTZ wall clock via the
+    TZ-cancelling LTZ→NTZ round-trip), ``$let`` variable binding,
+    ``$round`` (half-to-even, as Mongo), string editing
+    (``$replaceOne/$replaceAll/$strcasecmp/$indexOfCP``), and set
+    predicates (``$setEquals/$setIsSubset/$anyElementTrue/
+    $allElementsTrue``). Anything else raises — silent approximation
+    is worse than an explicit gap."""
     if isinstance(spec, str) and spec.startswith("$$"):
         path = spec[2:].split(".")
         if not env or path[0] not in env:
@@ -618,6 +622,47 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             if args.get("timezone") is not None:
                 raise ValueError(f"{op} timezone is refused — wall clock only")
             return _EXPR_UNARY[op](sub(args["date"]))
+        if op == "$let":
+            # {vars: {name: expr}, in: expr} — vars evaluate in the
+            # OUTER scope (a var may not reference a sibling, as in
+            # Mongo), then extend the binding environment for `in`
+            if not isinstance(args, dict) or not {"vars", "in"} <= set(args):
+                raise ValueError("$let requires {vars, in}")
+            outer = env or {}
+            bound = {name: _mongo_expr(v, outer)
+                     for name, v in args["vars"].items()}
+            return _mongo_expr(args["in"], {**outer, **bound})
+        if op in ("$dateFromString", "$toDate"):
+            # $toDate accepts strings only (epoch-number forms refused
+            # — make the millis→timestamp cast explicit upstream);
+            # $dateFromString takes {dateString, format?} with the
+            # same %-specifier table as $dateToString. Both return
+            # NULL on unparseable input (the house try_-cast rule,
+            # pinned like $toInt/$toLong — Mongo errors by default;
+            # its onError:null form is this exact behavior). timezone
+            # refused (wall clock only).
+            # try_to_timestamp yields the session-default (LTZ) type;
+            # the immediate NTZ cast reinterprets that instant back in
+            # the SAME session zone, so the composition returns the
+            # string's wall clock unchanged under ANY session timezone
+            # (house TIMESTAMP_NTZ flavor; cross-TZ-sweep-proof)
+            if op == "$toDate":
+                return F.try_to_timestamp(sub(args)).cast("timestamp_ntz")
+            if not isinstance(args, dict) or "dateString" not in args:
+                raise ValueError("$dateFromString requires {dateString}")
+            if args.get("timezone") is not None:
+                raise ValueError("$dateFromString timezone is refused — "
+                                 "wall clock only")
+            if set(args) - {"dateString", "format"}:
+                raise ValueError("$dateFromString supports {dateString, "
+                                 "format} only (onError/onNull: the NULL-"
+                                 "on-unparseable contract is built in)")
+            ds = sub(args["dateString"])
+            if "format" not in args:
+                return F.try_to_timestamp(ds).cast("timestamp_ntz")
+            return F.try_to_timestamp(
+                ds, F.lit(_mongo_date_format(args["format"]))
+            ).cast("timestamp_ntz")
         if op in ("$regexMatch", "$regexFind"):
             # {input, regex, options?} — regex must be a LITERAL (Spark
             # compiles the pattern plan-side); Mongo options i/m/s/x

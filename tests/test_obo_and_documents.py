@@ -1410,3 +1410,64 @@ def test_mongo_window_calculus_r14(spark):
         [{"$addFields": {"rp": {"$round": ["$p", 2]},
                          "rq": {"$round": ["$q", 2]}}}]).first()
     assert (r.rp, r.rq) == (0.12, 0.38)
+
+
+def test_mongo_let_and_date_parsing(spark):
+    """$let (outer-scope vars, nested rebinding, unbound refusal) and
+    the parse direction of the date surface: $toDate (strings only)
+    and $dateFromString with the $dateToString %-specifier table, both
+    NULL-on-unparseable (the house try_-cast rule ≈ Mongo's
+    onError:null) and returned as TIMESTAMP_NTZ wall clock — the
+    LTZ-parse→NTZ-cast round-trip cancels the session timezone, so a
+    hostile-TZ driver parses identically (cross-TZ sweep contract)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(1, "2020-03-05 12:30:00", "05/03/2020", 4.0)],
+        "_id int, iso string, dmy string, x double")
+    res = mongo_aggregate(df, [{"$addFields": {
+        "t1": {"$toDate": "$iso"},
+        "t2": {"$dateFromString": {"dateString": "$dmy",
+                                   "format": "%d/%m/%Y"}},
+        "bad": {"$toDate": {"$literal": "nope"}},
+        "lt": {"$let": {"vars": {"half": {"$divide": ["$x", 2]}},
+                        "in": {"$add": ["$$half",
+                                        {"$multiply": ["$$half", 10]}]}}},
+        "nested": {"$let": {"vars": {"a": 1},
+                            "in": {"$let": {
+                                "vars": {"b": {"$add": ["$$a", 1]}},
+                                "in": {"$add": ["$$a", "$$b"]}}}}},
+    }}])
+    assert isinstance(res.schema["t1"].dataType, T.TimestampNTZType)
+    assert isinstance(res.schema["t2"].dataType, T.TimestampNTZType)
+    r = res.first()
+    assert r.t1 == dt.datetime(2020, 3, 5, 12, 30)
+    assert r.t2 == dt.datetime(2020, 3, 5)
+    assert r.bad is None and r.lt == 22.0 and r.nested == 3
+
+    # TZ-independence: same parse under a hostile half-hour offset
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Adelaide")
+    try:
+        r2 = mongo_aggregate(df, [{"$addFields": {
+            "t1": {"$toDate": "$iso"}}}]).first()
+        assert r2.t1 == dt.datetime(2020, 3, 5, 12, 30)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+    for bad, pat in (
+        ({"$let": {"vars": {"a": 1}, "in": "$$c"}}, "unbound"),
+        ({"$let": {"in": 1}}, "requires"),
+        ({"$dateFromString": {"dateString": "$iso",
+                              "timezone": "UTC"}}, "timezone"),
+        ({"$dateFromString": {"dateString": "$iso",
+                              "onError": None}}, "only"),
+        ({"$dateFromString": {"dateString": "$dmy",
+                              "format": "%d/%Q/%Y"}}, "specifier"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            mongo_aggregate(df, [{"$addFields": {"z": bad}}])
