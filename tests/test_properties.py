@@ -3112,3 +3112,143 @@ def test_mongo_densify_partition_grid_invariants(spark, rows, step):
                 assert v == t * 10      # originals keep payloads
             else:
                 assert v is None        # generated rows: NULL payload
+
+
+# --- round-14 Mongo expression tail: brute-force differentials ---
+
+_r14_strings = st.text(
+    alphabet=st.sampled_from("ab-E _xyG"), min_size=0, max_size=14)
+
+
+@given(
+    rows=st.lists(st.tuples(_r14_strings, _r14_strings.filter(bool)),
+                  min_size=1, max_size=12),
+)
+@settings(**SETTINGS)
+def test_replace_ops_match_python_reference(spark, rows):
+    """$replaceAll ≡ str.replace, $replaceOne ≡ str.replace(count=1),
+    $indexOfCP ≡ str.find — on arbitrary (input, find) pairs including
+    empty finds refused upstream by Mongo (we keep find non-empty)."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(i, s, f) for i, (s, f) in enumerate(rows)],
+        "_id int, s string, f string")
+    got = {r._id: r for r in mongo_aggregate(df, [{"$addFields": {
+        "rall": {"$replaceAll": {"input": "$s", "find": "$f",
+                                 "replacement": "<>"}},
+        "rone": {"$replaceOne": {"input": "$s", "find": "$f",
+                                 "replacement": "<>"}},
+        "idx": {"$indexOfCP": ["$s", "$f"]},
+    }}]).collect()}
+    for i, (s, f) in enumerate(rows):
+        assert got[i].rall == s.replace(f, "<>"), (s, f)
+        assert got[i].rone == s.replace(f, "<>", 1), (s, f)
+        assert got[i].idx == s.find(f), (s, f)
+
+
+@given(
+    starts=st.lists(
+        st.tuples(
+            st.datetimes(min_value=__import__("datetime").datetime(1999, 1, 1),
+                         max_value=__import__("datetime").datetime(2030, 12, 31)),
+            st.integers(-2000, 2000),
+        ),
+        min_size=1, max_size=12),
+    unit=st.sampled_from(["year", "quarter", "month", "day", "hour",
+                          "minute", "second"]),
+)
+@settings(**SETTINGS)
+def test_datediff_counts_boundary_crossings(spark, starts, unit):
+    """$dateDiff ≡ the number of unit BOUNDARIES crossed — the Python
+    reference truncates both endpoints to the unit and counts units
+    between the truncations (dateutil-free exact arithmetic)."""
+    import datetime as dt
+
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    def calendar_pos(d: dt.datetime) -> tuple[int, int]:
+        if unit == "year":
+            return (d.year, 0)
+        if unit == "quarter":
+            return (d.year, (d.month - 1) // 3)
+        return (d.year, d.month - 1)
+
+    def crossings(a: dt.datetime, b: dt.datetime) -> int:
+        if unit in ("year", "quarter", "month"):
+            ya, qa = calendar_pos(a)
+            yb, qb = calendar_pos(b)
+            per = {"year": 1, "quarter": 4, "month": 12}[unit]
+            return (yb * per + qb) - (ya * per + qa)
+        step = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+        fa = {"day": lambda d: d.replace(hour=0, minute=0, second=0, microsecond=0),
+              "hour": lambda d: d.replace(minute=0, second=0, microsecond=0),
+              "minute": lambda d: d.replace(second=0, microsecond=0),
+              "second": lambda d: d.replace(microsecond=0)}[unit]
+        return round((fa(b) - fa(a)).total_seconds()) // step
+
+    rows = [(i, s, s + dt.timedelta(hours=h))
+            for i, (s, h) in enumerate(starts)]
+    df = spark.createDataFrame(rows, "_id int, t0 timestamp_ntz, t1 timestamp_ntz")
+    got = {r._id: r.dd for r in mongo_aggregate(df, [{"$addFields": {
+        "dd": {"$dateDiff": {"startDate": "$t0", "endDate": "$t1",
+                             "unit": unit}},
+    }}]).collect()}
+    for i, a, b in rows:
+        assert got[i] == crossings(a, b), (a, b, unit, got[i])
+
+
+@given(
+    rows=st.lists(st.tuples(st.sampled_from("abc"), st.integers(0, 50),
+                            st.integers(0, 9)),
+                  min_size=1, max_size=20).filter(
+        lambda rs: len({(g, k) for g, k, _ in rs}) == len(rs)),
+    n=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_topn_bottomn_match_sorted_slice(spark, rows, n):
+    """$topN/$bottomN ≡ sorted()[:n] / sorted()[-n:] per group under
+    the pinned tie-break ((key, output) struct order; descending
+    reverses both)."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    res = {r._id: r for r in mongo_aggregate(df, [{"$group": {
+        "_id": "$g",
+        "top": {"$topN": {"n": n, "sortBy": {"k": -1}, "output": "$v"}},
+        "bot": {"$bottomN": {"n": n, "sortBy": {"k": 1}, "output": "$v"}},
+    }}]).collect()}
+    by_g: dict[str, list] = {}
+    for g, k, v in rows:
+        by_g.setdefault(g, []).append((k, v))
+    for g, pairs in by_g.items():
+        asc = sorted(pairs)
+        desc = sorted(pairs, reverse=True)
+        assert res[g].top == [v for _, v in desc[:n]], (g, pairs, n)
+        assert res[g].bot == [v for _, v in asc[-n:]], (g, pairs, n)
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=15),
+    ps=st.lists(st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+                min_size=1, max_size=3, unique=True),
+)
+@settings(**SETTINGS)
+def test_percentile_matches_linear_interpolation(spark, vals, ps):
+    """$percentile (compiled to exact percentile) ≡ the linear-
+    interpolation reference: rank = p·(n−1), value = lerp of the two
+    straddling order statistics."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = mongo_aggregate(df, [{"$group": {
+        "_id": None,
+        "pct": {"$percentile": {"input": "$v", "p": ps,
+                                "method": "approximate"}},
+    }}]).first().pct
+    s = sorted(vals)
+    for p, g in zip(ps, got):
+        rank = p * (len(s) - 1)
+        lo, hi = int(rank), min(int(rank) + 1, len(s) - 1)
+        want = s[lo] + (rank - lo) * (s[hi] - s[lo])
+        assert abs(g - want) < 1e-9, (vals, p, g, want)
