@@ -135,6 +135,12 @@ HEADLINE = [
     "x_mongo_object_reshape",
     "x_mongo_strings_sets",
     "x_mongo_window_calculus",
+    # round 14 (cont.): the updateMany write-surface shim (one narrow
+    # CASE-per-column select; zero extra shuffles) and $expMovingAvg
+    # (grouped-map recurrence kernel — one hash exchange + per-group
+    # O(rows) pass, the honest sequential floor)
+    "x_mongo_update_many",
+    "x_mongo_ema",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -13464,6 +13464,170 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.dsir_weights(docs, F.col("lang") == "en", "doc_id", "text", 128)
 
 
+@register(
+    "x_mongo_update_many",
+    """
+    WITH agg AS (
+      SELECT l_orderkey,
+             list_sort(list(DISTINCT l_returnflag)) AS flags,
+             list_sort(list(l_linestatus)) AS codes,
+             CAST(count(*) AS BIGINT) AS nitems
+      FROM lineitem GROUP BY 1),
+    base AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             o.o_orderpriority, a.flags, a.codes, a.nitems,
+             (o.o_orderstatus = 'O' AND o.o_totalprice < 150000) AS m
+      FROM orders o LEFT JOIN agg a ON o.o_orderkey = a.l_orderkey)
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN m THEN coalesce(o_totalprice, 0) + 1000
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN m THEN least(o_custkey, 500) ELSE o_custkey END
+             AS o_custkey,
+           CASE WHEN m THEN coalesce(nitems, 0) * 2 ELSE nitems END
+             AS nitems,
+           CASE WHEN m THEN 'r14' ELSE NULL END AS audited,
+           CASE WHEN m THEN o_orderpriority ELSE NULL END AS priority,
+           -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+           -- array_join: wrap so only genuinely-NULL arrays stay NULL
+           CASE WHEN f2 IS NULL THEN NULL
+                ELSE coalesce(array_to_string(f2, ','), '') END AS flags,
+           CASE WHEN c2 IS NULL THEN NULL
+                ELSE coalesce(array_to_string(c2, ','), '') END AS codes
+    FROM (
+      SELECT *,
+             CASE WHEN m THEN (CASE WHEN flags IS NULL THEN ['X']
+                               WHEN list_contains(flags, 'X') THEN flags
+                               ELSE list_append(flags, 'X') END)
+                  ELSE flags END AS f2,
+             CASE WHEN m THEN list_filter(codes,
+                                          x -> NOT coalesce(x = 'F', FALSE))
+                  ELSE codes END AS c2
+      FROM base)
+    """,
+    "documents", "S12", "S10",
+)
+def x_mongo_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MongoDB ``updateMany(filter, update)`` shim (round 14) — the S12
+    write surface the reference mutates collections with
+    (`trees/speciesTree.js:230-252`, `trees/taxonomy.js:48-69`,
+    `trees/add_domains_to_tree.js:123-148`): one update document
+    exercising ``$inc`` (missing seeds the increment), ``$mul``
+    (missing seeds 0), ``$min``, ``$set`` (new field), ``$rename``
+    (source nulled, destination claimed), ``$addToSet``
+    (append-if-absent — existing duplicates preserved, so NOT
+    array_union) and ``$pull`` (element-predicate filter), applied to
+    the rows matching a find() filter while every other row passes
+    through untouched.
+
+    Scale shape: the update itself is ONE narrow select over the
+    joined input — zero shuffles beyond the array-building groupBy,
+    zero UDFs, and the unmatched-row passthrough costs nothing (a CASE
+    on each updated column). The oracle restates every operator with
+    DuckDB list functions; arrays leave as comma-joined strings (house
+    convention for array-valued driver entries)."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.sort_array(F.collect_list("l_linestatus")).alias("codes"),
+        F.count(F.lit(1)).alias("nitems"),
+    )
+    base = (
+        orders.join(agg, orders.o_orderkey == agg.l_orderkey, "left")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority", "flags", "codes", "nitems")
+    )
+    upd = DOC.mongo_update_many(
+        base,
+        {"o_orderstatus": "O", "o_totalprice": {"$lt": 150000}},
+        {
+            "$inc": {"o_totalprice": 1000},
+            "$mul": {"nitems": 2},
+            "$min": {"o_custkey": 500},
+            "$set": {"audited": "r14"},
+            "$rename": {"o_orderpriority": "priority"},
+            "$addToSet": {"flags": "X"},
+            "$pull": {"codes": "F"},
+        },
+    )
+    return upd.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey",
+        "nitems", "audited", "priority",
+        F.array_join("flags", ",").alias("flags"),
+        F.array_join("codes", ",").alias("codes"),
+    )
+
+
+@register(
+    "x_mongo_ema",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    rec AS (
+      SELECT user_id, event_id, value, rn, prev,
+             CAST(value AS DOUBLE) AS ema9,
+             CAST(value AS DOUBLE) AS ema_half
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.value, b.rn, b.prev,
+             (2.0/10.0) * b.value + (1.0 - 2.0/10.0) * r.ema9,
+             0.5 * b.value + 0.5 * r.ema_half
+      FROM base b JOIN rec r
+        ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn, prev,
+           ema9, ema_half
+    FROM rec
+    """,
+    "documents", "S10", "W1",
+)
+def x_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$expMovingAvg`` (Mongo 5.0) — the one $setWindowFields
+    operator with no Spark window twin, because every output depends on
+    the previous OUTPUT (``ema = α·x + (1−α)·ema_prev``, seeded with
+    the first value). Compiled onto a grouped-map recurrence kernel
+    (documents._exp_moving_avg_kernel): ONE hash exchange on the
+    partition key, one in-memory sort and a single O(rows) pass per
+    group — the same exchange+sort a window function costs. Both the
+    N form (α = 2/(N+1)) and the alpha form run in the same
+    $setWindowFields stage as plain window outputs ($documentNumber,
+    $shift), proving the mixed kernel+window path.
+
+    Exactness contract: the kernel evaluates the recurrence in IEEE
+    float64 exactly as written, and the oracle REPLAYS the identical
+    recurrence as a recursive CTE (one iteration per within-partition
+    rank; events caps at ~99 rows/user, so the recursion is shallow
+    while the frontier stays wide) — same constants (2.0/10.0,
+    1.0 − 2.0/10.0), same multiply-multiply-add order, hence
+    bit-identical doubles with NO rounding. (user_id, ts) is unique in
+    the events table, so the sort is total (house a1 convention)."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return DOC.mongo_aggregate(ev, [
+        {"$setWindowFields": {
+            "partitionBy": "$user_id",
+            "sortBy": {"ts": 1},
+            "output": {
+                "rn": {"$documentNumber": {}},
+                "prev": {"$shift": {"output": "$value", "by": -1}},
+                "ema9": {"$expMovingAvg": {"input": "$value", "N": 9}},
+                "ema_half": {"$expMovingAvg": {"input": "$value",
+                                               "alpha": 0.5}},
+            },
+        }},
+        {"$project": {"user_id": 1, "event_id": 1, "value": 1,
+                      "rn": {"$toLong": "$rn"}, "prev": 1,
+                      "ema9": 1, "ema_half": 1}},
+    ])
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -13480,24 +13644,27 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-14 ROTATION (VERDICT r13 §next-round #1): never-attested
-    # first (x_mongo_object_reshape + x_mongo_strings_sets +
-    # x_mongo_window_calculus, the round-14 expression/window-tail
-    # entries), then the ENTIRE remaining r9-stale cohort (20 — the
-    # alphabetical tail the r13 window couldn't fit), then the 27
-    # alphabetically-first of the 50 r10-stale greens. After this
-    # round the latest-attestation histogram has no bucket older than
-    # r10, closing the rotation program: every entry's floor is ≤2
-    # rounds at the 50/round cadence (23 r10 leftovers, x_lm_score /
-    # x_media_audio …, seed the r15 window).
+    # first (the FIVE round-14 entries: the expression/window-tail
+    # trio + the late x_mongo_update_many/x_mongo_ema pair), then the
+    # ENTIRE remaining r9-stale cohort (20 — the alphabetical tail the
+    # r13 window couldn't fit), then the 25 alphabetically-first of
+    # the 50 r10-stale greens. After this round the latest-attestation
+    # histogram has no bucket older than r10, closing the rotation
+    # program: every entry's floor is ≤2 rounds at the 50/round
+    # cadence (25 r10 leftovers, x_leakage_matrix / x_line_filter /
+    # x_lm_score / x_media_audio …, seed the r15 window).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
     # Displaced greens remain parity-swept at sf0.01+sf0.1
     # (scripts/parity.py) and pytest-parametrized.
     #
-    # never-attested (registered this round)
+    # never-attested (registered this round; x_mongo_update_many +
+    # x_mongo_ema joined late in r14 — updateMany/$expMovingAvg — and
+    # displace the two alphabetically-last r10 names of the original
+    # pack, x_leakage_matrix + x_line_filter, into the r15 seed cohort)
     "x_mongo_object_reshape", "x_mongo_strings_sets",
-    "x_mongo_window_calculus",
+    "x_mongo_window_calculus", "x_mongo_update_many", "x_mongo_ema",
     # stalest greens — last attested r9 (all 20 remaining)
     "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs", "x_bpe_train",
     "x_cms_frequency", "x_cms_selfjoin_size", "x_graph_components",
@@ -13515,7 +13682,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "x_dsir_select", "x_embed_near_exact", "x_embed_near_lsh",
     "x_embed_quantize", "x_event_transitions", "x_fixed_sample",
     "x_hash_sample", "x_html_extract", "x_inverted_index",
-    "x_kappa_eval", "x_lang_id", "x_leakage_matrix", "x_line_filter",
+    "x_kappa_eval", "x_lang_id",
 )
 
 

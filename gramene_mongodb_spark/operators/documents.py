@@ -419,6 +419,283 @@ def mongo_find(
 
 
 # ---------------------------------------------------------------------------
+# Mongo updateMany shim (round-14; the S12 write surface —
+# `trees/speciesTree.js:230-252`, `trees/taxonomy.js:48-69` and
+# `trees/add_domains_to_tree.js:123-148` all mutate loaded collections
+# with update documents)
+# ---------------------------------------------------------------------------
+
+
+#: update operators this shim refuses with the reason — each needs
+#: machinery a pure batch transform cannot honestly provide
+_UPDATE_REFUSED = {
+    "$currentDate": "wall-clock side effect — stamp a literal upstream "
+                    "so the run is reproducible",
+    "$setOnInsert": "no upsert context in a pure transform — use "
+                    "mongo_merge/upsert_parquet for write-time upserts",
+    "$bit": "BSON integer bitwise update — restate as a pipeline-form "
+            "$set with $mod/arithmetic if genuinely needed",
+}
+
+
+def _update_path(field: str, targets: set[str]) -> None:
+    """Validate an update target path and claim it (Mongo errors on two
+    operators writing the same path: 'would create a conflict')."""
+    if "." in field:
+        raise ValueError(
+            f"dotted update path {field!r} is refused — nested-field "
+            "updates need an explicit struct rebuild (withField)"
+        )
+    if "$" in field:
+        raise ValueError(
+            f"positional update path {field!r} is refused — per-element "
+            "array updates ($/$[]/arrayFilters) need an explicit "
+            "transform() over the array column"
+        )
+    if field in targets:
+        raise ValueError(
+            f"updating {field!r} twice would create a conflict (Mongo "
+            "raises the same error)"
+        )
+    targets.add(field)
+
+
+def _update_literal(val) -> Column:
+    """Literal update argument → Column. Scalars and flat non-empty
+    lists of scalars only: classic-form update documents carry BSON
+    literals (expressions belong to the pipeline form)."""
+    if isinstance(val, (list, tuple)):
+        if not val:
+            raise ValueError(
+                "empty-array literals are refused (element type is "
+                "undecidable in a typed engine) — use the pipeline form "
+                "with a typed $literal/$filter expression"
+            )
+        if any(isinstance(v, (list, tuple, dict)) for v in val):
+            raise ValueError("nested-array/document literals are refused")
+        return F.array(*[F.lit(v) for v in val])
+    if isinstance(val, dict):
+        raise ValueError(
+            "nested-document literals are refused — update top-level "
+            "fields, or use the pipeline form with an expression"
+        )
+    return F.lit(val)
+
+
+def _require_number(op: str, val) -> None:
+    if isinstance(val, bool) or not isinstance(val, (int, float)):
+        raise ValueError(f"{op} requires a numeric argument, got {val!r}")
+
+
+def mongo_update_many(
+    df: DataFrame, query: dict, update: dict | list
+) -> DataFrame:
+    """``updateMany(filter, update)`` shim — the migration twin of the
+    reference's collection-mutation sites (`trees/speciesTree.js:230-252`
+    `update({_id}, doc, {upsert:true})`, `trees/taxonomy.js:48-69`,
+    `trees/add_domains_to_tree.js:123-148` ``updateOne($set)``): apply a
+    MongoDB update document to every row matching a find() filter and
+    pass every other row through unchanged. Pure column expressions —
+    ONE narrow select over the input (no shuffle, no UDF), so the whole
+    update runs at scan speed and the filter's pushdown-eligible parts
+    still reach the source.
+
+    Classic operator form (``update`` is a dict):
+
+    * ``$set`` — literal values (scalars / flat arrays); expressions
+      belong to the pipeline form, as in Mongo. New fields append.
+    * ``$unset`` — field → NULL (the house null≈missing convention).
+    * ``$inc`` / ``$mul`` — arithmetic; a null/missing field seeds the
+      operator's identity exactly as Mongo documents (``$inc`` creates
+      the field as the increment, ``$mul`` creates it as 0).
+    * ``$min`` / ``$max`` — ``least``/``greatest``; null/missing takes
+      the operand (Mongo: sets if the field does not exist).
+    * ``$rename`` — destination gets the source value on matched rows,
+      source becomes NULL; both paths are claimed for conflict checks.
+    * ``$push`` — append (``$each`` supported; ``$slice/$sort/$position``
+      modifiers refused); null/missing arrays create ``[value]``.
+    * ``$addToSet`` — append-if-absent, preserving existing duplicates
+      (Mongo does NOT dedup what is already there — array_union would);
+      ``$each`` folds left. Null/missing creates the distinct of the
+      pushed values.
+    * ``$pull`` — drop elements matching a literal or an operator doc
+      ({$gt: …} etc., compiled via the find() element predicate);
+      null/missing arrays stay null (Mongo no-ops).
+    * ``$pullAll`` — drop exact listed values (NOT array_except, which
+      would dedup survivors).
+    * ``$pop`` — 1 drops the last element, -1 the first; null stays
+      null, empty stays empty.
+
+    Pipeline form (``update`` is a list, Mongo 4.2+): ``$set`` /
+    ``$addFields`` / ``$unset`` stages whose values go through the
+    aggregation expression compiler; stages see the previous stage's
+    output (real select per stage) while the FILTER is pinned to the
+    original document, exactly Mongo's evaluation order.
+
+    Refused loudly: dotted paths, positional ``$``/``$[]``/arrayFilters,
+    and the operators in ``_UPDATE_REFUSED``.
+    """
+    if not isinstance(update, (dict, list)) or not update:
+        raise ValueError("update must be a non-empty document or pipeline")
+    match = mongo_find_filter(query)
+
+    if isinstance(update, list):
+        out = df.select("*", match.alias("__upd_match"))
+        m = F.col("__upd_match")
+        for stage in update:
+            if not isinstance(stage, dict) or len(stage) != 1:
+                raise ValueError("each pipeline-form stage must be a "
+                                 "single-operator document")
+            op, body = next(iter(stage.items()))
+            if op in ("$set", "$addFields"):
+                if not isinstance(body, dict) or not body:
+                    raise ValueError(f"{op} requires a non-empty document")
+                staged = dict.fromkeys(out.columns)
+                for f, e in body.items():
+                    _update_path(f, set())  # path shape only, no claim
+                    old = F.col(f) if f in staged else F.lit(None)
+                    staged[f] = F.when(m, _mongo_expr(e)).otherwise(old)
+                out = out.select(*[
+                    (c if expr is None else expr.alias(c))
+                    for c, expr in staged.items()
+                ])
+            elif op == "$unset":
+                fields = [body] if isinstance(body, str) else list(body)
+                for f in fields:
+                    _update_path(f, set())
+                    if f not in out.columns:
+                        continue
+                    out = out.withColumn(
+                        f, F.when(m, F.lit(None)).otherwise(F.col(f))
+                    )
+            else:
+                raise ValueError(
+                    f"pipeline-form update supports $set/$addFields/"
+                    f"$unset only, got {op!r}"
+                )
+        return out.drop("__upd_match")
+
+    updates: dict[str, Column] = {}
+    targets: set[str] = set()
+    for op, doc in update.items():
+        if op in _UPDATE_REFUSED:
+            raise ValueError(f"{op} is refused — {_UPDATE_REFUSED[op]}")
+        if not isinstance(doc, dict) or not doc:
+            raise ValueError(f"{op} requires a non-empty document")
+        for f, v in doc.items():
+            _update_path(f, targets)
+            exists = f in df.columns
+            old = F.col(f) if exists else F.lit(None)
+            if op == "$set":
+                updates[f] = _update_literal(v)
+            elif op == "$unset":
+                if exists:
+                    updates[f] = F.lit(None)
+                else:
+                    targets.discard(f)  # unset of a missing field: no-op
+            elif op == "$inc":
+                _require_number(op, v)
+                updates[f] = F.coalesce(old, F.lit(0)) + F.lit(v)
+            elif op == "$mul":
+                _require_number(op, v)
+                updates[f] = F.coalesce(old, F.lit(0)) * F.lit(v)
+            elif op == "$min":
+                updates[f] = F.least(old, _update_literal(v))
+            elif op == "$max":
+                updates[f] = F.greatest(old, _update_literal(v))
+            elif op == "$rename":
+                if not isinstance(v, str):
+                    raise ValueError("$rename target must be a string")
+                _update_path(v, targets)
+                updates[v] = old
+                if exists:
+                    updates[f] = F.lit(None)
+            elif op in ("$push", "$addToSet"):
+                if isinstance(v, dict):
+                    if set(v) != {"$each"}:
+                        raise ValueError(
+                            f"{op} modifiers beyond $each are refused "
+                            "($slice/$sort/$position reorder in ways a "
+                            "columnar append cannot replay)"
+                        )
+                    each = v["$each"]
+                    if not isinstance(each, (list, tuple)):
+                        raise ValueError("$each requires a list")
+                else:
+                    each = [v]
+                arr = F.array(*[F.lit(x) for x in each])
+                if not exists:
+                    # missing array: Mongo creates it from the pushed
+                    # values ($addToSet additionally dedups them)
+                    updates[f] = arr if op == "$push" else F.array_distinct(arr)
+                elif op == "$push":
+                    updates[f] = F.when(old.isNull(), arr).otherwise(
+                        F.concat(old, arr)
+                    )
+                else:
+                    folded = old
+                    for x in each:
+                        folded = F.when(
+                            F.array_contains(folded, F.lit(x)), folded
+                        ).otherwise(F.concat(folded, F.array(F.lit(x))))
+                    updates[f] = F.when(
+                        old.isNull(), F.array_distinct(arr)
+                    ).otherwise(folded)
+            elif op in ("$pull", "$pullAll", "$pop"):
+                if op == "$pullAll" and not isinstance(v, (list, tuple)):
+                    raise ValueError("$pullAll requires a list")
+                if op == "$pop" and (v not in (1, -1) or isinstance(v, bool)):
+                    raise ValueError("$pop requires 1 (last) or -1 (first)")
+                if not exists:
+                    targets.discard(f)  # Mongo no-ops on missing arrays
+                    continue
+                # NOTE: pyspark HOF lambdas are ARITY-sensitive (a 2nd
+                # parameter means "element index"), so captures must be
+                # closures, never default arguments
+                if op == "$pull":
+                    def _pull_keep(q):
+                        return lambda x: ~F.coalesce(
+                            _col_predicate(x, q), F.lit(False)
+                        )
+
+                    updates[f] = F.filter(old, _pull_keep(v))
+                elif op == "$pullAll":
+                    def _pull_all_keep(vals, drop_null):
+                        def _keep(x: Column) -> Column:
+                            k = (~F.coalesce(x.isin(vals), F.lit(False))
+                                 if vals else F.lit(True))
+                            return k & x.isNotNull() if drop_null else k
+
+                        return _keep
+
+                    updates[f] = F.filter(
+                        old,
+                        _pull_all_keep(
+                            [x for x in v if x is not None], None in v
+                        ),
+                    )
+                else:
+                    start = F.lit(1) if v == 1 else F.lit(2)
+                    updates[f] = F.slice(
+                        old, start, F.greatest(F.size(old) - 1, F.lit(0))
+                    )
+            else:
+                raise ValueError(f"unsupported update operator: {op}")
+
+    final = [
+        (F.when(match, updates[c]).otherwise(F.col(c)).alias(c)
+         if c in updates else F.col(c))
+        for c in df.columns
+    ]
+    final += [
+        F.when(match, updates[f]).otherwise(F.lit(None)).alias(f)
+        for f in updates
+        if f not in df.columns
+    ]
+    return df.select(*final)
+
+
+# ---------------------------------------------------------------------------
 # Mongo aggregation-pipeline shim (round-11; completes the migration
 # surface mongo_find started — reference read sites issue aggregation
 # pipelines downstream of `trees/add_domains_to_tree.js:11-20` and
@@ -1204,6 +1481,86 @@ def _wf_bound(b, lower: bool):
     )
 
 
+def _exp_moving_avg_kernel(
+    out: DataFrame, spec: dict, sort_by: dict, ema_specs: list
+) -> DataFrame:
+    """Append ``__swf_ema_{i}`` double columns implementing
+    ``$expMovingAvg`` — Mongo 5.0's only $setWindowFields operator with
+    NO Spark window twin, because each output depends on the previous
+    OUTPUT (``ema = α·x + (1−α)·ema_prev``, seeded with the first
+    numeric input). A sequential per-partition recurrence is exactly
+    the shape ``applyInPandas`` exists for (SURVEY §2.10 rule (b)):
+    ONE hash exchange on the partition key, then an in-memory sort and
+    a single O(rows) pass per group — the same exchange+sort a window
+    function would cost, with the grouped-map caveat that one PARTITION
+    (not the whole collection) must fit in executor memory, which is
+    also Mongo's own practical bound for this operator.
+
+    Pinned semantics (unit-tested against a pure-Python reference):
+
+    * seeds with the first NUMERIC value (Mongo: "the first result is
+      the first value of the input expression");
+    * null (≈missing) inputs are skipped — the output carries the
+      previous result forward, and is null before the first numeric
+      value (Mongo ignores non-numeric values);
+    * the recurrence is evaluated in IEEE float64 exactly as written —
+      ``α·x + (1−α)·prev`` with ``α = 2/(N+1)`` for the N form — so a
+      SQL engine replaying the same recurrence (the oracle's recursive
+      CTE) is bit-identical, no rounding needed;
+    * sortBy keys must be top-level columns (the kernel sorts the
+      pandas group); ties under a non-unique sortBy are order-dependent
+      in both systems — use a unique key (house a1 convention).
+    """
+    import pandas as pd
+
+    part = _mongo_expr(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
+    for k in sort_by:
+        if k not in out.columns:
+            raise ValueError(
+                f"$expMovingAvg requires top-level sortBy columns "
+                f"({k!r} is not a column of the input)"
+            )
+    tmp = out.select(
+        "*",
+        part.alias("__swf_ema_part"),
+        *[
+            expr.cast("double").alias(f"__swf_ema_in_{i}")
+            for i, (_, expr, _) in enumerate(ema_specs)
+        ],
+    )
+    keys = list(sort_by)
+    asc = [d == 1 for d in sort_by.values()]
+    alphas = [a for (_, _, a) in ema_specs]
+    base_fields = list(out.schema.fields)
+    base_cols = [f.name for f in base_fields]
+    schema = T.StructType(
+        base_fields
+        + [
+            T.StructField(f"__swf_ema_{i}", T.DoubleType(), True)
+            for i in range(len(ema_specs))
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(keys, ascending=asc, kind="mergesort")
+        res = pdf[base_cols].copy()
+        for i, alpha in enumerate(alphas):
+            x = pdf[f"__swf_ema_in_{i}"].to_numpy(
+                dtype="float64", na_value=float("nan")
+            )
+            om = 1.0 - alpha
+            vals: list[float | None] = [None] * len(x)
+            prev: float | None = None
+            for j, xv in enumerate(x):
+                if xv == xv:  # not NaN (null≈missing is skipped)
+                    prev = float(xv) if prev is None else alpha * float(xv) + om * prev
+                vals[j] = prev
+            res[f"__swf_ema_{i}"] = pd.array(vals, dtype="Float64")
+        return res
+
+    return tmp.groupBy("__swf_ema_part").applyInPandas(kernel, schema)
+
+
 def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     """Compile ``$setWindowFields`` (Mongo 5.0's window stage) onto
     Spark window functions — the shim stage with the most direct
@@ -1232,8 +1589,10 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
       ((last−first)/(key span) over documents windows; zero span →
       NULL where Mongo gives Infinity — pinned); $integral (trapezoid
       rule via partition-lag terms + a lower-bound-shifted windowed
-      sum; documents windows only). $expMovingAvg is refused (a
-      sequential recurrence with no window twin).
+      sum; documents windows only); $expMovingAvg (grouped-map
+      recurrence kernel — see :func:`_exp_moving_avg_kernel` for the
+      pinned seed/null semantics; requires sortBy, refuses a window,
+      {input, N|alpha} with exactly one of N/alpha).
     * Every output field is evaluated against the INPUT document
       (Mongo's rule): an output whose name shadows an input column
       cannot poison another output's argument or the shared sortBy —
@@ -1271,6 +1630,7 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     # column can't poison a later output's (or the shared sortBy's)
     # reads the way sequential withColumn would.
     results: list[tuple[str, Column]] = []
+    ema_specs: list[tuple[str, Column, float]] = []
     for out_field, body in output.items():
         if not isinstance(body, dict) or not body:
             raise ValueError(f"output.{out_field} must be an operator document")
@@ -1304,12 +1664,39 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
             results.append((out_field, col))
             continue
         if op == "$expMovingAvg":
-            raise ValueError(
-                "$expMovingAvg is a sequential recurrence (each value "
-                "depends on the previous OUTPUT) with no Spark window "
-                "twin — refused; restate as a grouped-map kernel if the "
-                "recurrence is genuinely needed"
-            )
+            # sequential recurrence (each value depends on the previous
+            # OUTPUT) — no window twin; compiled onto the grouped-map
+            # kernel above (_exp_moving_avg_kernel)
+            if wspec is not None:
+                raise ValueError(
+                    "$expMovingAvg does not accept a window (as in Mongo)"
+                )
+            if not sort_by:
+                raise ValueError("$expMovingAvg requires sortBy")
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise ValueError("$expMovingAvg requires {input, N|alpha}")
+            extra = set(arg) - {"input", "N", "alpha"}
+            if extra:
+                raise ValueError(f"$expMovingAvg unknown fields: {extra}")
+            if ("N" in arg) == ("alpha" in arg):
+                raise ValueError(
+                    "$expMovingAvg requires exactly one of N or alpha"
+                )
+            if "N" in arg:
+                n = arg["N"]
+                if isinstance(n, bool) or not isinstance(n, int) or n < 1:
+                    raise ValueError("$expMovingAvg N must be a positive int")
+                alpha = 2.0 / (n + 1)
+            else:
+                a = arg["alpha"]
+                if isinstance(a, bool) or not isinstance(a, (int, float)) \
+                        or not (0.0 < a < 1.0):
+                    raise ValueError(
+                        "$expMovingAvg alpha must be in (0, 1) exclusive"
+                    )
+                alpha = float(a)
+            ema_specs.append((out_field, _mongo_expr(arg["input"]), alpha))
+            continue
         if op == "$integral":
             # Trapezoid rule, Mongo's definition: the integral of the
             # (sortKey, input) polyline across the window's documents.
@@ -1422,6 +1809,15 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
         else:
             raise ValueError("window must specify documents or range")
         results.append((out_field, agg.over(w)))
+    if ema_specs:
+        # grouped-map recurrence columns land on the input FIRST (the
+        # kernel preserves every input column, so the window expressions
+        # below still read unmodified input values — Mongo's rule holds)
+        out = _exp_moving_avg_kernel(out, spec, sort_by, ema_specs)
+        results += [
+            (f, F.col(f"__swf_ema_{i}"))
+            for i, (f, _, _) in enumerate(ema_specs)
+        ]
     # one-shot apply: stage under collision-proof temp names, then
     # replace shadowed input columns in place and append new fields
     tmps = {n: f"__swf_tmp_{i}" for i, (n, _) in enumerate(results)}
@@ -1430,6 +1826,7 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     final = [
         (F.col(tmps[c]).alias(c) if c in replaced else F.col(c))
         for c in out.columns
+        if not c.startswith("__swf_ema_")
     ]
     final += [F.col(tmps[n]).alias(n) for n, _ in results
               if n not in out.columns]

@@ -1471,3 +1471,164 @@ def test_mongo_let_and_date_parsing(spark):
     ):
         with pytest.raises(ValueError, match=pat):
             mongo_aggregate(df, [{"$addFields": {"z": bad}}])
+
+
+def test_mongo_update_many_semantics(spark):
+    """updateMany shim (S12 write surface, `trees/taxonomy.js:48-69`):
+    every classic operator's pinned missing≈null seed, unmatched-row
+    passthrough, and the pipeline form's stage-sees-previous-stage /
+    filter-pinned-to-original evaluation order."""
+    df = spark.createDataFrame(
+        [(1, "O", 10.0, ["a", "b"], ["x", "y", "x"]),
+         (2, "F", 20.0, None, ["x"]),
+         (3, "O", None, ["b"], None)],
+        "id INT, st STRING, price DOUBLE, "
+        "flags ARRAY<STRING>, codes ARRAY<STRING>")
+    out = DOC.mongo_update_many(df, {"st": "O"}, {
+        "$inc": {"price": 5},            # null seeds the increment
+        "$set": {"audited": "r14"},      # new field appends
+        "$rename": {"st": "status"},     # source nulled on matched rows
+        "$addToSet": {"flags": "a"},     # append-if-absent
+        "$pull": {"codes": "x"},
+        "$max": {"cap": 3},              # missing field takes operand
+    }).orderBy("id")
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].price == 15.0 and rows[3].price == 5.0
+    assert rows[2].price == 20.0 and rows[2].audited is None
+    assert rows[1].st is None and rows[1].status == "O"
+    assert rows[2].st == "F" and rows[2].status is None
+    assert rows[1].flags == ["a", "b"]          # already present: no dup
+    assert rows[3].flags == ["b", "a"]          # appended
+    assert rows[1].codes == ["y"] and rows[2].codes == ["x"]
+    assert rows[3].codes is None                # $pull no-ops on null
+    assert rows[1].cap == 3 and rows[2].cap is None
+
+    # $push/$each, $addToSet preserves EXISTING duplicates, $pullAll
+    # keeps surviving duplicates (not array_except), $pop both ends
+    df2 = spark.createDataFrame(
+        [(1, ["a", "a", "b"], [1, 2, 2, 3])],
+        "id INT, tags ARRAY<STRING>, ns ARRAY<INT>")
+    r = DOC.mongo_update_many(df2, {}, {
+        "$addToSet": {"tags": "a"},
+        "$pullAll": {"ns": [2]},
+    }).first()
+    assert r.tags == ["a", "a", "b"]  # untouched — Mongo does not dedup
+    assert r.ns == [1, 3]
+    r = DOC.mongo_update_many(df2, {}, {"$pop": {"ns": 1}}).first()
+    assert r.ns == [1, 2, 2]
+    r = DOC.mongo_update_many(df2, {}, {"$pop": {"ns": -1}}).first()
+    assert r.ns == [2, 2, 3]
+    # $pull with an operator document compiles the element predicate
+    r = DOC.mongo_update_many(df2, {}, {"$pull": {"ns": {"$gte": 2}}}).first()
+    assert r.ns == [1]
+    # $push on a missing array creates it; $mul missing seeds 0
+    r = DOC.mongo_update_many(df2, {}, {
+        "$push": {"hist": {"$each": [1, 2]}},
+        "$mul": {"scale": 7},
+    }).first()
+    assert r.hist == [1, 2] and r.scale == 0
+
+    # pipeline form: stage 2 sees stage 1's output; the FILTER matched
+    # the ORIGINAL document (id=3 price null stays null through $set)
+    out2 = DOC.mongo_update_many(df, {"id": {"$gte": 2}}, [
+        {"$set": {"price": {"$multiply": ["$price", 2]}}},
+        {"$set": {"dbl": {"$add": ["$price", 1]}}},
+        {"$unset": "st"},
+    ])
+    rows2 = {r.id: r for r in out2.collect()}
+    assert rows2[1].price == 10.0 and rows2[1].st == "O"
+    assert rows2[2].price == 40.0 and rows2[2].dbl == 41.0
+    assert rows2[2].st is None and rows2[3].price is None
+
+
+def test_mongo_update_many_error_contracts(spark):
+    df = spark.createDataFrame([(1, 2.0, ["a"])],
+                               "id INT, x DOUBLE, a ARRAY<STRING>")
+    for update, pat in (
+        ({"$inc": {"x": 1}, "$set": {"x": 2}}, "conflict"),
+        ({"$set": {"a.b": 1}}, "dotted"),
+        ({"$set": {"a.$[]": 1}}, "dotted|positional"),
+        ({"$pull": {"a$": "v"}}, "positional"),
+        ({"$currentDate": {"x": True}}, "refused"),
+        ({"$setOnInsert": {"x": 1}}, "refused"),
+        ({"$bit": {"x": {"and": 1}}}, "refused"),
+        ({"$inc": {"x": "nope"}}, "numeric"),
+        ({"$pop": {"a": 2}}, "pop"),
+        ({"$push": {"a": {"$each": ["v"], "$slice": 2}}}, "refused"),
+        ({"$push": {"a": {"$each": "v"}}}, "list"),
+        ({"$pullAll": {"a": "v"}}, "list"),
+        ({"$rename": {"x": 3}}, "string"),
+        ({"$rename": {"x": "x"}}, "conflict"),
+        ({"$set": {"x": []}}, "empty-array"),
+        ({"$set": {"x": {"nested": 1}}}, "nested-document"),
+        ({"$frobnicate": {"x": 1}}, "unsupported"),
+        ({}, "non-empty"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            DOC.mongo_update_many(df, {}, update)
+    with pytest.raises(ValueError, match="single-operator"):
+        DOC.mongo_update_many(df, {}, [{"$set": {"y": 1}, "$unset": "x"}])
+    with pytest.raises(ValueError, match="\\$set/\\$addFields/\\$unset"):
+        DOC.mongo_update_many(df, {}, [{"$project": {"x": 1}}])
+
+
+def test_mongo_exp_moving_avg(spark):
+    """$expMovingAvg pinned semantics: seed with first numeric, null
+    inputs carry the previous output (null before the first numeric),
+    the N form's alpha = 2/(N+1), and the recurrence matches a pure
+    Python replay bit-for-bit. Mixed kernel+window outputs in one
+    $setWindowFields stage; error contracts below."""
+    ev = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 2.0), (1, 3, None), (1, 4, 4.0),
+         (2, 1, 10.0)],
+        "u INT, t INT, v DOUBLE")
+    res = DOC.mongo_aggregate(ev, [{"$setWindowFields": {
+        "partitionBy": "$u", "sortBy": {"t": 1},
+        "output": {
+            "rn": {"$documentNumber": {}},
+            "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+            "emah": {"$expMovingAvg": {"input": "$v", "alpha": 0.25}},
+        }}}])
+    rows = {(r.u, r.t): r for r in res.collect()}
+    assert rows[(1, 1)].ema is None          # null before first numeric
+    assert rows[(1, 2)].ema == 2.0           # seeded with first numeric
+    assert rows[(1, 3)].ema == 2.0           # null input carries forward
+    alpha = 2.0 / (3 + 1)
+    assert rows[(1, 4)].ema == alpha * 4.0 + (1.0 - alpha) * 2.0
+    assert rows[(1, 4)].emah == 0.25 * 4.0 + 0.75 * 2.0
+    assert rows[(2, 1)].ema == 10.0
+    assert rows[(1, 4)].rn == 4              # window outputs still work
+
+    # an output name may shadow an input column without poisoning the
+    # kernel's sort or the other outputs (evaluated against the INPUT)
+    res2 = DOC.mongo_aggregate(
+        ev.selectExpr("u", "t", "v AS w"),
+        [{"$setWindowFields": {
+            "partitionBy": "$u", "sortBy": {"t": 1},
+            "output": {"t": {"$expMovingAvg": {"input": "$w",
+                                               "alpha": 0.5}}}}}])
+    assert res2.filter("u = 2").first().t == 10.0
+
+    for body, pat in (
+        ({"input": "$v", "N": 3, "window": {"documents": [-1, 0]}},
+         "window"),
+        ({"input": "$v"}, "exactly one"),
+        ({"input": "$v", "N": 3, "alpha": 0.5}, "exactly one"),
+        ({"input": "$v", "N": 0}, "positive"),
+        ({"input": "$v", "alpha": 1.0}, "exclusive"),
+        ({"input": "$v", "alpha": 0.0}, "exclusive"),
+        ({"input": "$v", "N": 3, "bogus": 1}, "unknown"),
+        ({"N": 3}, "input"),
+    ):
+        wspec = body.pop("window", None)
+        out_doc = {"$expMovingAvg": body}
+        if wspec:
+            out_doc["window"] = wspec
+        with pytest.raises(ValueError, match=pat):
+            DOC.mongo_aggregate(ev, [{"$setWindowFields": {
+                "partitionBy": "$u", "sortBy": {"t": 1},
+                "output": {"e": out_doc}}}])
+    with pytest.raises(ValueError, match="sortBy"):
+        DOC.mongo_aggregate(ev, [{"$setWindowFields": {
+            "partitionBy": "$u",
+            "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])

@@ -56,6 +56,7 @@ ARROW_ALLOWED = {
     "x_mp3_vad",  # VAD over compressed audio: Layer III codec pass feeding audio_segments — Arrow-batched by design
     "x_media_probe",
     "x_media_resize",
+    "x_mongo_ema",  # $expMovingAvg: sequential per-partition recurrence (each value depends on the previous OUTPUT) — grouped-map by design (documents._exp_moving_avg_kernel)
     "x_random_projection",  # Arrow int64 GEMM — HOF folds measured ~7x slower (BENCH_NOTES r10)
     "x_semantic_dedup",
     "x_video_shots",

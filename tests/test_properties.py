@@ -3252,3 +3252,43 @@ def test_percentile_matches_linear_interpolation(spark, vals, ps):
         lo, hi = int(rank), min(int(rank) + 1, len(s) - 1)
         want = s[lo] + (rank - lo) * (s[hi] - s[lo])
         assert abs(g - want) < 1e-9, (vals, p, g, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # partition
+            st.one_of(st.none(),
+                      st.floats(-1e6, 1e6,
+                                allow_nan=False, allow_infinity=False)),
+        ),
+        min_size=1, max_size=24),
+    n=st.integers(1, 9),
+)
+@settings(**SETTINGS)
+def test_exp_moving_avg_matches_python_reference(spark, rows, n):
+    """$expMovingAvg (grouped-map recurrence kernel) ≡ the pure-Python
+    recurrence on arbitrary partitions with interleaved nulls: seeded
+    with the first numeric value, null inputs carry the previous output
+    forward (null before the first numeric), α = 2/(N+1), evaluated in
+    IEEE float64 — equality is EXACT, not approximate, because the
+    kernel pins the multiply-multiply-add order."""
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "g int, t int, v double")
+    got = {(r.g, r.t): r.ema for r in mongo_aggregate(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"t": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$v",
+                                                 "N": n}}}}},
+    ]).collect()}
+    alpha = 2.0 / (n + 1)
+    state: dict[int, float | None] = {}
+    for i, (g, v) in enumerate(rows):   # t == i is already sort order
+        prev = state.get(g)
+        if v is not None:
+            prev = v if prev is None else alpha * v + (1.0 - alpha) * prev
+            state[g] = prev
+        assert got[(g, i)] == prev, (rows, n, g, i, got[(g, i)], prev)
