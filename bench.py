@@ -136,11 +136,13 @@ HEADLINE = [
     "x_mongo_strings_sets",
     "x_mongo_window_calculus",
     # round 14 (cont.): the updateMany write-surface shim (one narrow
-    # CASE-per-column select; zero extra shuffles) and $expMovingAvg
+    # CASE-per-column select; zero extra shuffles), $expMovingAvg
     # (grouped-map recurrence kernel — one hash exchange + per-group
-    # O(rows) pass, the honest sequential floor)
+    # O(rows) pass, the honest sequential floor), and the
+    # $convert/$isNumber/$type coercion surface (scan-speed)
     "x_mongo_update_many",
     "x_mongo_ema",
+    "x_mongo_convert",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

@@ -13628,6 +13628,57 @@ def x_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@register(
+    "x_mongo_convert",
+    """
+    SELECT o_orderkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pr_rank,
+           coalesce(TRY_CAST(o_orderpriority AS INTEGER), -1) AS pr_bad,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)
+             AS price_str,
+           TRY_CAST(o_orderstatus AS TIMESTAMP) AS date_bad,
+           TRUE AS is_num, FALSE AS is_num_s,
+           'double' AS t_price, 'date' AS t_date, 'string' AS t_status
+    FROM orders
+    """,
+    "documents", "S10", "P8",
+)
+def x_mongo_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$convert`` / ``$isNumber`` / ``$type`` (round 14) — the
+    general conversion operator behind the ``$to*`` shorthands (P8's
+    type-coercion family, `trees/genetree.js:25-34` Buffer→string /
+    `+x` casts): onError takes over ONLY when a non-null input fails
+    to convert (try_cast), onNull ONLY when the input is null/missing,
+    date targets parse strings null-on-unparseable, and the
+    type-inspection operators compile to typeof() — static per column,
+    null-aware per row ($isNumber(null)=false, $type(null)='null'),
+    which is the honest relational reading of BSON's dynamic types.
+    Scan-speed column expressions throughout; the oracle replays every
+    branch with TRY_CAST/floor and literal type names."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders")
+    return DOC.mongo_aggregate(orders, [
+        {"$project": {
+            "o_orderkey": 1,
+            "pr_rank": {"$convert": {
+                "input": {"$substrCP": ["$o_orderpriority", 0, 1]},
+                "to": "int"}},
+            "pr_bad": {"$convert": {"input": "$o_orderpriority",
+                                    "to": "int", "onError": -1}},
+            "price_str": {"$toString": {"$toLong": {"$floor":
+                                                    "$o_totalprice"}}},
+            "date_bad": {"$convert": {"input": "$o_orderstatus",
+                                      "to": "date"}},
+            "is_num": {"$isNumber": "$o_custkey"},
+            "is_num_s": {"$isNumber": "$o_orderstatus"},
+            "t_price": {"$type": "$o_totalprice"},
+            "t_date": {"$type": "$o_orderdate"},
+            "t_status": {"$type": "$o_orderstatus"},
+        }},
+    ])
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -13644,15 +13695,16 @@ def x_mongo_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-14 ROTATION (VERDICT r13 §next-round #1): never-attested
-    # first (the FIVE round-14 entries: the expression/window-tail
-    # trio + the late x_mongo_update_many/x_mongo_ema pair), then the
-    # ENTIRE remaining r9-stale cohort (20 — the alphabetical tail the
-    # r13 window couldn't fit), then the 25 alphabetically-first of
-    # the 50 r10-stale greens. After this round the latest-attestation
-    # histogram has no bucket older than r10, closing the rotation
-    # program: every entry's floor is ≤2 rounds at the 50/round
-    # cadence (25 r10 leftovers, x_leakage_matrix / x_line_filter /
-    # x_lm_score / x_media_audio …, seed the r15 window).
+    # first (the SIX round-14 entries: the expression/window-tail trio
+    # + the late x_mongo_update_many / x_mongo_ema / x_mongo_convert),
+    # then the ENTIRE remaining r9-stale cohort (20 — the alphabetical
+    # tail the r13 window couldn't fit), then the 24 alphabetically-
+    # first of the 50 r10-stale greens. After this round the
+    # latest-attestation histogram has no bucket older than r10,
+    # closing the rotation program: every entry's floor is ≤2 rounds
+    # at the 50/round cadence (26 r10 leftovers, x_lang_id /
+    # x_leakage_matrix / x_line_filter / x_lm_score …, seed the r15
+    # window).
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
@@ -13665,6 +13717,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # pack, x_leakage_matrix + x_line_filter, into the r15 seed cohort)
     "x_mongo_object_reshape", "x_mongo_strings_sets",
     "x_mongo_window_calculus", "x_mongo_update_many", "x_mongo_ema",
+    "x_mongo_convert",
     # stalest greens — last attested r9 (all 20 remaining)
     "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs", "x_bpe_train",
     "x_cms_frequency", "x_cms_selfjoin_size", "x_graph_components",
@@ -13682,7 +13735,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "x_dsir_select", "x_embed_near_exact", "x_embed_near_lsh",
     "x_embed_quantize", "x_event_transitions", "x_fixed_sample",
     "x_hash_sample", "x_html_extract", "x_inverted_index",
-    "x_kappa_eval", "x_lang_id",
+    "x_kappa_eval",
 )
 
 

@@ -909,6 +909,80 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             bound = {name: _mongo_expr(v, outer)
                      for name, v in args["vars"].items()}
             return _mongo_expr(args["in"], {**outer, **bound})
+        if op == "$convert":
+            # {input, to, onError?, onNull?} — the general conversion
+            # operator behind the $to* shorthands. `to` is the string
+            # type name ("int"/"long"/"double"/"bool"/"string"/"date");
+            # numeric BSON type ids and decimal/objectId targets are
+            # refused. WITHOUT onError the cast follows the session's
+            # cast semantics (ANSI default: unparseable input ERRORS at
+            # runtime — Mongo's own default); WITH onError the cast is
+            # try_cast and a failed conversion of a NON-null input
+            # takes the onError expression. onNull fires only when the
+            # input itself is null/missing (Mongo's rule; a legal
+            # conversion of a non-null value can never yield null, so
+            # the two branches cannot collide). to:"date" routes
+            # through the $toDate parse (strings only, NTZ wall clock)
+            # and, like $toDate, is ALWAYS null-on-unparseable — so
+            # onError there requires no ANSI bypass. TYPED-ENGINE
+            # divergence (pinned, not hidden): onError/onNull values
+            # must be of (or coercible to) the TARGET type — BSON lets
+            # onError return a string where a date failed; a typed
+            # column cannot, and the coercion failure is loud.
+            if not isinstance(args, dict) or not {"input", "to"} <= set(args):
+                raise ValueError("$convert requires {input, to}")
+            extra = set(args) - {"input", "to", "onError", "onNull"}
+            if extra:
+                raise ValueError(f"$convert unknown fields: {extra}")
+            to = args["to"]
+            targets = {"int": "int", "long": "long", "double": "double",
+                       "bool": "boolean", "string": "string"}
+            if to != "date" and to not in targets:
+                raise ValueError(
+                    f"$convert to {to!r} is refused — supported targets: "
+                    "int/long/double/bool/string/date (numeric BSON type "
+                    "ids, decimal and objectId are not representable here)"
+                )
+            inp = sub(args["input"])
+            if to == "date":
+                conv = F.try_to_timestamp(inp).cast("timestamp_ntz")
+            elif "onError" in args:
+                conv = inp.try_cast(targets[to])
+            else:
+                conv = inp.cast(targets[to])
+            if "onError" in args:
+                conv = F.coalesce(conv, sub(args["onError"]))
+            on_null = (sub(args["onNull"]) if "onNull" in args
+                       else F.lit(None))
+            return F.when(inp.isNull(), on_null).otherwise(conv)
+        if op in ("$isNumber", "$type"):
+            # typedness is STATIC in a relational engine (a double
+            # column is numeric for every row), so these compile to a
+            # typeof() check — constant per column, null-aware per row
+            # (Mongo: $isNumber(null) = false, $type(null) = "null").
+            c = sub(args)
+            t = F.typeof(c)
+            if op == "$isNumber":
+                return F.when(c.isNull(), F.lit(False)).otherwise(
+                    t.rlike("^(tinyint|smallint|int|bigint|float|double|"
+                            "decimal)")
+                )
+            name = (
+                F.when(t == F.lit("string"), F.lit("string"))
+                .when(t.isin("tinyint", "smallint", "int"), F.lit("int"))
+                .when(t == F.lit("bigint"), F.lit("long"))
+                .when(t.isin("float", "double"), F.lit("double"))
+                .when(t.startswith("decimal"), F.lit("decimal"))
+                .when(t == F.lit("boolean"), F.lit("bool"))
+                .when(t.isin("timestamp", "timestamp_ntz", "date"),
+                      F.lit("date"))
+                .when(t.startswith("array"), F.lit("array"))
+                .when(t.startswith("struct") | t.startswith("map"),
+                      F.lit("object"))
+                .when(t == F.lit("binary"), F.lit("binData"))
+                .otherwise(t)  # unmapped Spark type: raw name, documented
+            )
+            return F.when(c.isNull(), F.lit("null")).otherwise(name)
         if op in ("$dateFromString", "$toDate"):
             # $toDate accepts strings only (epoch-number forms refused
             # — make the millis→timestamp cast explicit upstream);

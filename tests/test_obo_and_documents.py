@@ -1632,3 +1632,42 @@ def test_mongo_exp_moving_avg(spark):
         DOC.mongo_aggregate(ev, [{"$setWindowFields": {
             "partitionBy": "$u",
             "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
+
+
+def test_mongo_convert_and_type_inspection(spark):
+    """$convert (P8's general coercion): onError fires ONLY on a failed
+    conversion of a non-null input, onNull ONLY on null/missing input,
+    date targets parse null-on-unparseable; $isNumber/$type compile to
+    typeof() — static per column, null-aware per row."""
+    df = spark.createDataFrame(
+        [(1, "1-URGENT", 100.5, None)],
+        "id INT, pr STRING, price DOUBLE, nul STRING")
+    r = DOC.mongo_aggregate(df, [{"$project": {
+        "a": {"$convert": {"input": {"$substrCP": ["$pr", 0, 1]},
+                           "to": "int"}},
+        "b": {"$convert": {"input": "$pr", "to": "int", "onError": -1}},
+        "c": {"$convert": {"input": "$nul", "to": "int", "onNull": 0}},
+        "d": {"$convert": {"input": "$nul", "to": "int", "onError": -1}},
+        "e": {"$convert": {"input": "$pr", "to": "date"}},
+        "f": {"$toString": {"$toLong": {"$floor": "$price"}}},
+        "g": {"$isNumber": "$price"}, "h": {"$isNumber": "$pr"},
+        "i": {"$isNumber": "$nul"},
+        "j": {"$type": "$price"}, "k": {"$type": "$pr"},
+        "l": {"$type": "$nul"}, "m": {"$type": "$id"},
+    }}]).first()
+    assert r.a == 1 and r.b == -1
+    assert r.c == 0                    # onNull fires on null input
+    assert r.d is None                 # onError does NOT fire on null
+    assert r.e is None                 # date: null-on-unparseable
+    assert r.f == "100"
+    assert (r.g, r.h, r.i) == (True, False, False)
+    assert (r.j, r.k, r.l, r.m) == ("double", "string", "null", "int")
+
+    for bad, why in (
+        ({"$convert": {"input": "$pr", "to": "decimal"}}, "refused"),
+        ({"$convert": {"input": "$pr", "to": 8}}, "refused"),
+        ({"$convert": {"input": "$pr"}}, "requires"),
+        ({"$convert": {"input": "$pr", "to": "int", "zz": 1}}, "unknown"),
+    ):
+        with pytest.raises(ValueError, match=why):
+            DOC.mongo_aggregate(df, [{"$project": {"z": bad}}])
