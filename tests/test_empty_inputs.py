@@ -464,3 +464,28 @@ def test_mongo_new_stages_empty_inputs(spark):
         "pipeline": [{"$match": {"$expr": {"$eq": ["$$x", "$_id"]}}}],
         "as": "z"}}], collections={"i": empty}).collect()
     assert len(lp) == 1 and lp[0]["z"] == []
+
+
+def test_mongo_update_many_empty(spark):
+    from gramene_mongodb_spark.operators.documents import mongo_update_many
+
+    df = spark.createDataFrame([], "id LONG, x DOUBLE, a ARRAY<STRING>")
+    out = mongo_update_many(df, {"x": {"$gt": 0}}, {
+        "$inc": {"x": 1}, "$push": {"a": "v"}, "$set": {"new": 1},
+    })
+    assert out.count() == 0
+    assert "new" in out.columns
+    out2 = mongo_update_many(df, {}, [{"$set": {"y": {"$add": ["$x", 1]}}}])
+    assert out2.count() == 0 and "y" in out2.columns
+
+
+def test_mongo_exp_moving_avg_empty(spark):
+    from gramene_mongodb_spark.operators.documents import mongo_aggregate
+
+    df = spark.createDataFrame([], "g LONG, t LONG, v DOUBLE")
+    out = mongo_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"t": 1},
+        "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}},
+                   "rn": {"$documentNumber": {}}}}}])
+    assert out.count() == 0
+    assert {"e", "rn"} <= set(out.columns)
