@@ -1351,7 +1351,7 @@ def test_mongo_window_calculus_r14(spark):
     reaches outside via the shifted lower bound), $derivative
     ((last−first)/(key span); NULL on zero span — pinned vs Mongo's
     Infinity), windowed $stdDevPop/$covariancePop, $push/$addToSet
-    windows, and refusals: $expMovingAvg (sequential recurrence),
+    windows, and refusals: $expMovingAvg with an explicit window,
     range-bounded $integral/$derivative, $integral/$derivative
     without a single ascending numeric sortBy, time units."""
     from gramene_mongodb_spark.operators.documents import mongo_aggregate
@@ -1386,7 +1386,11 @@ def test_mongo_window_calculus_r14(spark):
     assert a3.ys == [0.0, 2.0, 4.0, 6.0]
 
     for bad, pat in (
-        ({"$expMovingAvg": {"input": "$y", "N": 3}}, "recurrence"),
+        # round-14 update: $expMovingAvg is now IMPLEMENTED (grouped-map
+        # recurrence kernel); the refusal that remains is Mongo's own —
+        # it does not accept an explicit window
+        ({"$expMovingAvg": {"input": "$y", "N": 3},
+          "window": {"documents": [-1, 0]}}, "window"),
         ({"$integral": {"input": "$y"},
           "window": {"range": [-1, 0]}}, "documents"),
         ({"$derivative": {"input": "$y"},
