@@ -87,6 +87,10 @@ TIMING_FLAG_S = 6.0  # round-9 collapse fixes landed at 2.2s; 6s at
 TIMING_CEILINGS_S = {
     "x_incremental_dedup": 12.0,  # r9: 7.9s (two-sided shingle verify)
     "x_lsh_recall_eval": 10.0,    # r9: 6.7s (exact top-k baseline arm)
+    "pipeline_obo_ontology": 9.0,  # r14: 3.2s quiet / 7.1s in-audit at
+    # ambient load ~3, isolated min-of-6 5.06s (BENCH_NOTES r14) — the
+    # driver-side OBO stanza parse is the most load-sensitive shape;
+    # adjudicated epoch, not a plan change
 }
 
 
