@@ -3292,3 +3292,86 @@ def test_exp_moving_avg_matches_python_reference(spark, rows, n):
             prev = v if prev is None else alpha * v + (1.0 - alpha) * prev
             state[g] = prev
         assert got[(g, i)] == prev, (rows, n, g, i, got[(g, i)], prev)
+
+
+_upd_arrays = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), st.integers(-5, 5)), max_size=6),
+)
+
+
+@given(
+    rows=st.lists(st.tuples(st.one_of(st.none(), st.integers(-10, 10)),
+                            _upd_arrays),
+                  min_size=1, max_size=10),
+    thr=st.integers(-10, 10),
+    v=st.integers(-5, 5),
+    arr_op=st.sampled_from(["push", "push_each", "addToSet", "pull_eq",
+                            "pull_gt", "pullAll", "pop_last", "pop_first"]),
+    num_op=st.sampled_from(["set", "inc", "mul", "min", "max", "unset"]),
+)
+@settings(**SETTINGS)
+def test_update_many_matches_python_reference(spark, rows, thr, v,
+                                              arr_op, num_op):
+    """mongo_update_many ≡ a row-wise Python replay of Mongo's update
+    semantics over arbitrary null-riddled rows: the filter matches
+    against the ORIGINAL value (SQL comparison semantics — null never
+    matches $gte), numeric operators seed Mongo's missing-field
+    identities, array operators no-op on missing arrays, keep null
+    elements through $pull/$pullAll predicates, and $addToSet preserves
+    existing duplicates."""
+    from gramene_mongodb_spark.operators.documents import mongo_update_many
+
+    df = spark.createDataFrame(
+        [(i, x, a) for i, (x, a) in enumerate(rows)],
+        "id int, x int, a array<int>")
+    num_doc = {
+        "set": {"$set": {"x": v}}, "inc": {"$inc": {"x": v}},
+        "mul": {"$mul": {"x": v}}, "min": {"$min": {"x": v}},
+        "max": {"$max": {"x": v}}, "unset": {"$unset": {"x": ""}},
+    }[num_op]
+    arr_doc = {
+        "push": {"$push": {"a": v}},
+        "push_each": {"$push": {"a": {"$each": [v, v + 1]}}},
+        "addToSet": {"$addToSet": {"a": v}},
+        "pull_eq": {"$pull": {"a": v}},
+        "pull_gt": {"$pull": {"a": {"$gt": v}}},
+        "pullAll": {"$pullAll": {"a": [v, v + 2]}},
+        "pop_last": {"$pop": {"a": 1}},
+        "pop_first": {"$pop": {"a": -1}},
+    }[arr_op]
+    got = {r.id: r for r in mongo_update_many(
+        df, {"x": {"$gte": thr}}, {**num_doc, **arr_doc}).collect()}
+
+    for i, (x, a) in enumerate(rows):
+        if x is None or x < thr:          # null never matches $gte
+            assert got[i].x == x and got[i].a == a, (rows, thr)
+            continue
+        want_x = {
+            "set": v, "inc": x + v, "mul": x * v,
+            "min": min(x, v), "max": max(x, v), "unset": None,
+        }[num_op]
+        if a is None:
+            # $push/$addToSet create the array; pull/pullAll/pop no-op
+            want_a = {"push": [v], "push_each": [v, v + 1],
+                      "addToSet": [v]}.get(arr_op)
+        elif arr_op == "push":
+            want_a = a + [v]
+        elif arr_op == "push_each":
+            want_a = a + [v, v + 1]
+        elif arr_op == "addToSet":
+            want_a = a if v in [e for e in a if e is not None] else a + [v]
+        elif arr_op == "pull_eq":
+            want_a = [e for e in a if not (e is not None and e == v)]
+        elif arr_op == "pull_gt":
+            want_a = [e for e in a if not (e is not None and e > v)]
+        elif arr_op == "pullAll":
+            # null elements survive $pullAll unless null is listed
+            want_a = [e for e in a
+                      if (e is None) or (e not in (v, v + 2))]
+        elif arr_op == "pop_last":
+            want_a = a[:-1]
+        else:
+            want_a = a[1:]
+        assert got[i].x == want_x, (rows, thr, v, num_op, got[i].x, want_x)
+        assert got[i].a == want_a, (rows, thr, v, arr_op, got[i].a, want_a)
