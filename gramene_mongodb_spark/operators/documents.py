@@ -533,7 +533,13 @@ def mongo_update_many(
     original document, exactly Mongo's evaluation order.
 
     Refused loudly: dotted paths, positional ``$``/``$[]``/arrayFilters,
-    and the operators in ``_UPDATE_REFUSED``.
+    and the operators in ``_UPDATE_REFUSED``. The refusal scope is
+    checked against the reference: its three update sites send either a
+    whole replacement document (speciesTree.js/taxonomy.js upserts —
+    covered by io.upsert_parquet_collection / _mongo_merge) or ``$set``
+    with a whole TOP-LEVEL document (`add_domains_to_tree.js:127-129`
+    ``$set: tree``) — no dotted or positional path appears anywhere in
+    the reference, so this shim covers its full update surface.
     """
     if not isinstance(update, (dict, list)) or not update:
         raise ValueError("update must be a non-empty document or pipeline")
