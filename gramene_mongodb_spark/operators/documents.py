@@ -747,6 +747,12 @@ _EXPR_UNARY = {
     "$year": F.year, "$month": F.month, "$dayOfMonth": F.dayofmonth,
     "$hour": F.hour, "$minute": F.minute, "$second": F.second,
     "$dayOfWeek": F.dayofweek, "$dayOfYear": F.dayofyear,
+    # trigonometry (Mongo 4.2) — JVM libm; differentials vs Python's
+    # math module assert ≤1 ulp-class tolerance, not bit equality
+    "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+    "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+    "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+    "$degreesToRadians": F.radians, "$radiansToDegrees": F.degrees,
 }
 
 #: Mongo $dateToString format specifiers → Spark date_format patterns.
@@ -1241,6 +1247,36 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
                     return F.col(fld)
                 return sub(inp)[fld]
             return F.col(args)  # shorthand: field name on the root doc
+        if op in ("$setField", "$unsetField"):
+            # Mongo 5.0 struct-field manipulation — direct Spark twins
+            # (Column.withField / dropFields). `field` must be a string
+            # LITERAL (as in Mongo); $unsetField's doc form {field,
+            # input} and $setField's {field, input, value}. Setting
+            # value to the $$REMOVE sentinel removes the field, exactly
+            # Mongo's spelling for unset-via-$setField.
+            if not isinstance(args, dict) or not {"field", "input"} <= set(args):
+                raise ValueError(f"{op} requires {{field, input}}")
+            fld = args["field"]
+            if not isinstance(fld, str) or fld.startswith("$"):
+                raise ValueError(f"{op} field must be a string literal")
+            inp = sub(args["input"])
+            if op == "$unsetField":
+                if "value" in args:
+                    raise ValueError("$unsetField does not take a value")
+                return inp.dropFields(f"`{fld}`")
+            if "value" not in args:
+                raise ValueError("$setField requires {field, input, value}")
+            if args["value"] == "$$REMOVE":
+                return inp.dropFields(f"`{fld}`")
+            return inp.withField(f"`{fld}`", sub(args["value"]))
+        if op in ("$rand", "$sample", "$sampleRate"):
+            raise ValueError(
+                f"{op} is refused — non-deterministic results cannot be "
+                "oracle-verified or reproduced across retries; use the "
+                "deterministic hash-sampling operators instead "
+                "(relational.hash_sample / $mod over $toHashedIndexKey-"
+                "style keys)"
+            )
         if op == "$zip" and isinstance(args, dict):
             inputs = [sub(a) for a in args.get("inputs", [])]
             if len(inputs) < 2:
@@ -1346,9 +1382,11 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
                 "$zip is supported through the document form "
                 '{"$zip": {"inputs": [...]}} only'
             )
-        if op in ("$mod", "$pow"):
+        if op in ("$mod", "$pow", "$atan2"):
             a, b = sub(args[0]), sub(args[1])
-            return a % b if op == "$mod" else F.pow(a, b)
+            if op == "$mod":
+                return a % b
+            return F.pow(a, b) if op == "$pow" else F.atan2(a, b)
         if op == "$round":
             # Mongo rounds HALF-TO-EVEN (banker's) — that's bround,
             # not round (HALF_UP). place must be an int literal.

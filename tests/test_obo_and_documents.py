@@ -1675,3 +1675,62 @@ def test_mongo_convert_and_type_inspection(spark):
     ):
         with pytest.raises(ValueError, match=why):
             DOC.mongo_aggregate(df, [{"$project": {"z": bad}}])
+
+
+def test_mongo_field_manipulation_and_trig(spark):
+    """$setField/$unsetField (Mongo 5.0 struct-field manipulation →
+    withField/dropFields), the $$REMOVE sentinel, $rand/$sample loud
+    refusal (non-deterministic), and the trig surface vs Python's math
+    module at 1e-12 relative tolerance (JVM libm vs CPython libm may
+    differ in the last ulp — bit equality is NOT the contract here)."""
+    import math
+
+    df = spark.createDataFrame([(1, (2, "x"), 0.5)],
+                               "id INT, s STRUCT<a INT, b STRING>, v DOUBLE")
+    r = DOC.mongo_aggregate(df, [{"$project": {
+        "set_new": {"$setField": {"field": "c", "input": "$s",
+                                  "value": {"$add": ["$v", 1]}}},
+        "set_old": {"$setField": {"field": "a", "input": "$s",
+                                  "value": 9}},
+        "rm": {"$setField": {"field": "b", "input": "$s",
+                             "value": "$$REMOVE"}},
+        "uns": {"$unsetField": {"field": "a", "input": "$s"}},
+        "got": {"$getField": {"field": "a", "input": "$s"}},
+    }}]).first()
+    assert r.set_new.asDict() == {"a": 2, "b": "x", "c": 1.5}
+    assert r.set_old.asDict() == {"a": 9, "b": "x"}
+    assert r.rm.asDict() == {"a": 2}
+    assert r.uns.asDict() == {"b": "x"}
+    assert r.got == 2
+
+    t = DOC.mongo_aggregate(df, [{"$project": {
+        "s1": {"$sin": "$v"}, "c1": {"$cos": "$v"}, "t1": {"$tan": "$v"},
+        "as1": {"$asin": "$v"}, "ac1": {"$acos": "$v"},
+        "at1": {"$atan": "$v"}, "at2": {"$atan2": ["$v", 2.0]},
+        "sh": {"$sinh": "$v"}, "ch": {"$cosh": "$v"},
+        "th": {"$tanh": "$v"},
+        "d2r": {"$degreesToRadians": 90},
+        "r2d": {"$radiansToDegrees": {"$literal": 3.141592653589793}},
+    }}]).first()
+    for got, want in [
+        (t.s1, math.sin(0.5)), (t.c1, math.cos(0.5)),
+        (t.t1, math.tan(0.5)), (t.as1, math.asin(0.5)),
+        (t.ac1, math.acos(0.5)), (t.at1, math.atan(0.5)),
+        (t.at2, math.atan2(0.5, 2.0)), (t.sh, math.sinh(0.5)),
+        (t.ch, math.cosh(0.5)), (t.th, math.tanh(0.5)),
+        (t.d2r, math.radians(90)), (t.r2d, 180.0),
+    ]:
+        assert abs(got - want) <= 1e-12 * max(1.0, abs(want)), (got, want)
+
+    for bad, pat in (
+        ({"$rand": {}}, "refused"),
+        ({"$sample": {"size": 3}}, "refused"),
+        ({"$setField": {"field": "a", "input": "$s"}}, "value"),
+        ({"$setField": {"field": "$a", "input": "$s", "value": 1}},
+         "literal"),
+        ({"$unsetField": {"field": "a", "input": "$s", "value": 1}},
+         "does not take"),
+        ({"$unsetField": {"field": "a"}}, "requires"),
+    ):
+        with pytest.raises(ValueError, match=pat):
+            DOC.mongo_aggregate(df, [{"$project": {"z": bad}}])
