@@ -1734,3 +1734,19 @@ def test_mongo_field_manipulation_and_trig(spark):
     ):
         with pytest.raises(ValueError, match=pat):
             DOC.mongo_aggregate(df, [{"$project": {"z": bad}}])
+
+
+def test_mongo_exp_moving_avg_null_partition(spark):
+    """A null partitionBy value forms its own group (matching window
+    partitionBy semantics) and survives the hash-batched shuffle key."""
+    ev = spark.createDataFrame(
+        [(None, 1, 2.0), (None, 2, 4.0), ("g", 1, 10.0)],
+        "p STRING, t INT, v DOUBLE")
+    res = DOC.mongo_aggregate(ev, [{"$setWindowFields": {
+        "partitionBy": "$p", "sortBy": {"t": 1},
+        "output": {"e": {"$expMovingAvg": {"input": "$v",
+                                           "alpha": 0.5}}}}}])
+    rows = {(r.p, r.t): r.e for r in res.collect()}
+    assert rows[(None, 1)] == 2.0
+    assert rows[(None, 2)] == 0.5 * 4.0 + 0.5 * 2.0
+    assert rows[("g", 1)] == 10.0
