@@ -730,6 +730,9 @@ _EXPR_UNARY = {
     "$trunc": lambda c: c.cast("long"),
     "$toUpper": F.upper, "$toLower": F.lower,
     "$strLenCP": F.length,
+    # byte-oriented lengths: UTF-8 bytes for strings, payload bytes for
+    # BinaryType ($binarySize accepts both, as in Mongo)
+    "$strLenBytes": F.octet_length, "$binarySize": F.octet_length,
     "$trim": lambda c: F.trim(c), "$ltrim": lambda c: F.ltrim(c),
     "$rtrim": lambda c: F.rtrim(c),
     "$toString": lambda c: c.cast("string"),

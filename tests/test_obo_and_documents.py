@@ -1750,3 +1750,15 @@ def test_mongo_exp_moving_avg_null_partition(spark):
     assert rows[(None, 1)] == 2.0
     assert rows[(None, 2)] == 0.5 * 4.0 + 0.5 * 2.0
     assert rows[("g", 1)] == 10.0
+
+
+def test_mongo_byte_lengths(spark):
+    """$strLenBytes (UTF-8 bytes) vs $strLenCP (code points), and
+    $binarySize over BinaryType payloads."""
+    df = spark.createDataFrame([("héllo", bytearray(b"\x00\x01\x02"))],
+                               "s STRING, b BINARY")
+    r = DOC.mongo_aggregate(df, [{"$project": {
+        "cp": {"$strLenCP": "$s"}, "by": {"$strLenBytes": "$s"},
+        "bs": {"$binarySize": "$b"},
+    }}]).first()
+    assert r.cp == 5 and r.by == 6 and r.bs == 3
