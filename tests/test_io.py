@@ -598,3 +598,39 @@ def test_write_sized_representative_requires_total_rows(spark, tmp_path):
         with pytest.raises(ValueError, match="total_rows"):
             write_sized(df, str(tmp_path / "x"), fmt="json",
                         total_rows=bad, representative=True)
+
+
+def test_update_many_then_upsert_collection(spark, tmp_path):
+    """S12 end-to-end twin: mutate a staged collection with an
+    updateMany document, then upsert the changed rows back — the exact
+    flow `trees/add_domains_to_tree.js:123-148` runs against live
+    Mongo (read → updateOne($set) per doc), restated as one transform
+    + one keyed upsert."""
+    from gramene_mongodb_spark.io import upsert_parquet_collection
+    from gramene_mongodb_spark.operators.documents import (
+        mongo_find_filter,
+        mongo_update_many,
+    )
+
+    path = str(tmp_path / "genes")
+    base = spark.createDataFrame(
+        [(1, "grmzm1", 0, "old"), (2, "grmzm2", 0, "old"),
+         (3, "osat3", 0, "old")],
+        "_id INT, name STRING, n_domains INT, tag STRING")
+    base.write.parquet(path)
+
+    q = {"name": {"$regex": "^grmzm"}}
+    updated = mongo_update_many(
+        spark.read.parquet(path), q,
+        {"$inc": {"n_domains": 4}, "$set": {"tag": "r14"}},
+    )
+    # ship ONLY the matched rows back, as the reference's per-doc
+    # updateOne does — unmatched rows never leave the executor
+    out = upsert_parquet_collection(
+        spark, path, updated.filter(mongo_find_filter(q)), "_id"
+    )
+    rows = {r._id: r for r in out.collect()}
+    assert rows[1].n_domains == 4 and rows[1].tag == "r14"
+    assert rows[2].n_domains == 4 and rows[2].tag == "r14"
+    assert rows[3].n_domains == 0 and rows[3].tag == "old"
+    assert out.count() == 3
