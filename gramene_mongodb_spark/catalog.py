@@ -13568,6 +13568,9 @@ def x_mongo_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
              lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
       FROM events),
+    -- null-proof replay of the kernel's pinned semantics: a null
+    -- partition joins via IS NOT DISTINCT FROM, a null value carries
+    -- the previous EMA forward (null before the first numeric)
     rec AS (
       SELECT user_id, event_id, value, rn, prev,
              CAST(value AS DOUBLE) AS ema9,
@@ -13575,10 +13578,16 @@ def x_mongo_update_many(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base WHERE rn = 1
       UNION ALL
       SELECT b.user_id, b.event_id, b.value, b.rn, b.prev,
-             (2.0/10.0) * b.value + (1.0 - 2.0/10.0) * r.ema9,
-             0.5 * b.value + 0.5 * r.ema_half
+             CASE WHEN b.value IS NULL THEN r.ema9
+                  WHEN r.ema9 IS NULL THEN CAST(b.value AS DOUBLE)
+                  ELSE (2.0/10.0) * b.value
+                       + (1.0 - 2.0/10.0) * r.ema9 END,
+             CASE WHEN b.value IS NULL THEN r.ema_half
+                  WHEN r.ema_half IS NULL THEN CAST(b.value AS DOUBLE)
+                  ELSE 0.5 * b.value + 0.5 * r.ema_half END
       FROM base b JOIN rec r
-        ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        ON b.user_id IS NOT DISTINCT FROM r.user_id
+       AND b.rn = r.rn + 1)
     SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn, prev,
            ema9, ema_half
     FROM rec
@@ -13711,10 +13720,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Displaced greens remain parity-swept at sf0.01+sf0.1
     # (scripts/parity.py) and pytest-parametrized.
     #
-    # never-attested (registered this round; x_mongo_update_many +
-    # x_mongo_ema joined late in r14 — updateMany/$expMovingAvg — and
-    # displace the two alphabetically-last r10 names of the original
-    # pack, x_leakage_matrix + x_line_filter, into the r15 seed cohort)
+    # never-attested (registered this round; x_mongo_update_many,
+    # x_mongo_ema and x_mongo_convert joined late in r14 —
+    # updateMany/$expMovingAvg/$convert — and displace the THREE
+    # alphabetically-last r10 names of the original 27-name pack
+    # (x_lang_id, x_leakage_matrix, x_line_filter) into the r15 seed
+    # cohort)
     "x_mongo_object_reshape", "x_mongo_strings_sets",
     "x_mongo_window_calculus", "x_mongo_update_many", "x_mongo_ema",
     "x_mongo_convert",

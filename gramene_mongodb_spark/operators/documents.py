@@ -595,10 +595,11 @@ def mongo_update_many(
             if op == "$set":
                 updates[f] = _update_literal(v)
             elif op == "$unset":
+                # unset of a statically-missing field is a no-op, but
+                # the path STAYS claimed — Mongo raises the update
+                # conflict regardless of field existence
                 if exists:
                     updates[f] = F.lit(None)
-                else:
-                    targets.discard(f)  # unset of a missing field: no-op
             elif op == "$inc":
                 _require_number(op, v)
                 updates[f] = F.coalesce(old, F.lit(0)) + F.lit(v)
@@ -613,9 +614,20 @@ def mongo_update_many(
                 if not isinstance(v, str):
                     raise ValueError("$rename target must be a string")
                 _update_path(v, targets)
-                updates[v] = old
+                # Mongo $rename NO-OPS per document when the source
+                # field is missing — the destination keeps its prior
+                # value (null≈missing: a null source row is a no-op
+                # too). A statically-absent source column makes the
+                # whole operator a no-op; both paths stay claimed for
+                # the conflict check (Mongo checks paths regardless).
                 if exists:
-                    updates[f] = F.lit(None)
+                    dest_old = (F.col(v) if v in df.columns
+                                else F.lit(None))
+                    updates[v] = F.when(old.isNotNull(), old).otherwise(
+                        dest_old
+                    )
+                    updates[f] = F.when(old.isNotNull(), F.lit(None)) \
+                        .otherwise(old)
             elif op in ("$push", "$addToSet"):
                 if isinstance(v, dict):
                     if set(v) != {"$each"}:
@@ -639,11 +651,23 @@ def mongo_update_many(
                         F.concat(old, arr)
                     )
                 else:
+                    # membership via a null-safe exists, NOT
+                    # array_contains — a null needle over an array that
+                    # already holds null must no-op (Mongo treats null
+                    # as a value), and array_contains is NULL there
+                    def _has(acc: Column, needle) -> Column:
+                        # closure, not a default arg — HOF lambdas are
+                        # arity-sensitive (2nd param = element index)
+                        def pred(e: Column) -> Column:
+                            return e.eqNullSafe(F.lit(needle))
+
+                        return F.exists(acc, pred)
+
                     folded = old
                     for x in each:
-                        folded = F.when(
-                            F.array_contains(folded, F.lit(x)), folded
-                        ).otherwise(F.concat(folded, F.array(F.lit(x))))
+                        folded = F.when(_has(folded, x), folded).otherwise(
+                            F.concat(folded, F.array(F.lit(x)))
+                        )
                     updates[f] = F.when(
                         old.isNull(), F.array_distinct(arr)
                     ).otherwise(folded)
@@ -653,7 +677,8 @@ def mongo_update_many(
                 if op == "$pop" and (v not in (1, -1) or isinstance(v, bool)):
                     raise ValueError("$pop requires 1 (last) or -1 (first)")
                 if not exists:
-                    targets.discard(f)  # Mongo no-ops on missing arrays
+                    # Mongo no-ops on missing arrays, but the path stays
+                    # claimed — the conflict error fires regardless
                     continue
                 # NOTE: pyspark HOF lambdas are ARITY-sensitive (a 2nd
                 # parameter means "element index"), so captures must be
@@ -978,9 +1003,13 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             c = sub(args)
             t = F.typeof(c)
             if op == "$isNumber":
+                # exact names + a decimal(p,s) prefix — an anchored-left
+                # rlike would also match 'interval day to second' via
+                # the 'int' alternative
                 return F.when(c.isNull(), F.lit(False)).otherwise(
-                    t.rlike("^(tinyint|smallint|int|bigint|float|double|"
-                            "decimal)")
+                    t.isin("tinyint", "smallint", "int", "bigint",
+                           "float", "double")
+                    | t.startswith("decimal")
                 )
             name = (
                 F.when(t == F.lit("string"), F.lit("string"))
@@ -1632,7 +1661,14 @@ def _exp_moving_avg_kernel(
       the first value of the input expression");
     * null (≈missing) inputs are skipped — the output carries the
       previous result forward, and is null before the first numeric
-      value (Mongo ignores non-numeric values);
+      value (Mongo ignores non-numeric values). PINNED DIVERGENCE: a
+      genuine NaN input is treated the same as null (skipped), whereas
+      Mongo treats NaN as numeric and poisons the series from that
+      point on — Spark's Arrow transfer maps null and NaN to the same
+      float64 NaN, so the two are indistinguishable inside the kernel;
+      the skip is the useful reading and is test-pinned;
+    * sortBy order matches the stage's window outputs: ascending keys
+      put nulls FIRST (BSON: null sorts lowest), descending last;
     * the recurrence is evaluated in IEEE float64 exactly as written —
       ``α·x + (1−α)·prev`` with ``α = 2/(N+1)`` for the N form — so a
       SQL engine replaying the same recurrence (the oracle's recursive
@@ -1672,7 +1708,15 @@ def _exp_moving_avg_kernel(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(keys, ascending=asc, kind="mergesort")
+        # replicate Spark's window order per key: ascending → nulls
+        # FIRST (BSON: null sorts lowest), descending → nulls last.
+        # pandas' na_position is global, so stable-sort key-by-key in
+        # reverse significance order with the per-key position.
+        for k, a in reversed(list(zip(keys, asc))):
+            pdf = pdf.sort_values(
+                k, ascending=a, kind="mergesort",
+                na_position="first" if a else "last",
+            )
         res = pdf[base_cols].copy()
         for i, alpha in enumerate(alphas):
             x = pdf[f"__swf_ema_in_{i}"].to_numpy(

@@ -1762,3 +1762,70 @@ def test_mongo_byte_lengths(spark):
         "bs": {"$binarySize": "$b"},
     }}]).first()
     assert r.cp == 5 and r.by == 6 and r.bs == 3
+
+
+def test_mongo_update_many_review_fixes(spark):
+    """Round-14 review fixes, pinned:
+
+    1. $rename no-ops per document when the source is null/missing —
+       the destination keeps its prior value (Mongo's rule; the first
+       build nulled it).
+    2. A statically-absent source column makes $rename a whole no-op,
+       but paths stay claimed — conflicts raise regardless of field
+       existence (so do missing-array $unset/$pull/$pop claims).
+    3. $addToSet with a null value no-ops when null is already present
+       (null-safe membership, not array_contains' NULL verdict).
+    """
+    df = spark.createDataFrame(
+        [(1, "src1", "dst1", ["a", None]), (2, None, "dst2", ["a"])],
+        "id INT, s STRING, d STRING, arr ARRAY<STRING>")
+    out = {r.id: r for r in DOC.mongo_update_many(
+        df, {}, {"$rename": {"s": "d"}}).collect()}
+    assert out[1].d == "src1" and out[1].s is None
+    assert out[2].d == "dst2" and out[2].s is None   # null source: no-op
+
+    # statically-missing source: destination untouched everywhere
+    out2 = {r.id: r for r in DOC.mongo_update_many(
+        df, {}, {"$rename": {"ghost": "d"}}).collect()}
+    assert out2[1].d == "dst1" and out2[2].d == "dst2"
+
+    # conflicts raise even when one operator is a missing-field no-op
+    for upd in (
+        {"$unset": {"ghost": ""}, "$inc": {"ghost": 1}},
+        {"$pop": {"ghostarr": 1}, "$push": {"ghostarr": "v"}},
+        {"$rename": {"ghost": "d"}, "$set": {"d": "x"}},
+    ):
+        with pytest.raises(ValueError, match="conflict"):
+            DOC.mongo_update_many(df, {}, upd)
+
+    # $addToSet null needle: no-op when null present, append when not
+    out3 = {r.id: r for r in DOC.mongo_update_many(
+        df, {}, {"$addToSet": {"arr": None}}).collect()}
+    assert out3[1].arr == ["a", None]
+    assert out3[2].arr == ["a", None]
+
+
+def test_mongo_ema_null_sortkey_and_isnumber_interval(spark):
+    """The EMA kernel's sort must match the stage's window outputs:
+    ascending sortBy puts null keys FIRST (BSON order), so a null-ts
+    row is rn=1 and seeds the series. $isNumber must not match
+    interval types via the 'int' prefix."""
+    ev = spark.createDataFrame(
+        [(1, None, 5.0), (1, 1, 1.0)], "u INT, t INT, v DOUBLE")
+    res = {r.rn: r for r in DOC.mongo_aggregate(ev, [
+        {"$setWindowFields": {
+            "partitionBy": "$u", "sortBy": {"t": 1},
+            "output": {
+                "rn": {"$documentNumber": {}},
+                "e": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}},
+            }}}]).collect()}
+    assert res[1].t is None and res[1].e == 5.0      # null key sorts first
+    assert res[2].e == 0.5 * 1.0 + 0.5 * 5.0
+
+    df = spark.createDataFrame([(1,)], "x INT").selectExpr(
+        "x", "INTERVAL '1' DAY AS iv")
+    r = DOC.mongo_aggregate(df, [{"$project": {
+        "n": {"$isNumber": "$iv"}, "ty": {"$type": "$iv"},
+    }}]).first()
+    assert r.n is False
+    assert r.ty.startswith("interval")  # unmapped: raw Spark name
