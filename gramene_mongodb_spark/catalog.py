@@ -13688,6 +13688,78 @@ def x_mongo_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@register(
+    "x_mongo_window_range_unit",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER w30, 2) AS spend_30d,
+           count(*) OVER w30 AS n_30d,
+           round(sum(o_totalprice) OVER wprior, 2) AS spend_prior
+    FROM orders
+    WINDOW
+      w30 AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+              RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW),
+      wprior AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                 RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 86400000 PRECEDING)
+    """,
+    "documents", "S10", "W1",
+)
+def x_mongo_window_range_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` range window with a TIME UNIT (Mongo 5.0
+    ``window: {range: [lo, hi], unit: 'day'}``) — the last shim-edge
+    refusal a real analytics consumer was likely to hit (VERDICT r14
+    next-round #5), now compiled instead of refused: fixed-length units
+    scale the bounds into wall-clock epoch MILLISECONDS and run as one
+    numeric ``rangeBetween`` frame (documents._mongo_set_window_fields).
+    Exact, not approximate — Mongo evaluates window bounds in UTC,
+    where week/day/hour/minute/second are constant spans; the epoch map
+    is the TZ-free house idiom (catalog._epoch_s's millisecond twin),
+    so the frame is identical under any driver timezone.
+
+    Shape: per-customer trailing 30-day spend + order count, plus a
+    strictly-prior cumulative spend whose frame mixes an UNBOUNDED
+    sentinel with a scaled -1-day bound (both bound forms through one
+    window spec). ONE hash exchange on o_custkey shared by all three
+    outputs — at 100 TB this is a single keyed shuffle and a sorted
+    frame scan per partition, the plan a hand-written SQL twin would
+    produce. Sums rounded to 2dp before the hash (float addition order
+    inside a value-ordered frame is engine-specific); empty frames:
+    SUM→NULL, COUNT→0 in both engines. The oracle replays the exact
+    frames on DuckDB's epoch_ms."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = DOC.mongo_aggregate(orders, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1},
+            "output": {
+                "spend_30d": {
+                    "$sum": "$o_totalprice",
+                    "window": {"range": [-30, 0], "unit": "day"},
+                },
+                "n_30d": {
+                    "$count": {},
+                    "window": {"range": [-30, 0], "unit": "day"},
+                },
+                "spend_prior": {
+                    "$sum": "$o_totalprice",
+                    "window": {"range": ["unbounded", -1], "unit": "day"},
+                },
+            },
+        }},
+    ])
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round("spend_30d", 2).alias("spend_30d"),
+        F.col("n_30d").cast("long").alias("n_30d"),
+        F.round("spend_prior", 2).alias("spend_prior"),
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -13703,50 +13775,44 @@ def x_mongo_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: from the window remain registered, parity-swept at both SFs
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND-14 ROTATION (VERDICT r13 §next-round #1): never-attested
-    # first (the SIX round-14 entries: the expression/window-tail trio
-    # + the late x_mongo_update_many / x_mongo_ema / x_mongo_convert),
-    # then the ENTIRE remaining r9-stale cohort (20 — the alphabetical
-    # tail the r13 window couldn't fit), then the 24 alphabetically-
-    # first of the 50 r10-stale greens. After this round the
-    # latest-attestation histogram has no bucket older than r10,
-    # closing the rotation program: every entry's floor is ≤2 rounds
-    # at the 50/round cadence (26 r10 leftovers, x_lang_id /
-    # x_leakage_matrix / x_line_filter / x_lm_score …, seed the r15
-    # window).
+    # ROUND-15 ROTATION (VERDICT r14 §next-round #1): steady-state
+    # cadence — never-attested first (ONE new entry this round:
+    # x_mongo_window_range_unit, the time-unit range-window compile
+    # that closes r14 ask #5), then the ENTIRE r10-stale cohort (26 —
+    # the alphabetical tail displaced when the r14 entries joined
+    # late), then the 23 alphabetically-first of the 49 r11-stale
+    # greens. After this round the latest-attestation histogram has no
+    # bucket older than r11 (26 r11 leftovers — x_equidepth_bins
+    # onward — seed the r16 window): every entry re-attests within ~4
+    # rounds at the 50/round cadence.
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
     # Displaced greens remain parity-swept at sf0.01+sf0.1
     # (scripts/parity.py) and pytest-parametrized.
     #
-    # never-attested (registered this round; x_mongo_update_many,
-    # x_mongo_ema and x_mongo_convert joined late in r14 —
-    # updateMany/$expMovingAvg/$convert — and displace the THREE
-    # alphabetically-last r10 names of the original 27-name pack
-    # (x_lang_id, x_leakage_matrix, x_line_filter) into the r15 seed
-    # cohort)
-    "x_mongo_object_reshape", "x_mongo_strings_sets",
-    "x_mongo_window_calculus", "x_mongo_update_many", "x_mongo_ema",
-    "x_mongo_convert",
-    # stalest greens — last attested r9 (all 20 remaining)
-    "x_bloom_prefilter", "x_bpe_encode", "x_bpe_pairs", "x_bpe_train",
-    "x_cms_frequency", "x_cms_selfjoin_size", "x_graph_components",
-    "x_hard_negatives", "x_image_phash", "x_lsh_recall_eval",
-    "x_pii_redact", "x_quantile_sketch_merge", "x_ranking_eval",
-    "x_rest_lut", "x_rouge_eval", "x_stream_agg_merge",
-    "x_substring_dedup", "x_upsert_orders", "x_video_shots",
-    "x_xml_interpro",
-    # stalest greens — last attested r10 (29 of 50, alphabetical)
-    "k8_nested_tree_docs", "p7_gene_split_filter",
-    "pipeline_markup_curate", "s17_reject_stream", "u1_priority_union",
-    "w3_species_ranked", "w5_canonical_transcript", "x_auc_eval",
-    "x_boilerplate_ratio", "x_boilerplate_shingles", "x_chunk_documents",
-    "x_cigar_identity", "x_contamination", "x_domain_quota",
-    "x_dsir_select", "x_embed_near_exact", "x_embed_near_lsh",
-    "x_embed_quantize", "x_event_transitions", "x_fixed_sample",
-    "x_hash_sample", "x_html_extract", "x_inverted_index",
-    "x_kappa_eval",
+    # never-attested (registered this round)
+    "x_mongo_window_range_unit",
+    # stalest greens — last attested r10 (all 26 remaining)
+    "x_lang_id", "x_leakage_matrix", "x_line_filter", "x_lm_score",
+    "x_media_audio", "x_media_frames", "x_media_resize",
+    "x_mixture_sample", "x_mongo_find", "x_nb_classify", "x_pii_scan",
+    "x_pmi_collocations", "x_pq_codes", "x_repetition_stats",
+    "x_rrf_hybrid", "x_semantic_contamination", "x_span_dedup",
+    "x_stratified_sample", "x_stream_exactly_once",
+    "x_substring_rewrite", "x_text_quality", "x_text_stats",
+    "x_tfidf_topk", "x_token_budget", "x_top_ngrams",
+    "x_triangle_count",
+    # stalest greens — last attested r11 (23 of 49, alphabetical)
+    "a_approx_aggregates", "a_count_distinct", "a_percentiles",
+    "a_rollup_status", "j10_anti_join", "j11_fanout_explode",
+    "j9_supplier_pairs", "o2_sorted_order_arrays",
+    "q04_priority_exists", "q13_order_histogram",
+    "q16_supplier_variety", "q17_small_qty_revenue",
+    "sliding_6h_events", "u4_union_tagged", "u5_intersect_customers",
+    "w2_genes_between", "w_rolling_spend", "x_adaptive_filter",
+    "x_agg_merge", "x_cdc_replay", "x_cluster_split",
+    "x_cohort_retention", "x_communities_lpa",
 )
 
 

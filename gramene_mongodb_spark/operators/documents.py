@@ -460,6 +460,22 @@ def _update_path(field: str, targets: set[str]) -> None:
     targets.add(field)
 
 
+def _guard_reserved_columns(df: DataFrame, prefix: str, where: str) -> None:
+    """Loud refusal when an input collection already uses a helper-column
+    prefix the shim stages under (``__upd_`` in :func:`mongo_update_many`,
+    ``__swf_`` in the ``$setWindowFields`` compile). Without the guard a
+    colliding input column surfaces as an opaque duplicate/ambiguous-
+    column AnalysisException deep inside the plan (advisor r14) instead
+    of a contract error naming the reserved prefix."""
+    hits = [c for c in df.columns if c.startswith(prefix)]
+    if hits:
+        raise ValueError(
+            f"{where}: column names starting with {prefix!r} are reserved "
+            f"for the shim's internal staging; rename input column(s) "
+            f"{hits} before applying the operator"
+        )
+
+
 def _update_literal(val) -> Column:
     """Literal update argument → Column. Scalars and flat non-empty
     lists of scalars only: classic-form update documents carry BSON
@@ -509,7 +525,14 @@ def mongo_update_many(
       operator's identity exactly as Mongo documents (``$inc`` creates
       the field as the increment, ``$mul`` creates it as 0).
     * ``$min`` / ``$max`` — ``least``/``greatest``; null/missing takes
-      the operand (Mongo: sets if the field does not exist).
+      the operand (Mongo: sets if the field does not exist). PINNED
+      DIVERGENCE (null≈missing): ``$min`` on a row whose stored value
+      is a genuine null takes the operand, unlike live Mongo, where
+      BSON comparison order puts null BELOW all numbers so $min keeps
+      the null — this is the one classic operator where null and
+      missing genuinely diverge in Mongo ($max agrees in both systems:
+      null sorts below, so the operand wins either way). Test-pinned
+      (test_update_min_null_value_pinned_divergence).
     * ``$rename`` — destination gets the source value on matched rows,
       source becomes NULL; both paths are claimed for conflict checks.
     * ``$push`` — append (``$each`` supported; ``$slice/$sort/$position``
@@ -543,6 +566,7 @@ def mongo_update_many(
     """
     if not isinstance(update, (dict, list)) or not update:
         raise ValueError("update must be a non-empty document or pipeline")
+    _guard_reserved_columns(df, "__upd_", "mongo_update_many")
     match = mongo_find_filter(query)
 
     if isinstance(update, list):
@@ -651,26 +675,37 @@ def mongo_update_many(
                         F.concat(old, arr)
                     )
                 else:
-                    # membership via a null-safe exists, NOT
-                    # array_contains — a null needle over an array that
-                    # already holds null must no-op (Mongo treats null
-                    # as a value), and array_contains is NULL there
-                    def _has(acc: Column, needle) -> Column:
+                    # append-if-absent in ONE linear pass: dedup the
+                    # $each values (array_distinct keeps the FIRST
+                    # occurrence — same winner as a left fold), drop
+                    # those already present via a null-safe exists
+                    # (NOT array_contains — a null needle over an
+                    # array that already holds null must no-op; Mongo
+                    # treats null as a value, and array_contains is
+                    # NULL there), then concat the survivors. A
+                    # when/otherwise fold that re-embeds the
+                    # accumulated expression grows the Catalyst tree
+                    # ~3^n in the $each length (advisor r14) and
+                    # stalls plan compilation at a few dozen values;
+                    # this form is linear and semantically identical.
+                    def _absent(have: Column):
                         # closure, not a default arg — HOF lambdas are
                         # arity-sensitive (2nd param = element index)
-                        def pred(e: Column) -> Column:
-                            return e.eqNullSafe(F.lit(needle))
+                        def pred(x: Column) -> Column:
+                            return ~F.exists(
+                                have, lambda e: e.eqNullSafe(x)
+                            )
 
-                        return F.exists(acc, pred)
+                        return pred
 
-                    folded = old
-                    for x in each:
-                        folded = F.when(_has(folded, x), folded).otherwise(
-                            F.concat(folded, F.array(F.lit(x)))
-                        )
                     updates[f] = F.when(
                         old.isNull(), F.array_distinct(arr)
-                    ).otherwise(folded)
+                    ).otherwise(
+                        F.concat(
+                            old,
+                            F.filter(F.array_distinct(arr), _absent(old)),
+                        )
+                    )
             elif op in ("$pull", "$pullAll", "$pop"):
                 if op == "$pullAll" and not isinstance(v, (list, tuple)):
                     raise ValueError("$pullAll requires a list")
@@ -743,6 +778,35 @@ _STRICT_SWITCH: contextvars.ContextVar[bool] = contextvars.ContextVar(
 )
 
 
+def _bool_convert(inp: Column, lenient: bool) -> Column:
+    """Boolean conversion with Mongo's string refusal pinned. string→bool
+    is UNSUPPORTED in MongoDB — ``$convert {to:'bool'}`` / ``$toBool``
+    error (or fire onError) for EVERY string, even ``'true'`` — while
+    Spark's cast parses ``'true'/'t'/'yes'/'1'`` etc., a silent
+    divergence (advisor r14). The string case is therefore compiled to
+    the Mongo behavior explicitly; ``typeof()`` is static per column, so
+    non-string inputs pay nothing. With ``lenient`` (the caller has
+    onError) strings map to NULL so the caller's
+    ``coalesce(conv, onError)`` takes the onError branch for every
+    string — exactly Mongo; without it a NON-NULL string raises at
+    runtime (CaseWhen branches evaluate lazily per row, so null inputs —
+    resolved by the caller's onNull wrapper / plain NULL — never reach
+    the raise)."""
+    is_str = F.typeof(inp) == F.lit("string")
+    if lenient:
+        return F.when(is_str, F.lit(None).cast("boolean")).otherwise(
+            inp.try_cast("boolean")
+        )
+    return F.when(
+        is_str & inp.isNotNull(),
+        F.raise_error(F.lit(
+            "$convert/$toBool: string input to a bool target is "
+            "unsupported in MongoDB (it errors for every string) — "
+            "supply onError, or compare the string explicitly upstream"
+        )).cast("boolean"),
+    ).otherwise(inp.cast("boolean"))
+
+
 #: unary Mongo math/string/cast operators with direct Spark twins.
 #: Casts follow the session's cast semantics: under ANSI (the Spark 4
 #: default) an unparseable $toInt/$toLong/$toDouble ERRORS at runtime —
@@ -764,7 +828,8 @@ _EXPR_UNARY = {
     "$toInt": lambda c: c.cast("int"),
     "$toLong": lambda c: c.cast("long"),
     "$toDouble": lambda c: c.cast("double"),
-    "$toBool": lambda c: c.cast("boolean"),
+    # string→bool pinned to Mongo's refusal (see _bool_convert)
+    "$toBool": lambda c: _bool_convert(c, lenient=False),
     "$size": F.size,
     "$not": lambda c: ~c.cast("boolean"),
     # date parts — these read the column's WALL CLOCK (tz-proof on
@@ -964,7 +1029,9 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             # the two branches cannot collide). to:"date" routes
             # through the $toDate parse (strings only, NTZ wall clock)
             # and, like $toDate, is ALWAYS null-on-unparseable — so
-            # onError there requires no ANSI bypass. TYPED-ENGINE
+            # onError there requires no ANSI bypass. to:"bool" pins
+            # Mongo's string refusal (string→bool is unsupported there;
+            # see _bool_convert). TYPED-ENGINE
             # divergence (pinned, not hidden): onError/onNull values
             # must be of (or coercible to) the TARGET type — BSON lets
             # onError return a string where a date failed; a typed
@@ -986,6 +1053,11 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
             inp = sub(args["input"])
             if to == "date":
                 conv = F.try_to_timestamp(inp).cast("timestamp_ntz")
+            elif to == "bool":
+                # Mongo has no string→bool conversion — pinned refusal
+                # (errors without onError, onError-for-every-string
+                # with it); see _bool_convert
+                conv = _bool_convert(inp, lenient="onError" in args)
             elif "onError" in args:
                 conv = inp.try_cast(targets[to])
             else:
@@ -1631,6 +1703,20 @@ def _wf_bound(b, lower: bool):
     )
 
 
+#: Loud upper bound on rows per PARTITION VALUE inside the
+#: $expMovingAvg grouped-map kernel — the kernel's one real memory axis
+#: (a whole partition is materialized as one pandas group). The r14
+#: boundary probe (SCALE.md, twenty-first probe) measured ×7.3 wall for
+#: ×4 rows once a single partition held 4M rows; this bound fails fast
+#: well before that cliff, matching the house 10k transcripts-per-gene
+#: precedent (convert a measured risk into a contract error, never a
+#: silent degradation). Deployments with genuinely longer per-key
+#: series should pre-split on a secondary key (e.g. compute the EMA
+#: per (user, year) and chain the seed across segments) or raise the
+#: bound explicitly after sizing executor memory for it.
+EMA_MAX_PARTITION_ROWS: int = 2_000_000
+
+
 def _exp_moving_avg_kernel(
     out: DataFrame, spec: dict, sort_by: dict, ema_specs: list
 ) -> DataFrame:
@@ -1644,7 +1730,12 @@ def _exp_moving_avg_kernel(
     a single O(rows) pass per group — the same exchange+sort a window
     function would cost, with the grouped-map caveat that one PARTITION
     (not the whole collection) must fit in executor memory, which is
-    also Mongo's own practical bound for this operator.
+    also Mongo's own practical bound for this operator. That axis is
+    GUARDED, not just documented: any partition value exceeding
+    :data:`EMA_MAX_PARTITION_ROWS` rows fails fast inside the kernel
+    with a pre-split/raise-the-bound message (house convention — the
+    10k transcripts-per-gene precedent; the r14 boundary probe measured
+    the ×7.3 cliff this bound sits under).
 
     Group batching: one Spark group per PARTITION VALUE pays the
     per-group Arrow/pandas fixed cost once per partition — ruinous for
@@ -1707,7 +1798,22 @@ def _exp_moving_avg_kernel(
         ]
     )
 
+    max_rows = EMA_MAX_PARTITION_ROWS
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # fail-fast on the kernel's one real memory axis (module
+        # constant EMA_MAX_PARTITION_ROWS documents the measured cliff)
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"$expMovingAvg: partition value "
+                f"{pdf['__swf_ema_part'].iloc[0]!r} holds {len(pdf)} rows "
+                f"> EMA_MAX_PARTITION_ROWS={max_rows}; a grouped-map "
+                f"recurrence materializes the whole partition in one "
+                f"pandas group — pre-split on a secondary key (chain the "
+                f"seed across segments) or raise "
+                f"documents.EMA_MAX_PARTITION_ROWS after sizing executor "
+                f"memory for it"
+            )
         # replicate Spark's window order per key: ascending → nulls
         # FIRST (BSON: null sorts lowest), descending → nulls last.
         # pandas' na_position is global, so stable-sort key-by-key in
@@ -1763,8 +1869,14 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     * ``window.documents`` → ``rowsBetween``; ``window.range`` →
       ``rangeBetween`` and requires a SINGLE ascending numeric sortBy
       field (Mongo's own restriction). Bounds: "unbounded"/"current"/
-      int. Time ``unit`` ranges are refused loudly (use an epoch-secs
-      column instead) — no silent approximation.
+      int. Time ``unit`` ranges over FIXED-LENGTH units (week/day/hour/
+      minute/second/millisecond) compile onto a numeric ``rangeBetween``
+      over wall-clock epoch milliseconds of the date sortBy field —
+      exact, because Mongo evaluates window bounds in UTC where those
+      units are constant spans; TZ-pinned via the house NTZ idiom (no
+      session timezone in the epoch map). Calendar-variable units
+      (year/quarter/month — per-document ``$dateAdd`` boundaries) are
+      refused loudly, no silent approximation.
     * Accumulators: $sum/$avg/$min/$max/$count/$first/$last,
       $stdDevPop/$stdDevSamp, $push/$addToSet (null-dropping pinned at
       the $group twins), $covariancePop/$covarianceSamp (two-expression
@@ -1800,6 +1912,10 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     output = spec.get("output")
     if not isinstance(output, dict) or not output:
         raise ValueError("$setWindowFields requires a non-empty output document")
+    # covers BOTH internal prefixes this compile stages under:
+    # __swf_ema_* (the grouped-map recurrence kernel) and __swf_tmp_*
+    # (the one-shot output staging below)
+    _guard_reserved_columns(out, "__swf_", "$setWindowFields")
     base = Window.partitionBy(
         _mongo_expr(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
     )
@@ -1979,19 +2095,91 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
             lo, hi = wspec["documents"]
             w = sorted_base.rowsBetween(_wf_bound(lo, True), _wf_bound(hi, False))
         elif "range" in wspec:
-            if wspec.get("unit") is not None:
-                raise ValueError(
-                    "range windows with a time unit are refused — sort on an "
-                    "epoch-seconds column and use a plain numeric range"
-                )
             if not sort_by or len(sort_by) != 1 or next(iter(sort_by.values())) != 1:
                 raise ValueError(
                     "range windows require a single ascending sortBy field"
                 )
             lo, hi = wspec["range"]
-            w = base.orderBy(*_wf_sort_cols(sort_by)).rangeBetween(
-                _wf_bound(lo, True), _wf_bound(hi, False)
-            )
+            unit = wspec.get("unit")
+            if unit is None:
+                w = base.orderBy(*_wf_sort_cols(sort_by)).rangeBetween(
+                    _wf_bound(lo, True), _wf_bound(hi, False)
+                )
+            else:
+                # Mongo 5.0 time-unit range window ({range: [lo, hi],
+                # unit}) compiled onto a NUMERIC rangeBetween over
+                # wall-clock epoch MILLISECONDS of the date sortBy
+                # field. Fixed-length units only: Mongo's window-bound
+                # arithmetic runs in UTC (the window spec has no
+                # timezone parameter), where week/day/hour/minute/
+                # second/millisecond are constant spans — so
+                # [cur−lo·unit, cur+hi·unit] is exactly a constant
+                # millisecond range frame. year/quarter/month are
+                # calendar-variable (Mongo computes those boundaries
+                # with per-document $dateAdd) and a constant range
+                # frame cannot express them — refused loudly.
+                # TZ PIN (house NTZ rule, same idiom as
+                # catalog._epoch_s): TIMESTAMP_NTZ goes through
+                # timestampdiff from the epoch wall clock — NO session
+                # timezone involved, so the frame is identical under
+                # any driver TZ (cross-TZ-sweep-proof); an LTZ column
+                # is already an instant (unix_millis); DATE is pure
+                # calendar arithmetic. The epoch key orders identically
+                # to the raw column (strictly monotone map), so the
+                # sortBy contract is unchanged.
+                _UNIT_MS = {
+                    "week": 604_800_000, "day": 86_400_000,
+                    "hour": 3_600_000, "minute": 60_000,
+                    "second": 1_000, "millisecond": 1,
+                }
+                if unit not in _UNIT_MS:
+                    raise ValueError(
+                        f"range-window unit {unit!r} is refused — "
+                        "year/quarter/month are calendar-variable "
+                        "(Mongo evaluates those bounds with per-document "
+                        "$dateAdd), which a constant range frame cannot "
+                        "express; use a fixed unit (week/day/hour/minute/"
+                        "second/millisecond) or materialize the boundary "
+                        "explicitly"
+                    )
+                key_name = next(iter(sort_by))
+                dtype = dict(out.dtypes).get(key_name)
+                if dtype == "timestamp_ntz":
+                    key = F.expr(
+                        "timestampdiff(MILLISECOND, "
+                        "TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+                        f"`{key_name}`)"
+                    )
+                elif dtype == "timestamp":
+                    key = F.unix_millis(F.col(key_name))
+                elif dtype == "date":
+                    key = (F.datediff(F.col(key_name), F.lit("1970-01-01"))
+                           .cast("long")) * F.lit(86_400_000)
+                elif dtype is None:
+                    raise ValueError(
+                        f"range-window unit requires a top-level sortBy "
+                        f"column ({key_name!r} is not a column of the "
+                        f"input)"
+                    )
+                else:
+                    raise ValueError(
+                        f"range-window unit requires a date/timestamp "
+                        f"sortBy field ({key_name!r} is {dtype!r}) — "
+                        "Mongo errors there too"
+                    )
+                mult = _UNIT_MS[unit]
+
+                def _ms_bound(b, lower: bool):
+                    # scale only EXPLICIT numeric bounds; the
+                    # unbounded/current sentinels pass through unscaled
+                    # (multiplying Window.unboundedPreceding overflows)
+                    if isinstance(b, int) and not isinstance(b, bool):
+                        return b * mult
+                    return _wf_bound(b, lower)
+
+                w = base.orderBy(key.asc()).rangeBetween(
+                    _ms_bound(lo, True), _ms_bound(hi, False)
+                )
         else:
             raise ValueError("window must specify documents or range")
         results.append((out_field, agg.over(w)))

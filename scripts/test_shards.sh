@@ -17,6 +17,14 @@
 # measured 6:37/7:10/7:21 (predicted 7:19/7:19/7:20). Round 14: walls
 # crept again (11:40-13:07 measured, tripwire x1.7) — re-packed AND
 # widened to four property quarters; predicted ~9:11 each.
+# Round 15: Hypothesis fast/full PROFILES (tests/conftest.py). Default
+# runs use the fast profile (10 examples/property) to hold shard walls
+# at the ~9-min target; each round's CLOSING BATTERY must run
+#   SPARK_GRAFT_HYP_PROFILE=full scripts/test_shards.sh
+# (25 examples — the budget the shard pack's predictions and the
+# conftest tripwire are calibrated against; the tripwire enforces
+# drift only under the full profile). Re-packs
+# (scripts/rebalance_shards.py) must consume full-profile logs.
 #
 # Usage: scripts/test_shards.sh   (exits non-zero if any shard fails)
 set -u

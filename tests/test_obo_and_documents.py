@@ -1829,3 +1829,167 @@ def test_mongo_ema_null_sortkey_and_isnumber_interval(spark):
     }}]).first()
     assert r.n is False
     assert r.ty.startswith("interval")  # unmapped: raw Spark name
+
+
+def test_mongo_advice_r14_fixes(spark):
+    """The four r14 advisor findings, each pinned:
+
+    (1) $addToSet's $each fold is LINEAR in expression size (the old
+        when/otherwise fold re-embedded the accumulated expression
+        ~3^n — a 60-value $each now compiles and runs instantly) with
+        identical append-if-absent semantics, null included;
+    (2) $convert to:'bool' / $toBool pin Mongo's string refusal:
+        string→bool is unsupported there, so 'true' must NOT parse —
+        without onError a non-null string raises, with onError EVERY
+        string takes the onError value;
+    (3) classic $min's null divergence is pinned: a matched row whose
+        stored value is genuinely null takes the operand (null≈missing),
+        unlike live Mongo where BSON order keeps the null ($max agrees
+        in both systems);
+    (4) helper-column prefixes are guarded up front: an input column
+        starting with __upd_ / __swf_ gets a contract ValueError naming
+        the reserved prefix, not a deep AnalysisException.
+    """
+    # (1) linear $addToSet — semantics on dup/null/absent + a big $each
+    df = spark.createDataFrame(
+        [(1, [1, 2, 2, None]), (2, None), (3, [5])],
+        "id INT, a ARRAY<INT>")
+    out = {r.id: r.a for r in DOC.mongo_update_many(
+        df, {}, {"$addToSet": {"a": {"$each": [2, 7, 7, None, 1]}}}
+    ).collect()}
+    assert out[1] == [1, 2, 2, None, 7]   # existing dups kept; only 7 new
+    assert out[2] == [2, 7, None, 1]      # null array: distinct of $each
+    assert out[3] == [5, 2, 7, None, 1]
+    big = DOC.mongo_update_many(
+        df, {}, {"$addToSet": {"a": {"$each": list(range(64))}}})
+    assert big.where("id = 3").first().a[:3] == [5, 0, 1]  # compiles + runs
+
+    # (2) bool conversion string refusal
+    sdf = spark.createDataFrame([("true",), ("abc",), (None,)], "s STRING")
+    lenient = [r.b for r in DOC.mongo_aggregate(sdf, [{"$project": {
+        "b": {"$convert": {"input": "$s", "to": "bool",
+                           "onError": False}}}}]).collect()]
+    assert lenient == [False, False, None]  # 'true' fires onError too
+    with pytest.raises(Exception, match="unsupported in MongoDB"):
+        DOC.mongo_aggregate(
+            sdf, [{"$project": {"b": {"$toBool": "$s"}}}]).collect()
+    ndf = spark.createDataFrame([(0,), (3,), (None,)], "n INT")
+    assert [r.b for r in DOC.mongo_aggregate(ndf, [{"$project": {
+        "b": {"$toBool": "$n"}}}]).collect()] == [False, True, None]
+
+    # (3) $min null-value pinned divergence (and $max's agreement)
+    mm = spark.createDataFrame(
+        [(1, None), (2, 10.0)], "id INT, price DOUBLE")
+    got = {r.id: r for r in DOC.mongo_update_many(
+        mm, {}, {"$min": {"price": 5.0}}).collect()}
+    assert got[1].price == 5.0   # null takes the operand — UNLIKE Mongo
+    assert got[2].price == 5.0
+    gmx = {r.id: r for r in DOC.mongo_update_many(
+        mm, {}, {"$max": {"price": 5.0}}).collect()}
+    assert gmx[1].price == 5.0 and gmx[2].price == 10.0  # Mongo agrees
+
+    # (4) reserved-prefix guards
+    with pytest.raises(ValueError, match="__upd_"):
+        DOC.mongo_update_many(
+            df.withColumnRenamed("a", "__upd_x"), {}, {"$set": {"id": 9}})
+    with pytest.raises(ValueError, match="__swf_"):
+        DOC.mongo_aggregate(
+            df.withColumnRenamed("a", "__swf_x"),
+            [{"$setWindowFields": {"sortBy": {"id": 1},
+                                   "output": {"r": {"$rank": {}}}}}])
+
+
+def test_update_min_null_value_pinned_divergence(spark):
+    """Named pin the updateMany docstring points at: classic $min on a
+    MATCHED row with a stored null takes the operand (least() ignores
+    NULLs), whereas live Mongo's BSON order (null < all numbers) would
+    keep the null. Unmatched null rows stay null — the divergence is
+    scoped to matched rows only."""
+    df = spark.createDataFrame(
+        [(1, "O", None), (2, "F", None), (3, "O", 2.0)],
+        "id INT, st STRING, v DOUBLE")
+    rows = {r.id: r.v for r in DOC.mongo_update_many(
+        df, {"st": "O"}, {"$min": {"v": 7.0}}).collect()}
+    assert rows[1] == 7.0       # matched null → operand (pinned divergence)
+    assert rows[2] is None      # unmatched: passthrough
+    assert rows[3] == 2.0       # normal min
+
+
+def test_ema_partition_row_guard(spark, monkeypatch):
+    """EMA_MAX_PARTITION_ROWS converts the kernel's measured memory axis
+    (SCALE.md twenty-first probe: ×7.3 wall at 4M rows/partition) into a
+    fail-fast naming the bound and the pre-split escape hatch — the
+    house 10k-transcripts-per-gene convention. The bound is read at
+    plan-construction time, so monkeypatching the module constant
+    exercises the exact production code path at test scale."""
+    monkeypatch.setattr(DOC, "EMA_MAX_PARTITION_ROWS", 3)
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)], "u INT, t INT, v DOUBLE")
+    stage = [{"$setWindowFields": {
+        "partitionBy": "$u", "sortBy": {"t": 1},
+        "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}]
+    with pytest.raises(Exception, match="EMA_MAX_PARTITION_ROWS"):
+        DOC.mongo_aggregate(df, stage).collect()
+    # under the bound the same plan shape runs
+    monkeypatch.setattr(DOC, "EMA_MAX_PARTITION_ROWS", 5)
+    vals = [round(r.e, 4) for r in
+            DOC.mongo_aggregate(df, stage).orderBy("t").collect()]
+    assert vals == [0.0, 0.5, 1.25, 2.125, 3.0625]
+
+
+def test_mongo_range_window_time_unit(spark):
+    """$setWindowFields range windows with a FIXED-LENGTH time unit
+    compile onto a numeric rangeBetween over wall-clock epoch
+    milliseconds (TZ-pinned: the NTZ path uses timestampdiff from the
+    epoch wall clock, no session timezone anywhere). Hand-computed
+    3-day trailing frames; calendar units and non-date sort keys are
+    refused loudly; 'unbounded'/'current' sentinels pass unscaled."""
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2020, 1, d + 1), float(d + 1))
+            for d in range(6)]
+    # gap: a seventh row 10 days later sees only itself in a 3-day frame
+    rows.append((1, dt.datetime(2020, 1, 17), 100.0))
+    tdf = spark.createDataFrame(rows, "k INT, ts TIMESTAMP_NTZ, v DOUBLE")
+    out = DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"ts": 1},
+        "output": {
+            "s": {"$sum": "$v", "window": {"range": [-2, 0], "unit": "day"}},
+            "c": {"$count": {}, "window": {"range": [-2, 0], "unit": "day"}},
+            "run": {"$sum": "$v",
+                    "window": {"range": ["unbounded", "current"],
+                               "unit": "day"}},
+        }}}]).orderBy("ts").collect()
+    assert [(r.s, r.c) for r in out] == [
+        (1.0, 1), (3.0, 2), (6.0, 3), (9.0, 3), (12.0, 3), (15.0, 3),
+        (100.0, 1),
+    ]
+    assert [r.run for r in out] == [1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 121.0]
+
+    # hour unit over the same column (finer grain, same machinery)
+    h = DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"ts": 1},
+        "output": {"c": {"$count": {},
+                         "window": {"range": [-25, 0], "unit": "hour"}}},
+    }}]).orderBy("ts").collect()
+    assert [r.c for r in h] == [1, 2, 2, 2, 2, 2, 1]
+
+    with pytest.raises(ValueError, match="calendar-variable"):
+        DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "month"}}}}}])
+    idf = spark.createDataFrame([(1, 1.0)], "t INT, v DOUBLE")
+    with pytest.raises(ValueError, match="date/timestamp"):
+        DOC.mongo_aggregate(idf, [{"$setWindowFields": {
+            "sortBy": {"t": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "day"}}}}}])
+    with pytest.raises(ValueError, match="single ascending"):
+        DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+            "sortBy": {"ts": -1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "day"}}}}}])
