@@ -143,6 +143,10 @@ HEADLINE = [
     "x_mongo_update_many",
     "x_mongo_ema",
     "x_mongo_convert",
+    # round 15: time-unit range windows ({range, unit: 'day'} →
+    # epoch-ms rangeBetween; ONE hash exchange on o_custkey shared by
+    # all three window outputs)
+    "x_mongo_window_range_unit",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

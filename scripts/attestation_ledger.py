@@ -50,6 +50,14 @@ def green_names() -> dict[str, list[str]]:
     return seen
 
 
+def latest_attestation() -> dict[str, int]:
+    """name -> most recent round with a green driver row."""
+    return {
+        n: max(int(r.removeprefix("r")) for r in rounds)
+        for n, rounds in green_names().items()
+    }
+
+
 def main() -> None:
     from gramene_mongodb_spark.catalog import REGISTRY, _DRIVER_WINDOW
 
@@ -67,6 +75,27 @@ def main() -> None:
           "rotation's candidates:")
     for n in rest:
         print(f"  {n}")
+
+    # latest-attestation histogram — the rotation program's health
+    # metric (VERDICT r14: steady-state = no bucket older than ~4
+    # rounds). Entries in the CURRENT window are listed separately:
+    # their stamp moves to the in-flight round at the next driver gate.
+    latest = latest_attestation()
+    window = set(_DRIVER_WINDOW)
+    from collections import Counter
+
+    hist = Counter(latest[n] for n in latest if n not in window)
+    print("\nlatest-attestation histogram (entries OUTSIDE the current "
+          "window — window entries re-attest at the next gate):")
+    for r in sorted(hist):
+        print(f"  r{r}: {hist[r]}")
+    stale = sorted(
+        (n for n in latest if n not in window),
+        key=lambda n: (latest[n], n),
+    )[:30]
+    print("\nstalest 30 outside the window (next rotation's seed):")
+    for n in stale:
+        print(f"  {n} (r{latest[n]})")
 
 
 if __name__ == "__main__":
