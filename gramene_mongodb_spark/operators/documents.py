@@ -535,8 +535,14 @@ def mongo_update_many(
       (test_update_min_null_value_pinned_divergence).
     * ``$rename`` — destination gets the source value on matched rows,
       source becomes NULL; both paths are claimed for conflict checks.
-    * ``$push`` — append (``$each`` supported; ``$slice/$sort/$position``
-      modifiers refused); null/missing arrays create ``[value]``.
+    * ``$push`` — append; with ``$each``, the ``$position/$sort/$slice``
+      modifiers compile to positional slice-concat / ``sort_array`` /
+      ``slice`` in Mongo's pinned apply order (insert at $position →
+      sort WHOLE array → slice WHOLE array; negative $position/$slice
+      count from the end, 0-$slice empties). ``$sort`` must be 1/-1 —
+      elements here are scalars, so Mongo's ``{field: dir}`` document
+      sorts have no twin (refused loudly). Null/missing arrays create
+      the array from the pushed values, modifiers still applied.
     * ``$addToSet`` — append-if-absent, preserving existing duplicates
       (Mongo does NOT dedup what is already there — array_union would);
       ``$each`` folds left. Null/missing creates the distinct of the
@@ -653,27 +659,103 @@ def mongo_update_many(
                     updates[f] = F.when(old.isNotNull(), F.lit(None)) \
                         .otherwise(old)
             elif op in ("$push", "$addToSet"):
+                push_pos = push_slice = push_sort = None
                 if isinstance(v, dict):
-                    if set(v) != {"$each"}:
+                    if "$each" not in v:
                         raise ValueError(
-                            f"{op} modifiers beyond $each are refused "
-                            "($slice/$sort/$position reorder in ways a "
-                            "columnar append cannot replay)"
+                            f"{op} modifiers require $each (as in Mongo); "
+                            "nested-document literals are refused"
+                        )
+                    allowed = ({"$each"} if op == "$addToSet"
+                               else {"$each", "$slice", "$sort", "$position"})
+                    extra = set(v) - allowed
+                    if extra:
+                        raise ValueError(
+                            f"{op} modifiers {sorted(extra)} are refused — "
+                            + ("$addToSet accepts $each only (as in Mongo)"
+                               if op == "$addToSet"
+                               else "$push supports $each/$slice/$sort/"
+                                    "$position")
                         )
                     each = v["$each"]
                     if not isinstance(each, (list, tuple)):
                         raise ValueError("$each requires a list")
+                    if op == "$push":
+                        # Mongo's pinned apply order: insert $each at
+                        # $position, $sort the WHOLE array, $slice the
+                        # WHOLE array — compiled below as positional
+                        # slice-concat + sort_array + slice, all linear
+                        # column expressions
+                        push_pos = v.get("$position")
+                        push_slice = v.get("$slice")
+                        push_sort = v.get("$sort")
+                        for name_, val_ in (("$position", push_pos),
+                                            ("$slice", push_slice)):
+                            if val_ is not None and (
+                                isinstance(val_, bool)
+                                or not isinstance(val_, int)
+                            ):
+                                raise ValueError(
+                                    f"$push {name_} must be an int"
+                                )
+                        if push_sort is not None and push_sort not in (1, -1):
+                            raise ValueError(
+                                "$push $sort must be 1 or -1 — array "
+                                "elements here are scalars (nested-"
+                                "document literals are refused), so "
+                                "Mongo's {field: dir} document sorts "
+                                "have no twin"
+                            )
                 else:
                     each = [v]
                 arr = F.array(*[F.lit(x) for x in each])
+
+                def _push_mods(c: Column, _sort=push_sort, _sl=push_slice
+                               ) -> Column:
+                    # $sort then $slice over the whole array (Mongo's
+                    # order). sort_array's null placement matches BSON:
+                    # ascending → nulls first (null sorts lowest),
+                    # descending → nulls last. Negative $slice keeps
+                    # the LAST |n| elements; 0 empties the array.
+                    if _sort is not None:
+                        c = F.sort_array(c, asc=_sort == 1)
+                    if _sl is not None:
+                        if _sl >= 0:
+                            c = F.slice(c, F.lit(1), F.lit(_sl))
+                        else:
+                            sz = F.size(c)
+                            c = F.slice(
+                                c,
+                                F.greatest(sz + F.lit(_sl + 1), F.lit(1)),
+                                F.lit(-_sl),
+                            )
+                    return c
+
+                def _pos_insert(base: Column, _p=push_pos) -> Column:
+                    # insert the $each values at $position: negative
+                    # counts from the end, beyond-length clamps to the
+                    # end — Mongo's documented normalization
+                    if _p is None:
+                        return F.concat(base, arr)
+                    sz = F.size(base)
+                    cut = (F.greatest(sz + F.lit(_p), F.lit(0))
+                           if _p < 0 else F.least(F.lit(_p), sz))
+                    return F.concat(
+                        F.slice(base, F.lit(1), cut),
+                        arr,
+                        F.slice(base, cut + F.lit(1), sz - cut),
+                    )
+
                 if not exists:
                     # missing array: Mongo creates it from the pushed
-                    # values ($addToSet additionally dedups them)
-                    updates[f] = arr if op == "$push" else F.array_distinct(arr)
+                    # values ($addToSet additionally dedups them), then
+                    # $sort/$slice still apply
+                    updates[f] = (_push_mods(arr) if op == "$push"
+                                  else F.array_distinct(arr))
                 elif op == "$push":
-                    updates[f] = F.when(old.isNull(), arr).otherwise(
-                        F.concat(old, arr)
-                    )
+                    updates[f] = F.when(
+                        old.isNull(), _push_mods(arr)
+                    ).otherwise(_push_mods(_pos_insert(old)))
                 else:
                     # append-if-absent in ONE linear pass: dedup the
                     # $each values (array_distinct keeps the FIRST

@@ -1558,7 +1558,11 @@ def test_mongo_update_many_error_contracts(spark):
         ({"$bit": {"x": {"and": 1}}}, "refused"),
         ({"$inc": {"x": "nope"}}, "numeric"),
         ({"$pop": {"a": 2}}, "pop"),
-        ({"$push": {"a": {"$each": ["v"], "$slice": 2}}}, "refused"),
+        ({"$push": {"a": {"$slice": 2}}}, "require .each"),
+        ({"$addToSet": {"a": {"$each": ["v"], "$slice": 2}}}, "refused"),
+        ({"$push": {"a": {"$each": ["v"], "$sort": {"k": 1}}}}, "1 or -1"),
+        ({"$push": {"a": {"$each": ["v"], "$position": "x"}}}, "int"),
+        ({"$push": {"a": {"$each": ["v"], "$rank": 1}}}, "refused"),
         ({"$push": {"a": {"$each": "v"}}}, "list"),
         ({"$pullAll": {"a": "v"}}, "list"),
         ({"$rename": {"x": 3}}, "string"),
@@ -1993,3 +1997,79 @@ def test_mongo_range_window_time_unit(spark):
             "output": {"s": {"$sum": "$v",
                              "window": {"range": [-1, 0],
                                         "unit": "day"}}}}}])
+
+
+def test_mongo_push_modifiers(spark):
+    """$push $each+$position/$sort/$slice (previously a documented
+    refusal — VERDICT r14 'what's missing' #3): Mongo's pinned apply
+    order is insert-at-$position, $sort the WHOLE array, $slice the
+    WHOLE array. Covers: positional insert (head / negative / beyond
+    length), asc+desc sorts with null placement (BSON: null lowest —
+    asc first, desc last), positive/negative/zero slice, the classic
+    capped-array idiom ($each + $slice: -n), modifier application on
+    created-from-missing arrays, and the empty-$each maintenance form
+    (sort/slice an existing array without appending)."""
+    df = spark.createDataFrame(
+        [(1, [5, 1, None, 3]), (2, None)], "id INT, a ARRAY<INT>")
+
+    # $position: head insert, negative (from end), beyond-length clamp
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [9, 8], "$position": 0}}}
+    ).collect()}
+    assert r[1] == [9, 8, 5, 1, None, 3]
+    assert r[2] == [9, 8]                      # created from $each
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [9], "$position": -1}}}
+    ).collect()}
+    assert r[1] == [5, 1, None, 9, 3]
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [9], "$position": 100}}}
+    ).collect()}
+    assert r[1] == [5, 1, None, 3, 9]          # clamps to append
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [9], "$position": -100}}}
+    ).collect()}
+    assert r[1] == [9, 5, 1, None, 3]          # clamps to head
+
+    # $sort with nulls: asc → null first, desc → null last (BSON order)
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [2], "$sort": 1}}}).collect()}
+    assert r[1] == [None, 1, 2, 3, 5]
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [2], "$sort": -1}}}).collect()}
+    assert r[1] == [5, 3, 2, 1, None]
+
+    # $slice: positive head, negative tail (capped array), zero empties;
+    # tail slice larger than the array keeps everything
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [7], "$slice": 2}}}).collect()}
+    assert r[1] == [5, 1] and r[2] == [7]
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [7], "$slice": -3}}}).collect()}
+    assert r[1] == [None, 3, 7]                # last 3 after append
+    assert r[2] == [7]                         # created array < |slice|
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [7], "$slice": 0}}}).collect()}
+    assert r[1] == [] and r[2] == []
+
+    # combined, Mongo's order: insert at 0 → sort asc → keep first 3
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {},
+        {"$push": {"a": {"$each": [4, 0], "$position": 0, "$sort": 1,
+                         "$slice": 3}}}).collect()}
+    assert r[1] == [None, 0, 1] and r[2] == [0, 4]
+
+    # capped-array idiom on a matched subset; unmatched rows untouched
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {"id": 1},
+        {"$push": {"a": {"$each": [10], "$sort": -1, "$slice": -2}}}
+    ).collect()}
+    assert r[1] == [1, None] and r[2] is None
+
+    # empty $each: pure maintenance (sort+slice existing, no append) —
+    # and a missing/null array stays an empty creation
+    r = {x.id: x.a for x in DOC.mongo_update_many(
+        df, {}, {"$push": {"a": {"$each": [], "$sort": 1, "$slice": 2}}}
+    ).collect()}
+    assert r[1] == [None, 1]
+    assert r[2] == []

@@ -3379,3 +3379,52 @@ def test_update_many_matches_python_reference(spark, rows, thr, v,
             want_a = a[1:]
         assert got[i].x == want_x, (rows, thr, v, num_op, got[i].x, want_x)
         assert got[i].a == want_a, (rows, thr, v, arr_op, got[i].a, want_a)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),        # partition key
+            st.integers(0, 40),       # day offset
+            st.integers(0, 23),       # hour-of-day (sub-day boundaries)
+            st.integers(-5, 5),       # value
+        ),
+        min_size=1,
+        max_size=22,
+    ),
+    span=st.integers(0, 4),
+)
+@settings(**SETTINGS)
+def test_range_unit_window_matches_bruteforce(spark, rows, span):
+    """$setWindowFields time-unit range windows (round-15 compile —
+    documents._mongo_set_window_fields) vs a brute-force Python
+    reference: for each document, the [-span, 0]-day frame is exactly
+    the partition rows whose timestamp lies in [ts − span·24h, ts],
+    including sub-day boundary cases (hour jitter makes frames cut
+    WITHIN days — the case a date-granularity implementation would get
+    wrong) and duplicate timestamps (value-based peer frames)."""
+    import datetime as dt
+
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    data = [
+        (k, dt.datetime(2020, 1, 1) + dt.timedelta(days=d, hours=h),
+         float(v), i)
+        for i, (k, d, h, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k INT, ts TIMESTAMP_NTZ, v DOUBLE, rid INT")
+    out = DOC.mongo_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"ts": 1},
+        "output": {
+            "s": {"$sum": "$v",
+                  "window": {"range": [-span, 0], "unit": "day"}},
+            "c": {"$count": {},
+                  "window": {"range": [-span, 0], "unit": "day"}},
+        }}}])
+    got = {r.rid: (r.s, r.c) for r in out.collect()}
+    for k, ts, v, rid in data:
+        lo = ts - dt.timedelta(days=span)
+        mem = [vv for (kk, tt, vv, _) in data if kk == k and lo <= tt <= ts]
+        assert got[rid][1] == len(mem), (rows, span, rid)
+        # integer-valued doubles: sums are exact in IEEE754
+        assert got[rid][0] == sum(mem), (rows, span, rid)
