@@ -145,8 +145,11 @@ HEADLINE = [
     "x_mongo_convert",
     # round 15: time-unit range windows ({range, unit: 'day'} →
     # epoch-ms rangeBetween; ONE hash exchange on o_custkey shared by
-    # all three window outputs)
+    # all three window outputs) and the densify/fill/calculus
+    # time-unit stack (day grid + $derivative/$integral units; one
+    # groupBy exchange + one window exchange, broadcast anti-join grid)
     "x_mongo_window_range_unit",
+    "x_mongo_timeseries_units",
 ]
 
 #: the round-6 headline set, for the same-set A/B control run

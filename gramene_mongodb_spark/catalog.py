@@ -13760,6 +13760,98 @@ def x_mongo_window_range_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_mongo_timeseries_units",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ext AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+            FROM daily GROUP BY 1),
+    grid AS (
+      SELECT e.user_id,
+             unnest(generate_series(e.lo, e.hi, INTERVAL 1 DAY)) AS day
+      FROM ext e),
+    dense AS (
+      SELECT g.user_id, g.day, coalesce(d.n, 0) AS n
+      FROM grid g LEFT JOIN daily d USING (user_id, day)),
+    w AS (
+      SELECT user_id, day, n,
+             sum(n) OVER (PARTITION BY user_id ORDER BY day) AS cum,
+             (n + lag(n) OVER (PARTITION BY user_id ORDER BY day)) / 2.0
+               AS term,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS pd
+      FROM dense)
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(cum AS BIGINT) AS cum,
+           CASE WHEN pd IS NULL THEN NULL
+                ELSE CAST(n AS DOUBLE) END AS rate_d,
+           coalesce(sum(term) OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 0.0)
+             AS area_7d
+    FROM w
+    """,
+    "documents", "S10", "W1",
+)
+def x_mongo_timeseries_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series maintenance stack with TIME-UNIT grids end-to-end
+    (round 15 — every stage here previously hit a loud refusal):
+    per-user daily event counts → ``$densify`` day grid over partition
+    bounds (TZ-free epoch-ms machinery) → ``$fill {value: 0}`` on the
+    generated gaps → ``$setWindowFields`` with the unit-aware calculus
+    tail: cumulative count, ``$derivative {unit: 'day'}`` over adjacent
+    docs (= the day's own count once the grid is dense; NULL on each
+    user's first day — 0/0 under try_divide, where Mongo gives NaN),
+    and a trailing-week ``$integral {unit: 'day'}`` (trapezoid area of
+    the count polyline). Day-aligned keys make every double exact
+    (epoch-ms / 86 400 000 is integer-valued; trapezoid halves are
+    dyadic), so the oracle replays the identical arithmetic with NO
+    rounding. Scale shape: one groupBy exchange (user, day), a tiny
+    per-user extent aggregate + output-sized explode for the grid, one
+    left-anti join, then ONE keyed window exchange shared by all
+    outputs — no stage is input² and nothing leaves the JVM."""
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = DOC.mongo_aggregate(daily, [
+        {"$densify": {
+            "field": "day", "partitionByFields": ["user_id"],
+            "range": {"step": 1, "unit": "day", "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$user_id", "sortBy": {"day": 1},
+                   "output": {"n": {"value": 0}}}},
+        {"$setWindowFields": {
+            "partitionBy": "$user_id", "sortBy": {"day": 1},
+            "output": {
+                "cum": {"$sum": "$n",
+                        "window": {"documents": ["unbounded", "current"]}},
+                "area_7d": {"$integral": {"input": "$n", "unit": "day"},
+                            "window": {"documents": [-6, 0]}},
+            }}},
+        # outputs evaluate against the INPUT doc (Mongo's rule), so the
+        # derivative of `cum` needs a second stage — same partition +
+        # sort, so Catalyst reuses the exchange (no extra shuffle)
+        {"$setWindowFields": {
+            "partitionBy": "$user_id", "sortBy": {"day": 1},
+            "output": {
+                "rate_d": {"$derivative": {"input": "$cum", "unit": "day"},
+                           "window": {"documents": [-1, 0]}},
+            }}},
+    ])
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("cum").cast("long").alias("cum"),
+        "rate_d",
+        "area_7d",
+    )
+
+
 # ===========================================================================
 # public accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -13776,15 +13868,17 @@ def x_mongo_window_range_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (scripts/parity.py), and pytest-parametrized (test_oracle_parity.py).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND-15 ROTATION (VERDICT r14 §next-round #1): steady-state
-    # cadence — never-attested first (ONE new entry this round:
+    # cadence — never-attested first (TWO new entries this round:
     # x_mongo_window_range_unit, the time-unit range-window compile
-    # that closes r14 ask #5), then the ENTIRE r10-stale cohort (26 —
-    # the alphabetical tail displaced when the r14 entries joined
-    # late), then the 23 alphabetically-first of the 49 r11-stale
-    # greens. After this round the latest-attestation histogram has no
-    # bucket older than r11 (26 r11 leftovers — x_equidepth_bins
-    # onward — seed the r16 window): every entry re-attests within ~4
-    # rounds at the 50/round cadence.
+    # that closes r14 ask #5, and x_mongo_timeseries_units, the
+    # densify/fill/calculus time-unit stack), then the ENTIRE
+    # r10-stale cohort (26 — the alphabetical tail displaced when the
+    # r14 entries joined late), then the 22 alphabetically-first of
+    # the 49 r11-stale greens. After this round the latest-attestation
+    # histogram has no bucket older than r11 (27 r11 leftovers —
+    # x_communities_lpa, x_equidepth_bins onward — seed the r16
+    # window): every entry re-attests within ~4 rounds at the 50/round
+    # cadence.
     # Reproduce the cohort lists with scripts/attestation_ledger.py
     # (the named source of truth); the changed-entry set is enforced by
     # test_changed_entries_are_windowed over ATTESTED_HASHES.json.
@@ -13792,7 +13886,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (scripts/parity.py) and pytest-parametrized.
     #
     # never-attested (registered this round)
-    "x_mongo_window_range_unit",
+    "x_mongo_window_range_unit", "x_mongo_timeseries_units",
     # stalest greens — last attested r10 (all 26 remaining)
     "x_lang_id", "x_leakage_matrix", "x_line_filter", "x_lm_score",
     "x_media_audio", "x_media_frames", "x_media_resize",
@@ -13803,7 +13897,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "x_substring_rewrite", "x_text_quality", "x_text_stats",
     "x_tfidf_topk", "x_token_budget", "x_top_ngrams",
     "x_triangle_count",
-    # stalest greens — last attested r11 (23 of 49, alphabetical)
+    # stalest greens — last attested r11 (22 of 49, alphabetical)
     "a_approx_aggregates", "a_count_distinct", "a_percentiles",
     "a_rollup_status", "j10_anti_join", "j11_fanout_explode",
     "j9_supplier_pairs", "o2_sorted_order_arrays",
@@ -13812,7 +13906,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sliding_6h_events", "u4_union_tagged", "u5_intersect_customers",
     "w2_genes_between", "w_rolling_spend", "x_adaptive_filter",
     "x_agg_merge", "x_cdc_replay", "x_cluster_split",
-    "x_cohort_retention", "x_communities_lpa",
+    "x_cohort_retention",
 )
 
 

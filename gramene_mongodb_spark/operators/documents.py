@@ -1785,6 +1785,92 @@ def _wf_bound(b, lower: bool):
     )
 
 
+#: fixed-length time units in milliseconds — the spans Mongo's own
+#: UTC window-bound/densify arithmetic treats as constant. The
+#: calendar-variable units (year/quarter/month — per-document $dateAdd
+#: boundaries) are deliberately ABSENT: every consumer of this table
+#: refuses them loudly rather than approximating.
+_FIXED_UNIT_MS: dict[str, int] = {
+    "week": 604_800_000, "day": 86_400_000, "hour": 3_600_000,
+    "minute": 60_000, "second": 1_000, "millisecond": 1,
+}
+
+
+def _epoch_ms_col(df: DataFrame, col_name: str, what: str) -> Column:
+    """Session-timezone-INDEPENDENT wall-clock epoch milliseconds for a
+    date/timestamp column — the millisecond twin of ``catalog._epoch_s``
+    and the shared key map behind every time-``unit`` compile
+    ($setWindowFields range windows, $densify grids, $integral/
+    $derivative units). TIMESTAMP_NTZ goes through ``timestampdiff``
+    from the epoch wall clock (no session timezone anywhere — verified
+    bit-identical under UTC/Adelaide/New_York incl. DST-straddling
+    pairs); an LTZ column is already an instant (``unix_millis``); DATE
+    is pure calendar arithmetic. The map is strictly monotone, so
+    ordering contracts on the raw column carry over unchanged."""
+    dtype = dict(df.dtypes).get(col_name)
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MILLISECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col_name}`)"
+        )
+    if dtype == "timestamp":
+        return F.unix_millis(F.col(col_name))
+    if dtype == "date":
+        return (F.datediff(F.col(col_name), F.lit("1970-01-01"))
+                .cast("long")) * F.lit(86_400_000)
+    if dtype is None:
+        raise ValueError(
+            f"{what} requires a top-level column "
+            f"({col_name!r} is not a column of the input)"
+        )
+    raise ValueError(
+        f"{what} requires a date/timestamp field "
+        f"({col_name!r} is {dtype!r}) — Mongo errors there too"
+    )
+
+
+def _wall_clock_ms(b, what: str) -> int:
+    """Driver-side literal date → wall-clock epoch milliseconds, the
+    Python twin of :func:`_epoch_ms_col` for explicit bounds (``$densify``
+    unit-form ``bounds: [lo, hi]``). Accepts ISO-8601 strings,
+    ``datetime.datetime`` and ``datetime.date``; integer arithmetic via
+    timedelta floor-division (no float rounding)."""
+    import datetime as dt
+
+    if isinstance(b, str):
+        try:
+            b = dt.datetime.fromisoformat(b)
+        except ValueError as exc:
+            raise ValueError(f"{what}: unparseable ISO date {b!r}") from exc
+    if isinstance(b, dt.datetime):
+        if b.tzinfo is not None:
+            raise ValueError(
+                f"{what}: timezone-aware bounds are refused — the house "
+                "flavor is wall-clock (TIMESTAMP_NTZ); convert upstream"
+            )
+    elif isinstance(b, dt.date):
+        b = dt.datetime(b.year, b.month, b.day)
+    else:
+        raise ValueError(
+            f"{what}: unit-form bounds must be ISO strings or "
+            f"datetime/date values, got {type(b).__name__}"
+        )
+    return (b - dt.datetime(1970, 1, 1)) // dt.timedelta(milliseconds=1)
+
+
+def _require_fixed_unit(unit: str, what: str) -> int:
+    """unit name → milliseconds, refusing calendar-variable units."""
+    if unit not in _FIXED_UNIT_MS:
+        raise ValueError(
+            f"{what} unit {unit!r} is refused — year/quarter/month are "
+            "calendar-variable (Mongo evaluates those with per-document "
+            "$dateAdd), which a constant span cannot express; use a "
+            "fixed unit (week/day/hour/minute/second/millisecond) or "
+            "materialize the boundary explicitly"
+        )
+    return _FIXED_UNIT_MS[unit]
+
+
 #: Loud upper bound on rows per PARTITION VALUE inside the
 #: $expMovingAvg grouped-map kernel — the kernel's one real memory axis
 #: (a whole partition is materialized as one pandas group). The r14
@@ -2088,19 +2174,30 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
             # PARTITION predecessor (lag over the sorted partition),
             # then a windowed sum whose LOWER bound is shifted +1 so
             # the first in-frame doc's predecessor-trapezoid (which
-            # reaches outside the frame) is excluded. unit refused
-            # (numeric sort key); range windows refused (a positional
-            # term cannot respect a value-based boundary); one-doc
-            # frames integrate to 0.
-            if isinstance(arg, dict) and arg.get("unit") is not None:
-                raise ValueError("$integral unit is refused — sort on a "
-                                 "numeric (e.g. epoch-seconds) field")
+            # reaches outside the frame) is excluded. With a date
+            # sortBy, fixed-length `unit` scales the key to unit-count
+            # doubles (epoch-ms / unit_ms, TZ-free) — integral per
+            # Mongo's time-in-units definition; calendar units refused.
+            # Range windows refused (a positional term cannot respect
+            # a value-based boundary); one-doc frames integrate to 0.
             if not sort_by or len(sort_by) != 1 \
                     or next(iter(sort_by.values())) != 1:
                 raise ValueError(
                     "$integral requires a single ascending sortBy field")
             inp = _mongo_expr(arg["input"] if isinstance(arg, dict) else arg)
-            key = F.col(next(iter(sort_by)))
+            i_unit = arg.get("unit") if isinstance(arg, dict) else None
+            if i_unit is not None:
+                # Mongo 5.0 {input, unit}: integrate w.r.t. time
+                # EXPRESSED IN the unit — the sort key becomes
+                # wall-clock epoch ms scaled to unit-count doubles
+                # (TZ-free map, _epoch_ms_col) and the trapezoid
+                # formula below is unchanged. Fixed units only.
+                ums = _require_fixed_unit(i_unit, "$integral")
+                key = (_epoch_ms_col(out, next(iter(sort_by)),
+                                     "$integral unit sortBy")
+                       / F.lit(float(ums)))
+            else:
+                key = F.col(next(iter(sort_by)))
             term = (key - F.lag(key, 1).over(sorted_base)) * \
                 (inp + F.lag(inp, 1).over(sorted_base)) / 2
             if wspec is None:
@@ -2123,17 +2220,27 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
         if op == "$derivative":
             # (last(input) − first(input)) / (last(sortKey) −
             # first(sortKey)) over the window — Mongo's definition.
-            # unit refused (numeric sort key); a zero key-span yields
-            # NULL (Spark's x/0) where Mongo yields Infinity — pinned.
-            if isinstance(arg, dict) and arg.get("unit") is not None:
-                raise ValueError("$derivative unit is refused — sort on a "
-                                 "numeric (e.g. epoch-seconds) field")
+            # With a date sortBy, fixed-length `unit` scales the key to
+            # unit-count doubles (epoch-ms / unit_ms, TZ-free) — rate
+            # per unit, Mongo's definition; calendar units refused.
+            # A zero key-span yields NULL (Spark's x/0) where Mongo
+            # yields Infinity — pinned.
             if not sort_by or len(sort_by) != 1 \
                     or next(iter(sort_by.values())) != 1:
                 raise ValueError(
                     "$derivative requires a single ascending sortBy field")
             inp = _mongo_expr(arg["input"] if isinstance(arg, dict) else arg)
-            key = F.col(next(iter(sort_by)))
+            d_unit = arg.get("unit") if isinstance(arg, dict) else None
+            if d_unit is not None:
+                # Mongo 5.0 {input, unit}: rate per unit of time — the
+                # sort key becomes epoch ms scaled to unit-count
+                # doubles (TZ-free), Δinput/Δkey below unchanged.
+                ums = _require_fixed_unit(d_unit, "$derivative")
+                key = (_epoch_ms_col(out, next(iter(sort_by)),
+                                     "$derivative unit sortBy")
+                       / F.lit(float(ums)))
+            else:
+                key = F.col(next(iter(sort_by)))
             if wspec is None:
                 w = base
             elif "documents" in wspec:
@@ -2209,47 +2316,9 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
                 # calendar arithmetic. The epoch key orders identically
                 # to the raw column (strictly monotone map), so the
                 # sortBy contract is unchanged.
-                _UNIT_MS = {
-                    "week": 604_800_000, "day": 86_400_000,
-                    "hour": 3_600_000, "minute": 60_000,
-                    "second": 1_000, "millisecond": 1,
-                }
-                if unit not in _UNIT_MS:
-                    raise ValueError(
-                        f"range-window unit {unit!r} is refused — "
-                        "year/quarter/month are calendar-variable "
-                        "(Mongo evaluates those bounds with per-document "
-                        "$dateAdd), which a constant range frame cannot "
-                        "express; use a fixed unit (week/day/hour/minute/"
-                        "second/millisecond) or materialize the boundary "
-                        "explicitly"
-                    )
-                key_name = next(iter(sort_by))
-                dtype = dict(out.dtypes).get(key_name)
-                if dtype == "timestamp_ntz":
-                    key = F.expr(
-                        "timestampdiff(MILLISECOND, "
-                        "TIMESTAMP_NTZ'1970-01-01 00:00:00', "
-                        f"`{key_name}`)"
-                    )
-                elif dtype == "timestamp":
-                    key = F.unix_millis(F.col(key_name))
-                elif dtype == "date":
-                    key = (F.datediff(F.col(key_name), F.lit("1970-01-01"))
-                           .cast("long")) * F.lit(86_400_000)
-                elif dtype is None:
-                    raise ValueError(
-                        f"range-window unit requires a top-level sortBy "
-                        f"column ({key_name!r} is not a column of the "
-                        f"input)"
-                    )
-                else:
-                    raise ValueError(
-                        f"range-window unit requires a date/timestamp "
-                        f"sortBy field ({key_name!r} is {dtype!r}) — "
-                        "Mongo errors there too"
-                    )
-                mult = _UNIT_MS[unit]
+                mult = _require_fixed_unit(unit, "range-window")
+                key = _epoch_ms_col(out, next(iter(sort_by)),
+                                    "range-window unit sortBy")
 
                 def _ms_bound(b, lower: bool):
                     # scale only EXPLICIT numeric bounds; the
@@ -2305,9 +2374,21 @@ def _mongo_densify(out: DataFrame, spec: dict) -> DataFrame:
     * A grid value is only inserted if no document in that partition
       has EXACTLY that value (off-grid documents are kept, never
       snapped).
-    * Integer fields/steps only; time ``unit`` and fractional steps are
+    * Integer fields/steps only on numeric fields; fractional steps are
       refused loudly — float grids accumulate drift and Mongo itself
       documents exact-match insertion.
+    * Time ``unit`` grids (Mongo's date form) compile onto the SAME
+      integer machinery over TZ-free wall-clock epoch milliseconds
+      (:func:`_epoch_ms_col`): step becomes ``step × unit_ms``, grid
+      values convert back to the field's own date/timestamp flavor, and
+      exact-match suppression compares at the engine's microsecond
+      precision (a BSON date IS int64 ms, so every value live Mongo
+      could hold compares identically). Fixed-length units only —
+      calendar-variable year/quarter/month are refused; a DATE-typed
+      field additionally requires a day/week unit (sub-day grid points
+      are not representable as DATE). Explicit bounds in the unit form
+      are ISO strings / datetime / date values, converted to wall-clock
+      ms driver-side (exact integer arithmetic).
 
     Scale shape: one partition-keyed min/max aggregate (tiny), a
     ``sequence``+``explode`` over it (output-sized), and one left-anti
@@ -2320,34 +2401,75 @@ def _mongo_densify(out: DataFrame, spec: dict) -> DataFrame:
     parts = spec.get("partitionByFields", [])
     if not field or step is None or bounds is None:
         raise ValueError("$densify requires field and range{step, bounds}")
-    if rng.get("unit") is not None:
-        raise ValueError("$densify time units are refused — densify an "
-                         "epoch-seconds column instead")
+    # same loud contract as __upd_/__swf_ (advisor r14): the unit-grid
+    # staging claims the __dens_ prefix
+    _guard_reserved_columns(out, "__dens_", "$densify")
     if not isinstance(step, int) or isinstance(step, bool) or step <= 0:
         raise ValueError("$densify step must be a positive int")
+    unit = rng.get("unit")
+    if unit is None:
+        eff_step = step
+        vexpr = F.col(field)
+
+        def from_v(c: Column) -> Column:
+            return c
+    else:
+        ums = _require_fixed_unit(unit, "$densify")
+        eff_step = step * ums
+        vexpr = _epoch_ms_col(out, field, "$densify unit field")
+        f_dtype = dict(out.dtypes).get(field)
+        if f_dtype == "date" and ums < 86_400_000:
+            raise ValueError(
+                "$densify on a DATE field requires unit day/week — "
+                f"a {unit!r} grid lands inside days, which DATE cannot "
+                "represent; stage the column as a timestamp first"
+            )
+
+        def from_v(c: Column, _dt=f_dtype) -> Column:
+            if _dt == "timestamp_ntz":
+                # timestampadd keeps the wall clock — the exact inverse
+                # of the _epoch_ms_col map, session-TZ-free
+                return F.expr(
+                    "timestampadd(MILLISECOND, `__dens_v`, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+                )
+            if _dt == "timestamp":
+                return F.timestamp_millis(c)
+            return F.date_add(
+                F.lit("1970-01-01"),
+                (c / F.lit(86_400_000)).cast("int"),
+            )
     pcols = [F.col(p) for p in parts]
+    src = out.select(*pcols, vexpr.alias("__dens_v"))
 
     if isinstance(bounds, str) and bounds in ("partition", "full"):
-        ext = out.groupBy(*pcols).agg(
-            F.min(field).alias("__lo"), F.max(field).alias("__hi")
+        ext = src.groupBy(*pcols).agg(
+            F.min("__dens_v").alias("__lo"), F.max("__dens_v").alias("__hi")
         )
         if bounds == "full":
-            g = out.agg(F.min(field).alias("__glo"), F.max(field).alias("__ghi"))
+            g = src.agg(F.min("__dens_v").alias("__glo"),
+                        F.max("__dens_v").alias("__ghi"))
             ext = ext.crossJoin(F.broadcast(g)).select(
                 *[F.col(p) for p in parts],
                 F.col("__glo").alias("__lo"), F.col("__ghi").alias("__hi"),
             )
         grid = ext.select(
             *[F.col(p) for p in parts],
-            F.explode(F.sequence("__lo", "__hi", F.lit(step))).alias(field),
+            F.explode(F.sequence("__lo", "__hi", F.lit(eff_step)))
+            .alias("__dens_v"),
         )
     elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
         lo, hi = bounds
-        if not all(isinstance(b, int) and not isinstance(b, bool) for b in (lo, hi)):
-            raise ValueError("$densify explicit bounds must be ints")
+        if unit is not None:
+            lo, hi = _wall_clock_ms(lo, "$densify bounds"), \
+                _wall_clock_ms(hi, "$densify bounds")
+        elif not all(isinstance(b, int) and not isinstance(b, bool)
+                     for b in (lo, hi)):
+            raise ValueError("$densify explicit bounds must be ints "
+                             "(dates require the unit form)")
         if hi <= lo:
             raise ValueError("$densify bounds must satisfy lo < hi")
-        pdf = out.select(*pcols).distinct() if parts else out.limit(0).select(
+        pdf = src.select(*pcols).distinct() if parts else src.limit(0).select(
             F.lit(1).alias("__one")
         ).unionByName(
             out.sparkSession.range(1).select(F.lit(1).alias("__one"))
@@ -2356,13 +2478,18 @@ def _mongo_densify(out: DataFrame, spec: dict) -> DataFrame:
         grid = pdf.select(
             *([F.col(p) for p in parts] if parts else []),
             F.explode(
-                F.sequence(F.lit(lo), F.lit(lo + ((hi - 1 - lo) // step) * step),
-                           F.lit(step))
-            ).alias(field),
+                F.sequence(F.lit(lo),
+                           F.lit(lo + ((hi - 1 - lo) // eff_step) * eff_step),
+                           F.lit(eff_step))
+            ).alias("__dens_v"),
         )
     else:
         raise ValueError('$densify bounds must be "partition", "full" or [lo, hi]')
 
+    grid = grid.select(
+        *[F.col(p) for p in parts],
+        from_v(F.col("__dens_v")).alias(field),
+    )
     missing = grid.join(
         out.select(*pcols, F.col(field)).distinct(), [*parts, field], "left_anti"
     )

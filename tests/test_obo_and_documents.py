@@ -2073,3 +2073,116 @@ def test_mongo_push_modifiers(spark):
     ).collect()}
     assert r[1] == [None, 1]
     assert r[2] == []
+
+
+def test_mongo_densify_time_units(spark):
+    """$densify date grids (Mongo's unit form — round 15, previously a
+    loud refusal): fixed-length units compile onto the integer grid
+    machinery over TZ-free wall-clock epoch ms. Covers partition/full/
+    explicit-ISO bounds (half-open), generated-doc null fields,
+    exact-value suppression, the DATE-field day grid, and the refusal
+    matrix (calendar units, sub-day grid on DATE, tz-aware bounds,
+    non-date field)."""
+    import datetime as dt
+
+    rows = [("a", dt.datetime(2020, 1, 1), 1.0),
+            ("a", dt.datetime(2020, 1, 4), 2.0),
+            ("b", dt.datetime(2020, 1, 2), 3.0)]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP_NTZ, v DOUBLE")
+
+    out = DOC.mongo_aggregate(df, [{"$densify": {
+        "field": "ts", "partitionByFields": ["k"],
+        "range": {"step": 1, "unit": "day", "bounds": "partition"}}}])
+    got = sorted((x.k, str(x.ts), x.v) for x in out.collect())
+    assert got == [
+        ("a", "2020-01-01 00:00:00", 1.0),
+        ("a", "2020-01-02 00:00:00", None),   # generated: null fields
+        ("a", "2020-01-03 00:00:00", None),
+        ("a", "2020-01-04 00:00:00", 2.0),    # existing, suppressed grid
+        ("b", "2020-01-02 00:00:00", 3.0),    # single-doc partition: no grid
+    ]
+
+    # full bounds: partition b grids over the GLOBAL [min, max]
+    full = DOC.mongo_aggregate(df, [{"$densify": {
+        "field": "ts", "partitionByFields": ["k"],
+        "range": {"step": 1, "unit": "day", "bounds": "full"}}}])
+    assert sum(1 for x in full.collect() if x.k == "b") == 4  # Jan 1-4
+
+    # explicit ISO bounds are half-open; 12 h sub-day grid
+    ex = DOC.mongo_aggregate(df, [{"$densify": {
+        "field": "ts", "partitionByFields": ["k"],
+        "range": {"step": 12, "unit": "hour",
+                  "bounds": ["2020-01-01", "2020-01-02"]}}}])
+    b_rows = sorted(str(x.ts) for x in ex.collect() if x.k == "b")
+    assert b_rows == ["2020-01-01 00:00:00", "2020-01-01 12:00:00",
+                      "2020-01-02 00:00:00"]  # 01-02T00 is b's OWN doc
+
+    # DATE field with a day grid round-trips through pure calendar math
+    ddf = spark.createDataFrame(
+        [(dt.date(2020, 1, 1),), (dt.date(2020, 1, 3),)], "d DATE")
+    dg = DOC.mongo_aggregate(ddf, [{"$densify": {
+        "field": "d", "range": {"step": 1, "unit": "day",
+                                "bounds": "partition"}}}])
+    assert sorted(str(x.d) for x in dg.collect()) == [
+        "2020-01-01", "2020-01-02", "2020-01-03"]
+
+    with pytest.raises(ValueError, match="calendar-variable"):
+        DOC.mongo_aggregate(df, [{"$densify": {
+            "field": "ts", "range": {"step": 1, "unit": "quarter",
+                                     "bounds": "partition"}}}])
+    with pytest.raises(ValueError, match="DATE field requires"):
+        DOC.mongo_aggregate(ddf, [{"$densify": {
+            "field": "d", "range": {"step": 6, "unit": "hour",
+                                    "bounds": "partition"}}}])
+    with pytest.raises(ValueError, match="timezone-aware"):
+        DOC.mongo_aggregate(df, [{"$densify": {
+            "field": "ts",
+            "range": {"step": 1, "unit": "day",
+                      "bounds": ["2020-01-01T00:00:00+09:30",
+                                 "2020-01-02"]}}}])
+    ndf = spark.createDataFrame([(1,)], "x INT")
+    with pytest.raises(ValueError, match="date/timestamp"):
+        DOC.mongo_aggregate(ndf, [{"$densify": {
+            "field": "x", "range": {"step": 1, "unit": "day",
+                                    "bounds": "partition"}}}])
+
+
+def test_mongo_calculus_time_units(spark):
+    """$derivative/$integral with a fixed-length time unit (round 15,
+    previously refused): the sort key becomes epoch-ms scaled to
+    unit-count doubles, formulas unchanged. Hand-computed: rate per
+    hour over adjacent pairs, trapezoid area in day units; calendar
+    units refused."""
+    import datetime as dt
+
+    tdf = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1, 0), 10.0),
+         (dt.datetime(2020, 1, 1, 6), 22.0),
+         (dt.datetime(2020, 1, 2, 0), 40.0)],
+        "ts TIMESTAMP_NTZ, v DOUBLE")
+    out = DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+        "sortBy": {"ts": 1},
+        "output": {
+            "rate_h": {"$derivative": {"input": "$v", "unit": "hour"},
+                       "window": {"documents": [-1, 0]}},
+            "area_d": {"$integral": {"input": "$v", "unit": "day"}},
+        }}}]).orderBy("ts").collect()
+    assert [r.rate_h for r in out] == [None, 2.0, 1.0]
+    # trapezoids: 0.25 d × (10+22)/2 = 4.0; 0.75 d × (22+40)/2 = 23.25
+    assert [r.area_d for r in out] == [27.25, 27.25, 27.25]
+
+    with pytest.raises(ValueError, match="calendar-variable"):
+        DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"r": {"$derivative": {"input": "$v",
+                                             "unit": "month"}}}}}])
+
+
+def test_densify_reserved_prefix_guard(spark):
+    """__dens_ joins the guarded helper prefixes (__upd_/__swf_): a
+    colliding input column gets a contract error, not a duplicate-
+    column AnalysisException from inside the grid staging."""
+    df = spark.createDataFrame([(1, 2)], "x INT, __dens_v INT")
+    with pytest.raises(ValueError, match="__dens_"):
+        DOC.mongo_aggregate(df, [{"$densify": {
+            "field": "x", "range": {"step": 1, "bounds": "partition"}}}])
