@@ -2540,10 +2540,20 @@ def _mongo_fill(out: DataFrame, spec: dict) -> DataFrame:
         elif body.get("method") == "linear":
             if not sort_by or len(sort_by) != 1 or next(iter(sort_by.values())) != 1:
                 raise ValueError(
-                    "$fill linear requires a single ascending numeric sortBy "
-                    "field (Mongo's own restriction)"
+                    "$fill linear requires a single ascending numeric or "
+                    "date sortBy field (Mongo's own restriction)"
                 )
-            pos = F.col(next(iter(sort_by)))
+            key_name = next(iter(sort_by))
+            # Mongo allows a DATE sortBy for linear interpolation; a
+            # date/timestamp key routes through the TZ-free epoch-ms
+            # map (interpolation ratios are affine-invariant, so the
+            # ms scale choice cancels). Numeric keys pass through.
+            if dict(out.dtypes).get(key_name) in (
+                "timestamp_ntz", "timestamp", "date"
+            ):
+                pos = _epoch_ms_col(out, key_name, "$fill linear sortBy")
+            else:
+                pos = F.col(key_name)
             back = base.orderBy(*_wf_sort_cols(sort_by)).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )

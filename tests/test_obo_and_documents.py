@@ -2186,3 +2186,27 @@ def test_densify_reserved_prefix_guard(spark):
     with pytest.raises(ValueError, match="__dens_"):
         DOC.mongo_aggregate(df, [{"$densify": {
             "field": "x", "range": {"step": 1, "bounds": "partition"}}}])
+
+
+def test_fill_linear_date_sortby(spark):
+    """$fill linear with a DATE/timestamp sortBy (Mongo allows both
+    numeric and date keys): the key routes through the TZ-free epoch-ms
+    map; interpolation ratios are scale-invariant, so results equal the
+    hand-computed time-weighted values. Edge nulls stay null (no
+    extrapolation) — same contract as the numeric path."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1), None),
+         (dt.datetime(2020, 1, 2), 10.0),
+         (dt.datetime(2020, 1, 3), None),
+         (dt.datetime(2020, 1, 5), None),
+         (dt.datetime(2020, 1, 6), 50.0),
+         (dt.datetime(2020, 1, 8), None)],
+        "ts TIMESTAMP_NTZ, v DOUBLE")
+    out = DOC.mongo_aggregate(df, [{"$fill": {
+        "sortBy": {"ts": 1}, "output": {"v": {"method": "linear"}}}}])
+    got = [r.v for r in out.orderBy("ts").collect()]
+    # anchors at Jan 2 (10) and Jan 6 (50): Jan 3 = 10 + 40*(1/4) = 20,
+    # Jan 5 = 10 + 40*(3/4) = 40; outside the anchors stays null
+    assert got == [None, 10.0, 20.0, 40.0, 50.0, None]

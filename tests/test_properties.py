@@ -3428,3 +3428,41 @@ def test_range_unit_window_matches_bruteforce(spark, rows, span):
         assert got[rid][1] == len(mem), (rows, span, rid)
         # integer-valued doubles: sums are exact in IEEE754
         assert got[rid][0] == sum(mem), (rows, span, rid)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30)),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    step=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_densify_unit_grid_matches_bruteforce(spark, rows, step):
+    """$densify day-unit grids (round-15 compile) vs a brute-force
+    Python reference: per partition, grid points at min, min+step·day,
+    … ≤ max; a point is inserted only when no document holds EXACTLY
+    that timestamp; off-grid documents are kept unsnapped (step>1 makes
+    existing docs fall off-grid, exercising the keep-don't-snap rule)."""
+    import datetime as dt
+
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    base = dt.datetime(2020, 1, 1)
+    data = [(k, base + dt.timedelta(days=d)) for k, d in rows]
+    df = spark.createDataFrame(data, "k INT, ts TIMESTAMP_NTZ")
+    out = DOC.mongo_aggregate(df, [{"$densify": {
+        "field": "ts", "partitionByFields": ["k"],
+        "range": {"step": step, "unit": "day", "bounds": "partition"}}}])
+    got = sorted((r.k, str(r.ts)) for r in out.collect())
+
+    expect = set(data)
+    for k in {k for k, _ in rows}:
+        days = [d for kk, d in rows if kk == k]
+        cur = min(days)
+        while cur <= max(days):
+            expect.add((k, base + dt.timedelta(days=cur)))
+            cur += step
+    assert got == sorted((k, str(t)) for k, t in expect), (rows, step)
