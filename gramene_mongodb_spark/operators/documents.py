@@ -1795,6 +1795,12 @@ _FIXED_UNIT_MS: dict[str, int] = {
     "minute": 60_000, "second": 1_000, "millisecond": 1,
 }
 
+#: calendar-variable units in months — usable ONLY where a compile can
+#: evaluate per-document $dateAdd boundaries (the $setWindowFields
+#: range-window frame-anchor join); everywhere a constant span is
+#: required these stay refused via _require_fixed_unit.
+_CAL_UNIT_MONTHS: dict[str, int] = {"month": 1, "quarter": 3, "year": 12}
+
 
 def _epoch_ms_col(df: DataFrame, col_name: str, what: str) -> Column:
     """Session-timezone-INDEPENDENT wall-clock epoch milliseconds for a
@@ -2021,6 +2027,171 @@ def _exp_moving_avg_kernel(
     return tmp.groupBy("__swf_ema_b").applyInPandas(batched, schema)
 
 
+#: calendar-frame aggregates with direct groupBy twins (frame-anchor
+#: join path); $push/$addToSet/$first/$last are refused there — see
+#: _calendar_range_join.
+_CAL_AGGS = {
+    "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+    "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp,
+}
+
+
+def _calendar_range_join(
+    out: DataFrame, spec: dict, sort_by: dict, cal_specs: list
+) -> DataFrame:
+    """Calendar-unit range windows (``unit: month|quarter|year`` —
+    Mongo 5.0 values a constant range frame cannot express, because the
+    boundaries are per-document ``$dateAdd`` results: how long "one
+    month back" is depends on WHICH month the current document sits
+    in). Compiled as a FRAME-ANCHOR RANGE JOIN:
+
+    * ``anchors`` = DISTINCT (partition, sortKey) — value-based frames
+      mean rows with equal keys share one frame, so one aggregate per
+      distinct key value suffices;
+    * ``frame(k)`` = partition rows ``r`` with
+      ``dateAdd(k, lo·unit) <= r.key <= dateAdd(k, hi·unit)``
+      (``timestamp_add(MONTH)`` / ``add_months`` — day-of-month
+      clamping matches Mongo's $dateAdd: Jan 31 + 1 month = Feb 28/29);
+    * one LEFT join anchors→rows per distinct (lo, hi, unit) frame
+      shape, grouped back to the anchor, then ONE left join attaches
+      the aggregates to the input on (partition, key) — row count
+      preserved (aggregates are unique per anchor).
+
+    Cost is Σ|frame| — exactly the work Mongo's executor pays
+    evaluating each document's window, made explicit as a
+    partition-keyed range join instead of hidden in a scan (AQE's skew
+    handling applies). Wall-clock frames (week and finer) never come
+    here — they stay on the O(n log n) rangeBetween fast path.
+
+    Supported: $sum/$avg/$min/$max/$count/$stdDevPop/$stdDevSamp/
+    $covariancePop/$covarianceSamp. Refused loudly: $push/$addToSet
+    (frame-order-dependent arrays) and $first/$last (need a
+    document-order tie-break a value join cannot see) — use documents
+    windows for those.
+
+    Pinned edges (test-pinned): an EMPTY frame (e.g. range [-24, -12])
+    gives SUM/AVG → NULL and COUNT → 0, same as the rangeBetween path;
+    a NULL sort key sees an EMPTY frame (the fixed-unit path groups
+    nulls into their own peer frame; live Mongo errors — all three
+    behaviors documented at the stage docstring)."""
+    if not sort_by or len(sort_by) != 1 or next(iter(sort_by.values())) != 1:
+        raise ValueError(
+            "range windows require a single ascending sortBy field"
+        )
+    key_name = next(iter(sort_by))
+    dtype = dict(out.dtypes).get(key_name)
+    if dtype not in ("timestamp_ntz", "timestamp", "date"):
+        raise ValueError(
+            f"calendar-unit range windows require a date/timestamp "
+            f"sortBy field ({key_name!r} is {dtype!r}) — Mongo errors "
+            "there too"
+        )
+
+    def shift(col: Column, n_months: int) -> Column:
+        if n_months == 0:
+            return col
+        if dtype == "date":
+            return F.add_months(col, n_months)
+        # timestamp_add preserves the input flavor (NTZ in → NTZ out)
+        # and clamps day-of-month exactly like Mongo's $dateAdd
+        return F.timestamp_add("MONTH", F.lit(n_months), col)
+
+    def bound_months(b, months: int):
+        """window bound → month shift (None = unbounded)."""
+        if b == "unbounded":
+            return None
+        if b == "current":
+            return 0
+        if isinstance(b, int) and not isinstance(b, bool):
+            return b * months
+        raise ValueError(
+            f"window bound must be 'unbounded', 'current' or an int, "
+            f"got {b!r} (fractional bounds are refused, not approximated)"
+        )
+
+    part = _mongo_expr(spec["partitionBy"]) if "partitionBy" in spec else F.lit(0)
+    src = out.select("*", part.alias("__swf_cal_p"))
+
+    # group outputs by frame shape — one anchor join per distinct
+    # (lo, hi, unit), however many outputs share it
+    from collections import defaultdict
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for i, (fname, op, arg, lo, hi, months) in enumerate(cal_specs):
+        groups[(lo, hi, months)].append((i, op, arg))
+
+    anchors = src.select(
+        F.col("__swf_cal_p").alias("__swf_cal_ap"),
+        F.col(key_name).alias("__swf_cal_k"),
+    ).distinct()
+
+    out2 = src
+    for (lo, hi, months), members in groups.items():
+        lo_m = bound_months(lo, months)
+        hi_m = bound_months(hi, months)
+        val_cols: list[Column] = []
+        agg_exprs: list[Column] = []
+        for i, op, arg in members:
+            if op in ("$push", "$addToSet", "$first", "$last"):
+                raise ValueError(
+                    f"{op} with a calendar-unit range window is refused "
+                    "— the result depends on document order inside a "
+                    "value-joined frame; use a documents window"
+                )
+            if op == "$count":
+                agg_exprs.append(
+                    F.count(F.col("__swf_cal_rk")).alias(f"__swf_cal_{i}")
+                )
+            elif op in ("$covariancePop", "$covarianceSamp"):
+                if not isinstance(arg, (list, tuple)) or len(arg) != 2:
+                    raise ValueError(f"{op} requires a two-expression list")
+                val_cols.append(_mongo_expr(arg[0]).cast("double")
+                                .alias(f"__swf_cal_va{i}"))
+                val_cols.append(_mongo_expr(arg[1]).cast("double")
+                                .alias(f"__swf_cal_vb{i}"))
+                fn = (F.covar_pop if op == "$covariancePop"
+                      else F.covar_samp)
+                agg_exprs.append(
+                    fn(F.col(f"__swf_cal_va{i}"), F.col(f"__swf_cal_vb{i}"))
+                    .alias(f"__swf_cal_{i}")
+                )
+            elif op in _CAL_AGGS:
+                val_cols.append(_mongo_expr(arg).alias(f"__swf_cal_v{i}"))
+                agg_exprs.append(
+                    _CAL_AGGS[op](F.col(f"__swf_cal_v{i}"))
+                    .alias(f"__swf_cal_{i}")
+                )
+            else:
+                raise ValueError(
+                    f"unsupported $setWindowFields operator {op!r} for a "
+                    "calendar-unit range window"
+                )
+        rows = src.select(
+            F.col("__swf_cal_p").alias("__swf_cal_rp"),
+            F.col(key_name).alias("__swf_cal_rk"),
+            *val_cols,
+        )
+        cond = F.col("__swf_cal_ap").eqNullSafe(F.col("__swf_cal_rp"))
+        if lo_m is not None:
+            cond = cond & (F.col("__swf_cal_rk")
+                           >= shift(F.col("__swf_cal_k"), lo_m))
+        if hi_m is not None:
+            cond = cond & (F.col("__swf_cal_rk")
+                           <= shift(F.col("__swf_cal_k"), hi_m))
+        agg = (
+            anchors.join(rows, cond, "left")
+            .groupBy("__swf_cal_ap", "__swf_cal_k")
+            .agg(*agg_exprs)
+        )
+        out2 = out2.join(
+            agg,
+            out2["__swf_cal_p"].eqNullSafe(agg["__swf_cal_ap"])
+            & out2[key_name].eqNullSafe(agg["__swf_cal_k"]),
+            "left",
+        ).drop("__swf_cal_ap", "__swf_cal_k")
+    return out2
+
+
 def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     """Compile ``$setWindowFields`` (Mongo 5.0's window stage) onto
     Spark window functions — the shim stage with the most direct
@@ -2042,9 +2213,14 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
       over wall-clock epoch milliseconds of the date sortBy field —
       exact, because Mongo evaluates window bounds in UTC where those
       units are constant spans; TZ-pinned via the house NTZ idiom (no
-      session timezone in the epoch map). Calendar-variable units
-      (year/quarter/month — per-document ``$dateAdd`` boundaries) are
-      refused loudly, no silent approximation.
+      session timezone in the epoch map). CALENDAR-VARIABLE units
+      (month/quarter/year — per-document ``$dateAdd`` boundaries,
+      day-of-month clamping included) compile onto the frame-anchor
+      range JOIN (:func:`_calendar_range_join` — plain aggregates
+      only; $push/$addToSet/$first/$last refused there with a
+      documents-window pointer). Null sort keys: empty frame on the
+      calendar path, own peer frame on the numeric/fixed-unit path
+      (live Mongo errors on both — divergences pinned below).
     * Accumulators: $sum/$avg/$min/$max/$count/$first/$last,
       $stdDevPop/$stdDevSamp, $push/$addToSet (null-dropping pinned at
       the $group twins), $covariancePop/$covarianceSamp (two-expression
@@ -2101,6 +2277,7 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     # reads the way sequential withColumn would.
     results: list[tuple[str, Column]] = []
     ema_specs: list[tuple[str, Column, float]] = []
+    cal_specs: list[tuple] = []
     for out_field, body in output.items():
         if not isinstance(body, dict) or not body:
             raise ValueError(f"output.{out_field} must be an operator document")
@@ -2294,19 +2471,24 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
                 w = base.orderBy(*_wf_sort_cols(sort_by)).rangeBetween(
                     _wf_bound(lo, True), _wf_bound(hi, False)
                 )
+            elif unit in _CAL_UNIT_MONTHS:
+                # calendar-variable unit (month/quarter/year): a
+                # constant range frame CANNOT express per-document
+                # $dateAdd boundaries, so these compile to the
+                # frame-anchor range JOIN (see _calendar_range_join) —
+                # collected here, computed once after the loop
+                cal_specs.append((out_field, op, arg, lo, hi,
+                                  _CAL_UNIT_MONTHS[unit]))
+                continue
             else:
                 # Mongo 5.0 time-unit range window ({range: [lo, hi],
                 # unit}) compiled onto a NUMERIC rangeBetween over
                 # wall-clock epoch MILLISECONDS of the date sortBy
-                # field. Fixed-length units only: Mongo's window-bound
-                # arithmetic runs in UTC (the window spec has no
-                # timezone parameter), where week/day/hour/minute/
-                # second/millisecond are constant spans — so
-                # [cur−lo·unit, cur+hi·unit] is exactly a constant
-                # millisecond range frame. year/quarter/month are
-                # calendar-variable (Mongo computes those boundaries
-                # with per-document $dateAdd) and a constant range
-                # frame cannot express them — refused loudly.
+                # field: Mongo's window-bound arithmetic runs in UTC
+                # (the window spec has no timezone parameter), where
+                # week/day/hour/minute/second/millisecond are constant
+                # spans — so [cur−lo·unit, cur+hi·unit] is exactly a
+                # constant millisecond range frame.
                 # TZ PIN (house NTZ rule, same idiom as
                 # catalog._epoch_s): TIMESTAMP_NTZ goes through
                 # timestampdiff from the epoch wall clock — NO session
@@ -2343,6 +2525,15 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
             (f, F.col(f"__swf_ema_{i}"))
             for i, (f, _, _) in enumerate(ema_specs)
         ]
+    if cal_specs:
+        # calendar-unit range frames land as __swf_cal_{i} columns via
+        # the frame-anchor range join (every input column preserved —
+        # Mongo's evaluate-against-input rule holds here too)
+        out = _calendar_range_join(out, spec, sort_by, cal_specs)
+        results += [
+            (f, F.col(f"__swf_cal_{i}"))
+            for i, (f, *_rest) in enumerate(cal_specs)
+        ]
     # one-shot apply: stage under collision-proof temp names, then
     # replace shadowed input columns in place and append new fields
     tmps = {n: f"__swf_tmp_{i}" for i, (n, _) in enumerate(results)}
@@ -2351,7 +2542,7 @@ def _mongo_set_window_fields(out: DataFrame, spec: dict) -> DataFrame:
     final = [
         (F.col(tmps[c]).alias(c) if c in replaced else F.col(c))
         for c in out.columns
-        if not c.startswith("__swf_ema_")
+        if not c.startswith(("__swf_ema_", "__swf_cal_"))
     ]
     final += [F.col(tmps[n]).alias(n) for n, _ in results
               if n not in out.columns]

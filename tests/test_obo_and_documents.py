@@ -1978,12 +1978,23 @@ def test_mongo_range_window_time_unit(spark):
     }}]).orderBy("ts").collect()
     assert [r.c for r in h] == [1, 2, 2, 2, 2, 2, 1]
 
-    with pytest.raises(ValueError, match="calendar-variable"):
+    # calendar units route to the frame-anchor join since round 15
+    # (test_mongo_calendar_unit_range_windows pins those semantics) —
+    # here just the seam: a month window computes on the same frame,
+    # and a unit that exists in NEITHER table still refuses loudly
+    m = DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"ts": 1},
+        "output": {"c": {"$count": {},
+                         "window": {"range": [-1, 0],
+                                    "unit": "month"}}}}}]) \
+        .orderBy("ts").collect()
+    assert [r.c for r in m] == [1, 2, 3, 4, 5, 6, 7]  # all within 1 month
+    with pytest.raises(ValueError, match="refused"):
         DOC.mongo_aggregate(tdf, [{"$setWindowFields": {
             "sortBy": {"ts": 1},
             "output": {"s": {"$sum": "$v",
                              "window": {"range": [-1, 0],
-                                        "unit": "month"}}}}}])
+                                        "unit": "fortnight"}}}}}])
     idf = spark.createDataFrame([(1, 1.0)], "t INT, v DOUBLE")
     with pytest.raises(ValueError, match="date/timestamp"):
         DOC.mongo_aggregate(idf, [{"$setWindowFields": {
@@ -2210,3 +2221,100 @@ def test_fill_linear_date_sortby(spark):
     # anchors at Jan 2 (10) and Jan 6 (50): Jan 3 = 10 + 40*(1/4) = 20,
     # Jan 5 = 10 + 40*(3/4) = 40; outside the anchors stays null
     assert got == [None, 10.0, 20.0, 40.0, 50.0, None]
+
+
+def test_mongo_calendar_unit_range_windows(spark):
+    """Calendar-unit range windows (month/quarter/year — round 15,
+    previously refused): compiled as the frame-anchor range join
+    (documents._calendar_range_join) because the boundaries are
+    per-document $dateAdd results. Pins: day-of-month clamping
+    (Mar 31 − 1 month = Feb 29 in 2020, so the Feb 29 doc IS in
+    Mar 31's trailing-month frame), mixed-sentinel bounds, empty
+    frames (SUM→NULL, COUNT→0), null-sort-key empty frame, value-tied
+    keys sharing one frame, the DATE-dtype path, coexistence with
+    plain window outputs in one stage, and the refusal matrix."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2020, 1, 31), 10.0),
+        (1, dt.datetime(2020, 2, 29), 20.0),
+        (1, dt.datetime(2020, 3, 31), 30.0),
+        (1, dt.datetime(2020, 6, 15), 40.0),
+        (2, dt.datetime(2020, 1, 10), 5.0),
+        (2, None, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP_NTZ, v DOUBLE")
+    out = DOC.mongo_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"ts": 1},
+        "output": {
+            "s1m": {"$sum": "$v",
+                    "window": {"range": [-1, 0], "unit": "month"}},
+            "c1m": {"$count": {},
+                    "window": {"range": [-1, 0], "unit": "month"}},
+            "prior_q": {"$sum": "$v",
+                        "window": {"range": ["unbounded", -1],
+                                   "unit": "quarter"}},
+            "rn": {"$documentNumber": {}},     # plain output coexists
+        }}}])
+    got = {(r.k, str(r.ts)): (r.s1m, r.c1m, r.prior_q)
+           for r in out.collect()}
+    assert got[(1, "2020-01-31 00:00:00")] == (10.0, 1, None)
+    assert got[(1, "2020-02-29 00:00:00")] == (30.0, 2, None)
+    # clamping: Mar 31 − 1 month → Feb 29, frame holds Feb 29 + Mar 31
+    assert got[(1, "2020-03-31 00:00:00")] == (50.0, 2, None)
+    # quarter sentinel mix: ≤ Mar 15 → Jan 31 + Feb 29 docs
+    assert got[(1, "2020-06-15 00:00:00")] == (40.0, 1, 30.0)
+    assert got[(2, "2020-01-10 00:00:00")] == (5.0, 1, None)
+    # null sort key: EMPTY frame (pinned) — SUM null, COUNT 0
+    assert got[(2, "None")] == (None, 0, None)
+
+    # value-tied keys share one frame; empty far-past frame
+    tie = spark.createDataFrame(
+        [(dt.datetime(2021, 5, 1), 1.0), (dt.datetime(2021, 5, 1), 2.0),
+         (dt.datetime(2021, 6, 1), 4.0)], "ts TIMESTAMP_NTZ, v DOUBLE")
+    t = DOC.mongo_aggregate(tie, [{"$setWindowFields": {
+        "sortBy": {"ts": 1},
+        "output": {
+            "s": {"$sum": "$v", "window": {"range": [0, 0],
+                                           "unit": "month"}},
+            "old": {"$sum": "$v", "window": {"range": [-24, -12],
+                                             "unit": "month"}},
+            "oldc": {"$count": {}, "window": {"range": [-24, -12],
+                                              "unit": "month"}},
+        }}}]).orderBy("ts", "v").collect()
+    assert [r.s for r in t] == [3.0, 3.0, 4.0]   # tied keys: same frame
+    assert [r.old for r in t] == [None, None, None]
+    assert [r.oldc for r in t] == [0, 0, 0]
+
+    # DATE dtype path (add_months arithmetic)
+    ddf = spark.createDataFrame(
+        [(dt.date(2020, 1, 31), 1.0), (dt.date(2020, 2, 29), 2.0)],
+        "d DATE, v DOUBLE")
+    dd = DOC.mongo_aggregate(ddf, [{"$setWindowFields": {
+        "sortBy": {"d": 1},
+        "output": {"s": {"$sum": "$v",
+                         "window": {"range": [-1, 0],
+                                    "unit": "month"}}}}}]) \
+        .orderBy("d").collect()
+    assert [r.s for r in dd] == [1.0, 3.0]
+
+    # refusals: order-dependent ops, numeric key, fractional bound
+    with pytest.raises(ValueError, match="documents window"):
+        DOC.mongo_aggregate(tie, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"p": {"$push": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "month"}}}}}])
+    ndf = spark.createDataFrame([(1, 1.0)], "t INT, v DOUBLE")
+    with pytest.raises(ValueError, match="date/timestamp"):
+        DOC.mongo_aggregate(ndf, [{"$setWindowFields": {
+            "sortBy": {"t": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "year"}}}}}])
+    with pytest.raises(ValueError, match="unbounded"):
+        DOC.mongo_aggregate(tie, [{"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1.5, 0],
+                                        "unit": "month"}}}}}])

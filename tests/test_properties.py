@@ -3466,3 +3466,55 @@ def test_densify_unit_grid_matches_bruteforce(spark, rows, step):
             expect.add((k, base + dt.timedelta(days=cur)))
             cur += step
     assert got == sorted((k, str(t)) for k, t in expect), (rows, step)
+
+
+def _add_months_py(d, n):
+    """Python twin of Spark add_months/timestamp_add(MONTH) and Mongo
+    $dateAdd month arithmetic: shift months, clamp day-of-month."""
+    import calendar
+
+    y = d.year + (d.month - 1 + n) // 12
+    m = (d.month - 1 + n) % 12 + 1
+    return d.replace(year=y, month=m,
+                     day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 420),
+                  st.integers(-5, 5)),
+        min_size=1,
+        max_size=18,
+    ),
+    back=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_calendar_range_window_matches_bruteforce(spark, rows, back):
+    """Calendar-unit range windows (round-15 frame-anchor join) vs a
+    brute-force Python reference with the same day-of-month clamping:
+    for each doc, the [-back, 0]-month frame is exactly the partition
+    rows with add_months(t, -back) <= r.t <= t. The 0..420-day date
+    span crosses month-ends (incl. Jan 31 / leap Feb 29), exercising
+    the clamp; duplicate timestamps share a frame."""
+    import datetime as dt
+
+    from gramene_mongodb_spark.operators import documents as DOC
+
+    base = dt.datetime(2020, 1, 1)
+    data = [(k, base + dt.timedelta(days=d), float(v), i)
+            for i, (k, d, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k INT, ts TIMESTAMP_NTZ, v DOUBLE, rid INT")
+    out = DOC.mongo_aggregate(df, [{"$setWindowFields": {
+        "partitionBy": "$k", "sortBy": {"ts": 1},
+        "output": {
+            "s": {"$sum": "$v",
+                  "window": {"range": [-back, 0], "unit": "month"}},
+            "c": {"$count": {},
+                  "window": {"range": [-back, 0], "unit": "month"}},
+        }}}])
+    got = {r.rid: (r.s, r.c) for r in out.collect()}
+    for k, t, v, rid in data:
+        lo = _add_months_py(t, -back)
+        mem = [vv for (kk, tt, vv, _) in data if kk == k and lo <= tt <= t]
+        assert got[rid][1] == len(mem), (rows, back, rid)
+        assert got[rid][0] == sum(mem), (rows, back, rid)
