@@ -477,25 +477,15 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("description", F.coalesce("thal_desc", "rap_desc", F.lit("")))
     )
 
-    # xref grouping (A1) — feeds n_dbs/n_ids
-    xr = orders.select(
-        F.col("o_custkey").alias("gene_key"),
-        F.col("o_orderpriority").alias("db"),
-        F.col("o_orderkey").cast("string").alias("xref_id"),
-        F.lit(None).cast("string").alias("evidence"),
-    )
-    grouped = DOC.group_xrefs(xr, "gene_key")
-    xstats = grouped.select(
-        "gene_key",
-        F.size("xrefs").cast("long").alias("n_dbs"),
-        F.aggregate(
-            "xrefs", F.lit(0), lambda acc, x: acc + F.size(x["ids"])
-        ).cast("long").alias("n_ids"),
-    )
-
-    # stages 6-7 + 14 in ONE keyed pass: generif counts, qtl counts and
-    # the homolog distinct-count share the o_custkey shuffle — at scale
-    # this is one scan + one exchange instead of three of each
+    # stages 6-7 + 8-10 + 14 + the A1 xref stats in ONE keyed pass over
+    # orders (r15 optimization, guide §2.3/§2.4): generif counts, qtl
+    # counts, the homolog distinct-count, the xref stats and the
+    # transcript array all share a single o_custkey exchange — one scan
+    # + one exchange instead of three of each. The A1 xref stats reduce
+    # exactly: n_dbs = |distinct db| (the size of group_xrefs' per-db
+    # array) and n_ids = |distinct (db, xref_id)| (the sum of its
+    # de-duplicated per-db id-list sizes) — proven equal by the
+    # unchanged DuckDB oracle hash.
     ostats = orders.groupBy(F.col("o_custkey").alias("os_key")).agg(
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
             "n_rifs"
@@ -503,24 +493,31 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_orderpriority").startswith("1"), 1).otherwise(0)
         ).alias("n_qtls"),
-        F.count_distinct((F.col("o_orderkey") % 1500) + 1).alias("n_homologs"),
-    )
-
-    # stages 8-10: transcript array → length fix → canonical pick → reorder
-    tr = orders.select(
-        "o_custkey",
-        F.struct(
-            F.concat(F.lit("T"), F.col("o_orderkey").cast("string")).alias("id"),
-            F.col("o_totalprice").cast("int").alias("length"),
+        # distinct counts as collect_set sizes, NOT count_distinct: three
+        # distinct specs in one groupBy would Expand the scan ×4 (measured
+        # 4.2 → 6.9 s); sets are single-phase hash agg, and every set's
+        # cardinality is bounded by the same 10k transcripts-per-gene
+        # domain bound asserted below
+        F.size(F.collect_set((F.col("o_orderkey") % 1500) + 1))
+        .cast("long").alias("n_homologs"),
+        F.size(F.collect_set(F.col("o_orderpriority")))
+        .cast("long").alias("n_dbs"),
+        F.size(F.collect_set(F.struct("o_orderpriority", "o_orderkey")))
+        .cast("long").alias("n_ids"),
+        # stages 8-10 input: transcript array (length fix → canonical
+        # pick → reorder applied below on the aggregated rows)
+        F.collect_list(
             F.struct(
-                F.concat(F.lit("P"), F.col("o_orderkey").cast("string")).alias("id"),
-                (F.col("o_orderkey") % 500).cast("int").alias("length"),
-            ).alias("translation"),
-        ).alias("t"),
+                F.concat(F.lit("T"), F.col("o_orderkey").cast("string")).alias("id"),
+                F.col("o_totalprice").cast("int").alias("length"),
+                F.struct(
+                    F.concat(F.lit("P"), F.col("o_orderkey").cast("string")).alias("id"),
+                    (F.col("o_orderkey") % 500).cast("int").alias("length"),
+                ).alias("translation"),
+            )
+        ).alias("transcripts"),
     )
-    tdocs = tr.groupBy(F.col("o_custkey").alias("tr_key")).agg(
-        F.collect_list("t").alias("transcripts")
-    )
+    tdocs = ostats.withColumnRenamed("os_key", "tr_key")
     # per-gene ARRAY-stage skew guard (r13 probe, scripts/scale_probe_r13.py
     # + SCALE.md): the fused count aggregations below are skew-immune
     # (partial agg collapses a hot key map-side; count_distinct's EXPAND
@@ -563,6 +560,9 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("canonical_translation_len"),
         F.size("transcripts").cast("long").alias("n_transcripts"),
+        # the fused per-gene stats ride the same row (r15: one join
+        # below instead of three)
+        "n_rifs", "n_qtls", "n_homologs", "n_dbs", "n_ids",
     )
 
     # stage 11: genetree adder — per-tree-slot representative
@@ -625,17 +625,13 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ck = decorated["c_custkey"]
     out = (
-        decorated.join(xstats, ck == xstats["gene_key"], "left")
-        .drop(xstats["gene_key"])
-        .join(entries, ck == entries["gene_key"], "left")
+        decorated.join(entries, ck == entries["gene_key"], "left")
         .drop(entries["gene_key"])
         .join(anc_counts, ck == anc_counts["gene_key"], "left")
         .drop(anc_counts["gene_key"])
         .join(canon, ck == F.col("tr_key"), "left")
         .drop("tr_key")
         .join(F.broadcast(treelut), ck % 100 == F.col("tslot"))
-        .join(ostats, ck == F.col("os_key"), "left")
-        .drop("os_key")
         .join(F.broadcast(pathways), decorated["slot"] == F.col("pw_idx"))
         .drop("pw_idx")
         .join(arch, decorated["_id"] == F.col("arch_key"), "left")
