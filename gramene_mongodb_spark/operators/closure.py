@@ -453,8 +453,11 @@ def pagerank(
     re-shuffled side) plus one ``groupBy(dst)`` sum with map-side
     partial aggregation — the canonical two-shuffle PageRank round.
     Rank tables are vertex-sized (two int64 columns), orders of
-    magnitude smaller than the edge set; rounds are plan-severed via
-    ``hard_checkpoint`` (lineage.py). Overflow headroom: total mass ≤ n_vertices ×
+    magnitude smaller than the edge set; rounds compose LAZILY (each
+    round references the previous rank table once, so plan growth is
+    linear — one Spark job total), severing via ``hard_checkpoint``
+    only every 4th round for large ``iterations`` (lineage.py).
+    Overflow headroom: total mass ≤ n_vertices ×
     scale, so int64 holds up to ~9e12 vertices at the default scale.
 
     Output: (``vertex`` long, ``rank_micros`` long) — one row per vertex
@@ -472,9 +475,19 @@ def pagerank(
     # so the per-round join sees edges already hashed on "u" and only
     # the vertex-sized rank table moves; hard_checkpoint would drop
     # that metadata and re-shuffle the (100 TB) edge side every round.
-    e = e.repartition(parts, "u").localCheckpoint(eager=True)
+    # r15: the out-degree rides INSIDE the one-time edge checkpoint (a
+    # window over the same hash(u) partitioning — no extra exchange), so
+    # a round no longer recomputes/joins the degree table: before, each
+    # round's plan re-derived deg from e (one groupBy exchange + one join
+    # per round; ReusedExchange collapses duplicates within a job but not
+    # the join itself).
+    from pyspark.sql import Window as _W
 
-    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    e = (
+        e.repartition(parts, "u")
+        .withColumn("outdeg", F.count("*").over(_W.partitionBy("u")))
+        .localCheckpoint(eager=True)
+    )
     verts = (
         e.select("u")
         .unionByName(e.select(F.col("v").alias("u")))
@@ -485,10 +498,9 @@ def pagerank(
 
     base = (100 - damping_pct) * scale // 100
     ranks = verts.select("u", F.lit(scale).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
-            e.join(deg, "u")
-            .join(ranks, "u")
+            e.join(ranks, "u")
             .select(
                 "v",
                 F.expr(f"(pr * {damping_pct}) div (100 * outdeg)").alias("c"),
@@ -496,7 +508,7 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = hard_checkpoint(
+        ranks = (
             verts.join(contrib, verts["u"] == contrib["v"], "left")
             .select(
                 "u",
@@ -504,8 +516,15 @@ def pagerank(
                 .cast("long")
                 .alias("pr"),
             )
-            .repartition(parts)
         )
+        # r15: rounds compose LAZILY — each round references the previous
+        # rank table exactly once (never a self-join), so plan growth is
+        # linear and all `iterations` rounds run as ONE Spark job instead
+        # of one hard_checkpoint action + round-robin repartition each
+        # (guide §1.2/§5). Past 4 rounds, sever every 4th so a large
+        # `iterations` cannot buy quadratic analysis cost (lineage.py).
+        if (it + 1) % 4 == 0 and (it + 1) < iterations:
+            ranks = hard_checkpoint(ranks.repartition(parts))
     return ranks.select(
         F.col("u").alias("vertex"), F.col("pr").alias("rank_micros")
     )

@@ -311,6 +311,12 @@ def kmeans_assign_exact(
             F.col("__q").alias("__c"),
         )
     )
+    # eager severing measured FASTER here than lazy composition, unlike
+    # pagerank (r15 A/B: lazy rounds 3.9 s vs 2.1 s on x_kmeans_clusters;
+    # lazy init alone 3.2 s): the k-row centroid table feeds a broadcast
+    # in EVERY round's assign, and materializing it keeps each broadcast
+    # build trivial instead of re-planning the upstream corpus pass
+    # inside the BroadcastExchange subtree. Left checkpointed on purpose.
     cent = hard_checkpoint(cent)
 
     def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
