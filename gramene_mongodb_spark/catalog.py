@@ -10349,7 +10349,15 @@ def pipeline_tree_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _synth_tree_nodes_with_empty_branch(spark, sf_dir)
     pruned = TR.prune_zero_gene_subtrees(nodes).drop("subtree_gene_count")
-    scored = TR.score_leaves(pruned)
+    # r15 (guide §2.4/§5): the scored node table feeds FOUR consumers
+    # (rep kernel, summary kernel, leaf decoration, nested assembly) —
+    # left lazy, each re-derived the whole synth+sweep+prune subtree
+    # (measured plan: 40 parquet scans, 39 c_nationkey exchanges, zero
+    # ReusedExchange). Materialize it ONCE, pre-partitioned on tree_id
+    # so every downstream tree-keyed kernel/join reuses the layout.
+    scored = TR.score_leaves(pruned).repartition("tree_id").localCheckpoint(
+        eager=True
+    )
     reps = TR.select_representatives(scored)
     summ = TR.assign_leaf_summaries(scored, reps).select(
         "tree_id", "gene_stable_id", "rep_gene_id", "ath_rep_gene_id"
@@ -10357,7 +10365,7 @@ def pipeline_tree_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "customer").select(
         F.col("c_name").alias("_id"), F.col("c_mktsegment").alias("segment")
     )
-    dec = TR.decorate_leaves(pruned, docs, "_id", ("segment",)).join(
+    dec = TR.decorate_leaves(scored, docs, "_id", ("segment",)).join(
         summ, ["tree_id", "gene_stable_id"], "left"
     )
     return TR.assemble_nested_trees(
