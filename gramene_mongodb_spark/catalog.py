@@ -3825,8 +3825,9 @@ def k3k4_tree_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _synth_tree_nodes(spark, sf_dir)
     scored = TR.score_leaves(nodes)
-    reps = TR.select_representatives(scored)
-    return TR.assign_leaf_summaries(scored, reps).withColumn(
+    # reps=None: fused in-kernel rep pass (same kernel, one grouped-map
+    # exchange + join fewer — r15, trees.assign_leaf_summaries docstring)
+    return TR.assign_leaf_summaries(scored).withColumn(
         "duplication_taxa",
         F.array_join(
             F.transform(
@@ -4015,8 +4016,8 @@ def k3k4_deep_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _synth_chain_tree_nodes(spark, sf_dir)
     scored = TR.score_leaves(nodes)
-    reps = TR.select_representatives(scored)
-    return TR.assign_leaf_summaries(scored, reps).withColumn(
+    # reps=None: fused in-kernel rep pass (r15; see k3k4_tree_representatives)
+    return TR.assign_leaf_summaries(scored).withColumn(
         "duplication_taxa",
         F.array_join(
             F.transform(
@@ -10358,8 +10359,7 @@ def pipeline_tree_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = TR.score_leaves(pruned).repartition("tree_id").localCheckpoint(
         eager=True
     )
-    reps = TR.select_representatives(scored)
-    summ = TR.assign_leaf_summaries(scored, reps).select(
+    summ = TR.assign_leaf_summaries(scored).select(
         "tree_id", "gene_stable_id", "rep_gene_id", "ath_rep_gene_id"
     )
     docs = _t(spark, sf_dir, "customer").select(

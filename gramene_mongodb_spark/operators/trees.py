@@ -367,7 +367,7 @@ ARABIDOPSIS_TAXON = 3702
 
 def assign_leaf_summaries(
     scored: DataFrame,
-    reps: DataFrame,
+    reps: DataFrame | None = None,
     inherit_factor: float = 0.8,
     min_duplication_confidence: float = 0.5,
     batch_groups: int | None = None,
@@ -386,12 +386,34 @@ def assign_leaf_summaries(
 
     Pre-order = ascending ``left_index`` (parents precede children), so
     one linear pass per tree with a node→state map.
+
+    ``reps=None`` (r15 optimization, guide §4: one Python pass instead
+    of two) runs the SAME bottom-up rep kernel in-process on each tree
+    before the summary walk — bit-identical per-node (rep_gene_id,
+    rep_score) by construction (it calls ``_rep_kernel`` on the same
+    rows), but skips one grouped-map exchange, one Arrow round-trip and
+    the (tree_id, node_id) join. Pass an explicit ``reps`` when the
+    rep table was computed with super-tree sharding
+    (:func:`select_representatives` ``max_group_nodes``) — the fused
+    path is per-tree only.
     """
-    # reps carries the propagated (double) rep_score; drop the leaf-only
-    # int score from `scored` to avoid an ambiguous column after the join
-    joined = scored.drop("rep_score").join(reps, ["tree_id", "node_id"], "left")
+    fused = reps is None
+    if fused:
+        joined = scored
+    else:
+        # reps carries the propagated (double) rep_score; drop the
+        # leaf-only int score from `scored` to avoid an ambiguous column
+        # after the join
+        joined = scored.drop("rep_score").join(
+            reps, ["tree_id", "node_id"], "left"
+        )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if fused:
+            rep_out = _rep_kernel(False)(pdf[_REP_COLS])
+            pdf = pdf.drop(columns=["rep_score"]).merge(
+                rep_out.drop(columns=["tree_id"]), on="node_id", how="left"
+            )
         pdf = pdf.sort_values("left_index")
         # node_id -> (eff_rep, eff_score, ath_rep, dup_taxa_tuple)
         state: dict[int, tuple] = {}
@@ -466,8 +488,11 @@ def assign_leaf_summaries(
     cols = [
         "tree_id", "node_id", "parent_id", "left_index", "right_index",
         "taxon_id", "gene_stable_id", "node_type",
-        "duplication_confidence_score", "rep_score", "rep_gene_id",
+        "duplication_confidence_score", "rep_score",
     ]
+    # fused: the in-kernel rep pass needs the branch distance; joined:
+    # the rep table already carries the propagated rep_gene_id
+    cols.append("distance_to_parent" if fused else "rep_gene_id")
     return _grouped_by_tree(
         joined.select(*cols), kernel, _LEAF_SUMMARY_SCHEMA, batch_groups
     )
