@@ -9049,27 +9049,29 @@ def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ks, "payload": payloads})
 
     corpus = cust.mapInPandas(gen, "media_id BIGINT, payload BINARY")
+    # r15 (guide §2.4/§4): the metadata table is consumed by BOTH the
+    # size gate and the final per-format report; left lazy, each
+    # reference re-ran the corpus generator AND the header probe (the
+    # measured plan held 4 generator + 2 probe Python nodes).
+    # Materializing the TINY (id, fmt, w, h) rows once means the header
+    # parse runs exactly once and the payload side stays a single lazy
+    # scan — the right production shape too: never checkpoint payload
+    # bytes, checkpoint the metadata decisions about them (guide §8).
     meta = MM.probe_metadata(corpus).select(
         "media_id",
         F.col("meta.format").alias("fmt"),
         F.col("meta.width").alias("w"),
         F.col("meta.height").alias("h"),
+    ).localCheckpoint(eager=True)
+    gate = meta.filter((F.col("w") >= 8) & (F.col("h") >= 6)).select(
+        "media_id", "fmt"
     )
-    # NOTE: this join re-evaluates the synthesized `corpus` generator on
-    # BOTH subtrees (meta derives from corpus too). Harmless here — the
-    # fixture is a cheap deterministic mapInPandas — but in production
-    # the corpus is a TABLE (scan twice = read twice, fine) or, if it
-    # really were an expensive generator, localCheckpoint() it first.
-    kept = (
-        meta.filter((F.col("w") >= 8) & (F.col("h") >= 6))
-        .select("media_id", "fmt")
-        .join(corpus, "media_id")
-    )
+    kept = gate.join(corpus, "media_id")
     resized = MM.resize_images(
         kept.select("media_id", "payload"), 8, 6, resampler=MM.pixel_resample
     )
     stats = MM.pixel_stats(resized)
-    keyed = stats.join(kept.select("media_id", "fmt"), "media_id")
+    keyed = stats.join(gate, "media_id")
     wd = Window.partitionBy("sum_r", "sum_g", "sum_b").orderBy("media_id")
     ranked = keyed.withColumn("rn", F.row_number().over(wd))
     surv = F.col("rn") == 1
