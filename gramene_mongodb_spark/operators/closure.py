@@ -72,6 +72,14 @@ def transitive_closure(
         # double per round (see lineage.py) — exponential analysis cost
         return hard_checkpoint(df.repartition(parts))
 
+    # NOTE (r15 A/B): checkpoint-before-count was tried here and REVERTED
+    # — for the LUT-sized closures this operator actually serves
+    # (ontology/taxonomy hierarchies), the eager materialization costs
+    # more than the repeated lazy references it saves (k7 0.82→1.00 s,
+    # release_e2e 3.08→5.12 s, genes_decorate 3.62→4.12 s).
+    # connected_components keeps that flip because its edge derivation
+    # (an ER match join) is genuinely expensive; these edge inputs are
+    # cheap scans.
     base = edges.select(
         F.col(child).alias("node"), F.col(parent).alias("ancestor")
     ).distinct()
@@ -333,6 +341,12 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # r15 (guide §1.2/§5): checkpoint BEFORE counting — the count used
+    # to execute the caller's full edge derivation (e.g. the ER match
+    # join) once for the size probe and the chosen path then recomputed
+    # it from scratch. Materialized first, the count is a leaf scan and
+    # both strategies consume the already-built canonical edge set.
+    e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     if n_edges <= small_graph_threshold:
         return _components_single_task(e)
@@ -480,7 +494,10 @@ def pagerank(
     # a round no longer recomputes/joins the degree table: before, each
     # round's plan re-derived deg from e (one groupBy exchange + one join
     # per round; ReusedExchange collapses duplicates within a job but not
-    # the join itself).
+    # the join itself). A checkpoint-first/AQE-sized variant was tried
+    # and REVERTED (r15 A/B): the count-based sizing collapses small
+    # graphs to few partitions, which beats paying 32-task rounds
+    # (x_pagerank_hosts 1.03→1.45 s under the flip).
     from pyspark.sql import Window as _W
 
     e = (
