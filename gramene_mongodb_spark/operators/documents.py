@@ -3249,6 +3249,17 @@ def _mongo_aggregate_impl(
 ) -> DataFrame:
     out = df
     pipeline = list(pipeline)
+    # r15 (guide §7.2): names whose defining expression is an inline
+    # Project chain built by THIS pipeline ($addFields/$set/$project
+    # computed fields). $unwind uses this to decide between plain
+    # explode (cheap attribute — the inferred `size(arr)>0` filter
+    # costs nothing and may prune at the scan) and the struct-wrap
+    # rewrite (expensive computed array — the inferred filter would
+    # re-inline the whole expression chain per row). Stages that
+    # materialize through an operator boundary (join/aggregate/window/
+    # generate) clear the set: their outputs are real attributes that
+    # projection collapse cannot substitute through.
+    proj_cols: set[str] = set()
     i = -1
     while i + 1 < len(pipeline):
         i += 1
@@ -3256,6 +3267,9 @@ def _mongo_aggregate_impl(
         if not isinstance(stage, dict) or len(stage) != 1:
             raise ValueError(f"each stage must have exactly one operator: {stage}")
         op, spec = next(iter(stage.items()))
+        if op not in ("$match", "$sort", "$skip", "$limit",
+                      "$project", "$addFields", "$set", "$unwind"):
+            proj_cols.clear()
         if op == "$lookup" and "pipeline" in spec:
             out = _mongo_lookup_pipeline(out, spec, collections)
             continue
@@ -3361,13 +3375,16 @@ def _mongo_aggregate_impl(
                 raise ValueError("exclusion projection cannot carry computed fields")
             if exc:
                 out = out.drop(*exc)
+                proj_cols -= set(exc)
             else:
                 cols = [F.col(k).alias(k) for k in inc]
                 cols += [_mongo_expr(v).alias(k) for k, v in computed.items()]
                 out = out.select(*cols)
+                proj_cols = (proj_cols & set(inc)) | set(computed)
         elif op in ("$addFields", "$set"):
             for k, v in spec.items():
                 out = out.withColumn(k, _mongo_expr(v))
+            proj_cols.update(spec.keys())
         elif op == "$unwind":
             if isinstance(spec, str):
                 path, preserve = spec, False
@@ -3377,8 +3394,49 @@ def _mongo_aggregate_impl(
             if not path.startswith("$"):
                 raise ValueError("$unwind path must start with '$'")
             field = path[1:]
-            exploder = F.explode_outer if preserve else F.explode
-            out = out.withColumn(field, exploder(F.col(field)))
+            if preserve:
+                out = out.withColumn(field, F.explode_outer(F.col(field)))
+            elif field not in proj_cols:
+                # cheap attribute (scan column or join/agg/window output):
+                # plain explode — the inferred `size(arr)>0` pre-filter
+                # references the attribute directly and may prune at the
+                # scan; the struct-wrap below would only add per-element
+                # wrap cost (A/B: x_mongo_aggregate 0.64→0.78 s,
+                # x_mongo_graphlookup 2.71→2.89 s when wrapped).
+                out = out.withColumn(field, F.explode(F.col(field)))
+            else:
+                # r15 (guide §7.2): for a PROJECTION-COMPUTED array, NOT
+                # plain F.explode — Catalyst's InferFiltersFromGenerate
+                # derives `size(arr) > 0 AND arr IS NOT NULL` from a
+                # non-outer Generate and predicate pushdown then
+                # substitutes the array's FULL defining expression into
+                # that filter at the scan; the array is computed per-row
+                # (regex/map chains), so every row paid the whole chain
+                # twice (measured: x_mongo_object_reshape 2.80 → 1.91 s
+                # after this rewrite). Struct-wrapping makes elements
+                # non-null, explode_outer admits no inferred filter, and
+                # the post-filter on the GENERATED attribute cannot be
+                # pushed below the Generate. Semantics are identical to
+                # explode: null/empty arrays drop (outer emits one null
+                # wrapper row, filtered), null ELEMENTS survive as null
+                # rows (the wrapper struct is non-null).
+                if "__unwind_w" in out.columns:
+                    raise ValueError(
+                        "column name '__unwind_w' is reserved by the "
+                        "$unwind compiler; rename the input column"
+                    )
+                wrapped = F.transform(
+                    F.col(field), lambda x: F.struct(x.alias("v"))
+                )
+                out = (
+                    out.withColumn("__unwind_w", F.explode_outer(wrapped))
+                    .filter(F.col("__unwind_w").isNotNull())
+                    .withColumn(field, F.col("__unwind_w")["v"])
+                    .drop("__unwind_w")
+                )
+            # the unwound field is now generator output, no longer an
+            # inline Project chain
+            proj_cols.discard(field)
         elif op == "$group":
             if "_id" not in spec:
                 raise ValueError("$group requires _id")
