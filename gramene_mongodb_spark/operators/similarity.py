@@ -343,21 +343,25 @@ def kmeans_assign_exact(
             .drop("__cents")
         )
 
+    # r15 (guide §5.1, driver cost): the per-dim aggregate/rebuild
+    # expressions are built as SQL strings parsed in ONE JVM call each —
+    # the previous Column-algebra list comprehensions issued ~4-7 py4j
+    # round-trips per dimension per expression (~1.7 s of driver wall at
+    # dim=64 JUST to construct the plan; the plan itself is unchanged).
+    sum_exprs = [F.expr(f"sum(__q[{i}]) AS s{i}") for i in range(dim)]
+    rebuild = F.expr(
+        "array("
+        + ", ".join(
+            f"cast(round(cast(s{i} as double) / n) as long)" for i in range(dim)
+        )
+        + ") AS __c"
+    )
     for _ in range(iterations):
         assigned = assign(quant, cent)
         sums = assigned.groupBy("__cid").agg(
-            *[F.sum(F.col("__q")[i]).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
+            *sum_exprs, F.count(F.lit(1)).alias("n"),
         )
-        cent = sums.select(
-            "__cid",
-            F.array(
-                *[
-                    F.round(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
-                    for i in range(dim)
-                ]
-            ).alias("__c"),
-        )
+        cent = sums.select("__cid", rebuild)
         cent = hard_checkpoint(cent)
     return assign(quant, cent).select(F.col(id_col), F.col("__cid").alias("cluster"))
 
