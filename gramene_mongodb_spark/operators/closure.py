@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -747,21 +749,31 @@ def bfs_distance(
         .withColumn("d", F.lit(0).cast("long"))
         .repartition(parts)
     )
+    # r15 (guide §5.4): `visited` is kept as a lazy union of the
+    # per-round checkpointed DELTAS instead of being re-materialized in
+    # full each hop — every leaf is a checkpoint, so plan growth stays
+    # linear and the anti-join still shuffles the same bytes, but the
+    # O(|visited|) checkpoint REWRITE per round is gone (one checkpoint
+    # per hop, not two; at h hops the old form rewrote the growing
+    # visited table h times ≈ O(V·h) extra writes).
+    deltas = [visited]
     frontier = visited
     for hop in range(1, max_hops + 1):
+        vis_all = reduce(DataFrame.unionByName, (d.select("u") for d in deltas))
         nxt = hard_checkpoint(
             frontier.select("u")
             .join(e, "u")
             .select(F.col("v").alias("u"))
             .distinct()
-            .join(visited.select("u"), "u", "left_anti")
+            .join(vis_all, "u", "left_anti")
             .withColumn("d", F.lit(hop).cast("long"))
             .repartition(parts)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = hard_checkpoint(visited.unionByName(nxt))
+        deltas.append(nxt)
         frontier = nxt
+    visited = reduce(DataFrame.unionByName, deltas)
     return visited.select(F.col("u").alias("vertex"), F.col("d").alias("dist"))
 
 
@@ -817,21 +829,29 @@ def labeled_bfs(
         .withColumn("d", F.lit(0).cast("long"))
         .repartition(parts)
     )
+    # r15 (guide §5.4): per-round deltas as checkpointed leaves, lazily
+    # unioned for the anti-join — see bfs_distance for the rationale
+    # (one checkpoint per hop instead of two, no O(|visited|) rewrite).
+    deltas = [visited]
     frontier = visited
     for hop in range(1, max_hops + 1):
+        vis_all = reduce(
+            DataFrame.unionByName, (d.select("lbl", "u") for d in deltas)
+        )
         nxt = hard_checkpoint(
             frontier.select("lbl", "u")
             .join(e, "u")
             .select("lbl", F.col("v").alias("u"))
             .distinct()
-            .join(visited.select("lbl", "u"), ["lbl", "u"], "left_anti")
+            .join(vis_all, ["lbl", "u"], "left_anti")
             .withColumn("d", F.lit(hop).cast("long"))
             .repartition(parts)
         )
         if detect_empty and nxt.limit(1).count() == 0:
             break
-        visited = hard_checkpoint(visited.unionByName(nxt))
+        deltas.append(nxt)
         frontier = nxt
+    visited = reduce(DataFrame.unionByName, deltas)
     return visited.select(
         F.col("lbl").alias(label), F.col("u").alias(vertex), F.col("d").alias("dist")
     )
