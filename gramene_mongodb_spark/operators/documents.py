@@ -1142,6 +1142,27 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
                 conv = _bool_convert(inp, lenient="onError" in args)
             elif "onError" in args:
                 conv = inp.try_cast(targets[to])
+                if to in ("int", "long"):
+                    # r15 (guide §4 boundary-adjacent cost): try_cast on
+                    # a STRING that fails to parse raises-and-catches a
+                    # JVM exception PER ROW (~13 µs) — an all-invalid
+                    # column measured 2.05 s vs 0.17 s for 150k rows.
+                    # Gate string inputs through an exception-free
+                    # pattern test that accepts a SUPERSET of ANSI's
+                    # integral forms ([\x00-\x20]* trim, optional sign,
+                    # digits — differential-tested against try_cast over
+                    # whitespace/control/sign/decimal/overflow/Unicode
+                    # corpora): matching rows still run try_cast (which
+                    # settles overflow), non-matching rows go straight
+                    # to null→onError with no exception. Non-string
+                    # inputs keep the plain try_cast (a double's string
+                    # form would fail the integral pattern).
+                    _ipat = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+                    conv = F.when(
+                        F.typeof(inp) == "string",
+                        F.when(inp.cast("string").rlike(_ipat),
+                               inp.try_cast(targets[to])),
+                    ).otherwise(inp.try_cast(targets[to]))
             else:
                 conv = inp.cast(targets[to])
             if "onError" in args:
