@@ -1764,8 +1764,13 @@ def w2_genes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the index rides along into ONE self-join on the pairing key — the
     # generic genes_between(pairs, idx) operator (unit-tested) would
-    # spend two extra shuffles re-attaching positions we already have
-    idx = G.gene_order_index(genes)
+    # spend two extra shuffles re-attaching positions we already have.
+    # r15: checkpoint the index once — the aliased self-join defeats
+    # ReusedExchange (the frequent_itemsets/homologs lesson), so the
+    # lazy form computed the scan→groupBy→window subtree TWICE (plan
+    # held 4 exchanges + 2 sorts; now the subtree runs once and the
+    # planner broadcasts one side of the pairing join).
+    idx = G.gene_order_index(genes).localCheckpoint(eager=True)
     a = idx.select(
         "l_orderkey",
         F.col("gene_id").alias("gene_id"),
@@ -11778,7 +11783,12 @@ def pipeline_homologs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the index feeds BOTH sides of the pairing self-join; without
     # materialization Catalyst computes the scan→agg→window subtree
     # twice (aliased self-joins defeat ReusedExchange — the
-    # frequent_itemsets lesson), so checkpoint it once
+    # frequent_itemsets lesson), so checkpoint it once. (r15 A/B:
+    # repartition("l_orderkey") before the checkpoint was tried and
+    # REVERTED — the PySpark localCheckpoint scan reports
+    # UnknownPartitioning, so the join cannot consume the layout, and
+    # the planner already broadcasts one side of the self-join anyway:
+    # the added shuffle measured 2.25-2.62 → 2.63-4.79 s.)
     idx = G.gene_order_index(genes).localCheckpoint(eager=True)
     a = idx.select(
         "l_orderkey",
