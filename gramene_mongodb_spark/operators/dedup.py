@@ -596,6 +596,12 @@ def ngram_jaccard_pairs(
         "rn",
         F.row_number().over(w_doc.orderBy(F.col("df"), F.col("shingle"))),
     )
+    # (r15 A/B: an eager checkpoint of the prefix — the w2/homologs
+    # self-join trick — was tried and REVERTED: 2.4-3.1 → 3.4-3.9 s.
+    # Unlike those cases the doubled subtree here is cheap relative to
+    # the candidate join, and the synchronous barrier costs more than
+    # the recompute it saves; the two aliased branches pipeline inside
+    # one job.)
     prefix = ranked.filter(
         F.col("rn")
         <= F.floor(F.round((1.0 - threshold) * F.col("n_shingles"), 6)).cast("int")

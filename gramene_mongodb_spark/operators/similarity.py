@@ -885,11 +885,21 @@ def pq_model(
         ).alias("sub", "__sq"),
     )
 
-    w_init = Window.partitionBy("sub").orderBy(id_col)
+    # r15 (guide §2.2): init = the k lowest-id vectors, which are the
+    # SAME ids in every subspace — take them once with a global
+    # orderBy().limit(k) (a TakeOrdered reduction) and explode k rows,
+    # instead of row_number over the whole m×n exploded corpus (a full
+    # per-sub shuffle+sort just to keep k rows per sub).
+    low = quant.orderBy(id_col).limit(k)
     cent = (
-        subs.withColumn("__rn", F.row_number().over(w_init))
-        .filter(F.col("__rn") <= k)
-        .select("sub", (F.col("__rn") - 1).alias("__cid"), F.col("__sq").alias("__c"))
+        low.withColumn("__rn", F.row_number().over(Window.orderBy(id_col)))
+        .select(
+            (F.col("__rn") - 1).alias("__cid"),
+            F.posexplode(
+                F.array(*[F.slice("__q", s * subdim + 1, subdim) for s in range(m)])
+            ).alias("sub", "__c"),
+        )
+        .select("sub", "__cid", "__c")
     )
     cent = hard_checkpoint(cent)
 
@@ -917,22 +927,22 @@ def pq_model(
             )
         )
 
+    # per-dim expressions as parsed SQL strings — one JVM call each, not
+    # 4-7 py4j round-trips per dimension (the kmeans_assign_exact fix)
+    sum_exprs = [F.expr(f"sum(__sq[{i}]) AS s{i}") for i in range(subdim)]
+    rebuild = F.expr(
+        "array("
+        + ", ".join(
+            f"cast(round(cast(s{i} as double) / n) as long)" for i in range(subdim)
+        )
+        + ") AS __c"
+    )
     for _ in range(iterations):
         assigned = assign(subs, cent)
         sums = assigned.groupBy("sub", "__cid").agg(
-            *[F.sum(F.col("__sq")[i]).alias(f"s{i}") for i in range(subdim)],
-            F.count(F.lit(1)).alias("n"),
+            *sum_exprs, F.count(F.lit(1)).alias("n"),
         )
-        cent = sums.select(
-            "sub",
-            "__cid",
-            F.array(
-                *[
-                    F.round(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
-                    for i in range(subdim)
-                ]
-            ).alias("__c"),
-        )
+        cent = sums.select("sub", "__cid", rebuild)
         cent = hard_checkpoint(cent)
 
     return assign(subs, cent), cent
