@@ -1112,12 +1112,17 @@ def _encode_pairs(w: _BitWriter, vals: np.ndarray, tid: int) -> None:
 
 
 def _encode_granule_bits(
-    xs: np.ndarray, sfb_long: tuple[int, ...], w: _BitWriter | None = None
+    xs: np.ndarray,
+    sfb_long: tuple[int, ...],
+    w: _BitWriter | None = None,
+    window_switching: bool = False,
 ) -> tuple:
     """Partition + Huffman-encode one granule's 576 integer lines,
     appending to ``w`` (which already carries the scalefactor bits when
     the caller wrote any — spec part2 ordering). Returns (writer,
-    side-info fields dict)."""
+    side-info fields dict). With ``window_switching`` the big-value
+    region split is the spec's fixed two-region layout (boundary at
+    line 36, two table selects) used by block types 1/2/3."""
     nz = np.nonzero(xs)[0]
     last = int(nz[-1]) + 1 if len(nz) else 0
     # rzero boundary: pairs; count1 region: quads with |v| <= 1
@@ -1129,19 +1134,30 @@ def _encode_granule_bits(
     quad_end = min(quad_end, 576)
     if big_end > 576 or np.abs(xs[:big_end]).max(initial=0) > 3:
         raise ValueError("big-value magnitude > 3 (bundled-table encoder)")
-    # region split at sfb boundaries: region0_count=7, region1_count chosen
-    # so region2 is the tail (any split is legal; decoder uses the same map)
-    r0c, r1c = 7, 7
-    r0_end = min(sfb_long[r0c + 1], big_end)
-    r1_end = min(sfb_long[r0c + r1c + 2], big_end)
     if w is None:
         w = _BitWriter()
-    t0 = _pick_pair_table(xs[:r0_end])
-    t1 = _pick_pair_table(xs[r0_end:r1_end])
-    t2 = _pick_pair_table(xs[r1_end:big_end])
-    _encode_pairs(w, xs[:r0_end], t0)
-    _encode_pairs(w, xs[r0_end:r1_end], t1)
-    _encode_pairs(w, xs[r1_end:big_end], t2)
+    if window_switching:
+        # fixed split per §2.4.2.7: region0 = first 36 lines, region1 = rest
+        r0_end = min(36, big_end)
+        t0 = _pick_pair_table(xs[:r0_end])
+        t1 = _pick_pair_table(xs[r0_end:big_end])
+        _encode_pairs(w, xs[:r0_end], t0)
+        _encode_pairs(w, xs[r0_end:big_end], t1)
+        tables = [t0, t1]
+    else:
+        # region split at sfb boundaries: region0_count=7, region1_count
+        # chosen so region2 is the tail (any split is legal; decoder uses
+        # the same map)
+        r0c, r1c = 7, 7
+        r0_end = min(sfb_long[r0c + 1], big_end)
+        r1_end = min(sfb_long[r0c + r1c + 2], big_end)
+        t0 = _pick_pair_table(xs[:r0_end])
+        t1 = _pick_pair_table(xs[r0_end:r1_end])
+        t2 = _pick_pair_table(xs[r1_end:big_end])
+        _encode_pairs(w, xs[:r0_end], t0)
+        _encode_pairs(w, xs[r0_end:r1_end], t1)
+        _encode_pairs(w, xs[r1_end:big_end], t2)
+        tables = [t0, t1, t2]
     # count1 quads: pick the cheaper table
     quads = []
     for i in range(big_end, quad_end, 4):
@@ -1166,12 +1182,302 @@ def _encode_granule_bits(
                 w.write(1 if v < 0 else 0, 1)
     fields = {
         "big_values": big_end // 2,
-        "table_select": [t0, t1, t2],
-        "region0_count": r0c,
-        "region1_count": r1c,
+        "table_select": tables,
+        "window_switching": 1 if window_switching else 0,
         "count1table_select": ct,
     }
+    if not window_switching:
+        fields["region0_count"] = r0c
+        fields["region1_count"] = r1c
     return w, fields
+
+
+#: transient detection: a granule goes SHORT when its 36-sample MDCT
+#: window simultaneously holds loud content and near-silence — the
+#: pre/post-echo condition (quantization noise of a long window spreads
+#: over all 1152 samples it covers; against near-silence that noise is
+#: unmasked). 1e-4 = 40 dB spread; the floor ignores numerically-quiet
+#: windows outright.
+_TRANSIENT_RATIO = 1e-4
+_TRANSIENT_FLOOR = 1e-7
+
+
+def _assign_block_types(chunk_energy: np.ndarray) -> list[int]:
+    """Per-granule block types (0 long / 1 start / 2 short / 3 stop)
+    from 6-subband-sample chunk energies: 3 chunks per granule with one
+    virtual silent granule prepended, so granule ``g``'s MDCT window is
+    ``chunk_energy[3g : 3g+6]``. Emits the spec-legal window sequence
+    (…0,1,2…2,3,0…); a long granule squeezed between two shorts becomes
+    short itself (it cannot be start and stop at once)."""
+    ngran = len(chunk_energy) // 3 - 1
+    short = [False] * ngran
+    for g in range(ngran):
+        win = chunk_energy[3 * g: 3 * g + 6]
+        mx = float(win.max())
+        if mx > _TRANSIENT_FLOOR and float(win.min()) < mx * _TRANSIENT_RATIO:
+            short[g] = True
+    changed = True
+    while changed:
+        changed = False
+        for g in range(1, ngran - 1):
+            if not short[g] and short[g - 1] and short[g + 1]:
+                short[g] = True
+                changed = True
+    out = []
+    for g in range(ngran):
+        if short[g]:
+            out.append(2)
+        elif g + 1 < ngran and short[g + 1]:
+            out.append(1)
+        elif g > 0 and short[g - 1]:
+            out.append(3)
+        else:
+            out.append(0)
+    return out
+
+
+def _forward_mdct_long(seg: np.ndarray, window: np.ndarray) -> np.ndarray:
+    """36 windowed subband samples → 18 spectral lines; exact inverse of
+    the decoder's long/start/stop IMDCT + overlap-add (verified to
+    ~1e-14 round-trip together with :func:`_imdct_granule`)."""
+    return (_IMDCT_COS.T @ (window * seg)) / 9.0
+
+
+def _forward_mdct_short(seg: np.ndarray) -> np.ndarray:
+    """36 subband samples → 3 windows × 6 spectral lines (filterbank
+    order), the inverse of the decoder's block_type-2 IMDCT placement
+    (windows at offsets 6/12/18 of the 36-sample span)."""
+    out = np.empty(18)
+    for wi in range(3):
+        out[wi * 6:(wi + 1) * 6] = (
+            _IMDCT12_COS.T @ (_WIN_SHORT * seg[6 + wi * 6:18 + wi * 6])) / 3.0
+    return out
+
+
+_SHORT_IDX_CACHE: dict[int, np.ndarray] = {}
+
+
+def _short_huffman_to_fb(sfb_short: tuple[int, ...], rate: int) -> np.ndarray:
+    """Index array mapping Huffman order (sfb, window, line) → filterbank
+    order (subband, window, line) — the encoder-side inverse of
+    :func:`_reorder_short` (same index walk, applied as a gather)."""
+    got = _SHORT_IDX_CACHE.get(rate)
+    if got is not None:
+        return got
+    idx = np.empty(576, dtype=np.int64)
+    for b in range(len(sfb_short) - 1):
+        lo, hi = sfb_short[b], sfb_short[b + 1]
+        width = hi - lo
+        for win in range(3):
+            for i in range(width):
+                line = lo + i
+                idx[lo * 3 + win * width + i] = (
+                    (line // 6) * 18 + win * 6 + (line % 6))
+    _SHORT_IDX_CACHE[rate] = idx
+    return idx
+
+
+def _quantize_long_granule(
+    xr: np.ndarray, sfb_long: tuple[int, ...], share: int,
+    window_switching: bool,
+) -> tuple:
+    """Gain/scalefactor search for a long-family granule (block types
+    0/1/3): among every global_gain whose quantized magnitudes fit the
+    bundled tables (max |q| <= 3) AND whose Huffman bits fit this
+    granule's share, keep the one with the smallest actual reconstruction
+    error — coarser gains zero more lines, finer gains clip less, and
+    neither end is uniformly better. Per-band scalefactors
+    (scalefac_compress 15) sharpen quiet bands up toward the |q| <= 3
+    ceiling instead of quantizing them to silence under the loudest
+    band's step. Returns (global_gain, writer, fields)."""
+    mag = np.abs(xr)
+    maxmag = float(mag.max(initial=0.0))
+    # closed-form search start: q <= 3 iff mag/step < 3.5946^(4/3)
+    if maxmag > 0.0:
+        lo = int(np.ceil(210 + 4 * np.log2(maxmag / 5.494690))) - 1
+        lo = max(0, min(lo, 255))
+    else:
+        lo = 210
+    sfc = 15
+    slen1, slen2 = _SLEN1[sfc], _SLEN2[sfc]
+    caps = [2 ** slen1 - 1] * 11 + [2 ** slen2 - 1] * 10
+    chosen = None
+    best_err = None
+    for gg in range(lo, min(lo + 16, 256)):
+        step = 2.0 ** (0.25 * (gg - 210))
+        sf = [0] * 21
+        scale = np.ones(576)
+        for b in range(21):
+            b_lo, b_hi = sfb_long[b], sfb_long[b + 1]
+            m_b = float(mag[b_lo:b_hi].max(initial=0.0))
+            if m_b <= 0.0:
+                continue
+            s = int(np.floor(2.0 * np.log2(5.494690 * step / m_b)))
+            s = max(0, min(caps[b], s))
+            while s and np.floor(
+                (m_b * 2.0 ** (0.5 * s) / step) ** 0.75 + 0.4054
+            ) > 3:
+                s -= 1
+            if s:
+                sf[b] = s
+                scale[b_lo:b_hi] = 2.0 ** (0.5 * s)
+        q = np.floor((mag * scale / step) ** 0.75 + 0.4054).astype(np.int64)
+        if q.max(initial=0) > 3:
+            continue
+        recon = q.astype(np.float64) ** (4.0 / 3.0) * step / scale
+        err = float(((mag - recon) ** 2).sum())
+        if best_err is not None and err >= best_err:
+            if err > 4.0 * best_err:
+                break  # monotonically worse from here on
+            continue
+        xs = (np.sign(xr) * q).astype(np.int64)
+        use_sfc = sfc if any(sf) else 0
+        w = _BitWriter()
+        if use_sfc:
+            for b in range(11):
+                w.write(sf[b], slen1)
+            for b in range(11, 21):
+                w.write(sf[b], slen2)
+        w, fields = _encode_granule_bits(xs, sfb_long, w, window_switching)
+        if w.bit_length() <= share:
+            fields["scalefac_compress"] = use_sfc
+            chosen = (gg, w, fields)
+            best_err = err
+    if chosen is None:
+        # loud broadband content at a low bitrate: nothing in the
+        # error-minimizing window fits, so walk the gain coarser with
+        # scalefactors OFF until the bits fit — terminates because a
+        # coarse enough step zeroes everything (found by the Hypothesis
+        # round-trip property, seed in tests/test_properties.py)
+        for gg in range(lo, 256):
+            step = 2.0 ** (0.25 * (gg - 210))
+            q = np.floor((mag / step) ** 0.75 + 0.4054).astype(np.int64)
+            if q.max(initial=0) > 3:
+                continue
+            xs = (np.sign(xr) * q).astype(np.int64)
+            w, fields = _encode_granule_bits(
+                xs, sfb_long, None, window_switching)
+            if w.bit_length() <= share:
+                fields["scalefac_compress"] = 0
+                chosen = (gg, w, fields)
+                break
+    return chosen
+
+
+def _quantize_short_granule(
+    hxr: np.ndarray, sfb_short: tuple[int, ...], sfb_long: tuple[int, ...],
+    share: int,
+) -> tuple:
+    """Gain search for a SHORT granule (block type 2), spectrum in
+    Huffman order: per-window subblock_gain centers each window's step
+    (a quiet window next to an attack gets up to 2^-14 finer), and
+    per-(window, band) scalefactors sharpen quiet bands toward the
+    |q| <= 3 ceiling — the short-block twin of the long-path search.
+    Returns (global_gain, writer, fields) with subblock_gain set."""
+    mag = np.abs(hxr)
+    maxmag = float(mag.max(initial=0.0))
+    if maxmag > 0.0:
+        lo = int(np.ceil(210 + 4 * np.log2(maxmag / 5.494690))) - 1
+        lo = max(0, min(lo, 255))
+    else:
+        lo = 210
+    sfc = 15
+    slen1, slen2 = _SLEN1[sfc], _SLEN2[sfc]
+    nb = len(sfb_short) - 1
+    # per-(window, band) slices of the Huffman-order spectrum + maxima
+    slices = []
+    wb_max = np.zeros((3, nb))
+    for b in range(nb):
+        b_lo, b_hi = sfb_short[b], sfb_short[b + 1]
+        width = b_hi - b_lo
+        for win in range(3):
+            a = b_lo * 3 + win * width
+            slices.append((win, b, a, a + width))
+            wb_max[win][b] = mag[a:a + width].max(initial=0.0)
+    w_max = wb_max.max(axis=1)
+    chosen = None
+    best_err = None
+    for gg in range(lo, min(lo + 16, 256)):
+        step = 2.0 ** (0.25 * (gg - 210))
+        sbg = [0, 0, 0]
+        # subblock_gain: largest 0..7 keeping the window max at |q| <= 3
+        # (each unit is 2 octaves finer: expo -= 2 per unit)
+        for win in range(3):
+            if w_max[win] <= 0.0:
+                continue
+            g_units = int(np.floor(
+                (gg - 210 - 4.0 * np.log2(w_max[win] / 5.494690)) / 8.0))
+            s = max(0, min(7, g_units))
+            while s and np.floor(
+                (w_max[win] * 4.0 ** s / step) ** 0.75 + 0.4054
+            ) > 3:
+                s -= 1
+            sbg[win] = s
+        sf = [[0] * nb for _ in range(3)]
+        scale = np.ones(576)
+        for win, b, a, z in slices:
+            m_b = wb_max[win][b]
+            base = 4.0 ** sbg[win]
+            if m_b <= 0.0:
+                if sbg[win]:
+                    scale[a:z] = base
+                continue
+            if b < 12:
+                cap = (2 ** slen1 - 1) if b < 6 else (2 ** slen2 - 1)
+                s = int(np.floor(
+                    2.0 * np.log2(5.494690 * step / (m_b * base))))
+                s = max(0, min(cap, s))
+                while s and np.floor(
+                    (m_b * base * 2.0 ** (0.5 * s) / step) ** 0.75 + 0.4054
+                ) > 3:
+                    s -= 1
+                sf[win][b] = s
+                scale[a:z] = base * 2.0 ** (0.5 * s)
+            else:
+                # band 12+ carries no scalefactor: subblock_gain only
+                scale[a:z] = base
+        q = np.floor((mag * scale / step) ** 0.75 + 0.4054).astype(np.int64)
+        if q.max(initial=0) > 3:
+            continue
+        recon = q.astype(np.float64) ** (4.0 / 3.0) * step / scale
+        err = float(((mag - recon) ** 2).sum())
+        if best_err is not None and err >= best_err:
+            if err > 4.0 * best_err:
+                break
+            continue
+        xs = (np.sign(hxr) * q).astype(np.int64)
+        any_sf = any(any(row) for row in sf)
+        use_sfc = sfc if any_sf else 0
+        w = _BitWriter()
+        if use_sfc:
+            # spec order: sfb-major, window-minor (matches the reader)
+            for b in range(6):
+                for win in range(3):
+                    w.write(sf[win][b], slen1)
+            for b in range(6, 12):
+                for win in range(3):
+                    w.write(sf[win][b], slen2)
+        w, fields = _encode_granule_bits(xs, sfb_long, w, True)
+        if w.bit_length() <= share:
+            fields["scalefac_compress"] = use_sfc
+            fields["subblock_gain"] = list(sbg)
+            chosen = (gg, w, fields)
+            best_err = err
+    if chosen is None:
+        # fallback: walk coarser with scalefactors/subblock gain OFF
+        for gg in range(lo, 256):
+            step = 2.0 ** (0.25 * (gg - 210))
+            q = np.floor((mag / step) ** 0.75 + 0.4054).astype(np.int64)
+            if q.max(initial=0) > 3:
+                continue
+            xs = (np.sign(hxr) * q).astype(np.int64)
+            w, fields = _encode_granule_bits(xs, sfb_long, None, True)
+            if w.bit_length() <= share:
+                fields["scalefac_compress"] = 0
+                fields["subblock_gain"] = [0, 0, 0]
+                chosen = (gg, w, fields)
+                break
+    return chosen
 
 
 def encode_mp3(
@@ -1181,8 +1487,12 @@ def encode_mp3(
     protection: bool = False,
 ) -> bytes:
     """Spec-valid CBR MPEG-1 Layer III encode of float PCM (±1 range,
-    shape (n,) mono or (n, 2) stereo). Long blocks, zero scalefactors
-    (quality is carried by global_gain alone), no bit reservoir
+    shape (n,) mono or (n, 2) stereo). Long blocks with per-band
+    scalefactors for steady content; WINDOW SWITCHING (start/short/stop,
+    per-window subblock_gain) around transients so quantization noise
+    stays temporally confined instead of pre/post-echoing across the
+    whole 1152-sample window (the Hypothesis burst counterexample,
+    seed 1911833517, pinned in tests). No bit reservoir
     (main_data_begin = 0), bundled Huffman tables only — every produced
     stream round-trips through :func:`decode_mp3` and is decodable by
     any conformant third-party decoder. PCM is zero-padded to a whole
@@ -1215,120 +1525,73 @@ def encode_mp3(
         (br_idx << 4) | (sr_idx << 2),
         (mode << 6),
     ])
-    analyzers = [_Analyzer() for _ in range(nch)]
+    sfb_short = _SFB_SHORT[sample_rate]
+    short_idx = _short_huffman_to_fb(sfb_short, sample_rate)
+    ngran = nframes * 2
+    share = budget_bits // (2 * nch)
+    # --- phase 1: analysis filterbank over every granule (frequency
+    # inversion applied, self-inverse), so block types can look one
+    # granule ahead (a long granule preceding a short one must carry
+    # the START window)
+    subblocks: list[list[np.ndarray]] = []
+    btypes: list[list[int]] = []
+    for ci in range(nch):
+        an = _Analyzer()
+        blocks = []
+        for g in range(ngran):
+            base = g * 576
+            sub = np.empty((18, 32))
+            for t in range(18):
+                sub[t] = an.run(padded[base + t * 32: base + (t + 1) * 32, ci])
+            cur = sub.T.copy()  # (32, 18)
+            cur[1::2, 1::2] *= -1.0
+            blocks.append(cur)
+        subblocks.append(blocks)
+        # transient detection: 6-sample chunk energies, one virtual
+        # silent granule prepended so granule 0's window is covered
+        chunks = np.zeros(3 * (ngran + 1))
+        for g, cur in enumerate(blocks):
+            for j in range(3):
+                seg = cur[:, 6 * j: 6 * j + 6]
+                chunks[3 * (g + 1) + j] = float((seg * seg).sum())
+        btypes.append(_assign_block_types(chunks))
     mdct_overlap = [np.zeros((32, 18)) for _ in range(nch)]
     out = bytearray()
     for fi in range(nframes):
-        frame_pcm = padded[fi * 1152:(fi + 1) * 1152]
         granule_bits = []   # per granule per channel: (_BitWriter, fields)
         for gi in range(2):
             for ci in range(nch):
-                sub = np.empty((18, 32))
-                for t in range(18):
-                    sub[t] = analyzers[ci].run(
-                        frame_pcm[gi * 576 + t * 32: gi * 576 + (t + 1) * 32, ci])
-                # per-subband: window of (previous 18 + current 18), inverse
-                # frequency inversion first (self-inverse), forward MDCT 1/9
-                cur = sub.T.copy()  # (32, 18)
-                cur[1::2, 1::2] *= -1.0
+                g = fi * 2 + gi
+                bt = btypes[ci][g]
+                cur = subblocks[ci][g]
                 xr = np.empty(576)
-                for sb in range(32):
-                    seg = np.concatenate([mdct_overlap[ci][sb], cur[sb]])
-                    xr[sb * 18:(sb + 1) * 18] = (
-                        _IMDCT_COS.T @ (_WIN_NORMAL * seg)) / 9.0
-                    mdct_overlap[ci][sb] = cur[sb]
-                xr = _antialias_inverse(xr)
-                # quantize: find the smallest step (largest precision) whose
-                # max |is| <= 3 and whose Huffman bits fit the budget share
-                share = budget_bits // (2 * nch)
-                mag = np.abs(xr)
-                # gain search: among every global_gain whose quantized
-                # magnitudes fit the bundled tables (max |q| <= 3) AND whose
-                # Huffman bits fit this granule's share, keep the one with
-                # the smallest actual reconstruction error — coarser gains
-                # zero more lines, finer gains clip less, and neither end is
-                # uniformly better
-                chosen = None
-                best_err = None
-                # closed-form search start: q <= 3 iff mag/step < 3.5946^(4/3)
-                maxmag = float(mag.max(initial=0.0))
-                if maxmag > 0.0:
-                    lo = int(np.ceil(210 + 4 * np.log2(maxmag / 5.494690))) - 1
-                    lo = max(0, min(lo, 255))
+                if bt == 2:
+                    for sb in range(32):
+                        seg = np.concatenate([mdct_overlap[ci][sb], cur[sb]])
+                        xr[sb * 18:(sb + 1) * 18] = _forward_mdct_short(seg)
+                        mdct_overlap[ci][sb] = cur[sb]
+                    # no alias reduction for short blocks (decoder skips it
+                    # too); quantize in Huffman order
+                    hxr = xr[short_idx]
+                    chosen = _quantize_short_granule(
+                        hxr, sfb_short, sfb_long, share)
                 else:
-                    lo = 210
-                # per-band SCALEFACTORS (scalefac_compress 15: slen1=4,
-                # slen2=3): quiet bands get sharpened up toward the
-                # |q| <= 3 ceiling — 2^(sf/2) finer steps — instead of
-                # quantizing to silence under the loudest band's step
-                sfc = 15
-                slen1, slen2 = _SLEN1[sfc], _SLEN2[sfc]
-                caps = [2 ** slen1 - 1] * 11 + [2 ** slen2 - 1] * 10
-                for gg in range(lo, min(lo + 16, 256)):
-                    step = 2.0 ** (0.25 * (gg - 210))
-                    sf = [0] * 21
-                    scale = np.ones(576)
-                    for b in range(21):
-                        b_lo, b_hi = sfb_long[b], sfb_long[b + 1]
-                        m_b = float(mag[b_lo:b_hi].max(initial=0.0))
-                        if m_b <= 0.0:
-                            continue
-                        s = int(np.floor(2.0 * np.log2(5.494690 * step / m_b)))
-                        s = max(0, min(caps[b], s))
-                        while s and np.floor(
-                            (m_b * 2.0 ** (0.5 * s) / step) ** 0.75 + 0.4054
-                        ) > 3:
-                            s -= 1
-                        if s:
-                            sf[b] = s
-                            scale[b_lo:b_hi] = 2.0 ** (0.5 * s)
-                    q = np.floor((mag * scale / step) ** 0.75 + 0.4054
-                                 ).astype(np.int64)
-                    if q.max(initial=0) > 3:
-                        continue
-                    recon = q.astype(np.float64) ** (4.0 / 3.0) * step / scale
-                    err = float(((mag - recon) ** 2).sum())
-                    if best_err is not None and err >= best_err:
-                        if err > 4.0 * best_err:
-                            break  # monotonically worse from here on
-                        continue
-                    xs = (np.sign(xr) * q).astype(np.int64)
-                    use_sfc = sfc if any(sf) else 0
-                    w = _BitWriter()
-                    if use_sfc:
-                        for b in range(11):
-                            w.write(sf[b], slen1)
-                        for b in range(11, 21):
-                            w.write(sf[b], slen2)
-                    w, fields = _encode_granule_bits(xs, sfb_long, w)
-                    if w.bit_length() <= share:
-                        fields["scalefac_compress"] = use_sfc
-                        chosen = (gg, w, fields)
-                        best_err = err
-                if chosen is None:
-                    # loud broadband content at a low bitrate: nothing in
-                    # the error-minimizing window fits, so walk the gain
-                    # coarser with scalefactors OFF until the bits fit —
-                    # terminates because a coarse enough step zeroes
-                    # everything (found by the Hypothesis round-trip
-                    # property, seed in tests/test_properties.py)
-                    for gg in range(lo, 256):
-                        step = 2.0 ** (0.25 * (gg - 210))
-                        q = np.floor((mag / step) ** 0.75 + 0.4054
-                                     ).astype(np.int64)
-                        if q.max(initial=0) > 3:
-                            continue
-                        xs = (np.sign(xr) * q).astype(np.int64)
-                        w, fields = _encode_granule_bits(xs, sfb_long)
-                        if w.bit_length() <= share:
-                            fields["scalefac_compress"] = 0
-                            chosen = (gg, w, fields)
-                            break
+                    win = (_WIN_NORMAL, _WIN_START, None, _WIN_STOP)[bt]
+                    for sb in range(32):
+                        seg = np.concatenate([mdct_overlap[ci][sb], cur[sb]])
+                        xr[sb * 18:(sb + 1) * 18] = _forward_mdct_long(seg, win)
+                        mdct_overlap[ci][sb] = cur[sb]
+                    xr = _antialias_inverse(xr)
+                    chosen = _quantize_long_granule(
+                        xr, sfb_long, share, window_switching=bt != 0)
                 if chosen is None:
                     raise ValueError("granule does not fit the bit budget")
                 gg, w, fields = chosen
                 fields["global_gain"] = gg
                 fields["part2_3_length"] = w.bit_length()
+                fields["block_type"] = bt
+                if bt != 2:
+                    fields["subblock_gain"] = [0, 0, 0]
                 granule_bits.append((w, fields))
         # --- side info
         sw = _BitWriter()
@@ -1341,11 +1604,22 @@ def encode_mp3(
             sw.write(fields["big_values"], 9)
             sw.write(fields["global_gain"], 8)
             sw.write(fields["scalefac_compress"], 4)
-            sw.write(0, 1)                    # window_switching = 0 (long)
-            for t in fields["table_select"]:
-                sw.write(t, 5)
-            sw.write(fields["region0_count"], 4)
-            sw.write(fields["region1_count"], 3)
+            if fields["window_switching"]:
+                # start/short/stop: 2+1+10+9 = 22 bits, same total as the
+                # non-switching 15+4+3 layout
+                sw.write(1, 1)
+                sw.write(fields["block_type"], 2)
+                sw.write(0, 1)                # mixed_block = 0
+                for t in fields["table_select"]:
+                    sw.write(t, 5)
+                for sbg in fields["subblock_gain"]:
+                    sw.write(sbg, 3)
+            else:
+                sw.write(0, 1)
+                for t in fields["table_select"]:
+                    sw.write(t, 5)
+                sw.write(fields["region0_count"], 4)
+                sw.write(fields["region1_count"], 3)
             sw.write(0, 1)                    # preflag
             sw.write(0, 1)                    # scalefac_scale
             sw.write(fields["count1table_select"], 1)
