@@ -19,7 +19,7 @@ explicit value would override the profile.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from gramene_mongodb_spark.operators.closure import transitive_closure
@@ -2835,6 +2835,25 @@ def test_check_expectations_matches_python_reference(spark, rows, refs):
     kbps=st.sampled_from([96, 128, 192, 320]),
     protection=st.booleans(),
 )
+# the r15 driver's counterexample: a burst whose onset sat near the far
+# edge of the SNR segment, so long-block pre-echo (quantization noise
+# spread over the whole 1152-sample window) swamped the sliver of
+# in-segment signal (2.70 dB < the 3.0 bound). Fixed by encoder window
+# switching (start/short/stop around transients); pinned so it can never
+# regress — this case passes through the strict 3 dB arm (now ~7 dB).
+@example(seed=1911833517, n_frames=4, kind="bursts", rate=32000, kbps=96,
+         protection=False)
+# an ILL-POSED alignment of the same shape: the burst enters the segment
+# 2 samples before its end, so in-segment signal energy is ~0.008 while
+# ANY causal lossy codec leaks bounded quantization noise (~0.2-0.3 here,
+# even with short blocks) into the adjacent pre-onset silence — the SNR
+# statistic's denominator vanishes while its numerator has an
+# architecture-independent floor. The pre-r16 test would have failed this
+# seed in EVERY round had Hypothesis drawn it (old long-block encoder:
+# -13.7 dB); such alignments go through the leakage arm below. Pinned so
+# both arms stay exercised deterministically.
+@example(seed=50, n_frames=2, kind="bursts", rate=32000, kbps=96,
+         protection=False)
 def test_mp3_roundtrip_property(seed, n_frames, kind, rate, kbps, protection):
     """MP3 codec round-trip invariants over randomized signals: exact
     stream geometry (frame/byte/sample counts, CRC layout), exact
@@ -2891,8 +2910,30 @@ def test_mp3_roundtrip_property(seed, n_frames, kind, rate, kbps, protection):
         seg = slice(min(1152, len(xs) // 4), len(xs) - min(1152, len(xs) // 4))
         if seg.stop - seg.start > 600 and float(xs[seg] @ xs[seg]) > 1e-6:
             err = xs[seg] - ys[seg]
-            snr = 10 * np.log10((xs[seg] @ xs[seg]) / max(err @ err, 1e-18))
-            assert snr > 3.0, snr
+            sig = float(xs[seg] @ xs[seg])
+            e = float(err @ err)
+            snr = 10 * np.log10(sig / max(e, 1e-18))
+            # two-armed reconstruction contract. Arm 1 (the product bound,
+            # unchanged): SNR above the bundled-table quantizer floor.
+            # Arm 2 (leakage, for alignments where the burst enters the
+            # segment only at its very edge): the SNR statistic is
+            # ill-posed when the in-segment signal energy vanishes while
+            # content sits just outside — any causal lossy codec leaks
+            # bounded noise into silence adjacent to content (a granule's
+            # window covers up to 1152 samples), so bound the in-segment
+            # error by 1/4 of the signal energy within one window radius
+            # of the segment instead. For every full-signal segment
+            # (sines, noise, interior bursts) near <= 2*sig, so arm 2 is
+            # never weaker than ~arm 1 and the 3 dB bound governs; arm 2
+            # only takes over for edge slivers (pinned @example seed=50,
+            # which failed at -13.7 dB under every encoder this codec
+            # ever had — a latent test-framing bug fixed in r16 alongside
+            # the window-switching encoder; see test_mp3.py's directed
+            # transient tests for the strict pre-echo pins).
+            a0 = max(0, seg.start - 1152)
+            a1 = min(len(xs), seg.stop + 1152)
+            near = float(xs[a0:a1] @ xs[a0:a1])
+            assert snr > 3.0 or e <= near / 4.0, (snr, e, sig, near)
 
 
 # ---------------------------------------------------------------------------
@@ -3518,3 +3559,66 @@ def test_calendar_range_window_matches_bruteforce(spark, rows, back):
         mem = [vv for (kk, tt, vv, _) in data if kk == k and lo <= tt <= t]
         assert got[rid][1] == len(mem), (rows, back, rid)
         assert got[rid][0] == sum(mem), (rows, back, rid)
+
+
+# ---------------------------------------------------------------------------
+# $convert integral gate vs plain try_cast (r15 optimization, pinned r16)
+# ---------------------------------------------------------------------------
+
+# adversarial alphabet: ASCII digits, signs, decimal/exponent characters,
+# every whitespace/control class the gate's [\x00-\x20] trim covers plus
+# \x7f and NBSP (which it must NOT trim), Unicode digits and numerals
+# (Arabic-Indic, Devanagari, fullwidth, superscript, vulgar fraction,
+# CJK), and letters
+_CONVERT_ALPHABET = (
+    "0123456789+-.eE \t\n\r\x0b\x0c\x00\x1f\x7f "
+    "٠١٢०１¹½三azAZ_"
+)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_CONVERT_ALPHABET, max_size=24),
+        min_size=1,
+        max_size=48,
+    )
+)
+# directed corners ride along every run: ANSI-trimmed forms, int/long
+# overflow boundaries, huge digit strings, decimals, exponents, interior
+# whitespace, bare signs, NBSP (not ANSI-trimmable)
+@example(texts=[
+    "  123  ", "\t\n-42\x00", "+0", "0042", "-",
+    "+", "--1", "1.5", "1e3", ".5", "",
+    "2147483647", "2147483648", "-2147483649",
+    "9223372036854775807", "9223372036854775808",
+    "-9223372036854775809", "9" * 40, " 42", "4 2", "1 2",
+])
+def test_convert_integral_gate_matches_try_cast(spark, texts):
+    """The $convert string→int/long onError fast path gates try_cast
+    behind INTEGRAL_GATE_PATTERN (an exception-free rlike). Equivalence
+    contract: the gated expression equals plain try_cast ROW FOR ROW —
+    i.e. the pattern accepts a superset of the strings ANSI try_cast
+    parses, so gating never turns a valid conversion into onError. A
+    future Spark upgrade that widens ANSI string-integral acceptance
+    past the pattern breaks this test, not silently the queries
+    (ADVICE r15)."""
+    from pyspark.sql import functions as F
+
+    from gramene_mongodb_spark.operators.documents import (
+        INTEGRAL_GATE_PATTERN,
+    )
+
+    df = spark.createDataFrame([(s,) for s in texts], "s STRING")
+    rows = df.select(
+        F.col("s"),
+        F.when(F.col("s").rlike(INTEGRAL_GATE_PATTERN),
+               F.col("s").try_cast("int")).alias("gated_i"),
+        F.col("s").try_cast("int").alias("plain_i"),
+        F.when(F.col("s").rlike(INTEGRAL_GATE_PATTERN),
+               F.col("s").try_cast("long")).alias("gated_l"),
+        F.col("s").try_cast("long").alias("plain_l"),
+    ).collect()
+    for r in rows:
+        assert r.gated_i == r.plain_i, (repr(r.s), r.gated_i, r.plain_i)
+        assert r.gated_l == r.plain_l, (repr(r.s), r.gated_l, r.plain_l)
