@@ -241,6 +241,16 @@ def nullify_empties(df: DataFrame) -> DataFrame:
 # MongoDB find()-document translation — the reference's query surface
 # --------------------------------------------------------------------------
 
+#: exception-free prefilter for string→int/long ``$convert`` with
+#: ``onError`` (r15, guide §4): accepts a SUPERSET of ANSI try_cast's
+#: integral forms ([\x00-\x20]* trim, optional sign, digits), so gating
+#: try_cast behind it never turns a valid conversion into onError —
+#: non-matching rows skip try_cast's raise-and-catch failure path
+#: (~13 µs/row), matching rows still run it (which settles overflow).
+#: Equivalence to plain try_cast is pinned row-for-row by
+#: tests/test_properties.py::test_convert_integral_gate_matches_try_cast.
+INTEGRAL_GATE_PATTERN = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+
 _CMP_OPS = {
     "$gt": lambda c, v: c > F.lit(v),
     "$gte": lambda c, v: c >= F.lit(v),
@@ -1157,7 +1167,7 @@ def _mongo_expr(spec, env: dict | None = None) -> Column:
                     # to null→onError with no exception. Non-string
                     # inputs keep the plain try_cast (a double's string
                     # form would fail the integral pattern).
-                    _ipat = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+                    _ipat = INTEGRAL_GATE_PATTERN
                     conv = F.when(
                         F.typeof(inp) == "string",
                         F.when(inp.cast("string").rlike(_ipat),
