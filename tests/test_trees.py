@@ -242,3 +242,26 @@ def test_tree_kernels_batched_match_unbatched(spark):
     nest_plain = TR.assemble_nested_trees(nodes).collect()
     nest_batch = TR.assemble_nested_trees(nodes, batch_groups=3).collect()
     assert sorted(map(tuple, nest_plain)) == sorted(map(tuple, nest_batch))
+
+
+def test_leaf_summaries_fused_reps_match_explicit(spark):
+    """The r15 fused path (``reps=None`` runs the rep kernel in-process
+    inside the summary kernel) must return bit-identical rows to the
+    explicit two-pass ``assign_leaf_summaries(scored,
+    select_representatives(scored))`` — on the hand-built TREE1 fixture
+    AND on the synthetic chain forest (the most lopsided shape the rep
+    walk faces). Pins the ADVICE r15 equivalence gap."""
+    from gramene_mongodb_spark.catalog import _synth_chain_tree_nodes
+
+    key = lambda r: (r.tree_id, r.gene_stable_id)
+    for nodes in (
+        spark.createDataFrame(TREE1, NODE_SCHEMA),
+        _synth_chain_tree_nodes(spark, "/root/testdata/sf0.001"),
+    ):
+        scored = TR.score_leaves(nodes)
+        explicit = TR.assign_leaf_summaries(
+            scored, TR.select_representatives(scored)
+        ).collect()
+        fused = TR.assign_leaf_summaries(scored).collect()
+        assert sorted(map(tuple, fused)) == sorted(map(tuple, explicit))
+        assert len(explicit) > 0
