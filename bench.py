@@ -6,12 +6,14 @@ Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "n_queries": N, "runs_per_query": R, "sf": <sf>,
-     "detail_file": "BENCH_DETAIL.json"}
+     "detail_file": "BENCH_DETAIL_c<cpus>.json"}
 
-Per-query min/mean timings land in ``BENCH_DETAIL.json`` (path override:
-``$SPARK_GRAFT_BENCH_DETAIL``), committed per round — the stdout line
-stays a few hundred bytes so the driver's tail capture can never clip
-the headline (which is exactly what broke BENCH_r07.json).
+Per-query min/mean timings land in ``BENCH_DETAIL_c<cpus>.json`` (path
+override: ``$SPARK_GRAFT_BENCH_DETAIL``; the core-count suffix keeps a
+multi-core-count bench session from clobbering its own detail — the
+PERF_r15 lesson), committed per round — the stdout line stays a few
+hundred bytes so the driver's tail capture can never clip the headline
+(which is exactly what broke BENCH_r07.json).
 
 Each query is timed end-to-end (plan build + full execution into a
 ``noop`` sink — every row is computed and serialized by the engine,
@@ -232,9 +234,17 @@ def main() -> None:
     # headline total — and leaving BENCH_r07.json unparseable
     # ("parsed": null). A few-hundred-byte final line survives any tail
     # window; the detail file is committed for round-over-round A/B.
+    # Round 15 lesson: the driver benches at TWO core counts back to
+    # back, and the second run clobbered the first run's per-query
+    # detail before PERF collected it (PERF_r15 per_query came up
+    # empty) — so the default detail name is now suffixed with the core
+    # count; consecutive runs at different $SPARK_GRAFT_CPUS leave
+    # separate files, and the stdout line still names the right one.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f"BENCH_DETAIL_c{cpus}.json"),
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
