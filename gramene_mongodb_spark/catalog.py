@@ -406,7 +406,6 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical starts), and the closure as a recursive CTE."""
     from gramene_mongodb_spark.operators import documents as DOC
     from gramene_mongodb_spark.operators import domains as DM
-    from gramene_mongodb_spark.operators.closure import most_specific
     from gramene_mongodb_spark.operators.genomics import species_rank
     from gramene_mongodb_spark.sources.rest import fetch_json_lut
 
@@ -595,8 +594,16 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"P{i}", [f"R{i % 3}", f"P{i}"]) for i in range(10)],
         "interpro STRING, path ARRAY<STRING>",
     )
+    # r16 (guide §3.3: key the join so the big side's partitioning is
+    # reused): translation_id is "G" + o_custkey — a bijection of the
+    # gene key — so join arch back on the NUMERIC key instead of _id.
+    # The decorated side is already hash-partitioned and sorted on
+    # c_custkey by the canon sort-merge join; joining on _id re-exchanged
+    # and re-sorted the whole gene table for this one stage. Join result
+    # identical (injective key transform).
     arch = DM.architecture_strings(DM.cluster_architecture(feats, paths)).select(
-        F.col("translation_id").alias("arch_key"), "architecture"
+        F.expr("CAST(substring(translation_id, 2) AS BIGINT)").alias("arch_key"),
+        "architecture",
     )
 
     # stage 16: ancestor adder — closure + most-specific split. The
@@ -612,15 +619,35 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("gene_key"),
         ((F.col("o_orderkey") % 63) + 1).alias("term"),
     ).distinct()
+    # r16: `implied` — the DISTINCT (gene, ancestor) pairs of the gene's
+    # own annotated terms — is simultaneously (a) the anti-join side of
+    # most_specific (stage 16 entries, inlined here so the relationship
+    # is explicit; the operator's own anti-join is unchanged for other
+    # callers) and (b) the exact set anc_counts counts:
+    # count_distinct(ancestor) per gene over annos⋈closure ≡ COUNT(*)
+    # per gene over the distinct pairs — same exchange count, stated
+    # equality, oracle hash unchanged. (Negative A/B, r16: eagerly
+    # localCheckpoint-ing annos+implied to share the subtree between the
+    # two consumers was measured 5.32-8.75 s vs 3.80-6.04 s head across
+    # 5 interleaved epochs — the two barriers cost more than the
+    # recomputed subtree; the homologs/ngram lesson again. Left lazy.)
+    implied = (
+        annos.alias("a")
+        .join(closure.alias("c"), F.col("a.term") == F.col("c.node"))
+        .select("a.gene_key", F.col("c.ancestor"))
+        .distinct()
+    )
     entries = (
-        most_specific(annos, closure, "gene_key", "term")
+        annos.join(
+            implied.withColumnRenamed("ancestor", "term"),
+            ["gene_key", "term"],
+            "left_anti",
+        )
         .groupBy("gene_key")
         .agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
     )
-    anc_counts = (
-        annos.join(closure, annos["term"] == closure["node"])
-        .groupBy("gene_key")
-        .agg(F.count_distinct("ancestor").alias("n_ancestors"))
+    anc_counts = implied.groupBy("gene_key").agg(
+        F.count(F.lit(1)).alias("n_ancestors")
     )
 
     ck = decorated["c_custkey"]
@@ -634,7 +661,7 @@ def pipeline_genes_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(treelut), ck % 100 == F.col("tslot"))
         .join(F.broadcast(pathways), decorated["slot"] == F.col("pw_idx"))
         .drop("pw_idx")
-        .join(arch, decorated["_id"] == F.col("arch_key"), "left")
+        .join(arch, ck == F.col("arch_key"), "left")
         .drop("arch_key")
     )
     flat = out.select(
