@@ -10388,11 +10388,16 @@ def pipeline_tree_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rep kernel, summary kernel, leaf decoration, nested assembly) —
     # left lazy, each re-derived the whole synth+sweep+prune subtree
     # (measured plan: 40 parquet scans, 39 c_nationkey exchanges, zero
-    # ReusedExchange). Materialize it ONCE, pre-partitioned on tree_id
-    # so every downstream tree-keyed kernel/join reuses the layout.
-    scored = TR.score_leaves(pruned).repartition("tree_id").localCheckpoint(
-        eager=True
-    )
+    # ReusedExchange). Materialize it ONCE. (r16, ADVICE item: the r15
+    # `.repartition("tree_id")` before the checkpoint was REMOVED —
+    # localCheckpoint scans report UnknownPartitioning, so the claimed
+    # downstream layout reuse never happened: the with/without plans are
+    # IDENTICAL (2 post-checkpoint exchanges either way, committed as
+    # plans/r16/pipeline_tree_publish_{before,after}.txt), the 5-epoch
+    # interleaved wall A/B is a wash at sf0.1 (medians 3.00 vs 2.88 s),
+    # and the repartition itself is an extra full shuffle of the scored
+    # table inside the checkpoint job — strictly worse at scale.)
+    scored = TR.score_leaves(pruned).localCheckpoint(eager=True)
     summ = TR.assign_leaf_summaries(scored).select(
         "tree_id", "gene_stable_id", "rep_gene_id", "ath_rep_gene_id"
     )

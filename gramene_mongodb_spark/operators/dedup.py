@@ -602,6 +602,16 @@ def ngram_jaccard_pairs(
     # the candidate join, and the synchronous barrier costs more than
     # the recompute it saves; the two aliased branches pipeline inside
     # one job.)
+    # (r16 A/B #2: replacing this self-join with ONE groupBy(shingle) +
+    # collect_list + in-array pair expansion produced the IDENTICAL
+    # candidate set (43543 pairs, symdiff 0 at sf0.1) but measured
+    # 2.70 vs 1.71 s end-to-end — the ObjectHashAggregate + nested
+    # lambda expansion costs more than the pipelined duplicate subtree.
+    # REVERTED. r16 A/B #1, in shingle_arrays: unrolled
+    # concat_ws(element_at…) per shingle instead of
+    # array_join(slice(…)) — bit-identical, 2× slower. REVERTED. With
+    # three independent restructures all measured worse, this operator's
+    # shape stands as the measured optimum; see OPTIMIZATION_r16.md.)
     prefix = ranked.filter(
         F.col("rn")
         <= F.floor(F.round((1.0 - threshold) * F.col("n_shingles"), 6)).cast("int")
